@@ -1,0 +1,104 @@
+"""As-of (temporal most-recent-match) join.
+
+Re-expresses the reference's ``ASOF LEFT JOIN`` used to pick the SCD2 dimension
+version in effect at event time (reference
+airflow/dags/sql/fact_wazuh_events.sql:60-68):
+
+    ASOF LEFT JOIN gold.dim_agent a
+      ON a.agent_name = <nk> AND src.event_ts_local >= a.effective_from
+
+Spark has no native as-of join, so this implements the scalable
+union-and-carry-forward rewrite (SURVEY.md J2):
+
+1. union the left (probe) and right (version) rows on the key columns with a
+   side marker, packing right-side payload into one struct;
+2. a single window sort per key on ``(ts, side)`` — right rows sort before
+   left rows at equal ts, making the match inclusive (``>=``) like ClickHouse;
+3. ``last(payload, ignoreNulls)`` carries the latest version forward onto each
+   probe row.
+
+Scale notes: one shuffle on the key columns and one sort — O(n log n) with no
+row blowup, unlike the join+filter+row_number rewrite whose intermediate is
+|probe| × |versions-per-key|.  Skewed keys can be salted upstream; AQE skew
+handling applies to the shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str] | str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str] | None = None,
+    tolerance_seconds: int | None = None,
+) -> DataFrame:
+    """Left as-of join: for every left row, attach the right row with the
+    greatest ``right_ts`` ≤ ``left_ts`` within equal ``on`` keys.
+
+    Parameters mirror pandas ``merge_asof`` (direction='backward').  Right
+    payload columns (``right_cols``, default all non-key/non-ts columns) come
+    back NULL when no version precedes the probe — ClickHouse ``ASOF LEFT
+    JOIN`` semantics.  ``tolerance_seconds`` optionally voids matches older
+    than the window (not used by the reference; offered for training-data
+    as-of feature lookups).
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in keys and c != right_ts]
+    payload = F.struct(*[F.col(c) for c in right_cols])
+
+    left_cols = left.columns
+    probe = left.select(
+        *left_cols,
+        F.col(left_ts).alias("__asof_ts"),
+        F.lit(1).alias("__asof_side"),
+        F.lit(None).cast(
+            right.select(payload.alias("p")).schema["p"].dataType
+        ).alias("__asof_payload"),
+    )
+    versions = right.select(
+        *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in left_cols
+          if c not in keys],
+        *[F.col(k) for k in keys],
+        F.col(right_ts).alias("__asof_ts"),
+        F.lit(0).alias("__asof_side"),
+        payload.alias("__asof_payload"),
+    ).select(*left_cols, "__asof_ts", "__asof_side", "__asof_payload")
+
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("__asof_ts", "__asof_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = probe.unionByName(versions).withColumn(
+        "__asof_match", F.last("__asof_payload", ignorenulls=True).over(w)
+    )
+    if tolerance_seconds is not None:
+        ts_w = Window.partitionBy(*keys).orderBy("__asof_ts", "__asof_side").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        carried = carried.withColumn(
+            "__asof_match_ts",
+            F.when(F.col("__asof_side") == 0, F.col("__asof_ts")),
+        ).withColumn(
+            "__asof_match_ts", F.last("__asof_match_ts", ignorenulls=True).over(ts_w)
+        ).withColumn(
+            "__asof_match",
+            F.when(
+                F.col("__asof_match_ts")
+                >= F.col("__asof_ts") - F.expr(f"INTERVAL {tolerance_seconds} SECONDS"),
+                F.col("__asof_match"),
+            ),
+        )
+
+    out = carried.filter(F.col("__asof_side") == 1)
+    for c in right_cols:
+        out = out.withColumn(c, F.col("__asof_match").getField(c))
+    return out.drop("__asof_ts", "__asof_side", "__asof_payload", "__asof_match",
+                    "__asof_match_ts")
