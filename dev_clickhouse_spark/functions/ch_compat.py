@@ -123,6 +123,25 @@ def surrogate_key(*cols: Column | str) -> Column:
     return F.xxhash64(*canon)
 
 
+def round_half_up(c: Column | str, scale: int) -> Column:
+    """Deterministic double rounding: ``floor(x * 10^s + 0.5) / 10^s``.
+
+    Spark's ``round()`` re-decimalizes the double (BigDecimal HALF_UP on the
+    shortest decimal rep) while DuckDB rounds the binary value — they disagree
+    on half-boundary doubles like 234984.47625.  This formula is plain IEEE
+    arithmetic, so any engine evaluating it on the same double gets the same
+    bits; oracle SQL uses the literal same expression.
+    """
+    m = 10 ** scale
+    return F.floor(_col(c) * m + F.lit(0.5)) / m
+
+
+def round_sql(expr: str, scale: int) -> str:
+    """The DuckDB-side twin of :func:`round_half_up`."""
+    m = 10 ** scale
+    return f"floor(({expr}) * {m} + 0.5) / {m}"
+
+
 def canon_str(c: Column | str) -> Column:
     """String canonicalization used inside key derivation: null → ''."""
     return F.coalesce(_col(c), F.lit(""))

@@ -1,0 +1,4 @@
+"""Query pack: importing this package populates the registry."""
+
+from . import analytics, relational  # noqa: F401
+from .registry import REGISTRY, QuerySpec, register  # noqa: F401
