@@ -1,0 +1,232 @@
+"""Gold fact builders (SURVEY.md §2.3 J1/J2/J3).
+
+Each returns the NEW fact rows for a window: star-dim lookups via recomputed
+hash keys (broadcast joins — dims are small), ASOF lookups into SCD2 dims, and
+the reference's dedupe guard — anti-join against existing fact rows on
+``(event_id, event_ts)`` (fact_wazuh_events.sql:76-79).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.ch_compat import JAKARTA_TZ, time_key, to_yyyymmdd
+from ..operators.asof import asof_join
+from . import keys
+from .dims import AGENT_NK, HOST_NK, RULE_NK
+
+
+def _local(c) -> F.Column:
+    return F.from_utc_timestamp(c, JAKARTA_TZ)
+
+
+def _date_time_keys(local_ts) -> list[F.Column]:
+    """toYYYYMMDD + h*10000+m*100+s over the Jakarta wall clock
+    (fact_wazuh_events.sql:28-33)."""
+    return [
+        to_yyyymmdd(local_ts).alias("date_key"),
+        time_key(local_ts).alias("time_key"),
+    ]
+
+
+def _anti_existing(new: DataFrame, existing: DataFrame | None) -> DataFrame:
+    if existing is None:
+        return new
+    return new.join(
+        existing.select("event_id", "event_ts").distinct(),
+        on=["event_id", "event_ts"],
+        how="left_anti",
+    )
+
+
+def build_fact_suricata(
+    src: DataFrame,
+    dim_sensor: DataFrame,
+    dim_signature: DataFrame,
+    dim_protocol: DataFrame,
+    existing: DataFrame | None = None,
+) -> DataFrame:
+    """fact_suricata_events.sql:1-71 — hash-key star lookups recomputed from
+    the fact side (J3); all three dims broadcast."""
+    local = _local(F.col("event_ts"))
+    enriched = src.select(
+        "event_id",
+        F.col("event_ts"),
+        *_date_time_keys(local),
+        keys.sensor_key("sensor_type", "sensor_name").alias("__sensor_key"),
+        keys.signature_key(
+            "signature_id", "signature", "category", "alert_action"
+        ).alias("__signature_key"),
+        keys.protocol_key("protocol").alias("__protocol_key"),
+        "event_type", "severity", "src_ip", "dest_ip", "src_port", "dest_port",
+        "bytes", "packets", "flow_id", "http_url", "message",
+    )
+    out = (
+        enriched.join(
+            F.broadcast(dim_sensor.select(F.col("sensor_key"))),
+            enriched.__sensor_key == F.col("sensor_key"),
+            "left",
+        )
+        .join(
+            F.broadcast(dim_signature.select(F.col("signature_key"))),
+            enriched.__signature_key == F.col("signature_key"),
+            "left",
+        )
+        .join(
+            F.broadcast(dim_protocol.select(F.col("protocol_key"))),
+            enriched.__protocol_key == F.col("protocol_key"),
+            "left",
+        )
+        .select(
+            "event_id", "event_ts", "date_key", "time_key",
+            "sensor_key", "signature_key", "protocol_key",
+            "event_type", "severity", "src_ip", "dest_ip", "src_port",
+            "dest_port", "bytes", "packets", "flow_id", "http_url", "message",
+            F.current_timestamp().alias("updated_at"),
+        )
+    )
+    return _anti_existing(out, existing)
+
+
+def build_fact_wazuh(
+    src: DataFrame,
+    dim_agent: DataFrame,
+    dim_host: DataFrame,
+    dim_rule: DataFrame,
+    dim_event: DataFrame,
+    existing: DataFrame | None = None,
+) -> DataFrame:
+    """fact_wazuh_events.sql:1-79 — three ASOF lookups into the SCD2 dims
+    (agent/host/rule version in effect at event time, J2) plus the dim_event
+    hash join; lag_seconds / duration_seconds computed columns (ST6)."""
+    local = _local(F.col("event_ts"))
+    base = src.select(
+        "event_id", "event_ts", "event_ingested_ts", "event_start_ts",
+        "event_end_ts",
+        *_date_time_keys(local),
+        AGENT_NK().alias("__agent_nk"),
+        HOST_NK().alias("__host_nk"),
+        RULE_NK().alias("__rule_nk"),
+        keys.event_key(
+            "event_dataset", "event_kind", "event_module", "event_provider"
+        ).alias("__event_key"),
+        F.when(
+            F.col("event_ingested_ts").isNull(), F.lit(None).cast("long")
+        ).otherwise(
+            F.unix_timestamp("event_ingested_ts") - F.unix_timestamp("event_ts")
+        ).alias("lag_seconds"),
+        F.when(
+            F.col("event_start_ts").isNull() | F.col("event_end_ts").isNull(),
+            F.lit(None).cast("double"),
+        ).otherwise(
+            (F.unix_timestamp("event_end_ts") - F.unix_timestamp("event_start_ts"))
+            .cast("double")
+        ).alias("duration_seconds"),
+        "message",
+    )
+
+    # ASOF LEFT JOIN ×3 — most-recent version with effective_from <= event_ts
+    step = asof_join(
+        base,
+        dim_agent.select(
+            F.col("agent_name").alias("__agent_nk"),
+            F.col("effective_from"),
+            F.col("agent_key"),
+        ),
+        on="__agent_nk", left_ts="event_ts", right_ts="effective_from",
+        right_cols=["agent_key"],
+    )
+    step = asof_join(
+        step,
+        dim_host.select(
+            F.col("host_name").alias("__host_nk"),
+            F.col("effective_from"),
+            F.col("host_key"),
+        ),
+        on="__host_nk", left_ts="event_ts", right_ts="effective_from",
+        right_cols=["host_key"],
+    )
+    step = asof_join(
+        step,
+        dim_rule.select(
+            F.col("rule_id").alias("__rule_nk"),
+            F.col("effective_from"),
+            F.col("rule_key"),
+        ),
+        on="__rule_nk", left_ts="event_ts", right_ts="effective_from",
+        right_cols=["rule_key"],
+    )
+
+    out = (
+        step.join(
+            F.broadcast(dim_event.select("event_key")),
+            step.__event_key == F.col("event_key"),
+            "left",
+        )
+        .select(
+            "event_id", "event_ts", "event_ingested_ts", "event_start_ts",
+            "event_end_ts", "date_key", "time_key", "agent_key", "host_key",
+            "rule_key", "event_key", "lag_seconds", "duration_seconds",
+            "message", F.current_timestamp().alias("updated_at"),
+        )
+    )
+    return _anti_existing(out, existing)
+
+
+def build_fact_zeek(
+    src: DataFrame,
+    dim_sensor: DataFrame,
+    dim_protocol: DataFrame,
+    dim_event: DataFrame,
+    existing: DataFrame | None = None,
+) -> DataFrame:
+    """fact_zeek_events.sql — widest fact; sensor key uses the literal 'zeek'
+    sensor_type the dim build injects (dim_sensor.sql:25)."""
+    local = _local(F.col("event_ts"))
+    enriched = src.select(
+        "event_id", "event_ts", "event_ingested_ts", "event_start_ts",
+        "event_end_ts",
+        *_date_time_keys(local),
+        keys.sensor_key(F.lit("zeek"), F.col("sensor_name")).alias("__sensor_key"),
+        keys.protocol_key("protocol").alias("__protocol_key"),
+        keys.event_key(
+            "event_dataset", "event_kind", "event_module", "event_provider"
+        ).alias("__event_key"),
+        "zeek_uid", "src_ip", "dest_ip", "src_port", "dest_port",
+        "geo_latitude", "geo_longitude", "geo_country", "geo_city_name",
+        "mac_address", "application", "network_type", "direction",
+        "community_id", "bytes", "packets", "orig_bytes", "resp_bytes",
+        "orig_pkts", "resp_pkts", "conn_state", "conn_state_description",
+        F.col("duration").alias("duration_seconds"), "history", "vlan_id",
+        "message",
+    )
+    out = (
+        enriched.join(
+            F.broadcast(dim_sensor.select("sensor_key")),
+            enriched.__sensor_key == F.col("sensor_key"),
+            "left",
+        )
+        .join(
+            F.broadcast(dim_protocol.select("protocol_key")),
+            enriched.__protocol_key == F.col("protocol_key"),
+            "left",
+        )
+        .join(
+            F.broadcast(dim_event.select("event_key")),
+            enriched.__event_key == F.col("event_key"),
+            "left",
+        )
+        .select(
+            "event_id", "event_ts", "event_ingested_ts", "event_start_ts",
+            "event_end_ts", "date_key", "time_key", "sensor_key",
+            "protocol_key", "event_key", "zeek_uid", "src_ip", "dest_ip",
+            "src_port", "dest_port", "geo_latitude", "geo_longitude",
+            "geo_country", "geo_city_name", "mac_address", "application",
+            "network_type", "direction", "community_id", "bytes", "packets",
+            "orig_bytes", "resp_bytes", "orig_pkts", "resp_pkts", "conn_state",
+            "conn_state_description", "duration_seconds", "history", "vlan_id",
+            "message", F.current_timestamp().alias("updated_at"),
+        )
+    )
+    return _anti_existing(out, existing)

@@ -101,17 +101,28 @@ def scd2_apply(
     ``natural_key_expr`` is a Column, e.g. the reference's fallback
     ``coalesce(nullIf(agent_name,''), toString(agent_ip))``
     (dim_agent_scd2.sql:43).
+
+    Faithfulness note: the row-level change filter runs BEFORE the per-key
+    aggregation, exactly like the reference's INSERT (dim_agent_scd2.sql:38-56
+    joins bronze rows to the current dim and keeps only differing rows, THEN
+    groups).  So if a key flips A→B→A inside one window while the current
+    version is A, only the B rows are candidates and the new version is B —
+    the reference's one-version-per-window quirk, preserved.
+
+    Null-safe attribute comparison uses eqNullSafe rather than the reference's
+    ``ifNull(ip, toIPv6('::'))`` sentinel — a conscious fix: a genuine '::'
+    value no longer collides with NULL (SURVEY.md §2.2 P5 note).
     """
     src = window_src.withColumn(nk_col, natural_key_expr).filter(
         F.col(nk_col).isNotNull()
     )
-    candidates = src.groupBy(nk_col).agg(
-        F.min(ts_col).alias("__change_ts"),
-        *[F.min_by(a, F.col(ts_col)).alias(a) for a in attr_cols],
-    )
 
     if current is None or not current.columns:
-        opened = candidates.select(
+        candidates = src.groupBy(nk_col).agg(
+            F.min(ts_col).alias("__change_ts"),
+            *[F.min_by(a, F.col(ts_col)).alias(a) for a in attr_cols],
+        )
+        return candidates.select(
             surrogate_key(F.col(nk_col), F.col("__change_ts").cast("string")).alias(key_col),
             F.col(nk_col),
             *[F.col(a) for a in attr_cols],
@@ -119,20 +130,33 @@ def scd2_apply(
             F.lit(None).cast("timestamp").alias("effective_to"),
             F.lit(1).alias("is_current"),
         )
-        return opened
 
     cur_live = current.filter(F.col("is_current") == 1)
     attr_differs = F.lit(False)
     for a in attr_cols:
-        attr_differs = attr_differs | ~F.col(f"cand.{a}").eqNullSafe(F.col(f"cur.{a}"))
+        attr_differs = attr_differs | ~F.col(f"b.{a}").eqNullSafe(F.col(f"cur.{a}"))
 
-    joined = candidates.alias("cand").join(
-        cur_live.alias("cur"), on=nk_col, how="left"
+    # Row-level: keep window rows whose key is new OR whose attrs differ from
+    # the key's current version; then one candidate per key (argMin attrs,
+    # min ts) — reference dim_agent_scd2.sql:38-56.
+    #
+    # Out-of-order guard (conscious improvement over the reference): rows
+    # older than the current version's effective_from are ignored, so
+    # re-running an already-superseded window (backfill/replay) cannot open a
+    # bogus past-dated version — the reference protocol would
+    # (SURVEY.md §2.11 rerun note).
+    changed_rows = (
+        src.alias("b")
+        .join(F.broadcast(cur_live.alias("cur")), on=nk_col, how="left")
+        .filter(
+            F.col(f"cur.{key_col}").isNull()
+            | (attr_differs & (F.col(f"b.{ts_col}") >= F.col("cur.effective_from")))
+        )
     )
-    changed = joined.filter(
-        F.col(f"cur.{key_col}").isNull() | attr_differs
-    ).select(
-        "cand.*", F.col(f"cur.{key_col}").alias("__closed_key")
+    changed = changed_rows.groupBy(nk_col).agg(
+        F.min(f"b.{ts_col}").alias("__change_ts"),
+        *[F.min_by(f"b.{a}", F.col(f"b.{ts_col}")).alias(a) for a in attr_cols],
+        F.first(F.col(f"cur.{key_col}"), ignorenulls=True).alias("__closed_key"),
     )
 
     opened = changed.select(

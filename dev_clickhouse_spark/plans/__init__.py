@@ -1,0 +1,3 @@
+from .runner import PipelineRunner  # noqa: F401
+from .spec import PIPELINES, PipelineSpec, topo_sorted_waves  # noqa: F401
+from .warehouse import Warehouse  # noqa: F401

@@ -1,0 +1,182 @@
+"""Pipeline runner: the engine's orchestrator (SURVEY.md §3.2).
+
+Replaces the reference's Airflow + Jinja + clickhouse_connect machinery
+(airflow/dags/generator/gold_pipeline.py:169-282) with a plain Python module:
+resolve the ``[start_ts, end_ts)`` window, run pipelines in topological waves
+(intra-wave thread pool ≈ max_active_tasks), record per-run row-count metrics
+(the reference's observability-as-assertions, gold_pipeline.py:221-280), and
+stay idempotent under reruns and overlapping windows (every writer anti-joins
+its target).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import time
+from concurrent.futures import ThreadPoolExecutor
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..sources.json_events import extract_all
+from ..gold import bridges, dims, facts
+from .spec import PIPELINES, PipelineSpec, topo_sorted_waves
+from .warehouse import Warehouse
+
+
+class PipelineRunner:
+    def __init__(
+        self,
+        spark: SparkSession,
+        warehouse_root: str,
+        max_active_tasks: int = 8,
+        pipelines: list[PipelineSpec] | None = None,
+    ):
+        self.spark = spark
+        self.wh = Warehouse(spark, warehouse_root)
+        self.max_active_tasks = max_active_tasks
+        self.pipelines = list(pipelines if pipelines is not None else PIPELINES)
+        self.metrics: list[dict] = []
+
+    # -- ingest ------------------------------------------------------------
+
+    def ingest_raw(self, raw_df: DataFrame) -> dict[str, int]:
+        """Raw JSON strings → the 3 typed bronze tables (the reference's MV
+        fan-out, SURVEY.md S2).  Batch path; streaming/bronze_stream.py wraps
+        the same extraction in foreachBatch."""
+        counts = {}
+        for table, df in extract_all(raw_df).items():
+            df = df.filter(df.event_ts.isNotNull())
+            self.wh.append(table, df)
+            counts[table] = self.wh.read(table).count()
+        return counts
+
+    # -- gold --------------------------------------------------------------
+
+    def run_window(
+        self,
+        start_ts: dt.datetime,
+        end_ts: dt.datetime,
+        pipeline_ids: set[str] | None = None,
+    ) -> list[dict]:
+        """One scheduled gold refresh over [start_ts, end_ts) — the reference's
+        */5-cron DAG run with a 10-minute window (gold_pipeline.py:27-49)."""
+        run_metrics: list[dict] = []
+        for wave in topo_sorted_waves(self.pipelines):
+            todo = [
+                s for s in wave if pipeline_ids is None or s.pipeline_id in pipeline_ids
+            ]
+            if not todo:
+                continue
+            if len(todo) == 1:
+                results = [self._run_one(todo[0], start_ts, end_ts)]
+            else:
+                with ThreadPoolExecutor(
+                    max_workers=min(self.max_active_tasks, len(todo))
+                ) as pool:
+                    results = list(
+                        pool.map(lambda s: self._run_one(s, start_ts, end_ts), todo)
+                    )
+            run_metrics.extend(results)
+        self.metrics.extend(run_metrics)
+        return run_metrics
+
+    def _run_one(self, spec: PipelineSpec, start_ts, end_ts) -> dict:
+        t0 = time.time()
+        rows_before = (
+            self.wh.read(spec.target_table).count()
+            if self.wh.exists(spec.target_table)
+            else 0
+        )
+        out, mode = self._build(spec, start_ts, end_ts)
+        if mode == "append":
+            self.wh.append(spec.target_table, out)
+        else:
+            self.wh.overwrite(spec.target_table, out)
+        rows_after = self.wh.read(spec.target_table).count()
+        return {
+            "pipeline_id": spec.pipeline_id,
+            "target_table": spec.target_table,
+            "start_ts": str(start_ts),
+            "end_ts": str(end_ts),
+            "rows_before": rows_before,
+            "rows_after": rows_after,
+            "rows_delta": rows_after - rows_before,
+            "seconds": round(time.time() - t0, 3),
+        }
+
+    def _build(self, spec: PipelineSpec, start_ts, end_ts) -> tuple[DataFrame, str]:
+        win = lambda t: self.wh.read_window(t, start_ts, end_ts)  # noqa: E731
+        cur = lambda t: (self.wh.read(t) if self.wh.exists(t) else None)  # noqa: E731
+        pid = spec.pipeline_id
+
+        if pid == "dim_date":
+            return dims.build_dim_date(
+                win("suricata_events_raw"), win("wazuh_events_raw"),
+                win("zeek_events_raw"), cur("dim_date"),
+            ), "append"
+        if pid == "dim_time":
+            return dims.build_dim_time(
+                win("suricata_events_raw"), win("wazuh_events_raw"),
+                win("zeek_events_raw"), cur("dim_time"),
+            ), "append"
+        if pid == "dim_event":
+            return dims.build_dim_event(
+                win("wazuh_events_raw"), win("zeek_events_raw"), cur("dim_event")
+            ), "append"
+        if pid == "dim_sensor":
+            return dims.build_dim_sensor(
+                win("suricata_events_raw"), win("zeek_events_raw"), cur("dim_sensor")
+            ), "append"
+        if pid == "dim_protocol":
+            return dims.build_dim_protocol(
+                win("suricata_events_raw"), win("zeek_events_raw"), cur("dim_protocol")
+            ), "append"
+        if pid == "dim_signature":
+            return dims.build_dim_signature(
+                win("suricata_events_raw"), cur("dim_signature")
+            ), "append"
+        if pid == "dim_tag":
+            return dims.build_dim_tag(
+                win("suricata_events_raw"), win("wazuh_events_raw"),
+                win("zeek_events_raw"), cur("dim_tag"),
+            ), "append"
+        if pid == "dim_agent_scd2":
+            return dims.build_dim_agent(win("wazuh_events_raw"), cur("dim_agent")), "snapshot"
+        if pid == "dim_host_scd2":
+            return dims.build_dim_host(win("wazuh_events_raw"), cur("dim_host")), "snapshot"
+        if pid == "dim_rule_scd2":
+            return dims.build_dim_rule(win("wazuh_events_raw"), cur("dim_rule")), "snapshot"
+        if pid == "fact_wazuh_events":
+            return facts.build_fact_wazuh(
+                win("wazuh_events_raw"), self.wh.read("dim_agent"),
+                self.wh.read("dim_host"), self.wh.read("dim_rule"),
+                self.wh.read("dim_event"), cur("fact_wazuh_events"),
+            ), "append"
+        if pid == "fact_suricata_events":
+            return facts.build_fact_suricata(
+                win("suricata_events_raw"), self.wh.read("dim_sensor"),
+                self.wh.read("dim_signature"), self.wh.read("dim_protocol"),
+                cur("fact_suricata_events"),
+            ), "append"
+        if pid == "fact_zeek_events":
+            return facts.build_fact_zeek(
+                win("zeek_events_raw"), self.wh.read("dim_sensor"),
+                self.wh.read("dim_protocol"), self.wh.read("dim_event"),
+                cur("fact_zeek_events"),
+            ), "append"
+        if pid == "bridge_wazuh_event_tag":
+            return bridges.build_bridge_event_tag(
+                win("wazuh_events_raw"), self.wh.read("dim_tag"),
+                cur("bridge_wazuh_event_tag"),
+            ), "append"
+        if pid == "bridge_suricata_event_tag":
+            return bridges.build_bridge_event_tag(
+                win("suricata_events_raw"), self.wh.read("dim_tag"),
+                cur("bridge_suricata_event_tag"),
+            ), "append"
+        if pid == "bridge_zeek_event_tag":
+            return bridges.build_bridge_event_tag(
+                win("zeek_events_raw"), self.wh.read("dim_tag"),
+                cur("bridge_zeek_event_tag"),
+            ), "append"
+        raise ValueError(f"unknown pipeline {pid}")

@@ -1,0 +1,100 @@
+"""Partitioned-parquet warehouse: the engine's table layer.
+
+Re-expresses the reference's MergeTree storage conventions (SURVEY.md S3/S4):
+bronze and fact tables partitioned by ``event_date`` (``PARTITION BY
+toDate(event_ts)``, 01_bronze_tables.sql:26) with rows sorted within
+partitions on the MergeTree ORDER BY key so parquet row-group min/max stats
+approximate the primary-key skip index; small gold dims unpartitioned.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..schemas import BRONZE_SCHEMAS, GOLD_SCHEMAS
+
+#: tables partitioned by event_date + their in-partition sort key
+_PARTITIONED_SORT: dict[str, list[str]] = {
+    **{name: ["event_ts", "event_id"] for name in BRONZE_SCHEMAS},
+    "fact_wazuh_events": ["event_id", "event_ts"],
+    "fact_suricata_events": ["event_id", "event_ts"],
+    "fact_zeek_events": ["event_id", "event_ts"],
+    "bridge_wazuh_event_tag": ["event_id", "event_ts"],
+    "bridge_suricata_event_tag": ["event_id", "event_ts"],
+    "bridge_zeek_event_tag": ["event_id", "event_ts"],
+}
+
+_ALL_SCHEMAS: dict[str, T.StructType] = {**BRONZE_SCHEMAS, **GOLD_SCHEMAS}
+
+
+class Warehouse:
+    """Path-rooted table registry with append / overwrite / read."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+
+    def path(self, table: str) -> str:
+        return os.path.join(self.root, table)
+
+    def exists(self, table: str) -> bool:
+        p = self.path(table)
+        return os.path.exists(p) and any(
+            not f.startswith((".", "_")) for f in os.listdir(p)
+        )
+
+    def schema_for(self, table: str) -> T.StructType:
+        schema = _ALL_SCHEMAS[table]
+        if table in _PARTITIONED_SORT:
+            return T.StructType(
+                [*schema.fields, T.StructField("event_date", T.DateType())]
+            )
+        return schema
+
+    def read(self, table: str) -> DataFrame:
+        """Read a table; a missing table reads as empty with its declared
+        schema, so every pipeline is total on a fresh warehouse."""
+        if not self.exists(table):
+            return self.spark.createDataFrame([], self.schema_for(table))
+        return self.spark.read.parquet(self.path(table))
+
+    def read_window(self, table: str, start_ts, end_ts) -> DataFrame:
+        """Windowed scan with explicit partition pruning: the ts predicate
+        alone cannot prune a date-partitioned table, so the event_date
+        predicate is added alongside (SURVEY.md §4 partition-pruning note)."""
+        df = self.read(table)
+        if "event_date" in df.columns:
+            df = df.filter(
+                (F.col("event_date") >= F.to_date(F.lit(start_ts)))
+                & (F.col("event_date") <= F.to_date(F.lit(end_ts)))
+            )
+        return df.filter(
+            (F.col("event_ts") >= F.lit(start_ts)) & (F.col("event_ts") < F.lit(end_ts))
+        )
+
+    def append(self, table: str, df: DataFrame) -> None:
+        writer_df = self._prep(table, df)
+        if table in _PARTITIONED_SORT:
+            writer_df.write.mode("append").partitionBy("event_date").parquet(
+                self.path(table)
+            )
+        else:
+            writer_df.write.mode("append").parquet(self.path(table))
+
+    def overwrite(self, table: str, df: DataFrame) -> None:
+        """Full-snapshot replace (SCD2 dims).  The input may derive from the
+        table being overwritten, so materialize first (localCheckpoint) —
+        dims are small."""
+        writer_df = self._prep(table, df).localCheckpoint(eager=True)
+        writer_df.write.mode("overwrite").parquet(self.path(table))
+
+    def _prep(self, table: str, df: DataFrame) -> DataFrame:
+        if table in _PARTITIONED_SORT:
+            if "event_date" not in df.columns:
+                df = df.withColumn("event_date", F.to_date("event_ts"))
+            df = df.sortWithinPartitions(*_PARTITIONED_SORT[table])
+        return df
