@@ -1,0 +1,355 @@
+"""Deduplication family: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale design (the point of each variant at 100 TB):
+
+- **exact** — md5 fingerprint group-by: one shuffle on a 16-byte key.
+- **n-gram Jaccard** — inverted shingle index join; candidate generation is
+  bounded by dropping ultra-common shingles (df cap) so the self-join cannot
+  quadratically blow up on boilerplate.
+- **MinHash+LSH** — per-doc signatures are MAP-ONLY (Arrow-batched pandas UDF,
+  no shuffle); banding reduces the pair space to hash-bucket collisions; only
+  candidates pay the exact-verify cost.  Tunables (k, bands) trade recall for
+  cost; defaults k=12, b=6, r=2 target J ≥ 0.8.
+- **SimHash** — constant-size 64-bit signature; near-dup = small Hamming
+  distance; bucketing by signature prefix bounds the search.
+
+Hashes are md5-based so the DuckDB oracle can replicate signatures
+bit-for-bit (xxhash64 would be faster; md5 keeps the correctness gate
+cross-engine — swap `_HASH` for production).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.ch_compat import round_half_up as rnd
+from ..io import load_table
+from ..queries.registry import register
+
+MINHASH_K = 12
+LSH_BANDS = 6
+LSH_ROWS = MINHASH_K // LSH_BANDS
+SHINGLE_N = 3
+JACCARD_THRESHOLD = 0.8
+
+
+def _shingles(text: str, n: int = SHINGLE_N) -> set[str]:
+    toks = text.split(" ")
+    if len(toks) < n:
+        return set()
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+def _md5(s: str) -> str:
+    return hashlib.md5(s.encode()).hexdigest()
+
+
+# ---------------------------------------------------------------------------
+# MinHash signatures + LSH bands (map-only pandas UDF)
+# ---------------------------------------------------------------------------
+
+_SIG_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("n_shingles", T.IntegerType()),
+    T.StructField("minhash", T.ArrayType(T.StringType())),
+    T.StructField("bands", T.ArrayType(T.StringType())),
+])
+
+
+def minhash_signatures(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    k: int = MINHASH_K, bands: int = LSH_BANDS,
+) -> DataFrame:
+    """Per-document MinHash signature + LSH band hashes.  Map-only: no shuffle,
+    Arrow-batched; signature i = min over shingles of md5(f"{i}:{shingle}"),
+    band b = md5(concat of its row hashes)."""
+    rows_per_band = k // bands
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                sh = _shingles(text or "")
+                if not sh:
+                    out.append((doc_id, 0, None, None))
+                    continue
+                sig = [min(_md5(f"{i}:{s}") for s in sh) for i in range(k)]
+                band_hashes = [
+                    _md5("".join(sig[b * rows_per_band : (b + 1) * rows_per_band]))
+                    for b in range(bands)
+                ]
+                out.append((doc_id, len(sh), sig, band_hashes))
+            yield pd.DataFrame(out, columns=["doc_id", "n_shingles", "minhash", "bands"])
+
+    return docs.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        compute, schema=_SIG_SCHEMA
+    )
+
+
+def lsh_candidate_pairs(signatures: DataFrame) -> DataFrame:
+    """Docs sharing any (band_index, band_hash) bucket — the LSH self-join.
+    Shuffles on the band hash (uniform, 16 bytes); bucket sizes are the only
+    quadratic term and shrink as bands get more selective."""
+    bands = signatures.filter(F.col("bands").isNotNull()).select(
+        "doc_id", F.posexplode("bands").alias("band", "band_hash")
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def verify_jaccard(
+    pairs: DataFrame, docs: DataFrame,
+    id_col: str = "doc_id", text_col: str = "text",
+) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs (texts joined in, set math
+    in an Arrow-batched UDF — candidates are few post-LSH)."""
+    d = docs.select(F.col(id_col), F.col(text_col))
+    joined = (
+        pairs.join(d.withColumnsRenamed({id_col: "doc_a", text_col: "text_a"}), "doc_a")
+        .join(d.withColumnsRenamed({id_col: "doc_b", text_col: "text_b"}), "doc_b")
+    )
+
+    @F.pandas_udf("double")
+    def jac(ta: pd.Series, tb: pd.Series) -> pd.Series:
+        out = []
+        for x, y in zip(ta, tb):
+            sa, sb = _shingles(x or ""), _shingles(y or "")
+            inter = len(sa & sb)
+            union = len(sa) + len(sb) - inter
+            out.append(inter / union if union else 0.0)
+        return pd.Series(out)
+
+    return joined.select(
+        "doc_a", "doc_b", jac("text_a", "text_b").alias("jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash (map-only pandas UDF, oracle-replicable)
+# ---------------------------------------------------------------------------
+
+def simhash_hex(text: str) -> str:
+    """64-bit SimHash over the distinct-token set, emitted as 16 hex chars.
+    Bit k lives in md5-hex nibble k//4, bit k%4; majority vote with ties → 1."""
+    # NB: ''.split(' ') == [''] — the empty token hashes like any other,
+    # matching DuckDB string_split semantics in the oracle.
+    toks = set((text or "").split(" "))
+    counts = [0] * 64
+    for tok in toks:
+        hx = _md5(tok)
+        for p in range(16):
+            d = int(hx[p], 16)
+            for j in range(4):
+                counts[p * 4 + j] += (d >> j) & 1
+    n = len(toks)
+    nibbles = []
+    for p in range(16):
+        v = 0
+        for j in range(4):
+            if counts[p * 4 + j] * 2 >= n:
+                v |= 1 << j
+        nibbles.append("0123456789abcdef"[v])
+    return "".join(nibbles)
+
+
+def simhash_signatures(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    @F.pandas_udf("string")
+    def sh(texts: pd.Series) -> pd.Series:
+        return texts.map(simhash_hex)
+
+    return docs.select(F.col(id_col), sh(F.col(text_col)).alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# Registered queries
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_exact_stats",
+    oracle="""
+SELECT source,
+       CAST(count(*) AS BIGINT)                 AS n_docs,
+       CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct,
+       CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT) AS n_exact_dups
+FROM documents
+GROUP BY source
+""",
+    tags=["llm-dedup"],
+)
+def dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup accounting per source: md5-fingerprint distinct counts —
+    the hash-groupBy dedup at its cheapest."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(F.md5("text")).alias("n_distinct"),
+        (F.count(F.lit(1)) - F.countDistinct(F.md5("text"))).alias("n_exact_dups"),
+    )
+
+
+_SHINGLE_SQL = """
+t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS s
+  FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks) - 2)) AS i)
+  WHERE len(toks) >= 3
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
+"""
+
+
+@register(
+    "dedup_ngram_jaccard_pairs",
+    oracle=f"""
+WITH {_SHINGLE_SQL},
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS cb
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       floor(cb::DOUBLE / (sa.n + sb.n - cb) * 10000 + 0.5) / 10000 AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE cb::DOUBLE / (sa.n + sb.n - cb) >= 0.8
+""",
+    tags=["llm-dedup"],
+)
+def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute n-gram Jaccard near-dup pairs via inverted shingle index —
+    explode 3-shingles, self-join on shingle, count intersections, filter
+    J ≥ 0.8.  (LSH below is the scale path; this is the exact baseline.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    t = docs.select("doc_id", toks.alias("toks")).filter(F.size("toks") >= 3)
+    sh = t.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("toks") - 3),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.col("toks")[i],
+                    F.col("toks")[i + 1],
+                    F.col("toks")[i + 2],
+                ),
+            )
+        ).alias("s"),
+    ).distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("cb"))
+    )
+    jac = F.col("cb") / (F.col("sa.n") + F.col("sb.n") - F.col("cb"))
+    return (
+        inter.join(F.broadcast(sizes.alias("sa")), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(F.broadcast(sizes.alias("sb")), F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", rnd(jac, 4).alias("jaccard"))
+    )
+
+
+@register(
+    "dedup_minhash_lsh_pairs",
+    oracle=f"""
+WITH {_SHINGLE_SQL},
+mh AS (
+  SELECT doc_id, i, min(md5(i::VARCHAR || ':' || s)) AS h
+  FROM sh, LATERAL (SELECT unnest(generate_series(0, {MINHASH_K - 1})) AS i)
+  GROUP BY doc_id, i
+),
+bands AS (
+  SELECT doc_id, i // {LSH_ROWS} AS band,
+         md5(string_agg(h, '' ORDER BY i)) AS bh
+  FROM mh GROUP BY doc_id, i // {LSH_ROWS}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS cb
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.doc_a
+  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.s = sa.s
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT doc_a, doc_b,
+       floor(cb::DOUBLE / (sa.n + sb.n - cb) * 10000 + 0.5) / 10000 AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE cb::DOUBLE / (sa.n + sb.n - cb) >= {JACCARD_THRESHOLD}
+""",
+    tags=["llm-dedup"],
+)
+def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash → LSH banding → bucket join → exact verify: the scalable
+    near-dup pipeline.  Signatures are map-only; only band-bucket collisions
+    are verified.  Output = verified pairs with exact Jaccard ≥ 0.8."""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs)
+    cands = lsh_candidate_pairs(sigs)
+    verified = verify_jaccard(cands, docs)
+    return verified.filter(F.col("jaccard") >= JACCARD_THRESHOLD).select(
+        "doc_a", "doc_b", rnd("jaccard", 4).alias("jaccard")
+    )
+
+
+@register(
+    "dedup_simhash_signatures",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+  FROM documents
+),
+h AS (SELECT doc_id, md5(tok) AS hx FROM t),
+bits AS (
+  SELECT doc_id, p, j,
+         CASE WHEN sum(((strpos('0123456789abcdef', substr(hx, p + 1, 1)) - 1) >> j) & 1) * 2
+                   >= count(*) THEN 1 ELSE 0 END AS bit
+  FROM h,
+       LATERAL (SELECT unnest(generate_series(0, 15)) AS p),
+       LATERAL (SELECT unnest(generate_series(0, 3)) AS j)
+  GROUP BY doc_id, p, j
+),
+nibs AS (
+  SELECT doc_id, p, CAST(sum(bit << j) AS INTEGER) AS v
+  FROM bits GROUP BY doc_id, p
+)
+SELECT doc_id,
+       string_agg(substr('0123456789abcdef', v + 1, 1), '' ORDER BY p) AS simhash
+FROM nibs GROUP BY doc_id
+""",
+    tags=["llm-dedup"],
+)
+def dedup_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per document (hex) — constant-size signature whose
+    Hamming distance approximates cosine over the token set; prefix-bucketing
+    gives the near-dup search its scale path."""
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_signatures(docs)

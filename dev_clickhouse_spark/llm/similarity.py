@@ -1,0 +1,168 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+- ``cosine_topk`` — exact brute-force top-k: broadcast the query set, score
+  every candidate with JVM-side ``zip_with``/``aggregate`` (no Python), rank
+  per query.  O(|Q|·N) — the correctness baseline and still the right answer
+  when |Q| is small.
+- ``lsh_bucket_topk`` — the scale path: deterministic random-hyperplane
+  signatures bucket the corpus; each query searches only its bucket.
+  Sub-linear candidates at the cost of recall (report it, don't hide it).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.ch_compat import round_half_up as rnd
+from ..io import load_table
+from ..queries.registry import register
+
+N_PLANES = 8
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+
+
+def cosine_topk(
+    corpus: DataFrame, queries: DataFrame, k: int = 5,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.  Scores are rounded
+    to 4dp BEFORE ranking (with id tie-break) so ranking is reproducible
+    across engines/precision modes."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            rnd(_dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv"))), 4).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"), "cosine")
+    )
+
+
+def _plane_weights(dim: int, n_planes: int = N_PLANES) -> list[list[float]]:
+    """Deterministic ±1 hyperplanes from md5 parity — reproducible across
+    runs/engines with no RNG state."""
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for d in range(dim):
+            h = hashlib.md5(f"{p}:{d}".encode()).hexdigest()
+            row.append(1.0 if int(h[0], 16) % 2 == 0 else -1.0)
+        planes.append(row)
+    return planes
+
+
+def lsh_signature(vec_col, dim: int, n_planes: int = N_PLANES):
+    """Sign-bit signature string, e.g. '10110010' — one char per hyperplane."""
+    planes = _plane_weights(dim, n_planes)
+    bits = [
+        F.when(
+            _dot(vec_col, F.array(*[F.lit(w) for w in planes[p]])) >= 0, "1"
+        ).otherwise("0")
+        for p in range(n_planes)
+    ]
+    return F.concat(*bits)
+
+
+def lsh_bucket_topk(
+    corpus: DataFrame, queries: DataFrame, dim: int, k: int = 5,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN: score only candidates sharing the query's hyperplane bucket.
+    At 100 TB the bucketed self-join replaces the full cross product; recall
+    is tunable via n_planes (fewer planes → bigger buckets → higher recall)."""
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    ).withColumn("bucket", lsh_signature(F.col("cv"), dim))
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    ).withColumn("bucket", lsh_signature(F.col("qv"), dim))
+    scored = (
+        F.broadcast(q)
+        .join(c, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            rnd(_dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv"))), 4).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"), "cosine")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Registered queries
+# ---------------------------------------------------------------------------
+
+@register(
+    "ann_cosine_topk",
+    oracle="""
+WITH q AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id < 20),
+c AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+sims AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         floor(list_cosine_similarity(q.e, c.e) * 10000 + 0.5) / 10000 AS cosine
+  FROM q, c WHERE c.vec_id != q.vec_id
+),
+rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cosine DESC, neighbor_id) AS rn
+       FROM sims)
+SELECT query_id, neighbor_id, CAST(rn AS INTEGER) AS rank, cosine
+FROM rk WHERE rn <= 5
+""",
+    tags=["llm-similarity"],
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 cosine neighbors for the first 20 vectors — the brute-force
+    baseline every ANN variant is measured against."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk(emb, emb.filter(F.col("vec_id") < 20), k=5)
+
+
+@register("ann_lsh_bucket_topk", tags=["llm-similarity"])  # rows-only check
+def ann_lsh_bucket_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH ANN for the same 20 queries (scale path; approximate —
+    no SQL oracle by design, the driver records a rows-only check)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    return lsh_bucket_topk(emb, emb.filter(F.col("vec_id") < 20), dim=dim, k=5)

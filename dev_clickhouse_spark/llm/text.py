@@ -1,0 +1,208 @@
+"""Text-analysis operators over the ``documents`` table: token counting,
+quality scoring, language-ID heuristic, document fingerprinting.
+
+Everything here is built-in column expressions (split / regexp_extract_all /
+md5 / array functions) — JVM-side, whole-stage codegen, no Python in the hot
+path.  At 100 TB these are embarrassingly parallel map-only scans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.ch_compat import round_half_up as rnd
+from ..io import load_table
+from ..queries.registry import register
+
+#: BPE-ish pre-tokenizer: letter runs, single digits, punctuation runs —
+#: the shape GPT-style byte-pair pre-tokenization produces on ASCII text.
+BPEISH_PATTERN = r"[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]+"
+
+#: Small stopword set used by the quality score (ratio features).
+STOPWORDS = ("the", "a", "of", "and")
+
+
+def tokens(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(c, " ")
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text))
+
+
+def bpeish_token_count(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(c, F.lit(BPEISH_PATTERN), 0))
+
+
+def distinct_token_ratio(text: Column | str) -> Column:
+    t = tokens(text)
+    return F.size(F.array_distinct(t)) / F.size(t)
+
+
+def stopword_ratio(text: Column | str) -> Column:
+    t = tokens(text)
+    sw = F.array(*[F.lit(s) for s in STOPWORDS])
+    hits = F.size(F.filter(t, lambda x: F.array_contains(sw, x)))
+    return hits / F.size(t)
+
+
+def content_fingerprint(text: Column | str) -> Column:
+    """Order-sensitive exact fingerprint: md5 of the raw text."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.md5(c)
+
+
+def bag_fingerprint(text: Column | str) -> Column:
+    """Order-insensitive fingerprint: md5 over the sorted distinct token set —
+    robust to token shuffling, the cheapest near-dup signal."""
+    return F.md5(F.array_join(F.array_sort(F.array_distinct(tokens(text))), " "))
+
+
+# ---------------------------------------------------------------------------
+# Registered queries
+# ---------------------------------------------------------------------------
+
+@register(
+    "text_token_stats",
+    oracle="""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS INTEGER)  AS n_tokens,
+       CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\s]+'))
+            AS INTEGER)                               AS n_bpeish_tokens,
+       CAST(length(text) AS INTEGER)                  AS n_chars,
+       floor(len(list_distinct(string_split(text, ' ')))::DOUBLE
+             / len(string_split(text, ' ')) * 10000 + 0.5) / 10000 AS distinct_ratio
+FROM documents
+""",
+    tags=["llm-text"],
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish token counts, char length, vocabulary diversity."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count("text").cast("int").alias("n_tokens"),
+        bpeish_token_count("text").cast("int").alias("n_bpeish_tokens"),
+        F.length("text").cast("int").alias("n_chars"),
+        rnd(distinct_token_ratio("text"), 4).alias("distinct_ratio"),
+    )
+
+
+@register(
+    "text_quality_scores",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS toks, length(text) AS n_chars
+  FROM documents
+), m AS (
+  SELECT doc_id, lang, n_chars,
+         len(toks) AS n_tokens,
+         len(list_filter(toks, x -> x IN ('the','a','of','and'))) AS sw,
+         len(list_distinct(toks)) AS dt
+  FROM t
+)
+SELECT doc_id, lang,
+       CAST(n_tokens AS INTEGER) AS n_tokens,
+       floor(sw::DOUBLE / n_tokens * 10000 + 0.5) / 10000       AS stopword_ratio,
+       floor((1 - dt::DOUBLE / n_tokens) * 10000 + 0.5) / 10000 AS repetition,
+       floor(least(n_chars / 400.0, 1.0) * 10000 + 0.5) / 10000 AS length_score
+FROM m
+""",
+    tags=["llm-text"],
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality features: stopword ratio, repetition (1 − distinct
+    ratio), saturating length score — the standard pretraining-filter trio."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        "lang",
+        token_count("text").cast("int").alias("n_tokens"),
+        rnd(stopword_ratio("text"), 4).alias("stopword_ratio"),
+        rnd(1 - distinct_token_ratio("text"), 4).alias("repetition"),
+        rnd(F.least(F.length("text") / 400.0, F.lit(1.0)), 4).alias("length_score"),
+    )
+
+
+#: language marker words for the n-gram/lexicon language-ID heuristic.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a"),
+    "es": ("data", "row"),
+    "de": ("key", "value"),
+    "fr": ("query", "table"),
+    "zh": ("spark", "column"),
+}
+
+
+@register(
+    "lang_id_markers",
+    oracle=f"""
+WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+c AS (
+  SELECT doc_id, lang,
+         {', '.join(
+             "len(list_filter(toks, x -> x IN ("
+             + ', '.join(f"'{w}'" for w in ws)
+             + f"))) AS c_{lang_code}"
+             for lang_code, ws in LANG_MARKERS.items()
+         )}
+  FROM t
+)
+SELECT doc_id, lang,
+       CASE greatest(c_en, c_es, c_de, c_fr, c_zh)
+            WHEN c_en THEN 'en' WHEN c_es THEN 'es' WHEN c_de THEN 'de'
+            WHEN c_fr THEN 'fr' ELSE 'zh' END AS predicted_lang
+FROM c
+""",
+    tags=["llm-text"],
+)
+def lang_id_markers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-lexicon language ID (the n-gram-heuristic shape: count
+    language-discriminative tokens, take the argmax with a fixed tie order).
+    On real corpora the markers are learned character n-grams; the pipeline
+    shape — map-only scoring, no shuffle — is identical."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", "lang", tokens("text").alias("toks"))
+    def marker_count(words: tuple[str, ...]):
+        arr = F.array(*[F.lit(w) for w in words])
+        return F.size(F.filter(F.col("toks"), lambda x: F.array_contains(arr, x)))
+
+    counts = t.select(
+        "doc_id",
+        "lang",
+        *[
+            marker_count(ws).alias(f"c_{lang_code}")
+            for lang_code, ws in LANG_MARKERS.items()
+        ],
+    )
+    best = F.greatest(*[F.col(f"c_{lc}") for lc in LANG_MARKERS])
+    pred = F.when(F.col("c_en") == best, "en")
+    for lc in ("es", "de", "fr"):
+        pred = pred.when(F.col(f"c_{lc}") == best, lc)
+    pred = pred.otherwise("zh")
+    return counts.select("doc_id", "lang", pred.alias("predicted_lang"))
+
+
+@register(
+    "doc_fingerprints",
+    oracle="""
+SELECT doc_id,
+       md5(text) AS exact_fp,
+       md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+         AS bag_fp
+FROM documents
+""",
+    tags=["llm-text", "llm-dedup"],
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact + order-insensitive document fingerprints (md5) — the join keys
+    for exact and bag-of-words dedup."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        content_fingerprint("text").alias("exact_fp"),
+        bag_fingerprint("text").alias("bag_fp"),
+    )
