@@ -1,0 +1,133 @@
+"""Streaming bronze ingest (SURVEY.md §2.1 S1/S2, §2.9 ST1-ST6).
+
+The reference consumes a Kafka topic as raw JSON strings and fans each block
+through 3 materialized views into typed bronze tables
+(clickhouse/init/02_kafka_ingest.sql.tmpl).  Here: one ``readStream`` →
+``foreachBatch`` that runs the same extraction expression layer
+(sources/json_events.extract_all) and appends 3 partitioned parquet tables per
+micro-batch — exactly-once via the checkpointed source offsets + idempotent
+per-batch writes.
+
+Delivery semantics mapping:
+- consumer-group offsets (ST1)        → checkpointLocation
+- kafka_skip_broken_messages (ST2)    → permissive parse; unrouted/unparseable
+  rows are counted to the ingest_metrics table instead of failing the batch
+- no ingest watermark (ST3)           → same: bronze appends as events arrive;
+  optional ``dedupe=True`` adds withWatermark + dropDuplicates (ST5)
+- 5-min cadence (ST4)                 → Trigger.ProcessingTime / AvailableNow
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..plans.warehouse import Warehouse
+from ..sources.json_events import extract_all
+
+
+class BronzeStream:
+    """Streaming ingest into a Warehouse: files (testable anywhere) or Kafka
+    (same foreachBatch, broker required)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        warehouse_root: str,
+        checkpoint_root: str,
+        dedupe: bool = False,
+    ):
+        self.spark = spark
+        self.wh = Warehouse(spark, warehouse_root)
+        self.checkpoint_root = checkpoint_root
+        self.dedupe = dedupe
+
+    # -- sources -----------------------------------------------------------
+
+    def from_files(
+        self, input_dir: str, available_now: bool = True,
+        processing_time: str = "5 minutes",
+    ) -> StreamingQuery:
+        """File-source stream: one JSON document per line (the reference's
+        JSONAsString framing)."""
+        raw = (
+            self.spark.readStream.format("text")
+            .option("maxFilesPerTrigger", "16")
+            .load(input_dir)
+            .select(F.col("value").alias("raw"))
+        )
+        return self._start(raw, available_now, processing_time)
+
+    def from_kafka(
+        self, brokers: str, topics: str, group_id: str,
+        available_now: bool = False, processing_time: str = "5 minutes",
+    ) -> StreamingQuery:
+        """Kafka source — settings mirror the reference's Kafka engine table
+        (broker list / topic list / group id, 02_kafka_ingest.sql.tmpl:1-11);
+        ``failOnDataLoss=false`` stands in for skip-broken tolerance."""
+        raw = (
+            self.spark.readStream.format("kafka")
+            .option("kafka.bootstrap.servers", brokers)
+            .option("subscribe", topics)
+            .option("kafka.group.id", group_id)
+            .option("failOnDataLoss", "false")
+            .load()
+            .selectExpr("CAST(value AS STRING) AS raw")
+        )
+        return self._start(raw, available_now, processing_time)
+
+    # -- sink --------------------------------------------------------------
+
+    def _start(
+        self, raw: DataFrame, available_now: bool, processing_time: str
+    ) -> StreamingQuery:
+        writer = raw.writeStream.foreachBatch(self._process_batch).option(
+            "checkpointLocation", os.path.join(self.checkpoint_root, "bronze")
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        else:
+            writer = writer.trigger(processingTime=processing_time)
+        return writer.start()
+
+    def _process_batch(self, batch: DataFrame, batch_id: int) -> None:
+        batch = batch.localCheckpoint(eager=True)  # scan once, write 4 outputs
+        n_raw = batch.count()
+        routed = 0
+        counts: dict[str, int] = {}
+        for table, df in extract_all(batch).items():
+            df = df.filter(F.col("event_ts").isNotNull())
+            if self.dedupe:
+                df = df.dropDuplicates(["event_id", "event_ts"])
+            n = df.count()
+            if n:
+                self.wh.append(table, df)
+            counts[table] = n
+            routed += n
+        metrics = self.spark.createDataFrame(
+            [(int(batch_id), n_raw, counts.get("suricata_events_raw", 0),
+              counts.get("wazuh_events_raw", 0), counts.get("zeek_events_raw", 0),
+              n_raw - routed)],
+            "batch_id long, n_raw long, n_suricata long, n_wazuh long, "
+            "n_zeek long, n_unrouted long",
+        ).withColumn("processed_at", F.current_timestamp())
+        metrics.write.mode("append").parquet(
+            os.path.join(self.wh.root, "ingest_metrics")
+        )
+
+
+def windowed_event_counts(
+    bronze_stream: DataFrame, watermark: str = "10 minutes",
+    window_size: str = "5 minutes",
+) -> DataFrame:
+    """Event-time tumbling-window counts with late-data watermark (ST4) — the
+    streaming twin of the stored-data 5-minute bucket query (W3)."""
+    return (
+        bronze_stream.withWatermark("event_ts", watermark)
+        .groupBy(F.window("event_ts", window_size).alias("w"))
+        .agg(F.count(F.lit(1)).alias("event_count"))
+        .select(F.col("w.start").alias("bucket_start"), "event_count")
+    )
