@@ -1,0 +1,129 @@
+#!/usr/bin/env python
+"""Benchmark harness — prints ONE JSON line the driver records as BENCH_r{N}.json.
+
+Covers the three BASELINE.md translation targets:
+1. ingest-equivalent: JSON parse + route + typed write throughput
+   (reference envelope: ≥333 events/s sustained on one node)
+2. gold refresh: full 16-pipeline window over the ingested bronze
+   (reference envelope: < 300 s schedule interval)
+3. BI/operator query pack at $SPARK_GRAFT_SF_DIR (default sf0.1), each well
+   under the 60 s Superset timeout
+
+Env: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+#: registry queries timed at the bench scale factor — the heavy/representative
+#: cut of SURVEY.md §2 (full correctness runs via tools/check_correctness.py)
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_nation_revenue",
+    "top_parts_by_revenue",
+    "order_priority_check",
+    "daily_order_stats",
+    "events_5min_buckets",
+    "daily_event_type_ratio",
+    "asof_join_last_purchase",
+    "scd2_user_type_versions",
+    "dedup_minhash_lsh_pairs",
+    "ann_cosine_topk",
+]
+
+N_INGEST_EVENTS = 10_000
+
+
+def synth_payloads(n: int) -> list[str]:
+    """Deterministic mixed-stream payload generator for the ingest bench."""
+    import tests.test_siem as fx  # fixture builders double as generators
+
+    out = []
+    base = dt.datetime(2026, 1, 8, 9, 0, 0)
+    for i in range(n):
+        ts = (base + dt.timedelta(seconds=i % 3600)).strftime("%Y-%m-%dT%H:%M:%S.000Z")
+        if i % 3 == 0:
+            p = fx.wazuh_payload(f"w{i}", f"10.1.{i % 250}.{i % 97}", ts)
+        elif i % 3 == 1:
+            p = fx.suricata_payload(f"s{i}", ts)
+        else:
+            p = fx.zeek_payload(f"z{i}", ts)
+        out.append(json.dumps(p))
+    return out
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from pyspark.sql import functions as F
+
+    from dev_clickhouse_spark.plans import PipelineRunner
+    from dev_clickhouse_spark.queries import REGISTRY
+    from dev_clickhouse_spark.session import get_spark
+
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+
+    # 1+2: ingest throughput + gold refresh on synthetic bronze
+    wh = tempfile.mkdtemp(prefix="bench_wh_")
+    try:
+        runner = PipelineRunner(spark, wh)
+        # feed from files so the bench measures the engine (distributed text
+        # scan → parse → 3 typed writes), not driver-side re-serialization
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+        indir = os.path.join(wh, "_raw_in")
+        os.makedirs(indir)
+        payloads = synth_payloads(N_INGEST_EVENTS)
+        per = max(1, len(payloads) // cpus)
+        for i in range(0, len(payloads), per):
+            with open(os.path.join(indir, f"part_{i}.jsonl"), "w") as fh:
+                fh.write("\n".join(payloads[i : i + per]) + "\n")
+        raw = spark.read.text(indir).select(F.col("value").alias("raw"))
+        t0 = time.time()
+        runner.ingest_raw(raw, collect_counts=False)
+        timings["ingest_10k_events"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        runner.run_window(dt.datetime(2026, 1, 8, 9, 0), dt.datetime(2026, 1, 8, 11, 0))
+        timings["gold_refresh_16_pipelines"] = round(time.time() - t0, 3)
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+
+    # 3: query pack at sf
+    for name in BENCH_QUERIES:
+        fn = REGISTRY[name].fn
+        t0 = time.time()
+        n = len(fn(spark, sf_dir).collect())
+        timings[name] = round(time.time() - t0, 3)
+        assert n >= 0
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "e2e_bench_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
+                "ingest_events_per_sec": round(
+                    N_INGEST_EVENTS / timings["ingest_10k_events"], 1
+                ),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

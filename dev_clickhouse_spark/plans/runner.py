@@ -39,7 +39,9 @@ class PipelineRunner:
 
     # -- ingest ------------------------------------------------------------
 
-    def ingest_raw(self, raw_df: DataFrame) -> dict[str, int]:
+    def ingest_raw(
+        self, raw_df: DataFrame, collect_counts: bool = True
+    ) -> dict[str, int]:
         """Raw JSON strings → the 3 typed bronze tables (the reference's MV
         fan-out, SURVEY.md S2).  Batch path; streaming/bronze_stream.py wraps
         the same extraction in foreachBatch."""
@@ -47,7 +49,8 @@ class PipelineRunner:
         for table, df in extract_all(raw_df).items():
             df = df.filter(df.event_ts.isNotNull())
             self.wh.append(table, df)
-            counts[table] = self.wh.read(table).count()
+            if collect_counts:
+                counts[table] = df.count()
         return counts
 
     # -- gold --------------------------------------------------------------
