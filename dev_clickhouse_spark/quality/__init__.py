@@ -1,0 +1,8 @@
+from .checks import (  # noqa: F401
+    check_freshness,
+    check_not_null,
+    check_schema_drift,
+    check_unique_key,
+    check_volume,
+    run_dq_rules,
+)
