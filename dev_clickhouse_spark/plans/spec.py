@@ -62,6 +62,37 @@ PIPELINES: list[PipelineSpec] = [
 ]
 
 
+def load_pipelines_yml(path: str | None = None) -> tuple[dict, list[PipelineSpec]]:
+    """Load pipeline metadata from the YAML snapshot — the reference's
+    metadata-store fallback path (gold_pipeline.py:297-321 reads
+    gold_pipelines.yml the same way).  Returns (dag config, specs);
+    disabled pipelines are skipped."""
+    import os
+
+    import yaml
+
+    if path is None:
+        path = os.path.join(os.path.dirname(__file__), "pipelines.yml")
+    with open(path) as fh:
+        doc = yaml.safe_load(fh)
+    dag = doc.get("dag", {})
+    default_window = int(dag.get("default_window_minutes", 10))
+    specs = []
+    for p in doc["pipelines"]:
+        if not p.get("enabled", True):
+            continue
+        specs.append(
+            PipelineSpec(
+                pipeline_id=p["pipeline_id"],
+                target_table=p.get("target_table", p["pipeline_id"]),
+                mode=p.get("mode", "append"),
+                window_minutes=int(p.get("window_minutes", default_window)),
+                depends_on=tuple(p.get("depends_on", ())),
+            )
+        )
+    return dag, specs
+
+
 def topo_sorted_waves(
     pipelines: list[PipelineSpec] | None = None,
 ) -> list[list[PipelineSpec]]:
