@@ -87,9 +87,13 @@ def minhash_signatures(
                 out.append((doc_id, len(sh), sig, band_hashes))
             yield pd.DataFrame(out, columns=["doc_id", "n_shingles", "minhash", "bands"])
 
-    return docs.select(F.col(id_col), F.col(text_col)).mapInPandas(
-        compute, schema=_SIG_SCHEMA
-    )
+    # single-file tables arrive as one partition — spread the CPU-bound
+    # signature hashing across cores (at real scale input is already split)
+    inp = docs.select(F.col(id_col), F.col(text_col))
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    if inp.rdd.getNumPartitions() < par:
+        inp = inp.repartition(par)
+    return inp.mapInPandas(compute, schema=_SIG_SCHEMA)
 
 
 def lsh_candidate_pairs(signatures: DataFrame) -> DataFrame:
@@ -174,7 +178,11 @@ def simhash_signatures(
     def sh(texts: pd.Series) -> pd.Series:
         return texts.map(simhash_hex)
 
-    return docs.select(F.col(id_col), sh(F.col(text_col)).alias("simhash"))
+    inp = docs.select(F.col(id_col), F.col(text_col))
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    if inp.rdd.getNumPartitions() < par:
+        inp = inp.repartition(par)
+    return inp.select(F.col(id_col), sh(F.col(text_col)).alias("simhash"))
 
 
 # ---------------------------------------------------------------------------
