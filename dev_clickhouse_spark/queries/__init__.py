@@ -1,5 +1,12 @@
 """Query pack: importing this package populates the registry."""
 
-from . import analytics, extended, gold_star, relational, sql_api  # noqa: F401
+from . import (  # noqa: F401
+    analytics,
+    extended,
+    gold_star,
+    relational,
+    sql_api,
+    subquery_range,
+)
 from ..llm import dedup, multimodal, similarity, text  # noqa: F401
 from .registry import REGISTRY, QuerySpec, register  # noqa: F401

@@ -1,0 +1,117 @@
+"""Property tests (Hypothesis) for the hard composite operators.
+
+SURVEY.md §7.2 calls for property-testing the two genuinely hard semantics:
+the as-of join (vs a brute-force per-row reference) and the SCD2 version
+builder (no overlaps, exactly one current per key, coverage).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import given, settings, strategies as st
+
+from dev_clickhouse_spark.operators.asof import asof_join
+from dev_clickhouse_spark.operators.range_join import binned_range_join, range_join
+from dev_clickhouse_spark.operators.scd import scd2_from_history
+
+BASE = dt.datetime(2026, 1, 1)
+
+# small domains force collisions (shared keys, equal timestamps)
+keys = st.integers(min_value=0, max_value=3)
+offsets = st.integers(min_value=0, max_value=50)
+
+events_strategy = st.lists(
+    st.tuples(keys, offsets), min_size=1, max_size=25
+)
+versions_strategy = st.lists(
+    st.tuples(keys, offsets, st.integers(min_value=0, max_value=9)),
+    min_size=0, max_size=15,
+)
+
+
+def _ts(off: int) -> dt.datetime:
+    return BASE + dt.timedelta(minutes=off)
+
+
+@settings(max_examples=12, deadline=None)
+@given(events=events_strategy, versions=versions_strategy)
+def test_asof_join_matches_bruteforce(spark, events, versions):
+    left = spark.createDataFrame(
+        [(i, k, _ts(o)) for i, (k, o) in enumerate(events)],
+        "row_id int, k int, ts timestamp",
+    )
+    # dedupe (k, ts) on the right: with ties the winner is arbitrary in both
+    # the operator and the brute force — remove the ambiguity, keep max v
+    vmap: dict[tuple[int, int], int] = {}
+    for k, o, v in versions:
+        vmap[(k, o)] = max(vmap.get((k, o), -1), v)
+    right = spark.createDataFrame(
+        [(k, _ts(o), v) for (k, o), v in vmap.items()],
+        "k int, vts timestamp, v int",
+    )
+    got = {
+        r.row_id: r.v
+        for r in asof_join(left, right, on="k", left_ts="ts", right_ts="vts").collect()
+    }
+    for i, (k, o) in enumerate(events):
+        eligible = [(vo, v) for (vk, vo), v in vmap.items() if vk == k and vo <= o]
+        want = max(eligible)[1] if eligible else None
+        assert got[i] == want, (i, k, o, eligible, got[i])
+
+
+@settings(max_examples=12, deadline=None)
+@given(events=st.lists(st.tuples(keys, offsets, st.integers(0, 2)),
+                       min_size=1, max_size=30))
+def test_scd2_invariants(spark, events):
+    # dedupe (k, ts): change detection at identical timestamps is
+    # order-dependent by nature — keep the max attr deterministically
+    emap: dict[tuple[int, int], int] = {}
+    for k, o, a in events:
+        emap[(k, o)] = max(emap.get((k, o), -1), a)
+    df = spark.createDataFrame(
+        [(k, _ts(o), str(a)) for (k, o), a in emap.items()],
+        "k int, ts timestamp, attr string",
+    )
+    dim = scd2_from_history(df, "k", ["attr"], "ts").collect()
+    by_key: dict[int, list] = {}
+    for r in dim:
+        by_key.setdefault(r.k, []).append(r)
+    for k, rows in by_key.items():
+        rows.sort(key=lambda r: r.effective_from)
+        # exactly one current, and it is the last version
+        assert sum(r.is_current for r in rows) == 1
+        assert rows[-1].is_current == 1 and rows[-1].effective_to is None
+        # contiguous, non-overlapping intervals
+        for a, b in zip(rows, rows[1:]):
+            assert a.effective_to == b.effective_from
+        # consecutive versions always differ in the attribute
+        for a, b in zip(rows, rows[1:]):
+            assert a.attr != b.attr
+        # first version starts at the key's first event
+        first_event = min(o for (ek, o) in emap if ek == k)
+        assert rows[0].effective_from == _ts(first_event)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    probes=st.lists(st.tuples(keys, offsets), min_size=1, max_size=20),
+    intervals=st.lists(
+        st.tuples(keys, offsets, st.integers(1, 20)), min_size=0, max_size=10
+    ),
+)
+def test_binned_range_join_matches_plain(spark, probes, intervals):
+    left = spark.createDataFrame(
+        [(i, _ts(o)) for i, (k, o) in enumerate(probes)],
+        "row_id int, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(j, _ts(o), _ts(o + ln)) for j, (k, o, ln) in enumerate(intervals)],
+        "iv_id int, start timestamp, end timestamp",
+    )
+    plain = range_join(left, right, "ts", "start", "end").select("row_id", "iv_id")
+    binned = binned_range_join(left, right, "ts", "start", "end",
+                               bin_seconds=300).select("row_id", "iv_id")
+    assert {(r.row_id, r.iv_id) for r in plain.collect()} == {
+        (r.row_id, r.iv_id) for r in binned.collect()
+    }
