@@ -79,6 +79,30 @@ def read_jdbc(
     return reader.load()
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str] | str,
+    num_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed table — pre-shuffled storage for co-located joins.
+
+    Two tables bucketed identically on their join key sort-merge-join with
+    ZERO exchange (the big-fact ↔ big-fact case where neither side
+    broadcasts); aggregations on the bucket key also skip their shuffle.
+    This is the Spark equivalent of engine-side co-partitioning the reference
+    gets from MergeTree ORDER BY locality.  Size ``num_buckets`` so one
+    bucket ≈ one task's memory budget at the target scale.
+    """
+    cols = [bucket_cols] if isinstance(bucket_cols, str) else list(bucket_cols)
+    writer = df.write.mode(mode).format("parquet").bucketBy(num_buckets, *cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)
+
+
 def write_partitioned(
     df: DataFrame,
     path: str,

@@ -159,6 +159,117 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb, emb.filter(F.col("vec_id") < 20), k=5)
 
 
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — coarse quantizer + per-list search
+# ---------------------------------------------------------------------------
+
+def ivf_build(
+    corpus: DataFrame, n_centroids: int = 16,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """Build an IVF index: deterministic seed centroids (lowest ids — no RNG),
+    one Lloyd refinement (assign → per-dimension mean), inverted lists.
+
+    Returns (centroids[cid, cv], assignments[id, cid]).  Everything is JVM
+    expressions: assignment is a broadcast cross join + row_number argmin;
+    the mean recompute is posexplode → groupBy(cid, pos) avg → re-assemble.
+    At corpus scale both steps are single-shuffle on cid/(cid,pos).
+    """
+    c = corpus.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("cv")
+    )
+    seeds = (
+        c.orderBy("id").limit(n_centroids)
+        .select(F.row_number().over(Window.orderBy("id")).alias("cid"),
+                F.col("cv").alias("seed"))
+    )
+
+    def assign(points: DataFrame, centroids: DataFrame, cvec: str) -> DataFrame:
+        scored = points.crossJoin(F.broadcast(centroids)).withColumn(
+            "__d",
+            F.aggregate(
+                F.zip_with(F.col("cv"), F.col(cvec), lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0), lambda acc, v: acc + v,
+            ),
+        )
+        w = Window.partitionBy("id").orderBy(F.asc("__d"), F.asc("cid"))
+        return (
+            scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("id", "cid", "cv")
+        )
+
+    first = assign(c, seeds, "seed")
+    means = (
+        first.select("cid", F.posexplode("cv").alias("pos", "val"))
+        .groupBy("cid", "pos")
+        .agg(F.avg("val").alias("m"))
+        .groupBy("cid")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s.m
+            ).alias("cv_centroid")
+        )
+    )
+    assignments = assign(c, means, "cv_centroid").select("id", "cid")
+    return means.withColumnRenamed("cv_centroid", "cv"), assignments
+
+
+def ivf_topk(
+    corpus: DataFrame, queries: DataFrame, k: int = 5, n_centroids: int = 16,
+    n_probe: int = 4, id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN search over the IVF lists: each query probes its ``n_probe``
+    nearest centroids and scores only those lists — candidates shrink by
+    ~n_probe/n_centroids versus brute force, recall rises with n_probe."""
+    centroids, assign = ivf_build(corpus, n_centroids, id_col, vec_col)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    )
+    qd = q.crossJoin(F.broadcast(centroids)).withColumn(
+        "__d",
+        F.aggregate(
+            F.zip_with(F.col("qv"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0), lambda acc, v: acc + v,
+        ),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.asc("__d"), F.asc("cid"))
+    probes = qd.withColumn("__rn", F.row_number().over(wq)).filter(
+        F.col("__rn") <= n_probe
+    ).select("query_id", "qv", "cid")
+
+    cand = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("nv"),
+    ).join(assign.withColumnRenamed("id", "neighbor_id"), "neighbor_id")
+    scored = (
+        probes.join(cand, "cid")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id", "neighbor_id",
+            rnd(_dot(F.col("qv"), F.col("nv")) / (_norm(F.col("qv")) * _norm(F.col("nv"))), 4)
+            .alias("cosine"),
+        )
+        .distinct()  # a neighbor may appear via several probed lists
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"), "cosine")
+    )
+
+
+@register("ann_ivf_topk", tags=["llm-similarity"])  # rows-only check
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-list ANN for the first 20 query vectors (scale path #2 —
+    approximate by construction, rows-only driver check; recall vs the exact
+    baseline is asserted in tests/test_llm.py)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, emb.filter(F.col("vec_id") < 20), k=5)
+
+
 @register("ann_lsh_bucket_topk", tags=["llm-similarity"])  # rows-only check
 def ann_lsh_bucket_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH ANN for the same 20 queries (scale path; approximate —

@@ -83,6 +83,30 @@ class PipelineRunner:
         self.metrics.extend(run_metrics)
         return run_metrics
 
+    def resolve_window(
+        self,
+        window_minutes: int = 10,
+        now: dt.datetime | None = None,
+        conf: dict | None = None,
+    ) -> tuple[dt.datetime, dt.datetime]:
+        """Window resolution exactly as the reference orchestrator
+        (gold_pipeline.py:27-49): an explicit override wins
+        (``conf={'start_ts':…, 'end_ts':…}`` — the backfill path,
+        README.md:113-125), else ``[now - window_minutes, now)``."""
+        if conf and conf.get("start_ts") and conf.get("end_ts"):
+            return conf["start_ts"], conf["end_ts"]
+        now = now or dt.datetime.now()
+        return now - dt.timedelta(minutes=window_minutes), now
+
+    def run_latest(
+        self, window_minutes: int = 10, now: dt.datetime | None = None
+    ) -> list[dict]:
+        """One scheduled tick: resolve the trailing window and refresh gold —
+        what the reference's */5 cron invokes.  Safe to call on a timer or
+        from a Structured Streaming foreachBatch."""
+        start_ts, end_ts = self.resolve_window(window_minutes, now)
+        return self.run_window(start_ts, end_ts)
+
     def _run_one(self, spec: PipelineSpec, start_ts, end_ts) -> dict:
         t0 = time.time()
         rows_before = (

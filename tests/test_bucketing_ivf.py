@@ -1,0 +1,58 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dev_clickhouse_spark.io import load_table, write_bucketed
+from dev_clickhouse_spark.llm.similarity import cosine_topk, ivf_topk
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    left = spark.range(0, 2000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("a")
+    )
+    right = spark.range(0, 2000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("b")
+    )
+    write_bucketed(left, "bkt_left", "k", num_buckets=8, sort_cols=["k"])
+    write_bucketed(right, "bkt_right", "k", num_buckets=8, sort_cols=["k"])
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("bkt_left").join(spark.table("bkt_right"), "k")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        # co-located: sort-merge join with zero shuffle exchanges
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan
+        assert joined.count() == 2000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS bkt_left")
+        spark.sql("DROP TABLE IF EXISTS bkt_right")
+
+
+def test_ivf_recall_vs_exact(spark):
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = {(r.query_id, r.neighbor_id) for r in cosine_topk(emb, q, k=5).collect()}
+    approx_df = ivf_topk(emb, q, k=5, n_centroids=16, n_probe=4)
+    approx = {(r.query_id, r.neighbor_id) for r in approx_df.collect()}
+    assert len(exact) == 50
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, recall
+    # structural: ranks contiguous from 1 per query
+    ranks = {}
+    for r in approx_df.collect():
+        ranks.setdefault(r.query_id, []).append(r.rank)
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in ranks.values())
+
+
+def test_ivf_full_probe_equals_exact(spark):
+    # probing every list degrades IVF to exact search — recall must be 1.0
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = {(r.query_id, r.neighbor_id) for r in cosine_topk(emb, q, k=3).collect()}
+    full = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_topk(emb, q, k=3, n_centroids=8, n_probe=8).collect()
+    }
+    assert exact == full
