@@ -81,7 +81,31 @@ class PipelineRunner:
                     )
             run_metrics.extend(results)
         self.metrics.extend(run_metrics)
+        self._persist_metrics(run_metrics)
         return run_metrics
+
+    def _persist_metrics(self, rows: list[dict]) -> None:
+        """Append per-pipeline run rows to the ``pipeline_runs`` table — the
+        reference's monitoring.pipeline_runs observability
+        (postgres/init/04_monitoring_tables.sql:1-9; row-count logging
+        gold_pipeline.py:221-280)."""
+        if not rows:
+            return
+        import os
+
+        df = self.spark.createDataFrame(
+            [
+                (
+                    m["pipeline_id"], m["target_table"], m["start_ts"], m["end_ts"],
+                    m["rows_before"], m["rows_after"], m["rows_delta"], m["seconds"],
+                )
+                for m in rows
+            ],
+            "pipeline_id string, target_table string, start_ts string, "
+            "end_ts string, rows_before long, rows_after long, rows_delta long, "
+            "seconds double",
+        )
+        df.write.mode("append").parquet(os.path.join(self.wh.root, "pipeline_runs"))
 
     def resolve_window(
         self,

@@ -453,6 +453,40 @@ def event_lag_seconds(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# §2.8 — lenient timestamp parsing (parseDateTime64BestEffortOrNull)
+# ---------------------------------------------------------------------------
+
+@register(
+    "ts_parse_roundtrip",
+    oracle="""
+SELECT event_id,
+       strftime(ts, '%Y-%m-%dT%H:%M:%S.%fZ') AS iso_text,
+       strftime(ts, '%Y-%m-%d %H:%M:%S.%f')  AS reparsed
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-01 00:00:00' AND ts < TIMESTAMP '2024-01-03 00:00:00'
+""",
+    tags=["P4", "parse_ts"],
+)
+def ts_parse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """parse_ts_best_effort under the oracle: format each timestamp to
+    Z-suffixed ISO text (the wire format the security events carry), run it
+    through the lenient parser, and emit the reparsed value — any parse
+    drift shows as a value mismatch against DuckDB's trivial strftime."""
+    from ..functions.ch_compat import parse_ts_best_effort
+
+    ev = load_table(spark, sf_dir, "events")
+    iso = F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'")
+    return ev.filter(
+        (F.col("ts") >= F.lit("2024-01-01 00:00:00").cast("timestamp"))
+        & (F.col("ts") < F.lit("2024-01-03 00:00:00").cast("timestamp"))
+    ).select(
+        "event_id",
+        iso.alias("iso_text"),
+        F.date_format(parse_ts_best_effort(iso), TS_FMT).alias("reparsed"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # O2 — multi-key sort + limit
 # ---------------------------------------------------------------------------
 

@@ -47,6 +47,26 @@ def test_dow_full_week(spark):
     assert vals == [1, 2, 3, 4, 5, 6, 7]
 
 
+def test_iso_week_year_boundaries(spark):
+    # SURVEY §2.8 caveat: toISOWeek ↔ weekofyear must agree at year bounds.
+    cases = [
+        (dt.datetime(2021, 1, 1), 53),   # belongs to ISO week 53 of 2020
+        (dt.datetime(2020, 12, 31), 53),
+        (dt.datetime(2024, 12, 30), 1),  # Monday of ISO week 1 of 2025
+        (dt.datetime(2024, 1, 1), 1),
+        (dt.datetime(2023, 1, 1), 52),   # Sunday of ISO week 52 of 2022
+    ]
+    df = spark.createDataFrame([(c[0],) for c in cases], "ts timestamp").select(
+        "ts", iso_week("ts").alias("wk")
+    )
+    got = {r.ts: r.wk for r in df.collect()}
+    import duckdb
+
+    for d, want in cases:
+        assert got[d] == want
+        assert duckdb.sql(f"SELECT weekofyear(TIMESTAMP '{d}')").fetchone()[0] == want
+
+
 def test_five_minute_bucket(spark):
     df = spark.createDataFrame(
         [Row(ts=dt.datetime(2024, 1, 1, 10, 7, 31))]

@@ -284,6 +284,18 @@ def test_dim_date_time(gold):
     assert times.count() == times.select("time_key").distinct().count()
 
 
+def test_pipeline_runs_metrics_persisted(gold, spark):
+    runs = spark.read.parquet(gold.wh.path("pipeline_runs"))
+    assert runs.count() >= 32  # 16 pipelines × ≥2 windows
+    cols = set(runs.columns)
+    assert {"pipeline_id", "rows_before", "rows_after", "rows_delta",
+            "seconds"} <= cols
+    # deltas recorded in memory match the persisted table
+    total_mem = sum(m["rows_delta"] for m in gold.metrics)
+    total_tbl = runs.agg(F.sum("rows_delta")).first()[0]
+    assert total_mem == total_tbl
+
+
 def test_topo_waves():
     waves = topo_sorted_waves()
     order = {s.pipeline_id: i for i, wave in enumerate(waves) for s in wave}
