@@ -1,6 +1,7 @@
 """Query pack: importing this package populates the registry."""
 
 from . import (  # noqa: F401
+    agg_extras,
     analytics,
     extended,
     gold_star,
