@@ -83,6 +83,50 @@ def percentile_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "session_windows_gap",
+    oracle="""
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800 OR
+                   lag(ts) OVER w IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), numbered AS (
+  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM marked
+)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS last_event,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM numbered GROUP BY user_id, session_no
+""",
+    tags=["session-window", "ST5"],
+)
+def session_windows_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session windows: ``F.session_window(ts, '30 minutes')`` merges
+    events within the gap into one window — the batch twin of the stateful
+    streaming sessionizer (streaming/stateful.py), checked against the
+    lag/cumsum islands formulation in SQL."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "session_start"
+            ),
+            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "last_event"
+            ),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .drop("w")
+    )
+
+
 @register("approx_distinct_daily_users", tags=["approx"])  # rows-only
 def approx_distinct_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL++ approximate distinct users per day — the 100 TB cardinality
