@@ -36,6 +36,7 @@ class PipelineRunner:
         self.max_active_tasks = max_active_tasks
         self.pipelines = list(pipelines if pipelines is not None else PIPELINES)
         self.metrics: list[dict] = []
+        self._row_counts: dict[str, int] = {}
 
     # -- ingest ------------------------------------------------------------
 
@@ -133,17 +134,26 @@ class PipelineRunner:
 
     def _run_one(self, spec: PipelineSpec, start_ts, end_ts) -> dict:
         t0 = time.time()
-        rows_before = (
-            self.wh.read(spec.target_table).count()
-            if self.wh.exists(spec.target_table)
-            else 0
-        )
+        # row counts are tracked incrementally: count the (small) written
+        # delta, never rescan the whole target — the reference's
+        # rows-before/after logging (gold_pipeline.py:221-280) without the
+        # full-table counts that would not survive 100 TB targets.
+        table = spec.target_table
+        if table not in self._row_counts:
+            self._row_counts[table] = (
+                self.wh.read(table).count() if self.wh.exists(table) else 0
+            )
+        rows_before = self._row_counts[table]
         out, mode = self._build(spec, start_ts, end_ts)
+        out = out.localCheckpoint(eager=True)  # materialize once: count + write
+        written = out.count()
         if mode == "append":
-            self.wh.append(spec.target_table, out)
+            self.wh.append(table, out)
+            rows_after = rows_before + written
         else:
-            self.wh.overwrite(spec.target_table, out)
-        rows_after = self.wh.read(spec.target_table).count()
+            self.wh.overwrite(table, out)
+            rows_after = written
+        self._row_counts[table] = rows_after
         return {
             "pipeline_id": spec.pipeline_id,
             "target_table": spec.target_table,

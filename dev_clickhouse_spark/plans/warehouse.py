@@ -92,6 +92,43 @@ class Warehouse:
         writer_df = self._prep(table, df).localCheckpoint(eager=True)
         writer_df.write.mode("overwrite").parquet(self.path(table))
 
+    def compact(self, table: str) -> int:
+        """Small-file compaction — the engine's analog of MergeTree background
+        merges (streaming foreachBatch appends one file set per micro-batch;
+        ClickHouse merges parts the same way, SURVEY.md S3/S4).
+
+        Rewrites the table to ONE sorted file per event_date partition
+        (hash-repartition on event_date: every date lands in exactly one task,
+        tasks run in parallel across dates) via a staging directory + atomic
+        rename, so readers never observe a half-compacted table.  Returns the
+        number of data files after compaction.  Run from a maintenance
+        schedule, not the ingest path.
+        """
+        import shutil
+        import uuid
+
+        if not self.exists(table):
+            return 0
+        df = self.spark.read.parquet(self.path(table))
+        staging = self.path(f".{table}.compact-{uuid.uuid4().hex[:8]}")
+        par = self.spark.sparkContext.defaultParallelism
+        if table in _PARTITIONED_SORT and "event_date" in df.columns:
+            out = df.repartition(par, "event_date").sortWithinPartitions(
+                *_PARTITIONED_SORT[table]
+            )
+            out.write.mode("overwrite").partitionBy("event_date").parquet(staging)
+        else:
+            df.coalesce(1).write.mode("overwrite").parquet(staging)
+        final = self.path(table)
+        backup = self.path(f".{table}.old-{uuid.uuid4().hex[:8]}")
+        os.rename(final, backup)
+        os.rename(staging, final)
+        shutil.rmtree(backup)
+        n = 0
+        for root, _dirs, files in os.walk(final):
+            n += sum(1 for f in files if f.endswith(".parquet"))
+        return n
+
     def _prep(self, table: str, df: DataFrame) -> DataFrame:
         if table in _PARTITIONED_SORT:
             if "event_date" not in df.columns:

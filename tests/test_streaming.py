@@ -42,6 +42,29 @@ def test_file_stream_ingest_and_resume(spark, tmp_path):
     assert {r.event_id for r in bs.wh.read("wazuh_events_raw").collect()} == {"w1", "w2"}
 
 
+def test_compaction_after_streaming(spark, tmp_path):
+    inp, wh, ckpt = tmp_path / "in", tmp_path / "wh", tmp_path / "ckpt"
+    # several micro-batches → several small file sets in one partition
+    for i in range(3):
+        _write_batch(inp, [wazuh_payload(f"w{i}", ts=f"2026-01-08T09:0{i}:00.000Z")])
+        bs = BronzeStream(spark, str(wh), str(ckpt))
+        bs.from_files(str(inp)).awaitTermination(120)
+    import os
+
+    table_dir = bs.wh.path("wazuh_events_raw")
+    before = sum(
+        len([f for f in fs if f.endswith(".parquet")])
+        for _, _, fs in os.walk(table_dir)
+    )
+    assert before >= 3
+    n_after = bs.wh.compact("wazuh_events_raw")
+    assert n_after == 1  # one event_date → one sorted file
+    # data intact after the atomic swap
+    df = bs.wh.read("wazuh_events_raw")
+    assert df.count() == 3
+    assert {r.event_id for r in df.collect()} == {"w0", "w1", "w2"}
+
+
 def test_stream_dedupe_batch(spark, tmp_path):
     inp, wh, ckpt = tmp_path / "in", tmp_path / "wh", tmp_path / "ckpt"
     _write_batch(inp, [
