@@ -45,7 +45,15 @@ class PipelineRunner:
     ) -> dict[str, int]:
         """Raw JSON strings → the 3 typed bronze tables (the reference's MV
         fan-out, SURVEY.md S2).  Batch path; streaming/bronze_stream.py wraps
-        the same extraction in foreachBatch."""
+        the same extraction in foreachBatch.
+
+        The parsed struct is materialized ONCE (localCheckpoint) before the
+        three per-stream writes — without it each write job would re-run the
+        from_json parse over the whole batch (ClickHouse gets the same effect
+        by pushing one consumed block through all three MVs in-process)."""
+        from ..sources.json_events import with_parsed
+
+        raw_df = with_parsed(raw_df).localCheckpoint(eager=True)
         counts = {}
         for table, df in extract_all(raw_df).items():
             df = df.filter(df.event_ts.isNotNull())

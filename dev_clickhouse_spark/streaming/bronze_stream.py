@@ -94,7 +94,10 @@ class BronzeStream:
         return writer.start()
 
     def _process_batch(self, batch: DataFrame, batch_id: int) -> None:
-        batch = batch.localCheckpoint(eager=True)  # scan once, write 4 outputs
+        from ..sources.json_events import with_parsed
+
+        # parse once, then the 3 stream writes + metrics reuse the struct
+        batch = with_parsed(batch).localCheckpoint(eager=True)
         n_raw = batch.count()
         routed = 0
         counts: dict[str, int] = {}
