@@ -37,12 +37,15 @@ def _now() -> F.Column:
 
 def _new_rows(built: DataFrame, current: DataFrame | None, key: str) -> DataFrame:
     """Anti-join against the target — reference J1 insert-only-new idiom
-    (LEFT JOIN target d ON d.key = s.key WHERE d.key IS NULL)."""
+    (LEFT JOIN target d ON d.key = s.key WHERE d.key IS NULL).
+
+    No broadcast hint on purpose: most dims stay tiny and AQE broadcasts
+    them at runtime, but an accumulated high-cardinality dim (dim_tag,
+    dim_time over years) must be allowed to fall back to a shuffled join
+    instead of a forced driver-sized broadcast."""
     if current is None:
         return built
-    return built.join(
-        F.broadcast(current.select(key).distinct()), on=key, how="left_anti"
-    )
+    return built.join(current.select(key).distinct(), on=key, how="left_anti")
 
 
 def build_dim_date(
