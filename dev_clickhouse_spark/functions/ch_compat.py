@@ -106,15 +106,17 @@ def json_array_string(raw: Column | str, path: str) -> Column:
 # ---------------------------------------------------------------------------
 
 def surrogate_key(*cols: Column | str) -> Column:
-    """``cityHash64(ifNull(a,''), ifNull(b,''), …)`` → ``xxhash64`` surrogate
-    key (reference dim_sensor.sql:17, fact_suricata_events.sql:58-67).
+    """``cityHash64(ifNull(a,''), …)`` → ``xxhash64`` surrogate key
+    (reference dim_sensor.sql:17, fact_suricata_events.sql:58-67).
 
     Exact hash values differ from cityHash64 — irrelevant, because keys are
     always recomputed from natural keys on BOTH sides of every join (SURVEY.md
     J3).  What must be identical between the dim build and the fact lookup is
-    the canonicalization: strings null→'' and numerics null→-1, matching the
-    reference's ``ifNull(x, '')`` / ``ifNull(id, -1)``
-    (dim_signature.sql:21-26 vs fact_suricata_events.sql:60-65).
+    the canonicalization.  This helper canonicalizes every column to its
+    string form with NULL→'' — callers that need a distinct NULL sentinel for
+    numeric keys (the reference's ``ifNull(signature_id, -1)``) coalesce it
+    BEFORE calling, as gold/keys.signature_key does; otherwise a NULL id
+    would collide with an empty-string id.
     """
     canon = []
     for c in cols:
@@ -142,12 +144,3 @@ def round_sql(expr: str, scale: int) -> str:
     return f"floor(({expr}) * {m} + 0.5) / {m}"
 
 
-def canon_str(c: Column | str) -> Column:
-    """String canonicalization used inside key derivation: null → ''."""
-    return F.coalesce(_col(c), F.lit(""))
-
-
-def canon_int(c: Column | str) -> Column:
-    """Numeric canonicalization used inside key derivation: null → -1
-    (reference dim_signature.sql:22 ``ifNull(signature_id, -1)``)."""
-    return F.coalesce(_col(c), F.lit(-1))

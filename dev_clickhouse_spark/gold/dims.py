@@ -21,7 +21,7 @@ from ..functions.ch_compat import (
     time_key,
     to_yyyymmdd,
 )
-from ..operators.scd import scd1_upsert, scd2_apply
+from ..operators.scd import scd2_apply
 from . import keys
 
 

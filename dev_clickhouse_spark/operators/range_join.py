@@ -60,15 +60,32 @@ def binned_range_join(
 ) -> DataFrame:
     """Unkeyed interval join via time-bin co-partitioning.  Pick
     ``bin_seconds`` ≈ the typical interval length: intervals replicate into
-    ⌈len/bin⌉+1 bins, probes into exactly one."""
+    ⌈len/bin⌉+1 bins, probes into exactly one.
+
+    NULL ``right_end`` keeps the open-interval semantics of
+    :func:`range_join`: open intervals are replicated up to the newest probe
+    bin (one tiny aggregate on the probe side establishes that bound)."""
     lbin = (F.unix_timestamp(F.col(left_ts)) / bin_seconds).cast("long")
     l = left.withColumn(_BIN, lbin)
+    max_probe_bin = left.agg(
+        F.max((F.unix_timestamp(F.col(left_ts)) / bin_seconds).cast("long"))
+    ).first()[0]
+    if max_probe_bin is None:
+        max_probe_bin = 0  # empty probe side → join result is empty anyway
     sbin = (F.unix_timestamp(F.col(right_start)) / bin_seconds).cast("long")
-    ebin = (F.unix_timestamp(F.col(right_end)) / bin_seconds).cast("long")
-    r = right.withColumn(_BIN, F.explode(F.sequence(sbin, ebin)))
+    ebin = F.least(
+        F.coalesce(
+            (F.unix_timestamp(F.col(right_end)) / bin_seconds).cast("long"),
+            F.lit(max_probe_bin),
+        ),
+        F.lit(max_probe_bin),
+    )
+    # intervals starting after the newest probe replicate once and match
+    # nothing; everything else replicates only across probe-visible bins
+    r = right.withColumn(_BIN, F.explode(F.sequence(sbin, F.greatest(sbin, ebin))))
     cond = (
         (l[_BIN] == r[_BIN])
         & (F.col(left_ts) >= F.col(right_start))
-        & (F.col(left_ts) < F.col(right_end))
+        & (F.col(right_end).isNull() | (F.col(left_ts) < F.col(right_end)))
     )
     return l.join(r, cond, how).drop(_BIN)

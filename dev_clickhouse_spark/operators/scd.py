@@ -140,17 +140,19 @@ def scd2_apply(
     # the key's current version; then one candidate per key (argMin attrs,
     # min ts) — reference dim_agent_scd2.sql:38-56.
     #
-    # Out-of-order guard (conscious improvement over the reference): rows
-    # older than the current version's effective_from are ignored, so
+    # Out-of-order guard (conscious improvement over the reference): rows at
+    # or before the current version's effective_from are ignored, so
     # re-running an already-superseded window (backfill/replay) cannot open a
     # bogus past-dated version — the reference protocol would
-    # (SURVEY.md §2.11 rerun note).
+    # (SURVEY.md §2.11 rerun note).  Strictly-greater also keeps a replayed
+    # row at exactly effective_from from minting a second version with the
+    # SAME surrogate key hash(nk, effective_from).
     changed_rows = (
         src.alias("b")
         .join(F.broadcast(cur_live.alias("cur")), on=nk_col, how="left")
         .filter(
             F.col(f"cur.{key_col}").isNull()
-            | (attr_differs & (F.col(f"b.{ts_col}") >= F.col("cur.effective_from")))
+            | (attr_differs & (F.col(f"b.{ts_col}") > F.col("cur.effective_from")))
         )
     )
     changed = changed_rows.groupBy(nk_col).agg(

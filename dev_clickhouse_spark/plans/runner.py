@@ -128,7 +128,9 @@ class PipelineRunner:
         README.md:113-125), else ``[now - window_minutes, now)``."""
         if conf and conf.get("start_ts") and conf.get("end_ts"):
             return conf["start_ts"], conf["end_ts"]
-        now = now or dt.datetime.now()
+        # naive-UTC wall clock: event_ts is stored as UTC instants, so the
+        # trailing window must be computed in UTC regardless of host TZ
+        now = now or dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
         return now - dt.timedelta(minutes=window_minutes), now
 
     def run_latest(

@@ -36,7 +36,9 @@ def check_freshness(
     """max(ts) must be within threshold of now — the reference's
     ``freshness_threshold_minutes`` per pipeline (06_dynamic_dag_metadata.sql:36)."""
     row = df.agg(F.max(ts_col).alias("m")).first()
-    now = now or dt.datetime.now()
+    # naive-UTC now: collected timestamps are naive UTC under the engine's
+    # UTC session timezone — a host-local now() would skew lag by the offset
+    now = now or dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
     lag_min = None if row.m is None else (now - row.m).total_seconds() / 60
     ok = lag_min is not None and lag_min <= threshold_minutes
     return _result("freshness", table, ok, f"{lag_min:.1f}min" if lag_min is not None else "empty",

@@ -14,7 +14,6 @@ from pyspark.sql import functions as F
 from ..functions.ch_compat import (
     day_of_week_mon1,
     iso_week,
-    round_sql,
     time_key,
     to_yyyymmdd,
 )

@@ -99,7 +99,6 @@ class BronzeStream:
         # parse once, then the 3 stream writes + metrics reuse the struct
         batch = with_parsed(batch).localCheckpoint(eager=True)
         n_raw = batch.count()
-        routed = 0
         counts: dict[str, int] = {}
         for table, df in extract_all(batch).items():
             df = df.filter(F.col("event_ts").isNotNull())
@@ -109,11 +108,18 @@ class BronzeStream:
             if n:
                 self.wh.append(table, df)
             counts[table] = n
-            routed += n
+        # unrouted = documents matching NO route (a doc can match several
+        # routes, and dedupe drops rows post-route — neither may be counted
+        # as broken input)
+        from ..sources.json_events import route_suricata, route_wazuh, route_zeek
+
+        n_routed_any = batch.filter(
+            route_suricata(batch) | route_wazuh(batch) | route_zeek(batch)
+        ).count()
         metrics = self.spark.createDataFrame(
             [(int(batch_id), n_raw, counts.get("suricata_events_raw", 0),
               counts.get("wazuh_events_raw", 0), counts.get("zeek_events_raw", 0),
-              n_raw - routed)],
+              n_raw - n_routed_any)],
             "batch_id long, n_raw long, n_suricata long, n_wazuh long, "
             "n_zeek long, n_unrouted long",
         ).withColumn("processed_at", F.current_timestamp())

@@ -31,10 +31,6 @@ SESSION_SCHEMA = T.StructType([
 _STATE_SCHEMA = "start LONG, last LONG, n LONG"  # epoch micros + count
 
 
-def _us(ts: dt.datetime) -> int:
-    return int(ts.timestamp() * 1_000_000)
-
-
 def _from_us(us: int) -> dt.datetime:
     return dt.datetime.fromtimestamp(us / 1_000_000, tz=dt.timezone.utc).replace(
         tzinfo=None
@@ -76,6 +72,15 @@ def sessionize(
             n = 0
         closed = []
         for t in ts_list:
+            if t <= last:
+                # late event (cross-batch out-of-order within the watermark):
+                # it belongs to the open session if within the gap of its
+                # start — extend backwards, never regress `last` (a regressed
+                # `last` would fabricate gap closes with end < start)
+                if t >= start - gap_us:
+                    start = min(start, t)
+                    n += 1
+                continue
             if t - last > gap_us:
                 closed.append((user_id, _from_us(start), _from_us(last), n, "gap"))
                 start, n = t, 0
