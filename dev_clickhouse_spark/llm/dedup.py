@@ -144,6 +144,70 @@ def verify_jaccard(
 
 
 # ---------------------------------------------------------------------------
+# Near-dup clustering: connected components over the pair graph
+# ---------------------------------------------------------------------------
+
+def dedup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
+    """Connected components over near-dup pairs via iterative min-label
+    propagation: every doc converges to the smallest doc_id reachable from it
+    (the cluster's canonical representative).
+
+    Each round is one groupBy shuffle; iterations needed = graph diameter
+    (near-dup clusters are shallow — a handful of rounds).  Labels are
+    localCheckpointed per round so the plan doesn't grow with iterations —
+    the standard Spark pattern for iterative algorithms.  Returns
+    (doc_id, cluster_id) for every doc appearing in ``pairs``.
+    """
+    edges = (
+        pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .union(pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.groupBy("a")
+        .agg(F.least(F.min("b"), F.first("a")).alias("label"))
+        .select(F.col("a").alias("doc_id"), F.least("label", "doc_id").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iterations):
+        neighbor_labels = (
+            edges.join(labels, edges.b == labels.doc_id)
+            .groupBy("a")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_labels, labels.doc_id == neighbor_labels.a, "left")
+            .select(
+                "doc_id",
+                F.least(F.col("label"), F.coalesce("nbr_label", F.col("label"))).alias(
+                    "label"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("doc_id", F.col("label").alias("cluster_id"))
+
+
+def deduped_keep_list(pairs: DataFrame, docs: DataFrame,
+                      id_col: str = "doc_id") -> DataFrame:
+    """The dedup ACTION: drop every non-canonical member of each near-dup
+    cluster, keep everything else — returns the surviving ids."""
+    clusters = dedup_clusters(pairs)
+    drop = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    return docs.select(F.col(id_col).alias("doc_id")).join(drop, "doc_id", "left_anti")
+
+
+# ---------------------------------------------------------------------------
 # SimHash (map-only pandas UDF, oracle-replicable)
 # ---------------------------------------------------------------------------
 
@@ -326,6 +390,44 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verified.filter(F.col("jaccard") >= JACCARD_THRESHOLD).select(
         "doc_a", "doc_b", rnd("jaccard", 4).alias("jaccard")
     )
+
+
+@register(
+    "dedup_near_dup_clusters",
+    oracle=f"""
+WITH RECURSIVE {_SHINGLE_SQL},
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS cb
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT doc_a, doc_b
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE cb::DOUBLE / (sa.n + sb.n - cb) >= {JACCARD_THRESHOLD}
+),
+edges2 AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+reach AS (
+  SELECT DISTINCT a AS src, a AS node FROM edges2
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges2 e ON e.a = r.node
+)
+SELECT src AS doc_id, CAST(min(node) AS BIGINT) AS cluster_id
+FROM reach GROUP BY src
+""",
+    tags=["llm-dedup", "iterative"],
+)
+def dedup_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the J ≥ 0.8 near-dup graph — iterative
+    min-label propagation (the dedup ACTION's grouping step), checked against
+    a recursive-CTE transitive closure in DuckDB."""
+    pairs = dedup_ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    return dedup_clusters(pairs)
 
 
 @register(

@@ -65,6 +65,21 @@ def test_simhash_properties(spark):
     assert len(simhash_hex("")) == 16
 
 
+def test_dedup_clusters_and_keep_list(spark):
+    from dev_clickhouse_spark.llm.dedup import dedup_clusters, deduped_keep_list
+
+    # chain 1-2-3 (transitive), pair 7-9, singleton 5 untouched
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 9)], "doc_a long, doc_b long"
+    )
+    clusters = {r.doc_id: r.cluster_id for r in dedup_clusters(pairs).collect()}
+    assert clusters == {1: 1, 2: 1, 3: 1, 7: 7, 9: 7}
+
+    docs = spark.createDataFrame([(i,) for i in (1, 2, 3, 5, 7, 9)], "doc_id long")
+    kept = {r.doc_id for r in deduped_keep_list(pairs, docs).collect()}
+    assert kept == {1, 5, 7}   # canonical per cluster + untouched docs
+
+
 def test_cosine_topk_exact(spark):
     emb = spark.createDataFrame(
         [
