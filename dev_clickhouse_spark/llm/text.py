@@ -187,6 +187,68 @@ def lang_id_markers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tfidf_top_keywords",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+  FROM documents
+), df AS (
+  SELECT token, count(*) AS doc_freq FROM tok GROUP BY token
+), n AS (SELECT count(*) AS n_docs FROM documents),
+tf AS (
+  SELECT doc_id, t.token,
+         len(list_filter(string_split(d.text, ' '), x -> x = t.token)) AS freq
+  FROM tok t JOIN documents d USING (doc_id)
+), scored AS (
+  SELECT tf.doc_id, tf.token,
+         floor(tf.freq * (n.n_docs::DOUBLE / df.doc_freq) * 10000 + 0.5) / 10000
+           AS score
+  FROM tf JOIN df USING (token) CROSS JOIN n
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, token) AS rn
+  FROM scored
+)
+SELECT doc_id, token, CAST(rn AS INTEGER) AS rank, score
+FROM ranked WHERE rn <= 3
+""",
+    tags=["llm-text", "tfidf"],
+)
+def tfidf_top_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 distinctive keywords per document by TF·(N/df) weighting (the
+    log-free tf-idf variant — pure arithmetic, so both engines score
+    bit-identically).  Shapes: explode distinct tokens → corpus df counts
+    (one shuffle) → per-doc term frequency (map-side) → broadcast df join →
+    windowed top-k."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    tok = docs.select(
+        "doc_id", F.explode(F.array_distinct(tokens("text"))).alias("token")
+    )
+    df_counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("doc_freq"))
+    n_docs = docs.count()
+    tf = tok.join(docs.select("doc_id", "text"), "doc_id").select(
+        "doc_id",
+        "token",
+        F.size(F.filter(tokens("text"), lambda x: x == F.col("token"))).alias("freq"),
+    )
+    scored = tf.join(F.broadcast(df_counts), "token").select(
+        "doc_id",
+        "token",
+        rnd(F.col("freq") * (F.lit(float(n_docs)) / F.col("doc_freq")), 4).alias(
+            "score"
+        ),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("token"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "token", F.col("rank").cast("int").alias("rank"), "score")
+    )
+
+
+@register(
     "doc_fingerprints",
     oracle="""
 SELECT doc_id,
