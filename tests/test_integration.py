@@ -1,0 +1,70 @@
+"""Cross-layer integration: JDBC federated scan (S6) and streaming→gold."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+from pyspark.sql import functions as F
+
+from dev_clickhouse_spark.io import read_jdbc
+from dev_clickhouse_spark.plans import PipelineRunner
+from dev_clickhouse_spark.streaming import BronzeStream
+from test_siem import suricata_payload, wazuh_payload
+from test_streaming import _write_batch
+
+DERBY_DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
+
+
+def test_jdbc_federated_scan(spark, tmp_path):
+    """S6 — the reference's postgresql() table-function backfill
+    (scripts/postgres_to_clickhouse_backfill.sql:47-54) over a real JDBC
+    source: Spark's embedded Derby stands in for Postgres."""
+    db = os.path.join(str(tmp_path), "fed")
+    url = f"jdbc:derby:{db};create=true"
+    src = spark.createDataFrame(
+        [(i, f"agent{i % 3}", float(i)) for i in range(100)],
+        "id int, agent string, score double",
+    )
+    (src.write.format("jdbc").option("url", url).option("dbtable", "EVENTS")
+        .option("driver", DERBY_DRIVER).mode("overwrite").save())
+
+    plain = read_jdbc(spark, f"jdbc:derby:{db}", "EVENTS", driver=DERBY_DRIVER)
+    assert plain.count() == 100
+
+    # range-partitioned parallel read: same rows, >1 input partition
+    part = read_jdbc(
+        spark, f"jdbc:derby:{db}", "EVENTS",
+        partition_column="id", num_partitions=4, lower_bound=0, upper_bound=100,
+        driver=DERBY_DRIVER,
+    )
+    assert part.count() == 100
+    assert part.rdd.getNumPartitions() == 4
+    agg = {r.agent: r.cnt for r in
+           part.groupBy("agent").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    assert agg == {"agent0": 34, "agent1": 33, "agent2": 33}
+
+
+def test_streaming_ingest_feeds_gold(spark, tmp_path):
+    """Streaming bronze ingest → scheduled gold refresh over the same
+    warehouse — the full reference loop (Kafka MVs + */5 cron DAG)."""
+    inp, wh, ckpt = tmp_path / "in", tmp_path / "wh", tmp_path / "ckpt"
+    _write_batch(inp, [
+        wazuh_payload("w1", ts="2026-01-08T09:10:00.000Z"),
+        wazuh_payload("w2", ts="2026-01-08T09:20:00.000Z"),
+        suricata_payload("s1", ts="2026-01-08T09:15:00.000Z"),
+    ])
+    bs = BronzeStream(spark, str(wh), str(ckpt))
+    bs.from_files(str(inp)).awaitTermination(120)
+
+    runner = PipelineRunner(spark, str(wh), max_active_tasks=4)
+    metrics = runner.run_window(
+        dt.datetime(2026, 1, 8, 9, 0), dt.datetime(2026, 1, 8, 10, 0)
+    )
+    by_id = {m["pipeline_id"]: m for m in metrics}
+    assert by_id["fact_wazuh_events"]["rows_delta"] == 2
+    assert by_id["fact_suricata_events"]["rows_delta"] == 1
+    # star integrity straight off the streaming-fed warehouse
+    fact = runner.wh.read("fact_wazuh_events")
+    dim = runner.wh.read("dim_agent")
+    assert fact.join(dim, "agent_key", "left_anti").count() == 0
