@@ -106,6 +106,73 @@ def extract_features(media: DataFrame, use_real_decode: bool = False) -> DataFra
     )
 
 
+RESIZED_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("payload", T.BinaryType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+])
+
+FRAME_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("frame_index", T.IntegerType()),
+    T.StructField("frame_payload", T.BinaryType()),
+])
+
+
+def resize_images(
+    media: DataFrame, width: int = 224, height: int = 224,
+    use_real_decode: bool = False,
+) -> DataFrame:
+    """Image resize stage (stubbed decode): real path would decode → resize →
+    re-encode via PIL; the stub emits a deterministic byte slice standing in
+    for the resized encoding, with the target dimensions in typed columns.
+    Row-preserving map-only stage."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_payloads = []
+            for payload in pdf["payload"]:
+                raw = bytes(payload) if payload is not None else b""
+                if use_real_decode:
+                    real_decode(raw, "image")
+                # deterministic fake: clamp byte length to width*height/64
+                out_payloads.append(raw[: max(1, (width * height) // 64)])
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "payload": out_payloads,
+                "width": [width] * len(pdf),
+                "height": [height] * len(pdf),
+            })
+
+    return media.select("media_id", "payload").mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+def sample_frames(
+    media: DataFrame, n_frames: int = 4, use_real_decode: bool = False,
+) -> DataFrame:
+    """Video frame sampling (stubbed decode): one input row fans out to
+    ``n_frames`` rows — the batch-shape change a real ffmpeg sampler
+    produces.  The stub slices the payload into equal chunks as fake
+    frames."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                raw = bytes(payload) if payload is not None else b""
+                if use_real_decode:
+                    real_decode(raw, "video")
+                step = max(1, len(raw) // n_frames)
+                for i in range(n_frames):
+                    rows.append((mid, i, raw[i * step : (i + 1) * step]))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "frame_index", "frame_payload"]
+            )
+
+    return media.select("media_id", "payload").mapInPandas(run, schema=FRAME_SCHEMA)
+
+
 @register("multimodal_feature_extract", tags=["llm-multimodal"])  # rows-only
 def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column pipeline end-to-end: wrap → mapInPandas feature extract →

@@ -8,6 +8,7 @@ path.  At 100 TB these are embarrassingly parallel map-only scans.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -125,6 +126,53 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(1 - distinct_token_ratio("text"), 4).alias("repetition"),
         rnd(F.least(F.length("text") / 400.0, F.lit(1.0)), 4).alias("length_score"),
     )
+
+
+def rolling_hash_fingerprints(
+    docs: DataFrame, window: int = 16, keep: int = 8,
+    id_col: str = "doc_id", text_col: str = "text",
+) -> DataFrame:
+    """Winnowing-style document fingerprints from a Rabin-Karp rolling hash:
+    polynomial hash (base 257, mod 2^61−1) over every ``window``-byte
+    substring in O(n), keep the ``keep`` smallest values as the fingerprint
+    set.  Two documents sharing fingerprints share long byte runs — the
+    substring-level near-dup signal that token shingles miss.  Map-only
+    Arrow stage (true rolling hashes aren't expressible as column
+    expressions)."""
+    MOD = (1 << 61) - 1
+    BASE = 257
+
+    def fingerprints(text: str) -> list[int]:
+        data = (text or "").encode()
+        if len(data) < window:
+            return []
+        h = 0
+        pw = pow(BASE, window - 1, MOD)
+        hashes = []
+        for i, byte in enumerate(data):
+            if i >= window:
+                h = (h - data[i - window] * pw) % MOD
+            h = (h * BASE + byte) % MOD
+            if i >= window - 1:
+                hashes.append(h)
+        return sorted(set(hashes))[:keep]
+
+    @F.pandas_udf("array<long>")
+    def fp(texts: pd.Series) -> pd.Series:
+        return texts.map(fingerprints)
+
+    return docs.select(F.col(id_col), fp(F.col(text_col)).alias("fingerprints"))
+
+
+@register("rolling_hash_fingerprints", tags=["llm-text", "llm-dedup"])  # rows-only
+def rolling_hash_fingerprints_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash fingerprint sets per document (rows-only: the polynomial
+    rolling hash is not SQL-expressible; determinism + near-dup sensitivity
+    are covered in tests/test_llm.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = rolling_hash_fingerprints(docs)
+    return out.select("doc_id", F.size("fingerprints").alias("n_fp"),
+                      F.element_at("fingerprints", 1).alias("min_fp"))
 
 
 #: language marker words for the n-gram/lexicon language-ID heuristic.

@@ -114,6 +114,48 @@ def test_lsh_bucket_topk_subset_of_exact(spark):
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
 
 
+def test_rolling_hash_fingerprints(spark):
+    from dev_clickhouse_spark.llm.text import rolling_hash_fingerprints
+
+    base = "the quick brown fox jumps over the lazy dog and keeps running on"
+    docs = spark.createDataFrame(
+        [(0, base), (1, base), (2, base.replace("dog", "cat")), (3, "short")],
+        "doc_id long, text string",
+    )
+    fps = {r.doc_id: r.fingerprints for r in rolling_hash_fingerprints(docs).collect()}
+    assert fps[0] == fps[1]                        # deterministic
+    assert fps[3] == []                            # shorter than the window
+    # near-dup shares most fingerprint material with the original
+    shared = len(set(fps[0]) & set(fps[2]))
+    assert shared >= 1
+    assert fps[0] != fps[2]
+
+
+def test_multimodal_resize_and_frames(spark):
+    from dev_clickhouse_spark.llm.multimodal import (
+        attach_media,
+        resize_images,
+        sample_frames,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "x" * 100, "s1"), (2, "y" * 50, "s1")],
+        "doc_id long, text string, source string",
+    )
+    media = attach_media(docs)
+    resized = resize_images(media, width=32, height=32).collect()
+    assert len(resized) == 2
+    assert all(r.width == 32 and r.height == 32 for r in resized)
+    assert all(len(bytes(r.payload)) <= 32 * 32 // 64 for r in resized)
+
+    frames = sample_frames(media, n_frames=4).collect()
+    assert len(frames) == 8                       # fan-out: 4 frames per video
+    per_media = {}
+    for f in frames:
+        per_media.setdefault(f.media_id, []).append(f.frame_index)
+    assert all(sorted(v) == [0, 1, 2, 3] for v in per_media.values())
+
+
 def test_multimodal_stub(spark):
     docs = spark.createDataFrame([(1, "abc", "s1")], "doc_id long, text string, source string")
     media = attach_media(docs)
