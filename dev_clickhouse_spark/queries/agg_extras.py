@@ -127,6 +127,62 @@ def session_windows_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@register(
+    "pivot_daily_event_types",
+    oracle=f"""
+SELECT CAST(ts AS DATE) AS event_date,
+       {', '.join(
+           f"CAST(count(*) FILTER (WHERE event_type = '{t}') AS BIGINT) AS {t}"
+           for t in EVENT_TYPES
+       )}
+FROM events GROUP BY 1
+""",
+    tags=["pivot"],
+)
+def pivot_daily_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """df.pivot with a declared value list — wide daily counts per event
+    type.  Declaring the pivot values keeps the plan a single pass (no
+    distinct-values pre-scan) and the output schema static."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.to_date("ts").alias("event_date"))
+        .pivot("event_type", list(EVENT_TYPES))
+        .count()
+        .na.fill(0, list(EVENT_TYPES))
+    )
+
+
+@register(
+    "except_intersect_users",
+    oracle="""
+SELECT CAST(u AS BIGINT) AS user_id, 'clicker_not_buyer' AS cohort
+FROM (SELECT user_id AS u FROM events WHERE event_type = 'click'
+      EXCEPT
+      SELECT user_id FROM events WHERE event_type = 'purchase')
+UNION ALL
+SELECT CAST(u AS BIGINT) AS user_id, 'error_and_signup' AS cohort
+FROM (SELECT user_id AS u FROM events WHERE event_type = 'error'
+      INTERSECT
+      SELECT user_id FROM events WHERE event_type = 'signup')
+""",
+    tags=["U-except-intersect"],
+)
+def except_intersect_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT / INTERSECT cohorts (absent from the reference — SURVEY.md §2.7
+    'No INTERSECT/EXCEPT anywhere' — part of the complete set-op surface).
+    Catalyst plans both as left-anti / left-semi aggregates."""
+    ev = load_table(spark, sf_dir, "events")
+    users_of = lambda t: ev.filter(F.col("event_type") == t).select("user_id")  # noqa: E731
+    clickers = users_of("click").subtract(users_of("purchase"))  # EXCEPT (distinct)
+    both = users_of("error").intersect(users_of("signup"))
+    return clickers.select(
+        "user_id", F.lit("clicker_not_buyer").alias("cohort")
+    ).unionByName(both.select("user_id", F.lit("error_and_signup").alias("cohort")))
+
+
 @register("approx_distinct_daily_users", tags=["approx"])  # rows-only
 def approx_distinct_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL++ approximate distinct users per day — the 100 TB cardinality
