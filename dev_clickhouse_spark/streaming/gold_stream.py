@@ -1,0 +1,66 @@
+"""Continuous ELT: streaming ingest that also refreshes gold per micro-batch.
+
+The reference couples a continuously-consuming Kafka table with a */5 cron DAG
+(SURVEY.md §3.1-3.2) — ingest is streaming, gold is scheduled.  This module
+closes the loop inside one Structured Streaming query: after each
+micro-batch's bronze appends, the gold pipelines run over that batch's
+event-time span.  Gold stays correct under replays because every gold writer
+is idempotent (anti-join guards / SCD2 snapshot protocol), so reprocessing a
+batch after a crash re-derives the same rows.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.runner import PipelineRunner
+from .bronze_stream import BronzeStream
+
+
+class ContinuousPipeline(BronzeStream):
+    """BronzeStream + per-batch gold refresh over the batch's event-time span
+    (padded by ``slack_minutes`` to absorb cross-batch stragglers)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        warehouse_root: str,
+        checkpoint_root: str,
+        dedupe: bool = False,
+        slack_minutes: int = 5,
+        pipeline_ids: set[str] | None = None,
+    ):
+        super().__init__(spark, warehouse_root, checkpoint_root, dedupe)
+        self.runner = PipelineRunner(spark, warehouse_root)
+        self.slack = dt.timedelta(minutes=slack_minutes)
+        self.pipeline_ids = pipeline_ids
+
+    def _process_batch(self, batch: DataFrame, batch_id: int) -> None:
+        super()._process_batch(batch, batch_id)
+        span = self._batch_event_span(batch)
+        if span is None:
+            return
+        lo, hi = span
+        self.runner.run_window(
+            lo - self.slack,
+            hi + dt.timedelta(microseconds=1),
+            pipeline_ids=self.pipeline_ids,
+        )
+
+    def _batch_event_span(self, batch: DataFrame):
+        """Event-time min/max across the three routed projections (the batch
+        is already parsed + checkpointed by the parent)."""
+        from ..sources.json_events import extract_all
+
+        lo = hi = None
+        for df in extract_all(batch).values():
+            row = df.agg(
+                F.min("event_ts").alias("lo"), F.max("event_ts").alias("hi")
+            ).first()
+            if row.lo is not None:
+                lo = row.lo if lo is None else min(lo, row.lo)
+                hi = row.hi if hi is None else max(hi, row.hi)
+        return None if lo is None else (lo, hi)

@@ -45,6 +45,34 @@ def test_jdbc_federated_scan(spark, tmp_path):
     assert agg == {"agent0": 34, "agent1": 33, "agent2": 33}
 
 
+def test_continuous_pipeline_streams_to_gold(spark, tmp_path):
+    """One streaming query: micro-batch ingest + per-batch gold refresh —
+    facts and SCD2 dims materialize without any manual run_window call."""
+    from dev_clickhouse_spark.streaming import ContinuousPipeline
+
+    inp = tmp_path / "in"
+    _write_batch(inp, [
+        wazuh_payload("cw1", "10.9.0.1", "2026-01-08T09:10:00.000Z"),
+        wazuh_payload("cw2", "10.9.0.1", "2026-01-08T09:20:00.000Z"),
+        suricata_payload("cs1", ts="2026-01-08T09:15:00.000Z"),
+    ])
+    cp = ContinuousPipeline(spark, str(tmp_path / "wh"), str(tmp_path / "ckpt"))
+    cp.from_files(str(inp)).awaitTermination(180)
+
+    assert cp.wh.read("fact_wazuh_events").count() == 2
+    assert cp.wh.read("fact_suricata_events").count() == 1
+    assert cp.wh.read("dim_agent").filter("is_current = 1").count() == 1
+
+    # second micro-batch: agent IP changes → SCD2 close/open, facts append
+    _write_batch(inp, [wazuh_payload("cw3", "10.9.0.2", "2026-01-08T09:40:00.000Z")])
+    cp2 = ContinuousPipeline(spark, str(tmp_path / "wh"), str(tmp_path / "ckpt"))
+    cp2.from_files(str(inp)).awaitTermination(180)
+    assert cp2.wh.read("fact_wazuh_events").count() == 3
+    dim = cp2.wh.read("dim_agent").orderBy("effective_from").collect()
+    assert [r.is_current for r in dim] == [0, 1]
+    assert dim[1].agent_ip == "10.9.0.2"
+
+
 def test_streaming_ingest_feeds_gold(spark, tmp_path):
     """Streaming bronze ingest → scheduled gold refresh over the same
     warehouse — the full reference loop (Kafka MVs + */5 cron DAG)."""
