@@ -149,7 +149,7 @@ def scd2_apply(
     # SAME surrogate key hash(nk, effective_from).
     changed_rows = (
         src.alias("b")
-        .join(F.broadcast(cur_live.alias("cur")), on=nk_col, how="left")
+        .join(cur_live.alias("cur"), on=nk_col, how="left")
         .filter(
             F.col(f"cur.{key_col}").isNull()
             | (attr_differs & (F.col(f"b.{ts_col}") > F.col("cur.effective_from")))
@@ -174,7 +174,7 @@ def scd2_apply(
     )
     updated = (
         current.alias("d")
-        .join(F.broadcast(closes).alias("c"), on=key_col, how="left")
+        .join(closes.alias("c"), on=key_col, how="left")
         .select(
             F.col(key_col),
             F.col(f"d.{nk_col}"),

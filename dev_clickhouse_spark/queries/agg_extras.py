@@ -54,7 +54,7 @@ def cube_segment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
     return (
-        orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        orders.join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .cube("c_mktsegment", "o_orderpriority")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )

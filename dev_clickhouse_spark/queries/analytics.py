@@ -3,8 +3,10 @@
 Shapes mirror the reference's example analytics
 (scripts/clickhouse_examples.sql:1-29, scripts/superset_sql_examples.sql:1-29):
 time-bucketed counts, star join + group-by + top-k, ratio-to-total — expressed
-on the driver's TPC-H-ish tables.  All heavy tables stay fact-side of
-broadcast joins; aggregations are partial-agg friendly.
+on the driver's TPC-H-ish tables.  Broadcast hints are reserved for true dims
+(nation/region/supplier/part — bounded size at any sf); tables that scale with
+the data (orders/customer/lineitem) carry no hint so AQE can pick broadcast at
+small sf and a shuffle join at 100 TB.  Aggregations are partial-agg friendly.
 
 Double outputs use functions.ch_compat.round_half_up (floor-form rounding) so
 Spark and the DuckDB oracle round identical binary doubles identically.
@@ -92,8 +94,10 @@ LIMIT 10
     tags=["J5", "O1", "A2"],
 )
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fact-side lineitem joins broadcast customer/orders; TakeOrderedAndProject
-    top-k avoids a global sort."""
+    """Fact-side lineitem joins date-filtered orders and segment-filtered
+    customer.  Both scale with the data, so no broadcast hint: AQE picks
+    broadcast when the filtered side fits (small sf) and a shuffle join at
+    scale.  TakeOrderedAndProject top-k avoids a global sort."""
     cust, orders, li = (
         load_table(spark, sf_dir, t) for t in ("customer", "orders", "lineitem")
     )
@@ -101,11 +105,11 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.filter(F.col("l_shipdate") > cut)
         .join(
-            F.broadcast(orders.filter(F.col("o_orderdate") < cut)),
+            orders.filter(F.col("o_orderdate") < cut),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
         .join(
-            F.broadcast(cust.filter(F.col("c_mktsegment") == "BUILDING")),
+            cust.filter(F.col("c_mktsegment") == "BUILDING"),
             F.col("o_custkey") == F.col("c_custkey"),
         )
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
@@ -143,8 +147,10 @@ GROUP BY n_name
     tags=["J3", "J5", "A2", "P1"],
 )
 def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Five broadcast dims around the lineitem fact — the reference's star-join
-    shape (fact_suricata star lookups, SURVEY.md J3) at BI scale."""
+    """Star join around the lineitem fact — the reference's star-join shape
+    (fact_suricata star lookups, SURVEY.md J3) at BI scale.  True dims
+    (supplier/nation/region) get broadcast hints; orders/customer scale with
+    the data, so AQE decides their join strategy."""
     cust, orders, li, supp, nation, region = (
         load_table(spark, sf_dir, t)
         for t in ("customer", "orders", "lineitem", "supplier", "nation", "region")
@@ -154,8 +160,8 @@ def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
     )
     return (
-        li.join(F.broadcast(orders_win), F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        li.join(orders_win, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(
             F.broadcast(supp),
             (F.col("l_suppkey") == F.col("s_suppkey"))
@@ -259,7 +265,7 @@ def ratio_to_total_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
     seg = (
-        orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        orders.join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("c_mktsegment")
         .agg(F.count(F.lit(1)).alias("order_count"))
     )
@@ -445,8 +451,8 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
         )
         .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(F.broadcast(orders), F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
         .filter(pair)
@@ -480,7 +486,7 @@ def q12_priority_by_quantity_band(spark: SparkSession, sf_dir: str) -> DataFrame
     high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
     return (
         li.filter((F.col("l_quantity") >= 30) | (F.col("l_discount") > 0.08))
-        .join(F.broadcast(orders), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("l_returnflag")
         .agg(
             F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
@@ -590,8 +596,8 @@ def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(big.withColumnRenamed("l_orderkey", "big_key"),
                 F.col("l_orderkey") == F.col("big_key"), "left_semi")
-        .join(F.broadcast(orders), F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
         .agg(rnd(F.sum("l_quantity"), 2).alias("total_qty"))
         .select(

@@ -84,7 +84,7 @@ def current_flag_version_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(True).alias("is_current"),
     )
     joined = ev.join(
-        F.broadcast(cur),
+        cur,
         (F.col("c_user_id") == F.col("user_id"))
         & F.col("is_current")
         & F.col("cur_type").eqNullSafe(F.col("event_type")),

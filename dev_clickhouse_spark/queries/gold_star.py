@@ -73,7 +73,7 @@ def gold_star_build_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # star joins ON the hash keys (the reference's J3 discipline), natural
     # attributes come back from the dims
     return (
-        fact.join(F.broadcast(dim_user), on="user_key", how="left")
+        fact.join(dim_user, on="user_key", how="left")
         .join(F.broadcast(dim_type), on="type_key", how="left")
         .select("event_id", "date_key", "time_key", "user_id", "event_type", "value")
     )
@@ -112,7 +112,7 @@ def gold_star_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
     )
     return (
-        fact.join(F.broadcast(dim_user), "user_key")
+        fact.join(dim_user, "user_key")
         .join(F.broadcast(dim_type), "type_key")
         .groupBy("user_id", "event_type")
         .agg(
