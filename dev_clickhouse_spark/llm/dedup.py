@@ -3,9 +3,11 @@
 Scale design (the point of each variant at 100 TB):
 
 - **exact** — md5 fingerprint group-by: one shuffle on a 16-byte key.
-- **n-gram Jaccard** — inverted shingle index join; candidate generation is
-  bounded by dropping ultra-common shingles (df cap) so the self-join cannot
-  quadratically blow up on boilerplate.
+- **n-gram Jaccard** — inverted shingle index (one groupBy per shingle);
+  candidate generation drops shingles with document frequency > NGRAM_DF_CAP
+  so boilerplate shared by k docs cannot cost k² candidate rows; candidates
+  are then verified with the EXACT Jaccard over full shingle sets (a pair
+  sharing only capped shingles is the accepted, documented miss).
 - **MinHash+LSH** — per-doc signatures are MAP-ONLY (Arrow-batched pandas UDF,
   no shuffle); banding reduces the pair space to hash-bucket collisions; only
   candidates pay the exact-verify cost.  Tunables (k, bands) trade recall for
@@ -14,13 +16,16 @@ Scale design (the point of each variant at 100 TB):
   distance; bucketing by signature prefix bounds the search.
 
 Hashes are md5-based so the DuckDB oracle can replicate signatures
-bit-for-bit (xxhash64 would be faster; md5 keeps the correctness gate
-cross-engine — swap `_HASH` for production).
+bit-for-bit.  The production path (`minhash_signatures_jvm`) uses Spark's
+built-in xxhash64 entirely JVM-side — whole-stage codegen, no Python workers;
+`tests/test_llm.py` property-checks both paths produce the same verified
+pair set.  The correctness gate stays on md5.
 """
 
 from __future__ import annotations
 
 import hashlib
+import warnings
 from collections.abc import Iterator
 
 import pandas as pd
@@ -37,6 +42,10 @@ LSH_BANDS = 6
 LSH_ROWS = MINHASH_K // LSH_BANDS
 SHINGLE_N = 3
 JACCARD_THRESHOLD = 0.8
+# A shingle appearing in more documents than this is boilerplate: it is
+# excluded from candidate GENERATION (not from the exact verify), bounding
+# the inverted-index pair expansion at df_cap² rows per shingle.
+NGRAM_DF_CAP = 100
 
 
 def _shingles(text: str, n: int = SHINGLE_N) -> set[str]:
@@ -94,6 +103,43 @@ def minhash_signatures(
     if inp.rdd.getNumPartitions() < par:
         inp = inp.repartition(par)
     return inp.mapInPandas(compute, schema=_SIG_SCHEMA)
+
+
+def minhash_signatures_jvm(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    k: int = MINHASH_K, bands: int = LSH_BANDS,
+) -> DataFrame:
+    """PRODUCTION signature path: same output shape as minhash_signatures but
+    entirely JVM-side on xxhash64 — shingles explode once, ONE groupBy(doc_id)
+    computes all k minima as partial-agg-friendly aggregates (map-side
+    combine), band hash = xxhash64 over the band's row minima.  No Python
+    workers, whole-stage codegen end to end.
+
+    Not oracle-parity (different hash family than the md5 gate path); the
+    VERIFIED pair set is property-tested equal to the md5 path in
+    tests/test_llm.py — candidates differ, the exact-Jaccard filter makes the
+    output hash-independent for pairs above threshold recall."""
+    rows_per_band = k // bands
+    sh = ngram_shingles(docs, id_col, text_col)
+    mins = sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_shingles"),
+        *[F.min(F.xxhash64(F.lit(i), F.col("s"))).alias(f"h{i}") for i in range(k)],
+    )
+    sig = F.array(*[F.col(f"h{i}").cast("string") for i in range(k)])
+    band_hashes = F.array(
+        *[
+            F.xxhash64(
+                *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+            ).cast("string")
+            for b in range(bands)
+        ]
+    )
+    return mins.select(
+        "doc_id",
+        "n_shingles",
+        sig.alias("minhash"),
+        band_hashes.alias("bands"),
+    )
 
 
 def lsh_candidate_pairs(signatures: DataFrame) -> DataFrame:
@@ -195,6 +241,18 @@ def dedup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # Exhausted max_iterations with labels still moving: the graph has a
+        # component of diameter > max_iterations and the labeling is split.
+        # Silent truncation here would make deduped_keep_list keep documents
+        # that belong to one cluster — surface it loudly instead.
+        warnings.warn(
+            f"dedup_clusters did not converge within {max_iterations} "
+            f"iterations ({changed} labels still changing); clusters may be "
+            "split — raise max_iterations",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels.select("doc_id", F.col("label").alias("cluster_id"))
 
 
@@ -287,14 +345,85 @@ sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
 """
 
 
+def ngram_shingles(docs: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Distinct 3-shingles per doc, JVM-side (split/sequence/transform/explode
+    — no Python workers).  Returns (doc_id, s)."""
+    toks = F.split(text_col, " ")
+    t = docs.select(F.col(id_col).alias("doc_id"), toks.alias("toks")).filter(
+        F.size("toks") >= SHINGLE_N
+    )
+    return t.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("toks") - SHINGLE_N),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.col("toks")[i],
+                    F.col("toks")[i + 1],
+                    F.col("toks")[i + 2],
+                ),
+            )
+        ).alias("s"),
+    ).distinct()
+
+
+def ngram_candidate_pairs(sh: DataFrame, df_cap: int = NGRAM_DF_CAP) -> DataFrame:
+    """Candidate pairs from the inverted index with document-frequency
+    capping: group by shingle (ONE shuffle), drop posting lists longer than
+    ``df_cap`` (boilerplate), expand the survivors pairwise map-side.  Worst
+    case is df_cap²/2 rows per shingle — bounded regardless of how many docs
+    share a boilerplate shingle."""
+    postings = sh.groupBy("s").agg(F.collect_list("doc_id").alias("ds"))
+    bounded = postings.filter(F.size("ds") <= df_cap)
+    return (
+        bounded.select(F.explode("ds").alias("doc_a"), F.col("ds"))
+        .select("doc_a", F.explode("ds").alias("doc_b"))
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .distinct()
+    )
+
+
+def ngram_verify_pairs(cand: DataFrame, sh: DataFrame,
+                       sizes: DataFrame) -> DataFrame:
+    """Exact Jaccard for candidate pairs over the FULL shingle sets (capped
+    shingles count here — the cap only limited candidate generation)."""
+    inter = (
+        cand.join(sh.alias("ia"), F.col("doc_a") == F.col("ia.doc_id"))
+        .join(
+            sh.alias("ib"),
+            (F.col("doc_b") == F.col("ib.doc_id")) & (F.col("ib.s") == F.col("ia.s")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("cb"))
+    )
+    jac = F.col("cb") / (F.col("sa.n") + F.col("sb.n") - F.col("cb"))
+    return (
+        inter.join(sizes.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sizes.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", rnd(jac, 4).alias("jaccard"))
+    )
+
+
 @register(
     "dedup_ngram_jaccard_pairs",
     oracle=f"""
 WITH {_SHINGLE_SQL},
+df AS (SELECT s, count(*) AS df FROM sh GROUP BY s),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sh a
+  JOIN df ON df.s = a.s AND df.df <= {NGRAM_DF_CAP}
+  JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+),
 inter AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS cb
-  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
+  SELECT c.doc_a, c.doc_b, count(*) AS cb
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.doc_a
+  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.s = sa.s
+  GROUP BY c.doc_a, c.doc_b
 )
 SELECT doc_a, doc_b,
        floor(cb::DOUBLE / (sa.n + sb.n - cb) * 10000 + 0.5) / 10000 AS jaccard
@@ -306,48 +435,21 @@ WHERE cb::DOUBLE / (sa.n + sb.n - cb) >= 0.8
     tags=["llm-dedup"],
 )
 def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute n-gram Jaccard near-dup pairs via inverted shingle index —
-    explode 3-shingles, self-join on shingle, count intersections, filter
-    J ≥ 0.8.  (LSH below is the scale path; this is the exact baseline.)"""
+    """n-gram Jaccard near-dup pairs via df-capped inverted shingle index:
+    explode 3-shingles, build posting lists per shingle, DROP lists longer
+    than NGRAM_DF_CAP (boilerplate guard — a shingle shared by k docs would
+    otherwise cost k² candidates), expand survivors pairwise, then verify
+    candidates with the exact Jaccard over full shingle sets, filter J ≥ 0.8.
+    A pair sharing ONLY capped shingles is missed by design (boilerplate
+    overlap is not near-duplication)."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
-    t = docs.select("doc_id", toks.alias("toks")).filter(F.size("toks") >= 3)
-    sh = t.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.size("toks") - 3),
-                lambda i: F.concat_ws(
-                    " ",
-                    F.col("toks")[i],
-                    F.col("toks")[i + 1],
-                    F.col("toks")[i + 2],
-                ),
-            )
-        ).alias("s"),
-    ).distinct()
+    sh = ngram_shingles(docs)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .agg(F.count(F.lit(1)).alias("cb"))
-    )
-    jac = F.col("cb") / (F.col("sa.n") + F.col("sb.n") - F.col("cb"))
-    return (
-        inter.join(F.broadcast(sizes.alias("sa")), F.col("doc_a") == F.col("sa.doc_id"))
-        .join(F.broadcast(sizes.alias("sb")), F.col("doc_b") == F.col("sb.doc_id"))
-        .filter(jac >= JACCARD_THRESHOLD)
-        .select("doc_a", "doc_b", rnd(jac, 4).alias("jaccard"))
-    )
+    cand = ngram_candidate_pairs(sh)
+    return ngram_verify_pairs(cand, sh, sizes)
 
 
-@register(
-    "dedup_minhash_lsh_pairs",
-    oracle=f"""
-WITH {_SHINGLE_SQL},
+_MINHASH_PAIRS_SQL = f"""
 mh AS (
   SELECT doc_id, i, min(md5(i::VARCHAR || ':' || s)) AS h
   FROM sh, LATERAL (SELECT unnest(generate_series(0, {MINHASH_K - 1})) AS i)
@@ -369,22 +471,22 @@ inter AS (
   JOIN sh sa ON sa.doc_id = c.doc_a
   JOIN sh sb ON sb.doc_id = c.doc_b AND sb.s = sa.s
   GROUP BY c.doc_a, c.doc_b
-)
-SELECT doc_a, doc_b,
-       floor(cb::DOUBLE / (sa.n + sb.n - cb) * 10000 + 0.5) / 10000 AS jaccard
-FROM inter
-JOIN sizes sa ON sa.doc_id = doc_a
-JOIN sizes sb ON sb.doc_id = doc_b
-WHERE cb::DOUBLE / (sa.n + sb.n - cb) >= {JACCARD_THRESHOLD}
-""",
-    tags=["llm-dedup"],
-)
-def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+),
+lsh_pairs AS (
+  SELECT doc_a, doc_b, cb::DOUBLE / (sa.n + sb.n - cb) AS jac
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE cb::DOUBLE / (sa.n + sb.n - cb) >= {JACCARD_THRESHOLD}
+)"""
+
+
+def minhash_lsh_pairs(docs: DataFrame, use_jvm_hash: bool = False) -> DataFrame:
     """MinHash → LSH banding → bucket join → exact verify: the scalable
-    near-dup pipeline.  Signatures are map-only; only band-bucket collisions
-    are verified.  Output = verified pairs with exact Jaccard ≥ 0.8."""
-    docs = load_table(spark, sf_dir, "documents")
-    sigs = minhash_signatures(docs)
+    near-dup pipeline.  ``use_jvm_hash=False`` (default) is the md5 path the
+    DuckDB oracle replicates bit-for-bit; ``use_jvm_hash=True`` is the
+    xxhash64 production path (all-JVM, no Python workers)."""
+    sigs = (minhash_signatures_jvm if use_jvm_hash else minhash_signatures)(docs)
     cands = lsh_candidate_pairs(sigs)
     verified = verify_jaccard(cands, docs)
     return verified.filter(F.col("jaccard") >= JACCARD_THRESHOLD).select(
@@ -393,24 +495,31 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_minhash_lsh_pairs",
+    oracle=f"""
+WITH {_SHINGLE_SQL},
+{_MINHASH_PAIRS_SQL}
+SELECT doc_a, doc_b,
+       floor(jac * 10000 + 0.5) / 10000 AS jaccard
+FROM lsh_pairs
+""",
+    tags=["llm-dedup"],
+)
+def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verified LSH near-dup pairs on the md5 (oracle-parity) hash path —
+    signatures are map-only; only band-bucket collisions pay the exact-verify
+    cost.  Output = pairs with exact Jaccard ≥ 0.8."""
+    return minhash_lsh_pairs(load_table(spark, sf_dir, "documents"))
+
+
+@register(
     "dedup_near_dup_clusters",
     oracle=f"""
 WITH RECURSIVE {_SHINGLE_SQL},
-inter AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS cb
-  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
-),
-pairs AS (
-  SELECT doc_a, doc_b
-  FROM inter
-  JOIN sizes sa ON sa.doc_id = doc_a
-  JOIN sizes sb ON sb.doc_id = doc_b
-  WHERE cb::DOUBLE / (sa.n + sb.n - cb) >= {JACCARD_THRESHOLD}
-),
+{_MINHASH_PAIRS_SQL},
 edges2 AS (
-  SELECT doc_a AS a, doc_b AS b FROM pairs
-  UNION SELECT doc_b, doc_a FROM pairs
+  SELECT doc_a AS a, doc_b AS b FROM lsh_pairs
+  UNION SELECT doc_b, doc_a FROM lsh_pairs
 ),
 reach AS (
   SELECT DISTINCT a AS src, a AS node FROM edges2
@@ -423,11 +532,45 @@ FROM reach GROUP BY src
     tags=["llm-dedup", "iterative"],
 )
 def dedup_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Connected components over the J ≥ 0.8 near-dup graph — iterative
-    min-label propagation (the dedup ACTION's grouping step), checked against
-    a recursive-CTE transitive closure in DuckDB."""
-    pairs = dedup_ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    """Connected components over the verified LSH near-dup graph — the pair
+    generator is dedup_minhash_lsh_pairs (the SCALE path: banded candidates,
+    not an all-pairs join), clustered by iterative min-label propagation and
+    checked against a recursive-CTE transitive closure in DuckDB over the
+    same LSH pairs."""
+    pairs = dedup_minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
     return dedup_clusters(pairs)
+
+
+@register(
+    "dedup_keep_list",
+    oracle=f"""
+WITH RECURSIVE {_SHINGLE_SQL},
+{_MINHASH_PAIRS_SQL},
+edges2 AS (
+  SELECT doc_a AS a, doc_b AS b FROM lsh_pairs
+  UNION SELECT doc_b, doc_a FROM lsh_pairs
+),
+reach AS (
+  SELECT DISTINCT a AS src, a AS node FROM edges2
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges2 e ON e.a = r.node
+),
+clusters AS (
+  SELECT src AS doc_id, min(node) AS cluster_id FROM reach GROUP BY src
+)
+SELECT d.doc_id
+FROM documents d
+LEFT JOIN clusters c ON c.doc_id = d.doc_id AND c.doc_id <> c.cluster_id
+WHERE c.doc_id IS NULL
+""",
+    tags=["llm-dedup", "iterative"],
+)
+def dedup_keep_list_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup ACTION end-to-end on the scale path: LSH pairs → connected
+    components → drop non-canonical cluster members → surviving doc_ids."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup_minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    return deduped_keep_list(pairs, docs)
 
 
 @register(

@@ -167,3 +167,89 @@ def test_multimodal_stub(spark):
     # real-decode path surfaces the NotImplementedError through the engine
     with pytest.raises(Exception):
         extract_features(media, use_real_decode=True).collect()
+
+
+def test_ngram_df_cap_bounds_boilerplate(spark):
+    from dev_clickhouse_spark.llm.dedup import (
+        ngram_candidate_pairs,
+        ngram_shingles,
+        ngram_verify_pairs,
+    )
+    import pyspark.sql.functions as F
+
+    # 40 docs that share ONLY one boilerplate shingle ("subscribe to newsletter")
+    # plus unique content; 2 genuine near-dups sharing rare shingles.
+    boiler = "subscribe to newsletter"
+    rows = [(i, f"{boiler} unique{i} filler{i} content{i} words{i}") for i in range(40)]
+    long = "rare alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu nu xi"
+    rows += [
+        (100, long + " omicron"),   # 16 tokens, differ only in the last
+        (101, long + " pi"),        # → J = 13/15 ≈ 0.867 ≥ threshold
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = ngram_shingles(docs)
+
+    # uncapped: the boilerplate shingle alone yields 40*39/2 = 780 candidates
+    uncapped = ngram_candidate_pairs(sh, df_cap=10_000).count()
+    assert uncapped >= 780
+
+    # capped at 10: boilerplate posting list (len 40) is dropped entirely;
+    # only the rare-shingle pair survives candidate generation
+    capped = ngram_candidate_pairs(sh, df_cap=10)
+    cand = {(r.doc_a, r.doc_b) for r in capped.collect()}
+    assert cand == {(100, 101)}
+
+    # exact verify still measures the FULL shingle sets
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    verified = ngram_verify_pairs(capped, sh, sizes).collect()
+    assert [(r.doc_a, r.doc_b) for r in verified] == [(100, 101)]
+    assert 0.5 < verified[0].jaccard < 1.0
+
+
+def test_minhash_jvm_hash_path_same_verified_pairs(spark):
+    from dev_clickhouse_spark.llm.dedup import minhash_lsh_pairs, minhash_signatures_jvm
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        (0, base),
+        (1, base),                               # exact dup of 0
+        (2, base.replace("dog", "cat")),         # near dup of 0/1
+        (3, "completely different content about spark query engines at scale"),
+        (4, "tiny doc"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    md5_pairs = {(r.doc_a, r.doc_b) for r in minhash_lsh_pairs(docs).collect()}
+    jvm_pairs = {
+        (r.doc_a, r.doc_b) for r in minhash_lsh_pairs(docs, use_jvm_hash=True).collect()
+    }
+    # exact duplicates collide in every band under ANY hash; verified output
+    # is post-exact-Jaccard so both paths agree on what IS a near-dup
+    assert (0, 1) in md5_pairs and (0, 1) in jvm_pairs
+    assert md5_pairs == jvm_pairs
+
+    # JVM path emits the same signature shape the bucketer consumes
+    sig = minhash_signatures_jvm(docs)
+    assert [f[0] for f in sig.dtypes] == ["doc_id", "n_shingles", "minhash", "bands"]
+
+
+def test_dedup_clusters_warns_on_non_convergence(spark):
+    import warnings as w
+
+    from dev_clickhouse_spark.llm.dedup import dedup_clusters
+
+    # path graph 0-1-2-...-8: label needs ~8 rounds to reach the far end
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "doc_a long, doc_b long"
+    )
+    with w.catch_warnings(record=True) as caught:
+        w.simplefilter("always")
+        dedup_clusters(pairs, max_iterations=2).collect()
+    assert any("did not converge" in str(c.message) for c in caught)
+
+    # with enough rounds it converges silently to one cluster
+    with w.catch_warnings(record=True) as caught:
+        w.simplefilter("always")
+        labels = {r.doc_id: r.cluster_id for r in dedup_clusters(pairs).collect()}
+    assert not any("did not converge" in str(c.message) for c in caught)
+    assert set(labels.values()) == {0}
