@@ -102,3 +102,81 @@ def asof_join(
         out = out.withColumn(c, F.col("__asof_match").getField(c))
     return out.drop("__asof_ts", "__asof_side", "__asof_payload", "__asof_match",
                     "__asof_match_ts")
+
+
+def asof_join_multi(
+    left: DataFrame,
+    specs: list[tuple[str, DataFrame, str, str, str, str]],
+    left_ts: str,
+    id_cols: list[str],
+) -> DataFrame:
+    """N as-of lookups against N version dims in ONE window shuffle.
+
+    ``specs`` is a list of ``(tag, versions_df, left_key_col, right_key_col,
+    right_ts_col, payload_col)``; every payload column must share one Spark
+    type (surrogate hash keys are all bigint here).  ``id_cols`` must identify
+    a left row (the reference's fact identity ``(event_id, event_ts)`` —
+    fact_wazuh_events.sql:76-79 dedupes on exactly that pair).
+
+    Why not N ``asof_join`` calls: each one shuffles the FULL accumulating
+    fact width through its own window exchange — N wide shuffles.  Here the
+    probe side is only ``id_cols + (tag, key, ts)``: all dims union into one
+    version stream keyed by ``(tag, key)``, one narrow window exchange serves
+    every lookup, a narrow group-by folds the N matches back to one row per
+    fact id, and the wide fact is shuffled exactly once for the final join
+    (whose build side is already partitioned on ``id_cols`` by the fold).
+    At 100 TB this turns fact_wazuh's dominant cost — 3 wide window shuffles
+    — into 1 narrow window + 1 narrow fold + 1 wide join.
+    """
+    payload_type = dict(specs[0][1].dtypes)[specs[0][5]]
+    id_types = dict(left.dtypes)
+
+    probes = []
+    versions = []
+    for tag, right, lkey, rkey, rts, pcol in specs:
+        probes.append(
+            left.select(
+                *id_cols,
+                F.lit(tag).alias("__tag"),
+                F.col(lkey).cast("string").alias("__key"),
+                F.col(left_ts).alias("__ts"),
+                F.lit(1).alias("__side"),
+                F.lit(None).cast(payload_type).alias("__payload"),
+            )
+        )
+        versions.append(
+            right.select(
+                *[F.lit(None).cast(id_types[c]).alias(c) for c in id_cols],
+                F.lit(tag).alias("__tag"),
+                F.col(rkey).cast("string").alias("__key"),
+                F.col(rts).alias("__ts"),
+                F.lit(0).alias("__side"),
+                F.col(pcol).cast(payload_type).alias("__payload"),
+            )
+        )
+    stream = probes[0]
+    for df in probes[1:] + versions:
+        stream = stream.unionByName(df)
+
+    w = (
+        Window.partitionBy("__tag", "__key")
+        .orderBy("__ts", "__side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = (
+        stream.withColumn("__match", F.last("__payload", ignorenulls=True).over(w))
+        .filter(F.col("__side") == 1)
+        .groupBy(*id_cols)
+        .agg(
+            *[
+                F.max(F.when(F.col("__tag") == tag, F.col("__match"))).alias(
+                    f"__m_{tag}"
+                )
+                for tag, *_ in specs
+            ]
+        )
+    )
+    out = left.join(matched, on=id_cols, how="left")
+    for tag, _, _, _, _, pcol in specs:
+        out = out.withColumn(pcol, F.col(f"__m_{tag}")).drop(f"__m_{tag}")
+    return out

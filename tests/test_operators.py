@@ -191,3 +191,85 @@ def test_exact_dedupe(spark):
     df = spark.createDataFrame([(1, "a"), (1, "a"), (1, "b")], "k int, v string")
     assert exact_dedupe(df).count() == 2
     assert exact_dedupe(df, ["k"]).count() == 1
+
+
+def test_asof_join_multi_matches_three_singles(spark):
+    from pyspark.sql import functions as F
+
+    from dev_clickhouse_spark.operators.asof import asof_join, asof_join_multi
+
+    events = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:00:00", "a1", "h1", "r1"),
+            (2, "2024-01-01 11:00:00", "a1", "h2", "r9"),   # r9: no rule dim
+            (3, "2024-01-01 09:00:00", "a2", None, "r1"),   # null host key
+            (4, "2024-01-01 08:00:00", "a1", "h1", "r1"),   # before any version
+        ],
+        "event_id long, event_ts string, ank string, hnk string, rnk string",
+    ).withColumn("event_ts", F.col("event_ts").cast("timestamp"))
+
+    def dim(rows, nk, key):
+        return spark.createDataFrame(
+            rows, f"{nk} string, effective_from string, {key} long"
+        ).withColumn("effective_from", F.col("effective_from").cast("timestamp"))
+
+    agents = dim([("a1", "2024-01-01 09:00:00", 11), ("a1", "2024-01-01 10:30:00", 12),
+                  ("a2", "2024-01-01 00:00:00", 21)], "agent_name", "agent_key")
+    hosts = dim([("h1", "2024-01-01 09:30:00", 31), ("h2", "2024-01-01 00:00:00", 32)],
+                "host_name", "host_key")
+    rules = dim([("r1", "2024-01-01 00:00:00", 41)], "rule_id", "rule_key")
+
+    fused = asof_join_multi(
+        events,
+        [
+            ("agent", agents, "ank", "agent_name", "effective_from", "agent_key"),
+            ("host", hosts, "hnk", "host_name", "effective_from", "host_key"),
+            ("rule", rules, "rnk", "rule_id", "effective_from", "rule_key"),
+        ],
+        left_ts="event_ts",
+        id_cols=["event_id", "event_ts"],
+    )
+
+    step = asof_join(events, agents.withColumnRenamed("agent_name", "ank"),
+                     on="ank", left_ts="event_ts", right_ts="effective_from")
+    step = asof_join(step, hosts.withColumnRenamed("host_name", "hnk"),
+                     on="hnk", left_ts="event_ts", right_ts="effective_from")
+    step = asof_join(step, rules.withColumnRenamed("rule_id", "rnk"),
+                     on="rnk", left_ts="event_ts", right_ts="effective_from")
+
+    cols = ["event_id", "agent_key", "host_key", "rule_key"]
+    got = sorted(tuple(r[c] for c in cols) for r in fused.select(cols).collect())
+    want = sorted(tuple(r[c] for c in cols) for r in step.select(cols).collect())
+    assert got == want
+    # spot semantics: inclusive >=, carry-forward, misses are NULL
+    by_id = {r[0]: r[1:] for r in got}
+    assert by_id[1] == (11, 31, 41)
+    assert by_id[2] == (12, 32, None)
+    assert by_id[3] == (21, None, 41)
+    assert by_id[4] == (None, None, 41)
+
+
+def test_asof_join_multi_single_window_exchange(spark):
+    from pyspark.sql import functions as F
+
+    from dev_clickhouse_spark.operators.asof import asof_join_multi
+
+    events = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", "a", "b", "c")],
+        "event_id long, event_ts string, ank string, hnk string, rnk string",
+    ).withColumn("event_ts", F.col("event_ts").cast("timestamp"))
+    d = spark.createDataFrame(
+        [("a", "2024-01-01 00:00:00", 1)],
+        "nk string, effective_from string, k long",
+    ).withColumn("effective_from", F.col("effective_from").cast("timestamp"))
+
+    out = asof_join_multi(
+        events,
+        [("agent", d, "ank", "nk", "effective_from", "k"),
+         ("host", d, "hnk", "nk", "effective_from", "k"),
+         ("rule", d, "rnk", "nk", "effective_from", "k")],
+        left_ts="event_ts", id_cols=["event_id", "event_ts"],
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # exactly ONE window sort serves all three lookups
+    assert plan.count("Window") == 1
