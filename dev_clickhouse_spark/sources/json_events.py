@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..functions.ch_compat import parse_ts_best_effort
+from ..functions.ip import ip_canonical
 
 
 def _st(*fields: T.StructField) -> T.StructType:
@@ -214,8 +215,8 @@ def extract_suricata(df: DataFrame) -> DataFrame:
         F.coalesce(_s("suricata.alert.severity"), _s("event.severity")).alias(
             "severity"
         ),
-        _s("source.ip").alias("src_ip"),
-        _s("destination.ip").alias("dest_ip"),
+        ip_canonical(_s("source.ip")).alias("src_ip"),
+        ip_canonical(_s("destination.ip")).alias("dest_ip"),
         _i32("source.port").alias("src_port"),
         _i32("destination.port").alias("dest_port"),
         _protocol().alias("protocol"),
@@ -259,9 +260,9 @@ def extract_wazuh(df: DataFrame) -> DataFrame:
         _s("event.module").alias("event_module"),
         _s("event.provider").alias("event_provider"),
         _s("agent.name").alias("agent_name"),
-        _s("agent.ip").alias("agent_ip"),
+        ip_canonical(_s("agent.ip")).alias("agent_ip"),
         _s("host.name").alias("host_name"),
-        _s("host.ip").alias("host_ip"),
+        ip_canonical(_s("host.ip")).alias("host_ip"),
         _s("rule.id").alias("rule_id"),
         _i32("rule.level").alias("rule_level"),
         _s("rule.name").alias("rule_name"),
@@ -296,8 +297,8 @@ def extract_zeek(df: DataFrame) -> DataFrame:
         _s("event.provider").alias("event_provider"),
         F.coalesce(_s("zeek.uid"), _s("event.id[0]")).alias("zeek_uid"),
         _sensor_name().alias("sensor_name"),
-        _s("source.ip").alias("src_ip"),
-        _s("destination.ip").alias("dest_ip"),
+        ip_canonical(_s("source.ip")).alias("src_ip"),
+        ip_canonical(_s("destination.ip")).alias("dest_ip"),
         _i32("source.port").alias("src_port"),
         _i32("destination.port").alias("dest_port"),
         geo(
