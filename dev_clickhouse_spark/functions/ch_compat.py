@@ -64,7 +64,12 @@ def parse_ts_best_effort(s: Column | str) -> Column:
 
     Lenient ISO-8601 parse returning NULL on failure: try a chain of formats
     covering the shapes the three fixture payloads carry (Z-suffixed ISO with
-    millis / micros, bare datetime, epoch seconds).
+    millis / micros, bare datetime, compact yyyyMMdd, epoch seconds/millis).
+
+    The epoch fallbacks are gated on PLAUSIBLE digit counts (10 = seconds,
+    13 = millis) — an unrestricted ``try_cast(long)`` would silently turn any
+    numeric token into a 1970-adjacent timestamp, and a compact date like
+    '20260813' (which ClickHouse parses as yyyyMMdd) into 1970-08-23.
     """
     c = _col(s)
     cleaned = F.regexp_replace(c, r"Z$", "+00:00")
@@ -75,7 +80,9 @@ def parse_ts_best_effort(s: Column | str) -> Column:
         F.try_to_timestamp(cleaned, F.lit("yyyy-MM-dd HH:mm:ss.SSS")),
         F.try_to_timestamp(cleaned, F.lit("yyyy-MM-dd HH:mm:ss")),
         F.try_to_timestamp(cleaned, F.lit("yyyy-MM-dd")),
-        F.timestamp_seconds(c.try_cast("long")),
+        F.try_to_timestamp(F.when(c.rlike(r"^\d{8}$"), c), F.lit("yyyyMMdd")),
+        F.timestamp_seconds(F.when(c.rlike(r"^\d{10}$"), c).cast("long")),
+        F.timestamp_millis(F.when(c.rlike(r"^\d{13}$"), c).cast("long")),
     )
 
 

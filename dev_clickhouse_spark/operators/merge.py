@@ -34,7 +34,15 @@ def merge_upsert(
     default = every non-key column present in both sides.  Null source values
     overwrite on match, exactly like SQL MERGE — presence is tracked with a
     marker column, not value-nullness.
+
+    SQL MERGE errors when a target row matches MULTIPLE source rows; a plain
+    full-outer join would instead silently fan the target row out.  The same
+    contract is enforced here: a per-key source count rides the presence
+    marker and raises at execution time when any key has >1 source row —
+    pre-aggregate the source (one row per key) before calling.
     """
+    from pyspark.sql import Window
+
     if update_cols is None:
         update_cols = [
             c for c in source.columns if c in set(target.columns) and c not in keys
@@ -42,7 +50,23 @@ def merge_upsert(
     passthrough = [c for c in target.columns if c not in keys and c not in update_cols]
 
     t = target.alias("t")
-    s = source.withColumn("__s_present", F.lit(1)).alias("s")
+    # assert_true rides the (always-referenced) presence marker so it cannot
+    # be pruned; the window shares the join's key partitioning
+    src_cnt = F.count(F.lit(1)).over(Window.partitionBy(*keys))
+    uniq = F.assert_true(
+        src_cnt <= 1,
+        F.concat(
+            F.lit("merge_upsert: source has multiple rows for key ("),
+            F.concat_ws(", ", *[F.col(k).cast("string") for k in keys]),
+            F.lit(") — MERGE requires at most one match; pre-aggregate the source"),
+        ),
+    )
+    # coalesce(assert::int, 1): assert_true yields NULL when the predicate
+    # holds (so the marker is 1) and raises otherwise; a when(c,1).otherwise(1)
+    # would be constant-folded away together with the assertion
+    s = source.withColumn(
+        "__s_present", F.coalesce(uniq.cast("int"), F.lit(1))
+    ).alias("s")
     joined = t.join(s, on=keys, how="full_outer")
     present = F.col("s.__s_present").isNotNull()
 

@@ -57,10 +57,13 @@ class Warehouse:
 
     def read(self, table: str) -> DataFrame:
         """Read a table; a missing table reads as empty with its declared
-        schema, so every pipeline is total on a fresh warehouse."""
+        schema, so every pipeline is total on a fresh warehouse.  The
+        ``ingest_batch`` directory level used by exactly-once streaming
+        appends is an implementation detail and is hidden from readers."""
         if not self.exists(table):
             return self.spark.createDataFrame([], self.schema_for(table))
-        return self.spark.read.parquet(self.path(table))
+        df = self.spark.read.parquet(self.path(table))
+        return df.drop("ingest_batch") if "ingest_batch" in df.columns else df
 
     def read_window(self, table: str, start_ts, end_ts) -> DataFrame:
         """Windowed scan with explicit partition pruning: the ts predicate
@@ -76,14 +79,32 @@ class Warehouse:
             (F.col("event_ts") >= F.lit(start_ts)) & (F.col("event_ts") < F.lit(end_ts))
         )
 
-    def append(self, table: str, df: DataFrame) -> None:
+    def append(self, table: str, df: DataFrame, batch_id: int | None = None) -> None:
+        """Append rows.  With ``batch_id`` the write is IDEMPOTENT: rows land
+        under a ``ingest_batch=<id>`` directory that is atomically replaced on
+        replay, so a micro-batch retried after a partial write converges to
+        exactly-once end state instead of duplicating (streaming callers pass
+        the foreachBatch id; a table must be written consistently with or
+        without batch ids — the two directory layouts don't mix)."""
         writer_df = self._prep(table, df)
-        if table in _PARTITIONED_SORT:
-            writer_df.write.mode("append").partitionBy("event_date").parquet(
-                self.path(table)
-            )
+        if batch_id is None:
+            target, mode = self.path(table), "append"
         else:
-            writer_df.write.mode("append").parquet(self.path(table))
+            target = os.path.join(self.path(table), f"ingest_batch={batch_id}")
+            mode = "overwrite"
+        if table in _PARTITIONED_SORT:
+            writer_df.write.mode(mode).partitionBy("event_date").parquet(target)
+        else:
+            writer_df.write.mode(mode).parquet(target)
+
+    def batch_committed(self, table: str, batch_id: int) -> bool:
+        """True when ``append(..., batch_id=...)`` has completed for this id
+        (used as the replay-skip marker by the streaming sink)."""
+        p = os.path.join(self.path(table), f"ingest_batch={batch_id}")
+        return os.path.exists(p) and (
+            os.path.exists(os.path.join(p, "_SUCCESS"))
+            or any(f.endswith(".parquet") for f in os.listdir(p))
+        )
 
     def overwrite(self, table: str, df: DataFrame) -> None:
         """Full-snapshot replace (SCD2 dims).  The input may derive from the
@@ -99,10 +120,15 @@ class Warehouse:
 
         Rewrites the table to ONE sorted file per event_date partition
         (hash-repartition on event_date: every date lands in exactly one task,
-        tasks run in parallel across dates) via a staging directory + atomic
-        rename, so readers never observe a half-compacted table.  Returns the
-        number of data files after compaction.  Run from a maintenance
-        schedule, not the ingest path.
+        tasks run in parallel across dates) via a staging directory + rename
+        swap.  Returns the number of data files after compaction.
+
+        MUST run in a single-writer maintenance window: the two renames are
+        not jointly atomic (a reader in the gap sees a missing table, and an
+        append landing mid-swap would be dropped with the backup).  On a
+        failed swap the backup is restored, so a crash cannot strand the
+        table; the streaming ingest and the compactor must simply not run
+        concurrently — same discipline as ClickHouse's merges owning parts.
         """
         import shutil
         import uuid
@@ -110,6 +136,8 @@ class Warehouse:
         if not self.exists(table):
             return 0
         df = self.spark.read.parquet(self.path(table))
+        if "ingest_batch" in df.columns:  # collapse the streaming batch dirs
+            df = df.drop("ingest_batch")
         staging = self.path(f".{table}.compact-{uuid.uuid4().hex[:8]}")
         par = self.spark.sparkContext.defaultParallelism
         if table in _PARTITIONED_SORT and "event_date" in df.columns:
@@ -122,7 +150,11 @@ class Warehouse:
         final = self.path(table)
         backup = self.path(f".{table}.old-{uuid.uuid4().hex[:8]}")
         os.rename(final, backup)
-        os.rename(staging, final)
+        try:
+            os.rename(staging, final)
+        except BaseException:
+            os.rename(backup, final)  # restore — never leave the table missing
+            raise
         shutil.rmtree(backup)
         n = 0
         for root, _dirs, files in os.walk(final):

@@ -5,8 +5,11 @@ through 3 materialized views into typed bronze tables
 (clickhouse/init/02_kafka_ingest.sql.tmpl).  Here: one ``readStream`` →
 ``foreachBatch`` that runs the same extraction expression layer
 (sources/json_events.extract_all) and appends 3 partitioned parquet tables per
-micro-batch — exactly-once via the checkpointed source offsets + idempotent
-per-batch writes.
+micro-batch.  Exactly-once = checkpointed source offsets + genuinely
+idempotent per-batch writes: every table (and ingest_metrics) lands under an
+``ingest_batch=<id>`` directory that a replayed batch OVERWRITES, so a
+failure after a partial write converges to the same end state instead of
+duplicating rows; fully-committed batch ids are skipped outright.
 
 Delivery semantics mapping:
 - consumer-group offsets (ST1)        → checkpointLocation
@@ -96,6 +99,12 @@ class BronzeStream:
     def _process_batch(self, batch: DataFrame, batch_id: int) -> None:
         from ..sources.json_events import with_parsed
 
+        # replay of a fully-committed batch (metrics written last = the
+        # commit marker): skip — offsets alone cannot guarantee this, the
+        # checkpoint commits AFTER foreachBatch returns
+        if self.wh.batch_committed("ingest_metrics", batch_id):
+            return
+
         # parse once, then the 3 stream writes + metrics reuse the struct
         batch = with_parsed(batch).localCheckpoint(eager=True)
         n_raw = batch.count()
@@ -106,7 +115,7 @@ class BronzeStream:
                 df = df.dropDuplicates(["event_id", "event_ts"])
             n = df.count()
             if n:
-                self.wh.append(table, df)
+                self.wh.append(table, df, batch_id=batch_id)
             counts[table] = n
         # unrouted = documents matching NO route (a doc can match several
         # routes, and dedupe drops rows post-route — neither may be counted
@@ -123,8 +132,9 @@ class BronzeStream:
             "batch_id long, n_raw long, n_suricata long, n_wazuh long, "
             "n_zeek long, n_unrouted long",
         ).withColumn("processed_at", F.current_timestamp())
-        metrics.write.mode("append").parquet(
-            os.path.join(self.wh.root, "ingest_metrics")
+        # written LAST and per-batch-overwritten: doubles as the commit marker
+        metrics.write.mode("overwrite").parquet(
+            os.path.join(self.wh.root, "ingest_metrics", f"ingest_batch={batch_id}")
         )
 
 

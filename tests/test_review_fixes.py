@@ -117,3 +117,75 @@ def test_resolve_window_uses_utc(spark, tmp_path):
     s = dt.datetime(2026, 1, 1)
     e = dt.datetime(2026, 1, 2)
     assert runner.resolve_window(10, conf={"start_ts": s, "end_ts": e}) == (s, e)
+
+
+def test_merge_upsert_rejects_multi_match_source(spark):
+    import pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from dev_clickhouse_spark.operators.merge import merge_upsert
+
+    target = spark.createDataFrame([(1, 10.0), (2, 20.0)], "k long, v double")
+    dup_src = spark.createDataFrame([(1, 11.0), (1, 12.0)], "k long, v double")
+    with pytest.raises(SparkRuntimeException, match="multiple rows"):
+        merge_upsert(target, dup_src, keys=["k"]).collect()
+
+    ok_src = spark.createDataFrame([(1, 11.0), (3, 30.0)], "k long, v double")
+    out = {r.k: r.v for r in merge_upsert(target, ok_src, keys=["k"]).collect()}
+    assert out == {1: 11.0, 2: 20.0, 3: 30.0}
+
+
+def test_parse_ts_epoch_gating(spark):
+    from dev_clickhouse_spark.functions.ch_compat import parse_ts_best_effort
+
+    df = spark.createDataFrame(
+        [("20260813",), ("1700000000",), ("1700000000123",), ("12345",),
+         ("0",), ("999",), ("2024-01-02",)],
+        "s string",
+    ).select("s", parse_ts_best_effort("s").cast("string").alias("ts"))
+    got = {r.s: r.ts for r in df.collect()}
+    assert got["20260813"] == "2026-08-13 00:00:00"        # yyyyMMdd, not epoch
+    assert got["1700000000"] == "2023-11-14 22:13:20"      # epoch seconds
+    assert got["1700000000123"] == "2023-11-14 22:13:20.123"  # epoch millis
+    assert got["12345"] is None                            # implausible digits
+    assert got["0"] is None
+    assert got["999"] is None
+    assert got["2024-01-02"] == "2024-01-02 00:00:00"
+
+
+def test_bronze_batch_replay_is_exactly_once(spark, tmp_path):
+    import json
+
+    from pyspark.sql import functions as F
+
+    from dev_clickhouse_spark.streaming.bronze_stream import BronzeStream
+
+    def payload(i):
+        return json.dumps({
+            "@timestamp": f"2024-01-01T00:00:{i:02d}Z",
+            "event": {"hash": f"h{i}", "provider": "wazuh",
+                      "dataset": "alerts", "kind": "alert", "module": "wazuh"},
+            "agent": {"name": "a", "ip": "1.2.3.4"},
+            "host": {"name": "h", "ip": "1.2.3.4"},
+            "rule": {"id": "r", "level": 1, "name": "n", "ruleset": "rs"},
+            "message": "m",
+        })
+
+    bs = BronzeStream(spark, str(tmp_path / "wh"), str(tmp_path / "ck"))
+    batch = spark.createDataFrame([(payload(i),) for i in range(5)], "raw string")
+
+    bs._process_batch(batch, batch_id=0)
+    first = bs.wh.read("wazuh_events_raw").count()
+    assert first == 5
+
+    # replay the same micro-batch (failure-recovery path): no duplicates
+    bs._process_batch(batch, batch_id=0)
+    assert bs.wh.read("wazuh_events_raw").count() == 5
+    m = spark.read.parquet(str(tmp_path / "wh" / "ingest_metrics"))
+    assert m.count() == 1
+
+    # a NEW batch still appends
+    batch2 = spark.createDataFrame([(payload(9),)], "raw string")
+    bs._process_batch(batch2, batch_id=1)
+    assert bs.wh.read("wazuh_events_raw").count() == 6
+    assert spark.read.parquet(str(tmp_path / "wh" / "ingest_metrics")).count() == 2
