@@ -28,18 +28,43 @@ def entry(spark: SparkSession) -> DataFrame:
     return REGISTRY["q5_nation_revenue"].fn(spark, "/root/testdata/sf0.001")
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
+# Beyond-reference extras (rollup/cube/percentiles/pivot/set-ops/frames/
+# session windows + the mechanical time dim): sorted after the core + LLM
+# operators so the driver's bounded correctness window always covers the
+# operators that carry coverage claims.  Everything here remains fully
+# oracle-checked by tools/check_correctness.py each round.
+_DEFER = {
+    "rollup_year_priority", "cube_segment_priority", "percentile_event_values",
+    "session_windows_gap", "pivot_daily_event_types", "except_intersect_users",
+    "sql_moving_avg_frame", "dim_time_complete",
+}
+
+
+def _ordered():
+    """Registry in driver-check priority order: LLM-pipeline oracle queries
+    (the ones a bounded window missed in round 1) → core operator oracle
+    queries → deferred beyond-reference extras → rows-only (no-oracle) ops."""
     from dev_clickhouse_spark.queries import REGISTRY
 
-    return {name: spec.fn for name, spec in REGISTRY.items()}
+    def klass(item):
+        name, spec = item
+        if spec.oracle is None:
+            return 3
+        if name in _DEFER:
+            return 2
+        if any(t.startswith("llm-") for t in spec.tags):
+            return 0
+        return 1
+
+    return sorted(REGISTRY.items(), key=lambda it: (klass(it),))
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """One entry per implemented operator from SURVEY.md §2."""
+    return {name: spec.fn for name, spec in _ordered()}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL oracle per query (omitted for genuinely
     non-SQL-expressible ops → driver records a rows-only check)."""
-    from dev_clickhouse_spark.queries import REGISTRY
-
-    return {
-        name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle is not None
-    }
+    return {name: spec.oracle for name, spec in _ordered() if spec.oracle is not None}
