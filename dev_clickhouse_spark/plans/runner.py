@@ -134,13 +134,46 @@ class PipelineRunner:
         return now - dt.timedelta(minutes=window_minutes), now
 
     def run_latest(
-        self, window_minutes: int = 10, now: dt.datetime | None = None
+        self, window_minutes: int = 10, now: dt.datetime | None = None,
+        monitor: bool = True,
     ) -> list[dict]:
         """One scheduled tick: resolve the trailing window and refresh gold —
         what the reference's */5 cron invokes.  Safe to call on a timer or
-        from a Structured Streaming foreachBatch."""
+        from a Structured Streaming foreachBatch.  ``monitor=True`` also
+        writes the lag/volume/drift/alert observations for the tick."""
         start_ts, end_ts = self.resolve_window(window_minutes, now)
-        return self.run_window(start_ts, end_ts)
+        results = self.run_window(start_ts, end_ts)
+        if monitor:
+            self.monitor_tick(start_ts, end_ts)
+        return results
+
+    def monitor_tick(
+        self, start_ts: dt.datetime, end_ts: dt.datetime
+    ) -> list[dict]:
+        """Observe each bronze table over the tick's window and persist the
+        reference's monitoring family (lag_metrics / volume_metrics /
+        schema_drift / alerts — postgres/init/04_monitoring_tables.sql:11-46).
+        One windowed agg job per table; drift compares the live schema to the
+        declared bronze schema without reading data."""
+        from ..quality.monitor import Monitor
+        from ..schemas import BRONZE_SCHEMAS
+
+        mon = Monitor(self.spark, self.wh.root)
+        window_minutes = max(1, int((end_ts - start_ts).total_seconds() // 60))
+        out = []
+        for table in BRONZE_SCHEMAS:
+            df = self.wh.read_window(table, start_ts, end_ts)
+            expected = {
+                f.name: f.dataType.simpleString()
+                for f in self.wh.schema_for(table).fields
+            }
+            out.append(
+                mon.observe(
+                    table, df, ts_col="event_ts", expected_columns=expected,
+                    window_minutes=window_minutes, now=end_ts,
+                )
+            )
+        return out
 
     def _run_one(self, spec: PipelineSpec, start_ts, end_ts) -> dict:
         t0 = time.time()

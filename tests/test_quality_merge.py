@@ -62,3 +62,73 @@ def test_dq_checks(spark):
         table="t",
     )
     assert all(r["passed"] for r in results) and len(results) == 3
+
+
+def test_monitoring_tables_persisted_e2e(spark, tmp_path):
+    """End-to-end: ingest → gold refresh with monitor=True → the reference's
+    monitoring family (lag/volume/drift/alerts) exists with rows
+    (postgres/init/04_monitoring_tables.sql:11-46)."""
+    from dev_clickhouse_spark.plans import PipelineRunner
+    from dev_clickhouse_spark.quality.monitor import Monitor
+    from tests.test_siem import raw_df, suricata_payload, wazuh_payload, zeek_payload
+
+    runner = PipelineRunner(spark, str(tmp_path / "wh"), max_active_tasks=4)
+    runner.ingest_raw(raw_df(spark, [
+        suricata_payload(), wazuh_payload(), zeek_payload(),
+    ]), collect_counts=False)
+
+    start = dt.datetime(2026, 1, 8, 9, 20)
+    end = dt.datetime(2026, 1, 8, 9, 40)
+    runner.run_window(start, end)
+    obs = runner.monitor_tick(start, end)
+    assert {o["pipeline_id"] for o in obs} == {
+        "suricata_events_raw", "wazuh_events_raw", "zeek_events_raw",
+    }
+
+    mon = Monitor(spark, str(tmp_path / "wh"))
+    lag = mon.read("lag_metrics").collect()
+    assert len(lag) == 3
+    # events at 09:28:36, observed at end=09:40 → lag ≈ 684s, all positive
+    assert all(0 < r.lag_seconds < 3600 for r in lag)
+    vol = mon.read("volume_metrics").collect()
+    assert len(vol) == 3 and all(r.event_count == 1 and r.status == "ok" for r in vol)
+    # healthy run: no drift rows, no alerts
+    assert mon.read("schema_drift").count() == 0
+    assert mon.read("alerts").count() == 0
+
+
+def test_monitoring_detects_drift_lag_and_volume(spark, tmp_path):
+    from dev_clickhouse_spark.quality.monitor import Monitor
+
+    mon = Monitor(spark, str(tmp_path / "wh"))
+    df = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1, 0, 0), "x")],
+        "event_id long, event_ts timestamp, surprise string",
+    )
+    out = mon.observe(
+        "p1", df,
+        ts_col="event_ts",
+        expected_columns={"event_id": "string", "event_ts": "timestamp"},
+        min_rows=5,
+        freshness_threshold_minutes=60,
+        now=dt.datetime(2024, 1, 1, 2, 0),
+    )
+    assert out["volume_status"] == "low"
+    assert out["drifted_columns"] == 2          # mistyped event_id + surprise
+    assert out["alerts"] == 3                   # lag + volume + drift
+
+    drift = {r.column_name: r.status for r in mon.read("schema_drift").collect()}
+    assert drift == {"event_id": "type_mismatch", "surprise": "unexpected"}
+    alerts = {r.alert_type: r.severity for r in mon.read("alerts").collect()}
+    assert alerts == {"lag": "warning", "volume": "warning", "schema_drift": "critical"}
+    lag_row = mon.read("lag_metrics").first()
+    assert lag_row.lag_seconds == 7200.0
+
+    # dq_results round-trip (gold.dq_results with jsonb details)
+    from dev_clickhouse_spark.quality import check_volume
+    results = [check_volume(df, 1, "t")]
+    mon.record_dq_results("p1", results)
+    dq = mon.read("dq_results").first()
+    assert dq.status == "passed"
+    import json as _json
+    assert _json.loads(dq.results_json)[0]["rule"] == "volume"
