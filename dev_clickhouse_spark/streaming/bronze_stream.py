@@ -64,19 +64,33 @@ class BronzeStream:
         )
         return self._start(raw, available_now, processing_time)
 
+    @staticmethod
+    def kafka_options(brokers: str, topics: str, group_id: str) -> dict[str, str]:
+        """The Kafka source options, one-to-one with the reference's Kafka
+        engine table settings (02_kafka_ingest.sql.tmpl:1-11):
+        kafka_broker_list → bootstrap.servers, kafka_topic_list → subscribe,
+        kafka_group_name → group.id, kafka_skip_broken_messages →
+        failOnDataLoss=false.  Exposed separately so the mapping is
+        assertable without a broker in the environment."""
+        return {
+            "kafka.bootstrap.servers": brokers,
+            "subscribe": topics,
+            "kafka.group.id": group_id,
+            "failOnDataLoss": "false",
+        }
+
     def from_kafka(
         self, brokers: str, topics: str, group_id: str,
         available_now: bool = False, processing_time: str = "5 minutes",
     ) -> StreamingQuery:
-        """Kafka source — settings mirror the reference's Kafka engine table
-        (broker list / topic list / group id, 02_kafka_ingest.sql.tmpl:1-11);
-        ``failOnDataLoss=false`` stands in for skip-broken tolerance."""
+        """Kafka source — same foreachBatch sink as ``from_files`` (shared
+        ``_start``), differing only in the reader.  Requires the
+        spark-sql-kafka connector + a broker; the test environment has
+        neither, so tests assert the option mapping and exercise the shared
+        sink through the file twin (documented env limit)."""
         raw = (
             self.spark.readStream.format("kafka")
-            .option("kafka.bootstrap.servers", brokers)
-            .option("subscribe", topics)
-            .option("kafka.group.id", group_id)
-            .option("failOnDataLoss", "false")
+            .options(**self.kafka_options(brokers, topics, group_id))
             .load()
             .selectExpr("CAST(value AS STRING) AS raw")
         )
