@@ -36,7 +36,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _DEFER = {
     "rollup_year_priority", "cube_segment_priority", "percentile_event_values",
     "session_windows_gap", "pivot_daily_event_types", "except_intersect_users",
-    "sql_moving_avg_frame", "dim_time_complete",
+    "sql_moving_avg_frame", "dim_time_complete", "top_users_by_value",
 }
 
 

@@ -208,10 +208,11 @@ FROM c
     tags=["llm-text"],
 )
 def lang_id_markers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Marker-lexicon language ID (the n-gram-heuristic shape: count
-    language-discriminative tokens, take the argmax with a fixed tie order).
-    On real corpora the markers are learned character n-grams; the pipeline
-    shape — map-only scoring, no shuffle — is identical."""
+    """Marker-LEXICON language ID — the cheap map-only heuristic, kept for
+    the synthetic corpus whose lang column correlates with token choice.
+    NOT production lang-ID: the real implementation is
+    :func:`lang_id_char_ngrams` (Cavnar–Trenkle character-trigram profiles,
+    accuracy-tested on genuine mixed-language text)."""
     docs = load_table(spark, sf_dir, "documents")
     t = docs.select("doc_id", "lang", tokens("text").alias("toks"))
     def marker_count(words: tuple[str, ...]):
@@ -232,6 +233,229 @@ def lang_id_markers(spark: SparkSession, sf_dir: str) -> DataFrame:
         pred = pred.when(F.col(f"c_{lc}") == best, lc)
     pred = pred.otherwise("zh")
     return counts.select("doc_id", "lang", pred.alias("predicted_lang"))
+
+
+# ---------------------------------------------------------------------------
+# Char-n-gram language ID (Cavnar–Trenkle-style trigram profiles)
+# ---------------------------------------------------------------------------
+
+#: Tiny seed corpora (original text written for this module) the trigram
+#: profiles are trained from at import.  Real deployments would train on
+#: held-out corpus samples; the PIPELINE — profile table broadcast, JVM-side
+#: map-only scoring, integer weights so two engines argmax identically — is
+#: the production shape.
+_SEED_CORPORA: dict[str, str] = {
+    "en": (
+        "the quick brown fox jumps over the lazy dog and then the little "
+        "children walked to the school because they wanted to learn about "
+        "history and science while the weather was still warm enough for "
+        "playing outside in the garden with their friends after lunch the "
+        "old library near the market opens early every morning and people "
+        "come there to read the newspapers and talk about the latest news "
+        "this computer program processes many files very quickly and writes "
+        "the results into a table so that everyone can search through them "
+        "when they need an answer to a difficult question about the system"
+    ),
+    "es": (
+        "el rápido zorro marrón salta sobre el perro perezoso y luego los "
+        "niños pequeños caminaron hacia la escuela porque querían aprender "
+        "sobre historia y ciencia mientras el tiempo todavía era bastante "
+        "cálido para jugar afuera en el jardín con sus amigos después de la "
+        "comida la vieja biblioteca cerca del mercado abre temprano cada "
+        "mañana y la gente viene a leer los periódicos y hablar de las "
+        "últimas noticias este programa de computadora procesa muchos "
+        "archivos muy rápidamente y escribe los resultados en una tabla para "
+        "que todos puedan buscar en ellos cuando necesiten una respuesta a "
+        "una pregunta difícil sobre el sistema"
+    ),
+    "de": (
+        "der schnelle braune fuchs springt über den faulen hund und dann "
+        "gingen die kleinen kinder zur schule weil sie etwas über geschichte "
+        "und wissenschaft lernen wollten während das wetter noch warm genug "
+        "war um draußen im garten mit ihren freunden nach dem mittagessen zu "
+        "spielen die alte bibliothek in der nähe des marktes öffnet jeden "
+        "morgen früh und die leute kommen dorthin um die zeitungen zu lesen "
+        "und über die neuesten nachrichten zu sprechen dieses "
+        "computerprogramm verarbeitet viele dateien sehr schnell und "
+        "schreibt die ergebnisse in eine tabelle damit alle darin suchen "
+        "können wenn sie eine antwort auf eine schwierige frage über das "
+        "system brauchen"
+    ),
+    "fr": (
+        "le rapide renard brun saute par dessus le chien paresseux et puis "
+        "les petits enfants ont marché vers l école parce qu ils voulaient "
+        "apprendre l histoire et la science pendant que le temps était "
+        "encore assez chaud pour jouer dehors dans le jardin avec leurs amis "
+        "après le déjeuner la vieille bibliothèque près du marché ouvre tôt "
+        "chaque matin et les gens y viennent pour lire les journaux et "
+        "parler des dernières nouvelles ce programme informatique traite "
+        "beaucoup de fichiers très rapidement et écrit les résultats dans "
+        "une table pour que tout le monde puisse y chercher quand il faut "
+        "une réponse à une question difficile sur le système"
+    ),
+}
+
+#: Cavnar–Trenkle parameters: language profile depth, document profile depth,
+#: and the out-of-place penalty for a doc trigram absent from a profile.
+#: All-integer distances so Spark and DuckDB argmin bit-identically.
+LANG_PROFILE_K = 200
+DOC_PROFILE_K = 40
+_OOP_PENALTY = LANG_PROFILE_K
+
+
+def _train_profiles() -> dict[str, dict[str, int]]:
+    """Per-language trigram→rank maps (rank 1 = most frequent), the
+    Cavnar–Trenkle n-gram frequency profile."""
+    from collections import Counter
+
+    profiles: dict[str, dict[str, int]] = {}
+    for lang, seed in _SEED_CORPORA.items():
+        s = seed.lower()
+        counts = Counter(s[i : i + 3] for i in range(len(s) - 2))
+        top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:LANG_PROFILE_K]
+        profiles[lang] = {tg: r + 1 for r, (tg, _) in enumerate(top)}
+    return profiles
+
+
+LANG_PROFILES: dict[str, dict[str, int]] = _train_profiles()
+
+
+def _char_trigrams(text: Column | str) -> Column:
+    """All sliding 3-char windows of lower(text), JVM-side; [] under 3 chars.
+    The input is let-bound (transform-over-single-array) so the lowered text
+    exists once in the plan."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.transform(F.array(F.lower(c)), lambda s: F.when(
+        F.length(s) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.length(s) - 2),
+            lambda i: F.substring(s, i, F.lit(3)),
+        ),
+    ).otherwise(F.array().cast("array<string>")))[0]
+
+
+def lang_id_predict(docs: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Cavnar–Trenkle out-of-place language ID: rank the document's own top
+    trigrams, measure rank displacement against each language profile
+    (missing trigram = fixed penalty), argmin with lang-code tie order.
+
+    Shapes at scale: trigram explode + per-doc count (ONE shuffle on doc_id),
+    window rank within doc, broadcast join against the 4×K profile table,
+    narrow groupBy — linear in corpus size.  Docs too short for any trigram
+    deterministically fall back to the first language code."""
+    from pyspark.sql import Window
+
+    spark = docs.sparkSession
+    langs = sorted(LANG_PROFILES)
+    fallback = langs[0]
+
+    prof = spark.createDataFrame(
+        [
+            (lang, tg, r)
+            for lang, p in LANG_PROFILES.items()
+            for tg, r in p.items()
+        ],
+        "plang string, ptg string, pr int",
+    )
+    lang_df = spark.createDataFrame([(lg,) for lg in langs], "plang string")
+
+    tg = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(_char_trigrams(text_col)).alias("tg"),
+    )
+    cnt = tg.groupBy("doc_id", "tg").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("c"), F.asc("tg"))
+    doc_rank = (
+        cnt.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= DOC_PROFILE_K)
+        .select("doc_id", "tg", "rn")
+    )
+    dist = (
+        doc_rank.crossJoin(F.broadcast(lang_df))
+        .join(
+            F.broadcast(prof).withColumnRenamed("plang", "pplang"),
+            (F.col("pplang") == F.col("plang")) & (F.col("ptg") == F.col("tg")),
+            "left",
+        )
+        .groupBy("doc_id", "plang")
+        .agg(
+            F.sum(
+                F.when(F.col("pr").isNull(), F.lit(_OOP_PENALTY)).otherwise(
+                    F.abs(F.col("rn") - F.col("pr"))
+                )
+            ).cast("long").alias("dist")
+        )
+    )
+    bw = Window.partitionBy("doc_id").orderBy(F.asc("dist"), F.asc("plang"))
+    best = (
+        dist.withColumn("brn", F.row_number().over(bw))
+        .filter(F.col("brn") == 1)
+        .select("doc_id", F.col("plang").alias("predicted"))
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), *(
+            [c for c in docs.columns if c != id_col]
+        ))
+        .join(best, "doc_id", "left")
+        .withColumn("predicted_lang", F.coalesce("predicted", F.lit(fallback)))
+        .drop("predicted")
+    )
+
+
+def _lang_profile_values_sql() -> str:
+    rows = []
+    for lang, prof in LANG_PROFILES.items():
+        for tg, r in prof.items():
+            rows.append(f"('{lang}', '{tg.replace(chr(39), chr(39) * 2)}', {r})")
+    return ", ".join(rows)
+
+
+@register(
+    "lang_id_char_ngrams",
+    oracle=f"""
+WITH prof(plang, ptg, pr) AS (VALUES {_lang_profile_values_sql()}),
+langs AS (SELECT DISTINCT plang FROM prof),
+t AS (SELECT doc_id, lang, lower(text) AS s FROM documents),
+tg AS (
+  SELECT doc_id, substr(s, CAST(i AS INTEGER), 3) AS tg
+  FROM t, LATERAL (SELECT unnest(generate_series(1, greatest(length(s) - 2, 0))) AS i)
+),
+cnt AS (SELECT doc_id, tg, count(*) AS c FROM tg GROUP BY 1, 2),
+doc_rank AS (
+  SELECT doc_id, tg, rn FROM (
+    SELECT doc_id, tg,
+           row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, tg) AS rn
+    FROM cnt
+  ) WHERE rn <= {DOC_PROFILE_K}
+),
+dist AS (
+  SELECT d.doc_id, l.plang,
+         CAST(sum(CASE WHEN p.pr IS NULL THEN {_OOP_PENALTY}
+                       ELSE abs(d.rn - p.pr) END) AS BIGINT) AS dist
+  FROM doc_rank d CROSS JOIN langs l
+  LEFT JOIN prof p ON p.plang = l.plang AND p.ptg = d.tg
+  GROUP BY 1, 2
+),
+best AS (
+  SELECT doc_id, plang, row_number() OVER (
+           PARTITION BY doc_id ORDER BY dist, plang) AS brn
+  FROM dist
+)
+SELECT t.doc_id, t.lang, coalesce(b.plang, 'de') AS predicted_lang
+FROM t LEFT JOIN best b ON b.doc_id = t.doc_id AND b.brn = 1
+""",
+    tags=["llm-text"],
+)
+def lang_id_char_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-trigram language ID over ``documents``: Cavnar–Trenkle
+    out-of-place rank distance against the four trained trigram profiles
+    (all-integer, deterministic tie order) — see :func:`lang_id_predict`.
+    Accuracy on real mixed-language fixtures is asserted in
+    tests/test_llm.py; this registration proves cross-engine parity of the
+    full rank/score/argmin pipeline."""
+    docs = load_table(spark, sf_dir, "documents")
+    return lang_id_predict(docs).select("doc_id", "lang", "predicted_lang")
 
 
 @register(

@@ -253,3 +253,26 @@ def test_dedup_clusters_warns_on_non_convergence(spark):
         labels = {r.doc_id: r.cluster_id for r in dedup_clusters(pairs).collect()}
     assert not any("did not converge" in str(c.message) for c in caught)
     assert set(labels.values()) == {0}
+
+
+def test_lang_id_char_ngrams_accuracy(spark):
+    """Held-out sentences (not in the seed corpora) must classify correctly."""
+    from dev_clickhouse_spark.llm.text import lang_id_predict
+
+    fixtures = [
+        (0, "en", "many people enjoy reading books about distant countries and their cultures"),
+        (1, "en", "this software processes large amounts of information very quickly"),
+        (2, "es", "muchas personas disfrutan leyendo libros sobre países lejanos y sus culturas"),
+        (3, "es", "este programa procesa grandes cantidades de información muy rápidamente"),
+        (4, "de", "viele menschen lesen gerne bücher über ferne länder und ihre kulturen"),
+        (5, "de", "diese software verarbeitet sehr schnell große mengen von informationen"),
+        (6, "fr", "beaucoup de gens aiment lire des livres sur des pays lointains et leurs cultures"),
+        (7, "fr", "ce logiciel traite très rapidement de grandes quantités de données"),
+        (8, "xx", "ab"),   # too short for a trigram: deterministic fallback
+    ]
+    docs = spark.createDataFrame(fixtures, "doc_id long, lang string, text string")
+    got = {r.doc_id: (r.lang, r.predicted_lang)
+           for r in lang_id_predict(docs).collect()}
+    wrong = {k: v for k, v in got.items() if k < 8 and v[0] != v[1]}
+    assert not wrong, wrong
+    assert got[8][1] == "de"   # fallback = first lang code, never an error
