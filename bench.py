@@ -38,6 +38,8 @@ BENCH_QUERIES = [
     "asof_join_last_purchase",
     "scd2_user_type_versions",
     "dedup_minhash_lsh_pairs",
+    "dedup_keep_list",
+    "lang_id_char_ngrams",
     "ann_cosine_topk",
 ]
 
