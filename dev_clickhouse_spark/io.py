@@ -51,6 +51,60 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
 
 
+#: Per-dialect JDBC defaults (reference S6 federates from Postgres;
+#: postgres_to_clickhouse_backfill.sql:47-54).  The env has no live Postgres
+#: server — Derby (embedded, in the JVM) exercises the live read path in
+#: tests while this matrix pins the dialect-specific knobs a production
+#: deployment flips: driver class, identifier quoting, fetch batching, and
+#: whether Spark may push predicates into the foreign engine.
+JDBC_DIALECTS: dict[str, dict[str, str]] = {
+    "postgresql": {
+        "driver": "org.postgresql.Driver",
+        "quote": '"',
+        "fetchsize": "10000",          # stream batches, don't buffer the table
+        "pushDownPredicate": "true",   # PG evaluates filters server-side
+    },
+    "mysql": {
+        "driver": "com.mysql.cj.jdbc.Driver",
+        "quote": "`",
+        "fetchsize": "10000",
+        "pushDownPredicate": "true",
+    },
+    "derby": {
+        "driver": "org.apache.derby.jdbc.EmbeddedDriver",
+        "quote": '"',
+        "pushDownPredicate": "true",
+    },
+}
+
+
+def jdbc_dialect(url: str) -> str:
+    """Dialect key from a JDBC url (``jdbc:postgresql://…`` → postgresql)."""
+    parts = url.split(":")
+    return parts[1] if len(parts) > 1 else ""
+
+
+def quote_ident(name: str, dialect: str) -> str:
+    """Quote an identifier the way the dialect expects (schema.table parts
+    quoted separately) — dialect quirk the reference's psql scripts rely on
+    implicitly."""
+    q = JDBC_DIALECTS.get(dialect, {}).get("quote", '"')
+    return ".".join(q + part.replace(q, q + q) + q for part in name.split("."))
+
+
+def jdbc_options(url: str, table: str, **overrides: str) -> dict[str, str]:
+    """Assemble the dialect-aware option map for a federated read: explicit
+    overrides win, then dialect defaults.  Exposed separately so the per-
+    dialect matrix is assertable without a live server for every engine."""
+    dialect = jdbc_dialect(url)
+    opts = {"url": url, "dbtable": table}
+    for k, v in JDBC_DIALECTS.get(dialect, {}).items():
+        if k != "quote":
+            opts.setdefault(k, v)
+    opts.update(overrides)
+    return opts
+
+
 def read_jdbc(
     spark: SparkSession,
     url: str,
@@ -64,9 +118,13 @@ def read_jdbc(
     """Federated foreign scan — reference S6: the ``postgresql(...)`` table
     function used by backfill scripts (reference
     scripts/postgres_to_clickhouse_backfill.sql:47-54).  Parallel reads via
-    range-partitioned JDBC when a numeric partition column is supplied.
+    range-partitioned JDBC when a numeric partition column is supplied;
+    dialect defaults (driver, fetchsize, predicate pushdown) come from
+    :data:`JDBC_DIALECTS` keyed by the url scheme.
     """
-    reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    reader = spark.read.format("jdbc")
+    for k, v in jdbc_options(url, table, **options).items():
+        reader = reader.option(k, v)
     if partition_column is not None:
         reader = (
             reader.option("partitionColumn", partition_column)
@@ -74,8 +132,6 @@ def read_jdbc(
             .option("lowerBound", str(lower_bound if lower_bound is not None else 0))
             .option("upperBound", str(upper_bound if upper_bound is not None else 1 << 31))
         )
-    for k, v in options.items():
-        reader = reader.option(k, v)
     return reader.load()
 
 
