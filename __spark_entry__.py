@@ -37,6 +37,11 @@ _DEFER = {
     "rollup_year_priority", "cube_segment_priority", "percentile_event_values",
     "session_windows_gap", "pivot_daily_event_types", "except_intersect_users",
     "sql_moving_avg_frame", "dim_time_complete", "top_users_by_value",
+    # each deferred entry's SURVEY §2 IDs keep an in-window representative:
+    "daily_event_type_ratio",   # A8/W1 → ratio_to_total_by_segment
+    "q14_promo_revenue_ratio",  # conditional-agg → q12
+    "q15_top_suppliers",        # J7/A4 → correlated_min_price_part, daily_order_stats
+    "event_date_time_keys",     # P1/date-fns → events_windowed_count, dim_date_build
 }
 
 

@@ -1,0 +1,238 @@
+"""Dataset assembly operators for training-data pipelines: deterministic
+hash splits, stratified sampling, context-window packing, embedding
+statistics.
+
+These are the operations that turn a cleaned corpus into a training set, and
+they must be DETERMINISTIC at 100 TB — re-running the pipeline on the same
+snapshot must yield the same split/sample/packing, with no RNG state and no
+dependence on partitioning or row order.  Everything keys off md5(key) so
+the DuckDB oracle replays decisions bit-for-bit:
+
+- **hash_split** — train/val/test assignment from a hash bucket of the
+  stable key: map-only, reshuffle-proof, join-free.
+- **stratified_sample** — top-N per group ordered by the key hash: one
+  shuffle on the group column; at scale the window never materializes more
+  than a partition's rows.
+- **pack_context_windows** — sequential first-fit packing of documents into
+  fixed token budgets per source: prefix-sum over a per-source window (one
+  shuffle), the standard pretraining-batch assembly shape.
+- **embedding_centroids** — per-label element-wise mean via posexplode +
+  exact DECIMAL sums, so the two engines agree bit-for-bit before rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.ch_compat import round_half_up as rnd
+from ..io import load_table
+from ..queries.registry import register
+
+#: split fractions in basis points over the 32-bit key-hash space
+SPLIT_BPS: dict[str, int] = {"train": 8000, "val": 1000, "test": 1000}
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def hash_bucket(key: Column | str, buckets: int = 10_000) -> Column:
+    """Deterministic bucket in [0, buckets) from the md5 of the key's string
+    form — the split/sample primitive both engines replay exactly
+    (first 8 hex chars → 32-bit int → mod)."""
+    h = F.conv(F.substring(F.md5(_col(key).cast("string")), 1, 8), 16, 10)
+    return (h.cast("long") % buckets).cast("int")
+
+
+def hash_split(
+    df: DataFrame, key: Column | str, splits: dict[str, int] | None = None
+) -> DataFrame:
+    """Attach a ``split`` column (train/val/test by default).  Assignment
+    depends only on the key value: stable under reruns, repartitioning, and
+    incremental appends — a new document never moves an old one between
+    splits (the property random() splits lack)."""
+    splits = splits or SPLIT_BPS
+    b = hash_bucket(key)
+    expr = None
+    lo = 0
+    for name, width in splits.items():
+        cond = (b >= lo) & (b < lo + width)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+        lo += width
+    return df.withColumn("split", expr.otherwise(F.lit("train")))
+
+
+def stratified_sample(
+    df: DataFrame, group_col: str, n_per_group: int, key: Column | str
+) -> DataFrame:
+    """Deterministic N-per-group sample: rank group members by md5(key) (a
+    uniform but fixed order) and keep the first N.  One shuffle on the group
+    column; equivalent SQL is a plain row_number window."""
+    w = Window.partitionBy(group_col).orderBy(
+        F.md5(_col(key).cast("string")), _col(key)
+    )
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= n_per_group)
+    )
+
+
+def pack_context_windows(
+    docs: DataFrame,
+    budget_tokens: int,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    n_tokens: Column | None = None,
+) -> DataFrame:
+    """Sequential first-fit packing: within each group (ordered by id), a
+    document goes into window ``floor(tokens_before / budget)``.  The
+    prefix-sum is one window aggregation over the group shuffle — documents
+    longer than the budget occupy their own windows.  Returns
+    (group, id, n_tokens, tokens_before, window_id)."""
+    toks = n_tokens if n_tokens is not None else F.size(F.split("text", " "))
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return docs.select(
+        F.col(group_col),
+        F.col(id_col),
+        toks.cast("long").alias("n_tokens"),
+    ).select(
+        group_col,
+        id_col,
+        "n_tokens",
+        F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).alias("tokens_before"),
+    ).withColumn(
+        "window_id", F.floor(F.col("tokens_before") / budget_tokens).cast("int")
+    )
+
+
+def l2_normalize(vec: Column | str) -> Column:
+    """Unit-normalize an array<float/double> JVM-side; zero vectors pass
+    through unchanged (no NaNs)."""
+    v = _col(vec)
+    sumsq = F.aggregate(
+        v, F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    return F.transform(F.array(F.sqrt(sumsq)), lambda nrm: F.when(
+        nrm > 0, F.transform(v, lambda x: x.cast("double") / nrm)
+    ).otherwise(F.transform(v, lambda x: x.cast("double"))))[0]
+
+
+# ---------------------------------------------------------------------------
+# Registered queries
+# ---------------------------------------------------------------------------
+
+@register(
+    "sample_hash_split",
+    oracle=f"""
+WITH b AS (
+  SELECT doc_id, source,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 AS bk
+  FROM documents
+)
+SELECT doc_id, source,
+       CASE WHEN bk < {SPLIT_BPS['train']} THEN 'train'
+            WHEN bk < {SPLIT_BPS['train'] + SPLIT_BPS['val']} THEN 'val'
+            ELSE 'test' END AS split
+FROM b
+""",
+    tags=["llm-sample"],
+)
+def sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment for every document — the
+    split decision each engine derives independently from md5(doc_id)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return hash_split(docs, "doc_id").select("doc_id", "source", "split")
+
+
+@register(
+    "sample_stratified_per_source",
+    oracle="""
+SELECT source, doc_id, CAST(rn AS INTEGER) AS sample_rank
+FROM (
+  SELECT source, doc_id,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents
+)
+WHERE rn <= 5
+""",
+    tags=["llm-sample"],
+)
+def sample_stratified_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Five deterministic representatives per source — stratified sampling
+    by hash order, the balanced-subset primitive."""
+    docs = load_table(spark, sf_dir, "documents")
+    return stratified_sample(docs, "source", 5, "doc_id").select(
+        "source", "doc_id", F.col("sample_rank").cast("int").alias("sample_rank")
+    )
+
+
+@register(
+    "pack_context_windows",
+    oracle="""
+WITH t AS (
+  SELECT source, doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+p AS (
+  SELECT source, doc_id, n_tokens,
+         coalesce(sum(n_tokens) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tokens_before
+  FROM t
+)
+SELECT source, doc_id, n_tokens, tokens_before,
+       CAST(floor(tokens_before / 2048.0) AS INTEGER) AS window_id
+FROM p
+""",
+    tags=["llm-sample"],
+)
+def pack_context_windows_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack every document into 2048-token context windows per source —
+    sequential first-fit via a per-source prefix sum."""
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_context_windows(docs, budget_tokens=2048)
+
+
+@register(
+    "embedding_centroids",
+    oracle="""
+WITH e AS (
+  SELECT label, u.pos AS pos, CAST(u.x AS DECIMAL(20, 8)) AS x
+  FROM embeddings,
+       LATERAL (SELECT unnest(embedding) AS x,
+                       generate_subscripts(embedding, 1) AS pos) u
+)
+SELECT label, CAST(pos AS INTEGER) AS pos,
+       CAST(count(*) AS BIGINT) AS n,
+       floor(CAST(sum(x) AS DOUBLE) / count(*) * 1000000 + 0.5) / 1000000
+         AS centroid
+FROM e GROUP BY label, pos
+""",
+    tags=["llm-sample", "llm-similarity"],
+)
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label element-wise centroid of the embedding vectors.  Sums run in
+    DECIMAL so they are exact and order-independent — both engines divide the
+    SAME numerator and round identically (float summation order would
+    otherwise let partial aggregation drift the last ulp)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "label", F.posexplode("embedding").alias("pos0", "x")
+    ).select(
+        "label",
+        (F.col("pos0") + 1).cast("int").alias("pos"),  # 1-based like the SQL
+        F.col("x").cast("decimal(20,8)").alias("x"),
+    )
+    return e.groupBy("label", "pos").agg(
+        F.count(F.lit(1)).alias("n"),
+        rnd(F.sum("x").cast("double") / F.count(F.lit(1)), 6).alias("centroid"),
+    )

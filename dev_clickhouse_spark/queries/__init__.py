@@ -9,5 +9,5 @@ from . import (  # noqa: F401
     sql_api,
     subquery_range,
 )
-from ..llm import dedup, multimodal, similarity, text  # noqa: F401
+from ..llm import dedup, multimodal, sampling, similarity, text  # noqa: F401
 from .registry import REGISTRY, QuerySpec, register  # noqa: F401

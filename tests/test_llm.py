@@ -276,3 +276,77 @@ def test_lang_id_char_ngrams_accuracy(spark):
     wrong = {k: v for k, v in got.items() if k < 8 and v[0] != v[1]}
     assert not wrong, wrong
     assert got[8][1] == "de"   # fallback = first lang code, never an error
+
+
+def test_hash_split_deterministic_and_stable(spark):
+    from dev_clickhouse_spark.llm.sampling import hash_split
+
+    docs = spark.createDataFrame([(i,) for i in range(2000)], "doc_id long")
+    a = {r.doc_id: r.split for r in hash_split(docs, "doc_id").collect()}
+    b = {r.doc_id: r.split for r in hash_split(docs.repartition(7), "doc_id").collect()}
+    assert a == b                                   # partitioning-independent
+
+    # fractions near 80/10/10 over the hash space
+    from collections import Counter
+    frac = Counter(a.values())
+    assert 0.75 < frac["train"] / 2000 < 0.85
+    assert 0.07 < frac["val"] / 2000 < 0.13
+    assert 0.07 < frac["test"] / 2000 < 0.13
+
+    # incremental append stability: a doc's split never changes when new
+    # docs arrive (the property random() splits lack)
+    subset = spark.createDataFrame([(i,) for i in range(500)], "doc_id long")
+    sub = {r.doc_id: r.split for r in hash_split(subset, "doc_id").collect()}
+    assert all(a[k] == v for k, v in sub.items())
+
+
+def test_stratified_sample_exact_n_per_group(spark):
+    from dev_clickhouse_spark.llm.sampling import stratified_sample
+
+    rows = [(i, f"s{i % 4}") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = stratified_sample(df, "source", 3, "doc_id").collect()
+    from collections import Counter
+    per = Counter(r.source for r in out)
+    assert per == {"s0": 3, "s1": 3, "s2": 3, "s3": 3}
+    again = stratified_sample(df.repartition(5), "source", 3, "doc_id").collect()
+    assert sorted((r.source, r.doc_id) for r in out) == sorted(
+        (r.source, r.doc_id) for r in again
+    )
+
+
+def test_pack_context_windows_budget(spark):
+    from dev_clickhouse_spark.llm.sampling import pack_context_windows
+    import pyspark.sql.functions as F
+
+    rows = [(i, "s", "tok " * 50) for i in range(10)]           # 51 tokens each
+    rows += [(100, "big", "x " * 5000)]                         # over budget alone
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = pack_context_windows(df, budget_tokens=128).collect()
+
+    by_win = {}
+    for r in out:
+        by_win.setdefault((r.source, r.window_id), []).append(r)
+    for (src, win), members in by_win.items():
+        if len(members) > 1:        # multi-doc windows respect the budget start
+            assert all(m.tokens_before < 128 * (win + 1) for m in members)
+    # windows are contiguous per source starting at 0
+    wins = sorted(w for s, w in by_win if s == "s")
+    assert wins == list(range(wins[-1] + 1))
+    # the oversized doc occupies its own window
+    big = [r for r in out if r.source == "big"]
+    assert len(big) == 1 and big[0].window_id == 0 and big[0].n_tokens > 128
+
+
+def test_l2_normalize(spark):
+    import math
+
+    from dev_clickhouse_spark.llm.sampling import l2_normalize
+
+    df = spark.createDataFrame(
+        [(1, [3.0, 4.0]), (2, [0.0, 0.0])], "id long, v array<double>"
+    ).select("id", l2_normalize("v").alias("n"))
+    got = {r.id: r.n for r in df.collect()}
+    assert abs(math.hypot(*got[1]) - 1.0) < 1e-12
+    assert got[1][0] == 0.6 and got[1][1] == 0.8
+    assert got[2] == [0.0, 0.0]     # zero vector: no NaNs
