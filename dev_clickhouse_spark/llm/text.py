@@ -235,6 +235,40 @@ def lang_id_markers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.select("doc_id", "lang", pred.alias("predicted_lang"))
 
 
+#: default pretraining-filter thresholds over the text_quality_scores trio
+QUALITY_THRESHOLDS = {
+    "min_tokens": 5,
+    "max_stopword_ratio": 0.7,
+    "max_repetition": 0.6,
+    "min_length_score": 0.05,
+}
+
+
+def quality_filter(docs: DataFrame, thresholds: dict | None = None) -> DataFrame:
+    """The quality-score ACTION: keep documents passing every threshold,
+    attaching a ``drop_reason`` (NULL = kept) so the filter is auditable —
+    the standard pretraining-corpus filter shape.  Map-only; composes the
+    same column expressions text_quality_scores oracles."""
+    t = {**QUALITY_THRESHOLDS, **(thresholds or {})}
+    n = token_count("text")
+    reasons = F.when(n < t["min_tokens"], "too_short").when(
+        stopword_ratio("text") > t["max_stopword_ratio"], "stopword_heavy"
+    ).when(
+        (1 - distinct_token_ratio("text")) > t["max_repetition"], "repetitive"
+    ).when(
+        F.least(F.length("text") / 400.0, F.lit(1.0)) < t["min_length_score"],
+        "too_small",
+    )
+    return docs.withColumn("drop_reason", reasons)
+
+
+def quality_keep(docs: DataFrame, thresholds: dict | None = None) -> DataFrame:
+    """Only the surviving documents (the filter applied)."""
+    return quality_filter(docs, thresholds).filter(
+        F.col("drop_reason").isNull()
+    ).drop("drop_reason")
+
+
 # ---------------------------------------------------------------------------
 # Char-n-gram language ID (Cavnar–Trenkle-style trigram profiles)
 # ---------------------------------------------------------------------------

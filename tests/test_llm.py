@@ -350,3 +350,22 @@ def test_l2_normalize(spark):
     assert abs(math.hypot(*got[1]) - 1.0) < 1e-12
     assert got[1][0] == 0.6 and got[1][1] == 0.8
     assert got[2] == [0.0, 0.0]     # zero vector: no NaNs
+
+
+def test_quality_filter_reasons_and_keep(spark):
+    from dev_clickhouse_spark.llm.text import quality_filter, quality_keep
+
+    rows = [
+        (0, "a solid document with plenty of reasonable and varied words here today"),
+        (1, "tiny"),                                      # too_short
+        (2, "the a of and the a of and the a of and"),    # stopword_heavy
+        (3, "spam " * 40),                                # repetitive
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.drop_reason for r in quality_filter(docs).collect()}
+    assert got[0] is None
+    assert got[1] == "too_short"
+    assert got[2] == "stopword_heavy"
+    assert got[3] == "repetitive"
+    kept = {r.doc_id for r in quality_keep(docs).collect()}
+    assert kept == {0}
