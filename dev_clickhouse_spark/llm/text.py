@@ -496,16 +496,14 @@ def lang_id_char_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tfidf_top_keywords",
     oracle="""
 WITH tok AS (
-  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token
   FROM documents
+), tf AS (
+  SELECT doc_id, token, count(*) AS freq FROM tok GROUP BY doc_id, token
 ), df AS (
-  SELECT token, count(*) AS doc_freq FROM tok GROUP BY token
+  SELECT token, count(*) AS doc_freq FROM tf GROUP BY token
 ), n AS (SELECT count(*) AS n_docs FROM documents),
-tf AS (
-  SELECT doc_id, t.token,
-         len(list_filter(string_split(d.text, ' '), x -> x = t.token)) AS freq
-  FROM tok t JOIN documents d USING (doc_id)
-), scored AS (
+scored AS (
   SELECT tf.doc_id, tf.token,
          floor(tf.freq * (n.n_docs::DOUBLE / df.doc_freq) * 10000 + 0.5) / 10000
            AS score
@@ -523,23 +521,21 @@ FROM ranked WHERE rn <= 3
 def tfidf_top_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 distinctive keywords per document by TF·(N/df) weighting (the
     log-free tf-idf variant — pure arithmetic, so both engines score
-    bit-identically).  Shapes: explode distinct tokens → corpus df counts
-    (one shuffle) → per-doc term frequency (map-side) → broadcast df join →
-    windowed top-k."""
+    bit-identically).  Shapes: ONE token explode → tf count (shuffle on
+    doc_id+token, map-side combinable) → df derived FROM tf (tf has one row
+    per doc×token, so count(*) per token ≡ document frequency — no second
+    scan, no per-pair re-split of the text) → broadcast df join → windowed
+    top-k."""
     docs = load_table(spark, sf_dir, "documents")
     from pyspark.sql import Window
 
-    tok = docs.select(
-        "doc_id", F.explode(F.array_distinct(tokens("text"))).alias("token")
-    )
-    df_counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("doc_freq"))
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("freq"))
+    df_counts = tf.groupBy("token").agg(F.count(F.lit(1)).alias("doc_freq"))
     n_docs = docs.count()
-    tf = tok.join(docs.select("doc_id", "text"), "doc_id").select(
-        "doc_id",
-        "token",
-        F.size(F.filter(tokens("text"), lambda x: x == F.col("token"))).alias("freq"),
-    )
-    scored = tf.join(F.broadcast(df_counts), "token").select(
+    # df_counts scales with VOCABULARY size — no broadcast hint; AQE
+    # broadcasts at small sf and shuffle-joins on token at corpus scale
+    scored = tf.join(df_counts, "token").select(
         "doc_id",
         "token",
         rnd(F.col("freq") * (F.lit(float(n_docs)) / F.col("doc_freq")), 4).alias(
