@@ -44,11 +44,11 @@ class ContinuousPipeline(BronzeStream):
         if span is None:
             return
         lo, hi = span
-        self.runner.run_window(
-            lo - self.slack,
-            hi + dt.timedelta(microseconds=1),
-            pipeline_ids=self.pipeline_ids,
-        )
+        start, end = lo - self.slack, hi + dt.timedelta(microseconds=1)
+        self.runner.run_window(start, end, pipeline_ids=self.pipeline_ids)
+        # continuous observability: the same lag/volume/drift family the
+        # scheduled tick persists (monitoring.* parity)
+        self.runner.monitor_tick(start, end)
 
     def _batch_event_span(self, batch: DataFrame):
         """Event-time min/max across the three routed projections (the batch

@@ -72,6 +72,15 @@ def test_continuous_pipeline_streams_to_gold(spark, tmp_path):
     assert [r.is_current for r in dim] == [0, 1]
     assert dim[1].agent_ip == "10.9.0.2"
 
+    # continuous monitoring: each batch's refresh also persisted the
+    # monitoring family (one observation per bronze table per batch)
+    from dev_clickhouse_spark.quality.monitor import Monitor
+
+    mon = Monitor(spark, str(tmp_path / "wh"))
+    assert mon.read("lag_metrics").count() >= 3
+    assert mon.read("volume_metrics").count() >= 3
+    assert mon.read("schema_drift").count() == 0    # healthy schemas
+
 
 def test_streaming_ingest_feeds_gold(spark, tmp_path):
     """Streaming bronze ingest → scheduled gold refresh over the same
