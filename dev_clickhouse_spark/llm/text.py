@@ -532,13 +532,15 @@ def tfidf_top_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = docs.select("doc_id", F.explode(tokens("text")).alias("token"))
     tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("freq"))
     df_counts = tf.groupBy("token").agg(F.count(F.lit(1)).alias("doc_freq"))
-    n_docs = docs.count()
+    # corpus size rides the plan as a broadcast one-row aggregate — a driver
+    # .count() here would be an extra full scan at declaration time
+    n = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
     # df_counts scales with VOCABULARY size — no broadcast hint; AQE
     # broadcasts at small sf and shuffle-joins on token at corpus scale
-    scored = tf.join(df_counts, "token").select(
+    scored = tf.join(df_counts, "token").crossJoin(F.broadcast(n)).select(
         "doc_id",
         "token",
-        rnd(F.col("freq") * (F.lit(float(n_docs)) / F.col("doc_freq")), 4).alias(
+        rnd(F.col("freq") * (F.col("n_docs") / F.col("doc_freq")), 4).alias(
             "score"
         ),
     )
