@@ -408,7 +408,7 @@ def lang_id_predict(docs: DataFrame, id_col: str = "doc_id",
     dist = (
         doc_rank.crossJoin(F.broadcast(lang_df))
         .join(
-            F.broadcast(prof).withColumnRenamed("plang", "pplang"),
+            F.broadcast(prof.withColumnRenamed("plang", "pplang")),
             (F.col("pplang") == F.col("plang")) & (F.col("ptg") == F.col("tg")),
             "left",
         )
