@@ -115,3 +115,76 @@ def test_binned_range_join_matches_plain(spark, probes, intervals):
     assert {(r.row_id, r.iv_id) for r in plain.collect()} == {
         (r.row_id, r.iv_id) for r in binned.collect()
     }
+
+
+@settings(max_examples=5, deadline=None)
+@given(ints=st.lists(st.integers(0, (1 << 128) - 1), min_size=1, max_size=40))
+def test_ip_canonicalization_matches_ipaddress(spark, ints):
+    """Any 128-bit address, spelled fully-expanded/uppercase/zero-padded,
+    canonicalizes to exactly what Python's ipaddress renders (v4-mapped
+    adjusted to the dotted ClickHouse display form)."""
+    import ipaddress
+
+    from dev_clickhouse_spark.functions.ip import to_ipv6_or_null
+    from pyspark.sql import functions as F
+
+    rows = []
+    for n in ints:
+        a = ipaddress.IPv6Address(n)
+        canonical = (
+            f"::ffff:{a.ipv4_mapped}" if a.ipv4_mapped is not None else str(a)
+        )
+        # ugly-but-valid spellings of the same address
+        fat = ":".join(f"{(n >> (112 - 16 * i)) & 0xFFFF:04X}" for i in range(8))
+        rows.append((fat, canonical))
+        rows.append((str(a).upper(), canonical))
+    df = spark.createDataFrame(rows, "ip string, want string")
+    bad = df.select(
+        "ip", "want", to_ipv6_or_null("ip").alias("got")
+    ).filter(~F.col("got").eqNullSafe(F.col("want")))
+    assert bad.count() == 0, bad.collect()[:5]
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    events=st.lists(
+        st.tuples(keys, offsets, keys, keys), min_size=1, max_size=25
+    ),
+    versions=st.lists(st.tuples(keys, offsets), min_size=0, max_size=15),
+)
+def test_asof_join_multi_matches_chained_singles(spark, events, versions):
+    """The fused multi-dim as-of equals chaining asof_join per dim for
+    arbitrary key/timestamp layouts (two dims with distinct payload columns,
+    keyed off different event columns, sharing one version list)."""
+    from pyspark.sql import functions as F
+
+    from dev_clickhouse_spark.operators.asof import asof_join, asof_join_multi
+
+    ev = spark.createDataFrame(
+        [(i, _ts(o), k1, k2) for i, (k1, o, k2, _) in enumerate(events)],
+        "event_id long, event_ts timestamp, nk_a string, nk_b string",
+    )
+    da = spark.createDataFrame(
+        [(k, _ts(o), j + 100) for j, (k, o) in enumerate(versions)],
+        "nk string, effective_from timestamp, va long",
+    )
+    db = da.select("nk", "effective_from", (F.col("va") + 1000).alias("vb"))
+
+    fused = asof_join_multi(
+        ev,
+        [("a", da, "nk_a", "nk", "effective_from", "va"),
+         ("b", db, "nk_b", "nk", "effective_from", "vb")],
+        left_ts="event_ts", id_cols=["event_id", "event_ts"],
+    )
+
+    step = asof_join(
+        ev, da.withColumnRenamed("nk", "nk_a"),
+        on="nk_a", left_ts="event_ts", right_ts="effective_from",
+    )
+    step = asof_join(
+        step, db.withColumnRenamed("nk", "nk_b"),
+        on="nk_b", left_ts="event_ts", right_ts="effective_from",
+    )
+    got = sorted((r.event_id, r.va, r.vb) for r in fused.collect())
+    want = sorted((r.event_id, r.va, r.vb) for r in step.collect())
+    assert got == want
