@@ -2,17 +2,24 @@
 
 Images/audio/video ride through the engine as ``binary`` columns with a typed
 metadata struct; decode / feature-extraction run as Arrow-batched
-``mapInPandas`` stages.  The decode libraries (PIL/torchaudio/ffmpeg) are NOT
-in this container, so the actual decode is STUBBED behind
-``NotImplementedError`` with a deterministic fake — the Spark-side plumbing
-(schema, batch shape, partitioning) is real and tested, and swapping the stub
-for a real decoder changes one function.
+``mapInPandas`` stages.
+
+Decode support: UNCOMPRESSED codecs are decoded for real, in pure numpy —
+24-bit BMP images (decode + nearest-neighbor resize + re-encode) and 16-bit
+PCM WAV audio (header walk + sample statistics).  COMPRESSED codecs
+(JPEG/PNG/MP3/video containers) need PIL/torchaudio/ffmpeg, which are not in
+this container; those payloads raise ``NotImplementedError`` from
+:func:`real_decode` and the deterministic byte-level stub stands in.  The
+Spark-side plumbing (schema, batch shape, partitioning, 1→N fan-out) is the
+same for both paths.
 """
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -41,13 +48,97 @@ FEATURE_SCHEMA = T.StructType([
 ])
 
 
-def real_decode(payload: bytes, media_type: str):
-    """The real decoder hook — image decode/resize, audio resample, video
-    frame-sample.  Requires PIL / torchaudio / av, which are not installed
-    here."""
+# ---------------------------------------------------------------------------
+# Real decoders for uncompressed codecs (pure numpy — no external libs)
+# ---------------------------------------------------------------------------
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """24-bit uncompressed BMP → (H, W, 3) uint8 RGB array.  Raises
+    ValueError on anything that is not plain BI_RGB 24bpp."""
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_offset = struct.unpack_from("<I", payload, 10)[0]
+    header_size = struct.unpack_from("<I", payload, 14)[0]
+    if header_size < 40:
+        raise ValueError("unsupported BMP header")
+    width, height = struct.unpack_from("<ii", payload, 18)
+    bitcount = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if bitcount != 24 or compression != 0:
+        raise ValueError("only 24-bit uncompressed (BI_RGB) BMP is supported")
+    bottom_up = height > 0
+    height = abs(height)
+    stride = ((width * 3 + 3) // 4) * 4
+    pixels = np.frombuffer(
+        payload, dtype=np.uint8, count=stride * height, offset=data_offset
+    ).reshape(height, stride)[:, : width * 3].reshape(height, width, 3)
+    if bottom_up:
+        pixels = pixels[::-1]
+    return pixels[:, :, ::-1].copy()  # BGR → RGB
+
+
+def encode_bmp(rgb: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 RGB array → 24-bit bottom-up BI_RGB BMP bytes."""
+    h, w, _ = rgb.shape
+    stride = ((w * 3 + 3) // 4) * 4
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = rgb[::-1, :, ::-1].reshape(h, w * 3)  # RGB → BGR, flip
+    body = rows.tobytes()
+    header = struct.pack(
+        "<2sIHHI", b"BM", 54 + len(body), 0, 0, 54
+    ) + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    return header + body
+
+
+def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
+    """16-bit PCM RIFF/WAVE → (sample_rate, int16 sample array, channels
+    interleaved).  Raises ValueError for non-PCM or non-16-bit audio."""
+    if len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos, rate, bits, fmt = 12, None, None, None
+    data = None
+    while pos + 8 <= len(payload):
+        cid, size = payload[pos : pos + 4], struct.unpack_from("<I", payload, pos + 4)[0]
+        if cid == b"fmt ":
+            fmt, _ch, rate = struct.unpack_from("<HHI", payload, pos + 8)
+            bits = struct.unpack_from("<H", payload, pos + 22)[0]
+        elif cid == b"data":
+            data = payload[pos + 8 : pos + 8 + size]
+        pos += 8 + size + (size & 1)
+    if fmt != 1 or bits != 16 or data is None or rate is None:
+        raise ValueError("only 16-bit PCM WAV is supported")
+    return rate, np.frombuffer(data, dtype="<i2")
+
+
+def real_decode(payload: bytes, media_type: str) -> list[float]:
+    """Decode a payload and emit content features.
+
+    - ``image`` + BMP magic → [width, height, mean R, mean G, mean B,
+      grayscale std] from the decoded pixels.
+    - ``audio`` + RIFF/WAVE magic → [sample_rate, n_samples, RMS, peak]
+      from the decoded samples.
+    - anything else (JPEG/PNG/MP3/video containers) needs PIL / torchaudio /
+      ffmpeg, which are not installed here → ``NotImplementedError`` (callers
+      fall back to the byte-level stub).
+    """
+    if media_type == "image" and payload[:2] == b"BM":
+        px = decode_bmp(payload).astype(np.float64)
+        gray = px.mean(axis=2)
+        return [
+            float(px.shape[1]), float(px.shape[0]),
+            float(px[:, :, 0].mean()), float(px[:, :, 1].mean()),
+            float(px[:, :, 2].mean()), float(gray.std()),
+        ]
+    if media_type == "audio" and payload[:4] == b"RIFF":
+        rate, samples = decode_wav(payload)
+        x = samples.astype(np.float64)
+        rms = float(np.sqrt((x ** 2).mean())) if len(x) else 0.0
+        peak = float(np.abs(x).max()) if len(x) else 0.0
+        return [float(rate), float(len(samples)), rms, peak]
     raise NotImplementedError(
-        "media decode requires image/audio libs not present in this "
-        "environment; extract_features uses the deterministic stub"
+        f"decode for this {media_type} codec requires media libs not present "
+        "in this environment (uncompressed BMP/WAV decode IS supported); "
+        "extract_features falls back to the deterministic stub"
     )
 
 
@@ -124,10 +215,11 @@ def resize_images(
     media: DataFrame, width: int = 224, height: int = 224,
     use_real_decode: bool = False,
 ) -> DataFrame:
-    """Image resize stage (stubbed decode): real path would decode → resize →
-    re-encode via PIL; the stub emits a deterministic byte slice standing in
-    for the resized encoding, with the target dimensions in typed columns.
-    Row-preserving map-only stage."""
+    """Image resize stage — row-preserving map-only.  With
+    ``use_real_decode`` BMP payloads are genuinely decoded, nearest-neighbor
+    resized in numpy, and re-encoded as BMP (other codecs raise — they need
+    PIL).  The default stub emits a deterministic byte slice standing in for
+    the resized encoding, with the target dimensions in typed columns."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -135,9 +227,13 @@ def resize_images(
             for payload in pdf["payload"]:
                 raw = bytes(payload) if payload is not None else b""
                 if use_real_decode:
-                    real_decode(raw, "image")
-                # deterministic fake: clamp byte length to width*height/64
-                out_payloads.append(raw[: max(1, (width * height) // 64)])
+                    px = decode_bmp(raw) if raw[:2] == b"BM" else real_decode(raw, "image")
+                    ys = (np.arange(height) * px.shape[0] // height).clip(0, px.shape[0] - 1)
+                    xs = (np.arange(width) * px.shape[1] // width).clip(0, px.shape[1] - 1)
+                    out_payloads.append(encode_bmp(px[ys][:, xs]))
+                else:
+                    # deterministic fake: clamp byte length to width*height/64
+                    out_payloads.append(raw[: max(1, (width * height) // 64)])
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],
                 "payload": out_payloads,
@@ -176,8 +272,9 @@ def sample_frames(
 @register("multimodal_feature_extract", tags=["llm-multimodal"])  # rows-only
 def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column pipeline end-to-end: wrap → mapInPandas feature extract →
-    per-source aggregate.  Decode is stubbed (no media libs in container);
-    driver records a rows-only check."""
+    per-source aggregate.  The synthetic payloads are text bytes (no codec),
+    so this runs the byte-level stub; real decode (BMP/WAV, pure numpy) is
+    exercised in tests/test_llm.py.  Driver records a rows-only check."""
     docs = load_table(spark, sf_dir, "documents")
     media = attach_media(docs)
     feats = extract_features(media)

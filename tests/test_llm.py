@@ -369,3 +369,84 @@ def test_quality_filter_reasons_and_keep(spark):
     assert got[3] == "repetitive"
     kept = {r.doc_id for r in quality_keep(docs).collect()}
     assert kept == {0}
+
+
+def _make_bmp(pixels):
+    """pixels: list of rows of (r,g,b) tuples → 24-bit BMP bytes."""
+    import numpy as np
+
+    from dev_clickhouse_spark.llm.multimodal import encode_bmp
+    return encode_bmp(np.array(pixels, dtype="uint8"))
+
+
+def _make_wav(samples, rate=8000):
+    import struct
+
+    import numpy as np
+    data = np.asarray(samples, dtype="<i2").tobytes()
+    return (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
+def test_real_decode_bmp_wav_roundtrip():
+    import numpy as np
+
+    from dev_clickhouse_spark.llm.multimodal import (
+        decode_bmp,
+        decode_wav,
+        real_decode,
+    )
+
+    # 2x2 image: red, green / blue, white — decode must round-trip exactly
+    px = [[(255, 0, 0), (0, 255, 0)], [(0, 0, 255), (255, 255, 255)]]
+    bmp = _make_bmp(px)
+    assert (decode_bmp(bmp) == np.array(px, dtype="uint8")).all()
+
+    w, h, r, g, b, std = real_decode(bmp, "image")
+    assert (w, h) == (2.0, 2.0)
+    assert (r, g, b) == (127.5, 127.5, 127.5)   # each channel: two 255s, two 0s
+    assert std > 0
+
+    wav = _make_wav([0, 1000, -1000, 0], rate=16000)
+    rate, samples = decode_wav(wav)
+    assert rate == 16000 and samples.tolist() == [0, 1000, -1000, 0]
+    sr, n, rms, peak = real_decode(wav, "audio")
+    assert (sr, n, peak) == (16000.0, 4.0, 1000.0)
+    assert abs(rms - np.sqrt((0 + 1000**2 + 1000**2 + 0) / 4)) < 1e-9
+
+    # compressed codecs still raise (no libs in env)
+    import pytest
+    with pytest.raises(NotImplementedError):
+        real_decode(b"\xff\xd8\xff\xe0jpeg...", "image")
+    with pytest.raises(NotImplementedError):
+        real_decode(b"ID3mp3...", "audio")
+
+
+def test_real_decode_through_engine(spark):
+    from dev_clickhouse_spark.llm.multimodal import extract_features, resize_images
+
+    bmp = _make_bmp([[(255, 0, 0), (0, 255, 0)], [(0, 0, 255), (255, 255, 255)]])
+    wav = _make_wav([100, -100] * 50)
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(bmp), (len(bmp), "image/bmp", "s1")),
+         (2, "audio", bytearray(wav), (len(wav), "audio/wav", "s1"))],
+        "media_id long, media_type string, payload binary, "
+        "meta struct<n_bytes:long, mime:string, source:string>",
+    )
+    feats = {r.media_id: r.features for r in
+             extract_features(media, use_real_decode=True).collect()}
+    assert feats[1][:2] == [2.0, 2.0]           # decoded image dims
+    assert feats[2][0] == 8000.0                # decoded sample rate
+    assert feats[2][3] == 100.0                 # peak amplitude
+
+    # real resize: 2x2 → 4x4 nearest-neighbor, decodable output
+    from dev_clickhouse_spark.llm.multimodal import decode_bmp
+    out = resize_images(media.filter("media_id = 1"), width=4, height=4,
+                        use_real_decode=True).collect()
+    px = decode_bmp(bytes(out[0].payload))
+    assert px.shape == (4, 4, 3)
+    assert px[0][0].tolist() == [255, 0, 0]     # top-left replicated red
+    assert px[3][3].tolist() == [255, 255, 255]
