@@ -42,6 +42,8 @@ _DEFER = {
     "q14_promo_revenue_ratio",  # conditional-agg → q12
     "q15_top_suppliers",        # J7/A4 → correlated_min_price_part, daily_order_stats
     "event_date_time_keys",     # P1/date-fns → events_windowed_count, dim_date_build
+    "multi_key_daily_top",      # O2 → daily_order_stats
+    "q18_large_volume_orders",  # J6/having → order_priority_check
 }
 
 

@@ -269,12 +269,32 @@ def sample_frames(
     return media.select("media_id", "payload").mapInPandas(run, schema=FRAME_SCHEMA)
 
 
-@register("multimodal_feature_extract", tags=["llm-multimodal"])  # rows-only
+@register(
+    "multimodal_feature_extract",
+    oracle="""
+WITH ck AS (
+  SELECT doc_id, source, octet_length(encode(text)) AS n_bytes,
+         coalesce((
+           SELECT sum(ascii(substr(text, u.i, 1)))
+           FROM (SELECT unnest(generate_series(1, length(text))) AS i) u
+         ) % 997, 0) AS checksum
+  FROM documents
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_media,
+       CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+       floor(avg(checksum) * 10000 + 0.5) / 10000 AS avg_checksum_feature
+FROM ck GROUP BY source
+""",
+    tags=["llm-multimodal"],
+)
 def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column pipeline end-to-end: wrap → mapInPandas feature extract →
     per-source aggregate.  The synthetic payloads are text bytes (no codec),
-    so this runs the byte-level stub; real decode (BMP/WAV, pure numpy) is
-    exercised in tests/test_llm.py.  Driver records a rows-only check."""
+    so the byte-level stub runs — and because the corpus is ASCII, DuckDB can
+    replay the exact byte-sum checksum feature, upgrading this from a
+    rows-only check to a value-hash oracle.  Real decode (BMP/WAV, pure
+    numpy) is exercised in tests/test_llm.py."""
     docs = load_table(spark, sf_dir, "documents")
     media = attach_media(docs)
     feats = extract_features(media)

@@ -164,15 +164,53 @@ def rolling_hash_fingerprints(
     return docs.select(F.col(id_col), fp(F.col(text_col)).alias("fingerprints"))
 
 
-@register("rolling_hash_fingerprints", tags=["llm-text", "llm-dedup"])  # rows-only
+_RH_MOD = (1 << 61) - 1
+_RH_POWERS_SQL = ", ".join(
+    f"({j}, {pow(257, 15 - j, _RH_MOD)})" for j in range(16)
+)
+
+
+@register(
+    "rolling_hash_fingerprints",
+    oracle=f"""
+WITH pw(j, p) AS (VALUES {_RH_POWERS_SQL}),
+pos AS (
+  SELECT doc_id, text, CAST(i AS INTEGER) AS i
+  FROM documents,
+       LATERAL (SELECT unnest(generate_series(1, greatest(length(text) - 15, 0))) AS i)
+),
+win AS (
+  SELECT doc_id, i,
+         CAST(sum(CAST(ascii(substr(text, i + pw.j, 1)) AS HUGEINT) * pw.p)
+              % {_RH_MOD} AS BIGINT) AS h
+  FROM pos CROSS JOIN pw
+  GROUP BY doc_id, i
+),
+fp AS (SELECT DISTINCT doc_id, h FROM win),
+agg AS (
+  SELECT doc_id,
+         CAST(least(count(*), 8) AS INTEGER) AS n_fp,
+         min(h) AS min_fp
+  FROM fp GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(a.n_fp, 0) AS n_fp, a.min_fp
+FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+""",
+    tags=["llm-text", "llm-dedup"],
+)
 def rolling_hash_fingerprints_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rolling-hash fingerprint sets per document (rows-only: the polynomial
-    rolling hash is not SQL-expressible; determinism + near-dup sensitivity
-    are covered in tests/test_llm.py)."""
+    """Rolling-hash fingerprint summary per document, oracle-checked: the
+    Rabin-Karp recurrence equals the closed-form window polynomial
+    Σ byte[i+j]·257^(15−j) mod 2^61−1, which DuckDB evaluates with HUGEINT
+    arithmetic over the (all-ASCII) corpus — the Arrow stage's exact hashes
+    are replayed, not just row counts."""
     docs = load_table(spark, sf_dir, "documents")
     out = rolling_hash_fingerprints(docs)
-    return out.select("doc_id", F.size("fingerprints").alias("n_fp"),
-                      F.element_at("fingerprints", 1).alias("min_fp"))
+    return out.select(
+        "doc_id",
+        F.size("fingerprints").cast("int").alias("n_fp"),
+        F.element_at("fingerprints", 1).alias("min_fp"),
+    )
 
 
 #: language marker words for the n-gram/lexicon language-ID heuristic.
