@@ -44,6 +44,16 @@ _DEFER = {
     "event_date_time_keys",     # P1/date-fns → events_windowed_count, dim_date_build
     "multi_key_daily_top",      # O2 → daily_order_stats
     "q18_large_volume_orders",  # J6/having → order_priority_check
+    # TPC-H completion pack (tpch_rest.py) — every shape keeps an in-window
+    # representative (pushdown agg → q1; star+topk → q3/q5; correlated /
+    # scalar subqueries → correlated_min_price_part, q12; anti/semi →
+    # anti_join_customers_without_orders, order_priority_check):
+    "q6_forecast_revenue", "q8_market_share", "q9_product_profit",
+    "q10_returned_items", "q11_balance_concentration",
+    "q13_order_count_distribution", "q16_supplier_part_variety",
+    "q17_small_quantity_revenue", "q19_disjunctive_revenue",
+    "q20_dominant_suppliers", "q21_sole_late_supplier",
+    "q22_dormant_customers",
 }
 
 

@@ -8,6 +8,7 @@ from . import (  # noqa: F401
     relational,
     sql_api,
     subquery_range,
+    tpch_rest,
 )
 from ..llm import dedup, multimodal, sampling, similarity, text  # noqa: F401
 from .registry import REGISTRY, QuerySpec, register  # noqa: F401
