@@ -54,6 +54,9 @@ _DEFER = {
     "q17_small_quantity_revenue", "q19_disjunctive_revenue",
     "q20_dominant_suppliers", "q21_sole_late_supplier",
     "q22_dormant_customers",
+    # content-signal pack (llm/signals.py) — in-window llm-text
+    # representatives: text_quality_scores, text_token_stats:
+    "pii_redaction_stats", "text_repetition_signals",
 }
 
 

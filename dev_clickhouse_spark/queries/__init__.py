@@ -10,5 +10,5 @@ from . import (  # noqa: F401
     subquery_range,
     tpch_rest,
 )
-from ..llm import dedup, multimodal, sampling, similarity, text  # noqa: F401
+from ..llm import dedup, multimodal, sampling, signals, similarity, text  # noqa: F401
 from .registry import REGISTRY, QuerySpec, register  # noqa: F401
