@@ -57,6 +57,9 @@ _DEFER = {
     # content-signal pack (llm/signals.py) — in-window llm-text
     # representatives: text_quality_scores, text_token_stats:
     "pii_redaction_stats", "text_repetition_signals",
+    # ClickHouse-parity behavioral pack (queries/behavioral.py) — window/
+    # join shapes represented in-window by events_5min_buckets, q3, q5:
+    "timeseries_fill_gaps", "funnel_window_counts", "retention_cohorts",
 }
 
 

@@ -3,6 +3,7 @@
 from . import (  # noqa: F401
     agg_extras,
     analytics,
+    behavioral,
     extended,
     gold_star,
     relational,

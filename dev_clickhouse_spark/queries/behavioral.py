@@ -1,0 +1,208 @@
+"""ClickHouse-parity behavioral / time-series analytics.
+
+Three operators ClickHouse ships as dedicated SQL features, re-expressed
+as Catalyst-plannable DataFrame ops:
+
+- ``timeseries_fill_gaps`` — ``ORDER BY ... WITH FILL`` + ``INTERPOLATE``
+  (ClickHouse docs §select/order-by): densify an hourly series onto the
+  full grid, zero-fill counts, carry metrics forward (LOCF).
+- ``funnel_window_counts`` — ``windowFunnel(window)(ts, c1, c2, c3)``:
+  depth of the view→click→purchase chain each user completes inside a
+  24 h window anchored at any qualifying first step.
+- ``retention_cohorts`` — ``retention(c1, c2, ...)``: per signup-day
+  cohort, how many users return on day+1 / day+7.
+
+Scale notes: the fill grid is time-range-sized (720 rows/month) and never
+scales with event volume, so the single-partition LOCF window over it is
+deliberate, not a skew bug.  The funnel's step joins are user-keyed equi
+joins with the time window as a residual predicate — one shuffle per
+step, no cartesian; retention reduces to per-user flags before the
+cohort rollup so the second shuffle carries one row per user.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.ch_compat import round_half_up as rnd
+from ..io import load_table
+from .registry import register
+
+
+def _r(expr: str, scale: int) -> str:
+    m = 10 ** scale
+    return f"floor(({expr}) * {m} + 0.5) / {m}"
+
+
+@register(
+    "timeseries_fill_gaps",
+    oracle=f"""
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS h,
+         CAST(count(*) AS BIGINT) AS n,
+         {_r('avg(value)', 4)} AS av
+  FROM events GROUP BY 1
+), grid AS (
+  SELECT unnest(generate_series((SELECT min(h) FROM hourly),
+                                (SELECT max(h) FROM hourly),
+                                INTERVAL 1 HOUR)) AS h
+)
+SELECT strftime(grid.h, '%Y-%m-%d %H:%M:%S') AS hour,
+       coalesce(hourly.n, 0) AS n_events,
+       last_value(hourly.av IGNORE NULLS) OVER (
+         ORDER BY grid.h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS avg_value,
+       CAST(CASE WHEN hourly.h IS NULL THEN 1 ELSE 0 END AS INTEGER) AS filled
+FROM grid LEFT JOIN hourly ON grid.h = hourly.h
+""",
+    tags=["ch-with-fill", "timeseries", "W1"],
+)
+def timeseries_fill_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH FILL / INTERPOLATE: hourly event counts densified onto the
+    complete hour grid (empty hours appear as 0) with avg_value carried
+    forward.  The grid is built distributedly from a 1-row min/max
+    aggregate + sequence/explode — no driver-side collect."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.count("*").alias("n"), rnd(F.avg("value"), 4).alias("av"))
+    )
+    grid = (
+        hourly.agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+        .select(F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("gh"))
+    )
+    locf = Window.orderBy("gh").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        grid.join(hourly, F.col("gh") == F.col("h"), "left")
+        .select(
+            F.date_format("gh", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            F.coalesce("n", F.lit(0)).alias("n_events"),
+            F.last("av", ignorenulls=True).over(locf).alias("avg_value"),
+            F.when(F.col("h").isNull(), 1).otherwise(0)
+            .cast("int").alias("filled"),
+        )
+    )
+
+
+@register(
+    "funnel_window_counts",
+    oracle="""
+WITH u AS (SELECT DISTINCT user_id FROM events),
+v AS (SELECT user_id, ts AS v_ts FROM events WHERE event_type = 'view'),
+c AS (SELECT user_id, ts AS c_ts FROM events WHERE event_type = 'click'),
+p AS (SELECT user_id, ts AS p_ts FROM events WHERE event_type = 'purchase'),
+s2 AS (
+  SELECT v.user_id, v.v_ts, min(c.c_ts) AS c1
+  FROM v JOIN c ON v.user_id = c.user_id
+   AND c.c_ts >= v.v_ts AND c.c_ts <= v.v_ts + INTERVAL 24 HOUR
+  GROUP BY v.user_id, v.v_ts
+),
+s3 AS (
+  SELECT s2.user_id
+  FROM s2 JOIN p ON s2.user_id = p.user_id
+   AND p.p_ts >= s2.c1 AND p.p_ts <= s2.v_ts + INTERVAL 24 HOUR
+),
+lv AS (
+  SELECT user_id, 0 AS lvl FROM u
+  UNION ALL SELECT DISTINCT user_id, 1 FROM v
+  UNION ALL SELECT DISTINCT user_id, 2 FROM s2
+  UNION ALL SELECT DISTINCT user_id, 3 FROM s3
+)
+SELECT CAST(lvl AS INTEGER) AS funnel_level, CAST(count(*) AS BIGINT) AS n_users
+FROM (SELECT user_id, max(lvl) AS lvl FROM lv GROUP BY user_id)
+GROUP BY lvl
+""",
+    tags=["ch-window-funnel", "J5"],
+)
+def funnel_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """windowFunnel(24h)(ts, view, click, purchase): chain depth per user,
+    anchored at ANY view event (not just the first — matching ClickHouse's
+    exhaustive chain search), then a histogram of max depth reached.
+    Each step is a user-keyed equi join with the time window as residual."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("v_ts"))
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"))
+    deadline = F.col("v_ts") + F.expr("INTERVAL 24 HOURS")
+    s2 = (
+        views.join(
+            clicks,
+            (F.col("user_id") == F.col("c_user"))
+            & (F.col("c_ts") >= F.col("v_ts")) & (F.col("c_ts") <= deadline),
+        )
+        .groupBy("user_id", "v_ts")
+        .agg(F.min("c_ts").alias("c1"))
+    )
+    s3 = s2.join(
+        buys,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c1")) & (F.col("p_ts") <= deadline),
+    ).select("user_id")
+    levels = (
+        ev.select("user_id").distinct().withColumn("lvl", F.lit(0))
+        .unionByName(views.select("user_id").distinct().withColumn("lvl", F.lit(1)))
+        .unionByName(s2.select("user_id").distinct().withColumn("lvl", F.lit(2)))
+        .unionByName(s3.distinct().withColumn("lvl", F.lit(3)))
+    )
+    return (
+        levels.groupBy("user_id").agg(F.max("lvl").alias("lvl"))
+        .groupBy(F.col("lvl").cast("int").alias("funnel_level"))
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
+@register(
+    "retention_cohorts",
+    oracle="""
+WITH first_signup AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS cohort_date
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+), activity AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+), flags AS (
+  SELECT f.user_id, f.cohort_date,
+         max(CASE WHEN a.day = f.cohort_date + 1 THEN 1 ELSE 0 END) AS d1,
+         max(CASE WHEN a.day = f.cohort_date + 7 THEN 1 ELSE 0 END) AS d7
+  FROM first_signup f JOIN activity a ON f.user_id = a.user_id
+  GROUP BY f.user_id, f.cohort_date
+)
+SELECT cohort_date, CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(d1) AS BIGINT) AS d1_retained,
+       CAST(sum(d7) AS BIGINT) AS d7_retained
+FROM flags GROUP BY cohort_date
+""",
+    tags=["ch-retention", "A2"],
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """retention()-style cohort table: users grouped by first-signup day,
+    with day+1 / day+7 comeback counts.  Reduces to one flag row per user
+    before the cohort rollup, so the final shuffle is user-count sized."""
+    ev = load_table(spark, sf_dir, "events")
+    first_signup = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(F.to_date("ts")).alias("cohort_date"))
+    )
+    activity = ev.select(
+        F.col("user_id").alias("a_user"), F.to_date("ts").alias("day")
+    ).distinct()
+    flags = (
+        first_signup.join(activity, F.col("user_id") == F.col("a_user"))
+        .groupBy("user_id", "cohort_date")
+        .agg(
+            F.max(F.when(F.col("day") == F.date_add("cohort_date", 1), 1)
+                  .otherwise(0)).alias("d1"),
+            F.max(F.when(F.col("day") == F.date_add("cohort_date", 7), 1)
+                  .otherwise(0)).alias("d7"),
+        )
+    )
+    return flags.groupBy("cohort_date").agg(
+        F.count("*").alias("n_users"),
+        F.sum("d1").alias("d1_retained"),
+        F.sum("d7").alias("d7_retained"),
+    )

@@ -1,0 +1,80 @@
+"""Semantic tests for the ClickHouse-parity behavioral pack, pinned
+against hand-built fixtures so the oracle SQL can't hide a shared
+misunderstanding of windowFunnel / retention / WITH-FILL semantics."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from dev_clickhouse_spark.queries.behavioral import (
+    funnel_window_counts,
+    retention_cohorts,
+    timeseries_fill_gaps,
+)
+
+T0 = dt.datetime(2024, 3, 1, 0, 0, 0)
+
+
+def _write_events(spark, tmp_path, rows):
+    df = spark.createDataFrame(
+        [(i, ts, uid, et, float(i), "{}") for i, (ts, uid, et) in enumerate(rows)],
+        ["event_id", "ts", "user_id", "event_type", "value", "props"],
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    return str(tmp_path)
+
+
+def test_funnel_levels_on_fixture(spark, tmp_path):
+    h = dt.timedelta(hours=1)
+    rows = [
+        # user 1: full chain inside 24h → level 3
+        (T0, 1, "view"), (T0 + h, 1, "click"), (T0 + 2 * h, 1, "purchase"),
+        # user 2: click precedes every view → level 1
+        (T0, 2, "click"), (T0 + h, 2, "view"),
+        # user 3: purchase arrives 30h after the view (click at +1h) → level 2
+        (T0, 3, "view"), (T0 + h, 3, "click"), (T0 + 30 * h, 3, "purchase"),
+        # user 4: never views → level 0
+        (T0, 4, "signup"), (T0 + h, 4, "purchase"),
+        # user 5: first view->chain dies, but a LATER view completes → level 3
+        (T0, 5, "view"), (T0 + 40 * h, 5, "view"),
+        (T0 + 41 * h, 5, "click"), (T0 + 42 * h, 5, "purchase"),
+    ]
+    sf = _write_events(spark, tmp_path, rows)
+    got = {r.funnel_level: r.n_users for r in funnel_window_counts(spark, sf).collect()}
+    assert got == {0: 1, 1: 1, 2: 1, 3: 2}
+
+
+def test_retention_cohort_flags(spark, tmp_path):
+    d = dt.timedelta(days=1)
+    rows = [
+        (T0, 1, "signup"), (T0 + d, 1, "click"),            # d1 yes, d7 no
+        (T0, 2, "signup"), (T0 + 7 * d, 2, "view"),         # d1 no, d7 yes
+        (T0, 3, "signup"), (T0 + 2 * d, 3, "click"),        # neither
+        (T0 + d, 4, "signup"), (T0 + 2 * d, 4, "error"),    # next cohort, d1 yes
+        (T0 + 3 * d, 5, "click"),                           # never signed up: absent
+    ]
+    sf = _write_events(spark, tmp_path, rows)
+    got = {
+        r.cohort_date.isoformat(): (r.n_users, r.d1_retained, r.d7_retained)
+        for r in retention_cohorts(spark, sf).collect()
+    }
+    assert got == {"2024-03-01": (3, 1, 1), "2024-03-02": (1, 1, 0)}
+
+
+def test_fill_gaps_densifies_and_carries_forward(spark, tmp_path):
+    h = dt.timedelta(hours=1)
+    rows = [
+        (T0, 1, "view"), (T0 + dt.timedelta(minutes=30), 2, "view"),  # hour 0: vals 0,1
+        (T0 + 4 * h, 3, "click"),                                     # hour 4: val 2
+    ]
+    sf = _write_events(spark, tmp_path, rows)
+    out = sorted(timeseries_fill_gaps(spark, sf).collect(), key=lambda r: r.hour)
+    assert [r.hour for r in out] == [
+        f"2024-03-01 0{i}:00:00" for i in range(5)
+    ]
+    assert [r.n_events for r in out] == [2, 0, 0, 0, 1]
+    assert [r.filled for r in out] == [0, 1, 1, 1, 0]
+    # LOCF: hours 1-3 inherit hour 0's avg (values 0.0, 1.0 → 0.5)
+    assert [r.avg_value for r in out] == pytest.approx([0.5, 0.5, 0.5, 0.5, 2.0])
