@@ -41,6 +41,10 @@ BENCH_QUERIES = [
     "dedup_keep_list",
     "lang_id_char_ngrams",
     "ann_cosine_topk",
+    "q9_product_profit",
+    "q21_sole_late_supplier",
+    "text_repetition_signals",
+    "funnel_window_counts",
 ]
 
 N_INGEST_EVENTS = 10_000
