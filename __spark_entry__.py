@@ -60,6 +60,9 @@ _DEFER = {
     # ClickHouse-parity behavioral pack (queries/behavioral.py) — window/
     # join shapes represented in-window by events_5min_buckets, q3, q5:
     "timeseries_fill_gaps", "funnel_window_counts", "retention_cohorts",
+    # curation pack (llm/curation.py) — explode/ngram shapes represented
+    # in-window by dedup_ngram_jaccard_pairs, pack_context_windows:
+    "chunk_documents", "decontaminate_against_benchmark",
 }
 
 

@@ -11,5 +11,13 @@ from . import (  # noqa: F401
     subquery_range,
     tpch_rest,
 )
-from ..llm import dedup, multimodal, sampling, signals, similarity, text  # noqa: F401
+from ..llm import (  # noqa: F401
+    curation,
+    dedup,
+    multimodal,
+    sampling,
+    signals,
+    similarity,
+    text,
+)
 from .registry import REGISTRY, QuerySpec, register  # noqa: F401
