@@ -63,6 +63,8 @@ _DEFER = {
     # curation pack (llm/curation.py) — explode/ngram shapes represented
     # in-window by dedup_ngram_jaccard_pairs, pack_context_windows:
     "chunk_documents", "decontaminate_against_benchmark",
+    # ranking-window family — W2 represented by distinct_on_latest_event:
+    "window_rank_suite",
 }
 
 

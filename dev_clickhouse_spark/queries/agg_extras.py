@@ -193,3 +193,42 @@ def approx_distinct_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy(F.to_date("ts").alias("event_date")).agg(
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
     )
+
+
+@register(
+    "window_rank_suite",
+    oracle="""
+SELECT c_custkey, c_mktsegment,
+       CAST(dense_rank() OVER seg_nation AS BIGINT)   AS nation_dense_rank,
+       floor(percent_rank() OVER seg_nation * 1000000 + 0.5) / 1000000
+                                                      AS nation_pct_rank,
+       floor(cume_dist() OVER seg_nation * 1000000 + 0.5) / 1000000
+                                                      AS nation_cume_dist,
+       CAST(ntile(4) OVER seg_bal AS INTEGER)         AS balance_quartile
+FROM customer
+WINDOW
+  seg_nation AS (PARTITION BY c_mktsegment ORDER BY c_nationkey),
+  seg_bal    AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+""",
+    tags=["W2", "ranking"],
+)
+def window_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ranking-window family in one pass: dense_rank /
+    percent_rank / cume_dist over a deliberately tie-rich discrete key
+    (nationkey — peer-group semantics must agree across engines) and
+    ntile(4) over a fully deterministic (acctbal, custkey) order, because
+    ntile splits peer groups by physical row order and would be
+    nondeterministic under ties.  Both windows share one partition-by
+    shuffle on c_mktsegment."""
+    from pyspark.sql import Window
+
+    cust = load_table(spark, sf_dir, "customer")
+    seg_nation = Window.partitionBy("c_mktsegment").orderBy("c_nationkey")
+    seg_bal = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return cust.select(
+        "c_custkey", "c_mktsegment",
+        F.dense_rank().over(seg_nation).cast("bigint").alias("nation_dense_rank"),
+        rnd(F.percent_rank().over(seg_nation), 6).alias("nation_pct_rank"),
+        rnd(F.cume_dist().over(seg_nation), 6).alias("nation_cume_dist"),
+        F.ntile(4).over(seg_bal).cast("int").alias("balance_quartile"),
+    )
