@@ -65,6 +65,8 @@ _DEFER = {
     "chunk_documents", "decontaminate_against_benchmark",
     # ranking-window family — W2 represented by distinct_on_latest_event:
     "window_rank_suite",
+    # exact-decimal second moments — A6 represented by q1_pricing_summary:
+    "stats_moments_by_returnflag",
 }
 
 

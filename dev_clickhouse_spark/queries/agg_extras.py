@@ -232,3 +232,67 @@ def window_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(F.cume_dist().over(seg_nation), 6).alias("nation_cume_dist"),
         F.ntile(4).over(seg_bal).cast("int").alias("balance_quartile"),
     )
+
+
+@register(
+    "stats_moments_by_returnflag",
+    oracle="""
+WITH s AS (
+  SELECT l_returnflag,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(l_quantity AS DECIMAL(19,4))) AS DOUBLE)        AS sx,
+         CAST(sum(CAST(l_quantity AS DECIMAL(19,4))
+                * CAST(l_quantity AS DECIMAL(19,4))) AS DOUBLE)        AS sxx,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(19,4))) AS DOUBLE)   AS sy,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(19,4))
+                * CAST(l_extendedprice AS DECIMAL(19,4))) AS DOUBLE)   AS syy,
+         CAST(sum(CAST(l_quantity AS DECIMAL(19,4))
+                * CAST(l_extendedprice AS DECIMAL(19,4))) AS DOUBLE)   AS sxy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       floor((sxx - sx * sx / n) / (n - 1) * 10000 + 0.5) / 10000 AS var_qty,
+       floor(sqrt((syy - sy * sy / n) / (n - 1)) * 10000 + 0.5) / 10000 AS std_price,
+       floor((sxy - sx * sy / n) / (n - 1) * 10000 + 0.5) / 10000 AS covar_qty_price,
+       floor((sxy - sx * sy / n)
+             / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n))
+             * 1000000 + 0.5) / 1000000 AS corr_qty_price
+FROM s
+""",
+    tags=["A6", "moments"],
+)
+def stats_moments_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-moment aggregates (variance / stddev / covariance / corr) per
+    return flag.  Built from exact DECIMAL power sums rather than the
+    engines' native var/stddev aggregates: Spark and DuckDB use different
+    summation algorithms whose doubles diverge in the last ulp, while
+    decimal sums of 2dp/4dp-quantized inputs are exact and
+    order-independent, so both engines derive the moments from identical
+    doubles with the identical formula.  One shuffle, map-side combine.
+
+    Width asymmetry is deliberate: Spark uses DECIMAL(12,4) so the product
+    type (25,8) stays inside its 38-digit cap without scale loss, while
+    DuckDB needs DECIMAL(19,4) operands to force its int128 multiply path
+    (int64-width products overflow at runtime).  Both are exact, so the
+    sums are equal."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("decimal(12,4)")
+    p = F.col("l_extendedprice").cast("decimal(12,4)")
+    s = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(q).cast("double").alias("sx"),
+        F.sum(q * q).cast("double").alias("sxx"),
+        F.sum(p).cast("double").alias("sy"),
+        F.sum(p * p).cast("double").alias("syy"),
+        F.sum(q * p).cast("double").alias("sxy"),
+    )
+    n, sx, sxx, sy, syy, sxy = (F.col(c) for c in ("n", "sx", "sxx", "sy", "syy", "sxy"))
+    return s.select(
+        "l_returnflag", "n",
+        rnd((sxx - sx * sx / n) / (n - 1), 4).alias("var_qty"),
+        rnd(F.sqrt((syy - sy * sy / n) / (n - 1)), 4).alias("std_price"),
+        rnd((sxy - sx * sy / n) / (n - 1), 4).alias("covar_qty_price"),
+        rnd((sxy - sx * sy / n)
+            / F.sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)), 6)
+        .alias("corr_qty_price"),
+    )

@@ -22,3 +22,31 @@ def test_approx_distinct_within_error_bound(spark):
     assert set(approx) == set(exact)
     for d, e in exact.items():
         assert abs(approx[d] - e) <= max(2, 0.1 * e), (d, approx[d], e)
+
+
+def test_stats_moments_match_native_aggregates(spark):
+    """The exact-decimal moment formulas must agree with Spark's native
+    var_samp/stddev_samp/covar_samp/corr to floating tolerance."""
+    from dev_clickhouse_spark.queries.agg_extras import stats_moments_by_returnflag
+
+    sf = "/root/testdata/sf0.001"
+    got = {r.l_returnflag: r for r in stats_moments_by_returnflag(spark, sf).collect()}
+    native = {
+        r.l_returnflag: r
+        for r in load_table(spark, sf, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.var_samp("l_quantity").alias("v"),
+            F.stddev_samp("l_extendedprice").alias("s"),
+            F.covar_samp("l_quantity", "l_extendedprice").alias("c"),
+            F.corr("l_quantity", "l_extendedprice").alias("r"),
+        )
+        .collect()
+    }
+    assert set(got) == set(native)
+    for k, n in native.items():
+        g = got[k]
+        assert abs(g.var_qty - n.v) < 1e-3
+        assert abs(g.std_price - n.s) < 1e-3
+        assert abs(g.covar_qty_price - n.c) < 1e-3
+        assert abs(g.corr_qty_price - n.r) < 1e-5
