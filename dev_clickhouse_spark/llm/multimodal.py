@@ -4,19 +4,20 @@ Images/audio/video ride through the engine as ``binary`` columns with a typed
 metadata struct; decode / feature-extraction run as Arrow-batched
 ``mapInPandas`` stages.
 
-Decode support: UNCOMPRESSED codecs are decoded for real, in pure numpy —
-24-bit BMP images (decode + nearest-neighbor resize + re-encode) and 16-bit
-PCM WAV audio (header walk + sample statistics).  COMPRESSED codecs
-(JPEG/PNG/MP3/video containers) need PIL/torchaudio/ffmpeg, which are not in
-this container; those payloads raise ``NotImplementedError`` from
-:func:`real_decode` and the deterministic byte-level stub stands in.  The
-Spark-side plumbing (schema, batch shape, partitioning, 1→N fan-out) is the
-same for both paths.
+Decode support: three codecs are decoded for real with no external libs —
+24-bit BMP images and 8-bit truecolor PNG (stdlib zlib inflate + all five
+scanline filters reversed in numpy), both with nearest-neighbor resize +
+re-encode, and 16-bit PCM WAV audio (header walk + sample statistics).
+Codecs that genuinely need PIL/torchaudio/ffmpeg (JPEG/MP3/video
+containers) raise ``NotImplementedError`` from :func:`real_decode` and the
+deterministic byte-level stub stands in.  The Spark-side plumbing (schema,
+batch shape, partitioning, 1→N fan-out) is the same for both paths.
 """
 
 from __future__ import annotations
 
 import struct
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -110,19 +111,105 @@ def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
     return rate, np.frombuffer(data, dtype="<i2")
 
 
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """8-bit non-interlaced truecolor PNG (RGB or RGBA) → (H, W, 3) uint8
+    RGB array.  Pure stdlib-zlib + numpy: chunks are walked, IDAT inflated,
+    and all five scanline filters (none/sub/up/average/paeth) reversed per
+    the PNG spec §9 recurrences.  Palette / 16-bit / interlaced images
+    raise ValueError."""
+    if payload[:8] != PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat = 8, None, []
+    while pos + 8 <= len(payload):
+        ln = int.from_bytes(payload[pos:pos + 4], "big")
+        typ = payload[pos + 4:pos + 8]
+        if typ == b"IHDR":
+            ihdr = payload[pos + 8:pos + 8 + ln]
+        elif typ == b"IDAT":
+            idat.append(payload[pos + 8:pos + 8 + ln])
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln  # length + type + data + crc
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(">IIBBBBB", ihdr)
+    if depth != 8 or ctype not in (2, 6) or interlace != 0:
+        raise ValueError("only 8-bit non-interlaced RGB/RGBA PNG is supported")
+    ch = 3 if ctype == 2 else 4
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG scanline payload has the wrong size")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    pos = 0
+    for y in range(h):
+        ftype = raw[pos]
+        row = np.frombuffer(raw, np.uint8, stride, pos + 1).astype(np.int32)
+        pos += 1 + stride
+        if ftype == 0:
+            cur = row
+        elif ftype == 2:  # up
+            cur = (row + prev) & 0xFF
+        elif ftype in (1, 3, 4):  # sub / average / paeth need the left pixel
+            cur = np.zeros(stride, dtype=np.int32)
+            for x in range(stride):
+                a = int(cur[x - ch]) if x >= ch else 0
+                b = int(prev[x])
+                if ftype == 1:
+                    pred = a
+                elif ftype == 3:
+                    pred = (a + b) >> 1
+                else:
+                    c = int(prev[x - ch]) if x >= ch else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[x] = (int(row[x]) + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    return out.reshape(h, w, ch)[:, :, :3].copy()
+
+
+def encode_png(rgb: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 RGB array → truecolor PNG bytes (filter-0 rows)."""
+    h, w, _ = rgb.shape
+    scan = np.zeros((h, w * 3 + 1), dtype=np.uint8)
+    scan[:, 1:] = rgb.reshape(h, w * 3)
+    body = zlib.compress(scan.tobytes())
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (PNG_MAGIC + chunk(b"IHDR", ihdr) + chunk(b"IDAT", body)
+            + chunk(b"IEND", b""))
+
+
 def real_decode(payload: bytes, media_type: str) -> list[float]:
     """Decode a payload and emit content features.
 
-    - ``image`` + BMP magic → [width, height, mean R, mean G, mean B,
-      grayscale std] from the decoded pixels.
+    - ``image`` + BMP or PNG magic → [width, height, mean R, mean G,
+      mean B, grayscale std] from the decoded pixels.
     - ``audio`` + RIFF/WAVE magic → [sample_rate, n_samples, RMS, peak]
       from the decoded samples.
-    - anything else (JPEG/PNG/MP3/video containers) needs PIL / torchaudio /
+    - anything else (JPEG/MP3/video containers) needs PIL / torchaudio /
       ffmpeg, which are not installed here → ``NotImplementedError`` (callers
       fall back to the byte-level stub).
     """
-    if media_type == "image" and payload[:2] == b"BM":
-        px = decode_bmp(payload).astype(np.float64)
+    if media_type == "image" and (
+        payload[:2] == b"BM" or payload[:8] == PNG_MAGIC
+    ):
+        px = (decode_bmp(payload) if payload[:2] == b"BM"
+              else decode_png(payload)).astype(np.float64)
         gray = px.mean(axis=2)
         return [
             float(px.shape[1]), float(px.shape[0]),
@@ -137,7 +224,7 @@ def real_decode(payload: bytes, media_type: str) -> list[float]:
         return [float(rate), float(len(samples)), rms, peak]
     raise NotImplementedError(
         f"decode for this {media_type} codec requires media libs not present "
-        "in this environment (uncompressed BMP/WAV decode IS supported); "
+        "in this environment (BMP/PNG/WAV decode IS supported); "
         "extract_features falls back to the deterministic stub"
     )
 
@@ -227,10 +314,15 @@ def resize_images(
             for payload in pdf["payload"]:
                 raw = bytes(payload) if payload is not None else b""
                 if use_real_decode:
-                    px = decode_bmp(raw) if raw[:2] == b"BM" else real_decode(raw, "image")
+                    if raw[:2] == b"BM":
+                        px, enc = decode_bmp(raw), encode_bmp
+                    elif raw[:8] == PNG_MAGIC:
+                        px, enc = decode_png(raw), encode_png
+                    else:
+                        px, enc = real_decode(raw, "image"), encode_bmp
                     ys = (np.arange(height) * px.shape[0] // height).clip(0, px.shape[0] - 1)
                     xs = (np.arange(width) * px.shape[1] // width).clip(0, px.shape[1] - 1)
-                    out_payloads.append(encode_bmp(px[ys][:, xs]))
+                    out_payloads.append(enc(px[ys][:, xs]))
                 else:
                     # deterministic fake: clamp byte length to width*height/64
                     out_payloads.append(raw[: max(1, (width * height) // 64)])

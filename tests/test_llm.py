@@ -450,3 +450,114 @@ def test_real_decode_through_engine(spark):
     assert px.shape == (4, 4, 3)
     assert px[0][0].tolist() == [255, 0, 0]     # top-left replicated red
     assert px[3][3].tolist() == [255, 255, 255]
+
+
+def _png_with_filters(rgb, filters):
+    """Hand-filter rows per PNG spec §9 (the inverse of decode_png's
+    unfiltering) so every filter type gets exercised on decode."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from dev_clickhouse_spark.llm.multimodal import PNG_MAGIC
+
+    h, w, _ = rgb.shape
+    stride = w * 3
+    flat = rgb.reshape(h, stride).astype(np.int32)
+    prev = np.zeros(stride, dtype=np.int32)
+    raw = bytearray()
+    for y in range(h):
+        f = filters[y % len(filters)]
+        raw.append(f)
+        for x in range(stride):
+            a = int(flat[y, x - 3]) if x >= 3 else 0
+            b = int(prev[x])
+            c = int(prev[x - 3]) if x >= 3 else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) >> 1
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            raw.append((int(flat[y, x]) - pred) & 0xFF)
+        prev = flat[y]
+
+    def chunk(typ, data):
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (PNG_MAGIC + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b""))
+
+
+def test_png_decode_all_filters_and_roundtrip():
+    import numpy as np
+
+    from dev_clickhouse_spark.llm.multimodal import (
+        decode_png,
+        encode_png,
+        real_decode,
+    )
+
+    rng = np.random.default_rng(7)
+    rgb = rng.integers(0, 256, size=(6, 5, 3), dtype=np.uint8)
+    # one image per filter type, plus one cycling through all five
+    for filters in ([0], [1], [2], [3], [4], [0, 1, 2, 3, 4]):
+        png = _png_with_filters(rgb, filters)
+        assert (decode_png(png) == rgb).all(), f"filters {filters}"
+    # encoder output round-trips through the decoder
+    assert (decode_png(encode_png(rgb)) == rgb).all()
+    # real_decode routes PNG payloads to pixel features
+    w, h, r, g, b, std = real_decode(encode_png(rgb), "image")
+    assert (w, h) == (5.0, 6.0)
+    assert abs(r - rgb[:, :, 0].mean()) < 1e-9
+    # RGBA (color type 6) decodes with alpha dropped
+    import struct
+    import zlib as _z
+
+    from dev_clickhouse_spark.llm.multimodal import PNG_MAGIC
+    rgba = np.dstack([rgb, np.full((6, 5), 128, np.uint8)])
+    scan = np.zeros((6, 5 * 4 + 1), dtype=np.uint8)
+    scan[:, 1:] = rgba.reshape(6, 20)
+
+    def chunk(typ, data):
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", _z.crc32(typ + data) & 0xFFFFFFFF))
+
+    png6 = (PNG_MAGIC + chunk(b"IHDR", struct.pack(">IIBBBBB", 5, 6, 8, 6, 0, 0, 0))
+            + chunk(b"IDAT", _z.compress(scan.tobytes())) + chunk(b"IEND", b""))
+    assert (decode_png(png6) == rgb).all()
+
+
+def test_png_through_resize_pipeline(spark):
+    import numpy as np
+
+    from dev_clickhouse_spark.llm.multimodal import (
+        decode_png,
+        encode_png,
+        resize_images,
+    )
+
+    rng = np.random.default_rng(11)
+    rgb = rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(encode_png(rgb)), (len(encode_png(rgb)), "image/png", "t"))],
+        "media_id long, media_type string, payload binary, "
+        "meta struct<n_bytes:long, mime:string, source:string>",
+    )
+    out = resize_images(media, width=4, height=4, use_real_decode=True).collect()
+    assert len(out) == 1 and (out[0].width, out[0].height) == (4, 4)
+    resized = decode_png(bytes(out[0].payload))
+    assert resized.shape == (4, 4, 3)
+    # nearest-neighbor: every resized pixel exists at the sampled source coords
+    ys = (np.arange(4) * 8 // 4).clip(0, 7)
+    xs = (np.arange(4) * 8 // 4).clip(0, 7)
+    assert (resized == rgb[ys][:, xs]).all()
