@@ -4,14 +4,17 @@ Images/audio/video ride through the engine as ``binary`` columns with a typed
 metadata struct; decode / feature-extraction run as Arrow-batched
 ``mapInPandas`` stages.
 
-Decode support: three codecs are decoded for real with no external libs —
+Decode support: four codecs are decoded for real with no external libs —
 24-bit BMP images and 8-bit truecolor PNG (stdlib zlib inflate + all five
 scanline filters reversed in numpy), both with nearest-neighbor resize +
-re-encode, and 16-bit PCM WAV audio (header walk + sample statistics).
-Codecs that genuinely need PIL/torchaudio/ffmpeg (JPEG/MP3/video
-containers) raise ``NotImplementedError`` from :func:`real_decode` and the
-deterministic byte-level stub stands in.  The Spark-side plumbing (schema,
-batch shape, partitioning, 1→N fan-out) is the same for both paths.
+re-encode; animated GIF (full LZW with variable code widths, frame
+composition onto the logical screen, GCE transparency) backing genuine
+frame sampling; and 16-bit PCM WAV audio (header walk + sample
+statistics).  Codecs that genuinely need PIL/torchaudio/ffmpeg (JPEG/MP3/
+MP4-class containers) raise ``NotImplementedError`` from
+:func:`real_decode` and the deterministic byte-level stub stands in.  The
+Spark-side plumbing (schema, batch shape, partitioning, 1→N fan-out) is
+the same for both paths.
 """
 
 from __future__ import annotations
@@ -194,6 +197,187 @@ def encode_png(rgb: np.ndarray) -> bytes:
             + chunk(b"IEND", b""))
 
 
+GIF_MAGICS = (b"GIF87a", b"GIF89a")
+
+
+def _lzw_decode(data: bytes, min_code_size: int) -> bytearray:
+    """GIF-variant LZW: variable code width (min+1 .. 12 bits, LSB-first),
+    clear/end control codes, dictionary rebuilt per the spec."""
+    clear, end = 1 << min_code_size, (1 << min_code_size) + 1
+    literals = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(literals)
+    code_size = min_code_size + 1
+    out, prev = bytearray(), None
+    bitbuf = bitcnt = pos = 0
+    while True:
+        while bitcnt < code_size and pos < len(data):
+            bitbuf |= data[pos] << bitcnt
+            bitcnt += 8
+            pos += 1
+        if bitcnt < code_size:
+            break
+        code = bitbuf & ((1 << code_size) - 1)
+        bitbuf >>= code_size
+        bitcnt -= code_size
+        if code == clear:
+            table = list(literals)
+            code_size = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("corrupt LZW stream")
+        if len(table) == (1 << code_size) and code_size < 12:
+            code_size += 1
+        out += entry
+        prev = entry
+    return out
+
+
+def decode_gif(payload: bytes) -> np.ndarray:
+    """GIF87a/89a → (n_frames, H, W, 3) uint8 RGB.  Pure Python/numpy:
+    walks the block stream, LZW-decodes each image descriptor, maps
+    indices through the local/global color table, and paints frames onto
+    the logical screen (frame N starts from frame N-1's canvas — disposal
+    method 1 semantics; GCE transparency indices are left unpainted).
+    Interlaced images raise ValueError."""
+    if payload[:6] not in GIF_MAGICS:
+        raise ValueError("not a GIF payload")
+    w, h, packed = struct.unpack_from("<HHB", payload, 6)
+    pos = 13
+    global_table = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        global_table = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(n, 3)
+        pos += n * 3
+    canvas = np.zeros((h, w, 3), dtype=np.uint8)  # unpainted screen = black
+    frames: list[np.ndarray] = []
+    transparent = None
+    while pos < len(payload):
+        block = payload[pos]
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension
+            label = payload[pos + 1]
+            pos += 2
+            if label == 0xF9 and payload[pos] >= 4:  # graphic control
+                flags = payload[pos + 1]
+                transparent = payload[pos + 4] if flags & 1 else None
+            while payload[pos] != 0:  # skip sub-blocks
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{block:02x}")
+        left, top, fw, fh, fpacked = struct.unpack_from("<HHHHB", payload, pos + 1)
+        pos += 10
+        table = global_table
+        if fpacked & 0x80:
+            n = 2 << (fpacked & 0x07)
+            table = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(n, 3)
+            pos += n * 3
+        if fpacked & 0x40:
+            raise ValueError("interlaced GIF is not supported")
+        if table is None:
+            raise ValueError("GIF frame has no color table")
+        min_code_size = payload[pos]
+        pos += 1
+        chunks = []
+        while payload[pos] != 0:
+            ln = payload[pos]
+            chunks.append(payload[pos + 1:pos + 1 + ln])
+            pos += 1 + ln
+        pos += 1
+        idx = np.frombuffer(
+            _lzw_decode(b"".join(chunks), min_code_size), np.uint8,
+            count=fw * fh,
+        ).reshape(fh, fw)
+        rect = canvas[top:top + fh, left:left + fw]
+        if transparent is None:
+            rect[:] = table[idx]
+        else:
+            opaque = idx != transparent
+            rect[opaque] = table[idx[opaque]]
+        transparent = None
+        frames.append(canvas.copy())
+    if not frames:
+        raise ValueError("GIF contains no image data")
+    return np.stack(frames)
+
+
+def encode_gif(frames: np.ndarray) -> bytes:
+    """(n, H, W, 3) uint8 → multi-frame GIF89a.  Builds one global palette
+    over all frames (≤256 distinct colors required) and LZW-encodes each
+    frame with exact decoder-dictionary simulation, emitting literal codes
+    and a clear whenever the table approaches the 12-bit ceiling."""
+    n_frames, h, w, _ = frames.shape
+    colors, inverse = np.unique(frames.reshape(-1, 3), axis=0, return_inverse=True)
+    if len(colors) > 256:
+        raise ValueError("encode_gif needs <=256 distinct colors")
+    bits = max(2, int(np.ceil(np.log2(max(len(colors), 2)))))
+    table = np.zeros((1 << bits, 3), dtype=np.uint8)
+    table[: len(colors)] = colors
+    indices = inverse.astype(np.uint8).reshape(n_frames, h, w)
+
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | (bits - 1), 0, 0)
+    out += table.tobytes()
+    min_code = bits
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    for f in range(n_frames):
+        out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0)
+        out.append(min_code)
+        bitbuf = bitcnt = 0
+        body = bytearray()
+
+        def emit(code: int, size: int) -> None:
+            nonlocal bitbuf, bitcnt
+            bitbuf |= code << bitcnt
+            bitcnt += size
+            while bitcnt >= 8:
+                body.append(bitbuf & 0xFF)
+                bitbuf >>= 8
+                bitcnt -= 8
+
+        code_size = min_code + 1
+        table_len = end + 1
+        emit(clear, code_size)
+        prev_emitted = False
+        for px in indices[f].ravel():
+            emit(int(px), code_size)
+            if prev_emitted:  # decoder grows its table per non-first code
+                table_len += 1
+                if table_len == (1 << code_size):
+                    if code_size < 12:
+                        code_size += 1
+                    else:
+                        emit(clear, code_size)
+                        code_size = min_code + 1
+                        table_len = end + 1
+                        prev_emitted = False
+                        continue
+            prev_emitted = True
+        emit(end, code_size)
+        if bitcnt:
+            body.append(bitbuf & 0xFF)
+        for i in range(0, len(body), 255):
+            chunk = body[i:i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out.append(0)
+    out.append(0x3B)
+    return bytes(out)
+
+
 def real_decode(payload: bytes, media_type: str) -> list[float]:
     """Decode a payload and emit content features.
 
@@ -205,11 +389,23 @@ def real_decode(payload: bytes, media_type: str) -> list[float]:
       ffmpeg, which are not installed here → ``NotImplementedError`` (callers
       fall back to the byte-level stub).
     """
+    if media_type == "video" and payload[:6] in GIF_MAGICS:
+        frames = decode_gif(payload).astype(np.float64)
+        gray = frames.mean(axis=3)
+        return [
+            float(frames.shape[0]), float(frames.shape[2]),
+            float(frames.shape[1]), float(gray.mean()), float(gray.std()),
+        ]
     if media_type == "image" and (
         payload[:2] == b"BM" or payload[:8] == PNG_MAGIC
+        or payload[:6] in GIF_MAGICS
     ):
-        px = (decode_bmp(payload) if payload[:2] == b"BM"
-              else decode_png(payload)).astype(np.float64)
+        if payload[:2] == b"BM":
+            px = decode_bmp(payload).astype(np.float64)
+        elif payload[:8] == PNG_MAGIC:
+            px = decode_png(payload).astype(np.float64)
+        else:
+            px = decode_gif(payload)[0].astype(np.float64)  # first frame
         gray = px.mean(axis=2)
         return [
             float(px.shape[1]), float(px.shape[0]),
@@ -339,16 +535,26 @@ def resize_images(
 def sample_frames(
     media: DataFrame, n_frames: int = 4, use_real_decode: bool = False,
 ) -> DataFrame:
-    """Video frame sampling (stubbed decode): one input row fans out to
-    ``n_frames`` rows — the batch-shape change a real ffmpeg sampler
-    produces.  The stub slices the payload into equal chunks as fake
-    frames."""
+    """Video frame sampling: one input row fans out to ``n_frames`` rows —
+    the batch-shape change a real ffmpeg sampler produces.  With
+    ``use_real_decode`` animated GIF payloads are genuinely decoded and
+    ``n_frames`` evenly-spaced frames come back as single-frame PNGs
+    (other video containers raise — they need ffmpeg); otherwise the stub
+    slices the payload into equal byte chunks as fake frames."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 raw = bytes(payload) if payload is not None else b""
+                if use_real_decode and raw[:6] in GIF_MAGICS:
+                    frames = decode_gif(raw)
+                    picks = np.linspace(
+                        0, len(frames) - 1, min(n_frames, len(frames))
+                    ).round().astype(int)
+                    for i, fi in enumerate(picks):
+                        rows.append((mid, i, encode_png(frames[fi])))
+                    continue
                 if use_real_decode:
                     real_decode(raw, "video")
                 step = max(1, len(raw) // n_frames)

@@ -561,3 +561,68 @@ def test_png_through_resize_pipeline(spark):
     ys = (np.arange(4) * 8 // 4).clip(0, 7)
     xs = (np.arange(4) * 8 // 4).clip(0, 7)
     assert (resized == rgb[ys][:, xs]).all()
+
+
+def test_gif_decode_hand_built_spec_vector():
+    """Decoder vs a byte stream packed by hand from the GIF89a spec: 2x2,
+    two colors, codes [clear,0,1,1] at 3 bits then [0,end] at 4 bits
+    (the table hits 2^3 entries after the second '1', so the code width
+    grows mid-stream), LSB-first packed = 44 02 05."""
+    import numpy as np
+
+    from dev_clickhouse_spark.llm.multimodal import decode_gif
+
+    gif = bytes(
+        b"GIF89a"
+        + bytes([2, 0, 2, 0, 0x81, 0, 0])          # LSD: 2x2, 4-entry GCT
+        + bytes([255, 0, 0, 0, 0, 255, 0, 0, 0, 0, 0, 0])  # red, blue, pad x2
+        + bytes([0x2C, 0, 0, 0, 0, 2, 0, 2, 0, 0]) # image descriptor
+        + bytes([2, 3, 0x44, 0x02, 0x05, 0])       # min code 2, LZW, term
+        + bytes([0x3B])
+    )
+    frames = decode_gif(gif)
+    assert frames.shape == (1, 2, 2, 3)
+    red, blue = [255, 0, 0], [0, 0, 255]
+    assert frames[0].tolist() == [[red, blue], [blue, red]]
+
+
+def test_gif_roundtrip_multiframe_and_sampling(spark):
+    import numpy as np
+
+    from dev_clickhouse_spark.llm.multimodal import (
+        decode_gif,
+        decode_png,
+        encode_gif,
+        real_decode,
+        sample_frames,
+    )
+
+    rng = np.random.default_rng(5)
+    palette = rng.integers(0, 256, size=(17, 3), dtype=np.uint8)
+    frames = palette[rng.integers(0, 17, size=(6, 10, 12))]
+    gif = encode_gif(frames)
+    assert (decode_gif(gif) == frames).all()
+
+    # 256-color single frame forces LZW code-size growth past 9 bits
+    big = rng.integers(0, 256, size=(256, 3), dtype=np.uint8)[
+        rng.integers(0, 256, size=(1, 64, 64))
+    ]
+    assert (decode_gif(encode_gif(big)) == big).all()
+
+    n, w, h, g_mean, g_std = real_decode(gif, "video")
+    assert (n, w, h) == (6.0, 12.0, 10.0)
+    assert abs(g_mean - frames.astype(np.float64).mean(axis=3).mean()) < 1e-9
+
+    media = spark.createDataFrame(
+        [(7, "video", bytearray(gif), (len(gif), "image/gif", "t"))],
+        "media_id long, media_type string, payload binary, "
+        "meta struct<n_bytes:long, mime:string, source:string>",
+    )
+    out = sorted(
+        sample_frames(media, n_frames=3, use_real_decode=True).collect(),
+        key=lambda r: r.frame_index,
+    )
+    # 3 evenly-spaced real frames (0, 2.5->2, 5) re-encoded as PNG
+    assert [r.frame_index for r in out] == [0, 1, 2]
+    for r, src_idx in zip(out, [0, 2, 5]):
+        assert (decode_png(bytes(r.frame_payload)) == frames[src_idx]).all()
