@@ -67,6 +67,9 @@ _DEFER = {
     "window_rank_suite",
     # exact-decimal second moments — A6 represented by q1_pricing_summary:
     "stats_moments_by_returnflag",
+    # PNG codec round-trip proof — llm-multimodal represented in-window by
+    # multimodal_feature_extract:
+    "multimodal_png_roundtrip_stats",
 }
 
 

@@ -606,3 +606,69 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             rnd(F.avg(F.element_at("features", 4)), 4).alias("avg_checksum_feature"),
         )
     )
+
+
+@register(
+    "multimodal_png_roundtrip_stats",
+    oracle="""
+SELECT doc_id,
+       4 AS width, 4 AS height,
+       floor(list_sum(list_transform(range(0, 16),
+             j -> ascii(substr(text, 1 + j * 3, 1)))) / 16.0
+             * 10000 + 0.5) / 10000 AS mean_r,
+       floor(list_sum(list_transform(range(0, 16),
+             j -> ascii(substr(text, 2 + j * 3, 1)))) / 16.0
+             * 10000 + 0.5) / 10000 AS mean_g,
+       floor(list_sum(list_transform(range(0, 16),
+             j -> ascii(substr(text, 3 + j * 3, 1)))) / 16.0
+             * 10000 + 0.5) / 10000 AS mean_b
+FROM documents
+WHERE n_chars >= 48
+""",
+    tags=["llm-multimodal", "png-roundtrip"],
+)
+def multimodal_png_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gate proof that the pure-numpy PNG codec is lossless: each
+    document's first 48 bytes become a 4x4 RGB image, travel through
+    ``encode_png`` → ``decode_png`` inside an Arrow batch, and the decoded
+    channel means are value-hash-compared against DuckDB computing the
+    same means directly from the text bytes — any filter/inflate/pixel
+    error would shift the means.  Map-only at any scale."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("n_chars") >= 48
+    ).select("doc_id", "text")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                px = np.frombuffer(
+                    text.encode("utf-8")[:48], dtype=np.uint8
+                ).reshape(4, 4, 3)
+                back = decode_png(encode_png(px)).astype(np.float64)
+                rows.append((
+                    int(doc_id), back.shape[1], back.shape[0],
+                    float(back[:, :, 0].mean()), float(back[:, :, 1].mean()),
+                    float(back[:, :, 2].mean()),
+                ))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "width", "height",
+                         "mean_r", "mean_g", "mean_b"],
+            )
+
+    out_schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("mean_r", T.DoubleType()),
+        T.StructField("mean_g", T.DoubleType()),
+        T.StructField("mean_b", T.DoubleType()),
+    ])
+    res = docs.mapInPandas(run, schema=out_schema)
+    return res.select(
+        "doc_id", "width", "height",
+        rnd("mean_r", 4).alias("mean_r"),
+        rnd("mean_g", 4).alias("mean_g"),
+        rnd("mean_b", 4).alias("mean_b"),
+    )
