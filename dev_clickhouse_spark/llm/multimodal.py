@@ -5,8 +5,9 @@ metadata struct; decode / feature-extraction run as Arrow-batched
 ``mapInPandas`` stages.
 
 Decode support: four codecs are decoded for real with no external libs —
-24-bit BMP images and 8-bit truecolor PNG (stdlib zlib inflate + all five
-scanline filters reversed in numpy), both with nearest-neighbor resize +
+24-bit BMP images and 8-bit PNG in all four byte-depth color types —
+gray, palette, RGB, RGBA — (stdlib zlib inflate + all five scanline
+filters reversed in numpy), both with nearest-neighbor resize +
 re-encode; animated GIF (full LZW with variable code widths, frame
 composition onto the logical screen, GCE transparency) backing genuine
 frame sampling; and 16-bit PCM WAV audio (header walk + sample
@@ -118,14 +119,14 @@ PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
 
 def decode_png(payload: bytes) -> np.ndarray:
-    """8-bit non-interlaced truecolor PNG (RGB or RGBA) → (H, W, 3) uint8
-    RGB array.  Pure stdlib-zlib + numpy: chunks are walked, IDAT inflated,
-    and all five scanline filters (none/sub/up/average/paeth) reversed per
-    the PNG spec §9 recurrences.  Palette / 16-bit / interlaced images
-    raise ValueError."""
+    """8-bit non-interlaced PNG — grayscale (type 0), truecolor (2),
+    palette (3), or RGBA (6) — → (H, W, 3) uint8 RGB array.  Pure
+    stdlib-zlib + numpy: chunks are walked, IDAT inflated, and all five
+    scanline filters (none/sub/up/average/paeth) reversed per the PNG
+    spec §9 recurrences.  16-bit and interlaced images raise ValueError."""
     if payload[:8] != PNG_MAGIC:
         raise ValueError("not a PNG payload")
-    pos, ihdr, idat = 8, None, []
+    pos, ihdr, idat, plte = 8, None, [], None
     while pos + 8 <= len(payload):
         ln = int.from_bytes(payload[pos:pos + 4], "big")
         typ = payload[pos + 4:pos + 8]
@@ -133,15 +134,21 @@ def decode_png(payload: bytes) -> np.ndarray:
             ihdr = payload[pos + 8:pos + 8 + ln]
         elif typ == b"IDAT":
             idat.append(payload[pos + 8:pos + 8 + ln])
+        elif typ == b"PLTE":
+            plte = np.frombuffer(
+                payload, np.uint8, ln - ln % 3, pos + 8).reshape(-1, 3)
         elif typ == b"IEND":
             break
         pos += 12 + ln  # length + type + data + crc
     if ihdr is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
     w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(">IIBBBBB", ihdr)
-    if depth != 8 or ctype not in (2, 6) or interlace != 0:
-        raise ValueError("only 8-bit non-interlaced RGB/RGBA PNG is supported")
-    ch = 3 if ctype == 2 else 4
+    if depth != 8 or ctype not in (0, 2, 3, 6) or interlace != 0:
+        raise ValueError(
+            "only 8-bit non-interlaced gray/palette/RGB/RGBA PNG is supported")
+    if ctype == 3 and plte is None:
+        raise ValueError("palette PNG missing PLTE chunk")
+    ch = {0: 1, 2: 3, 3: 1, 6: 4}[ctype]
     raw = zlib.decompress(b"".join(idat))
     stride = w * ch
     if len(raw) != h * (stride + 1):
@@ -176,7 +183,15 @@ def decode_png(payload: bytes) -> np.ndarray:
             raise ValueError(f"unknown PNG filter type {ftype}")
         out[y] = cur.astype(np.uint8)
         prev = cur
-    return out.reshape(h, w, ch)[:, :, :3].copy()
+    px = out.reshape(h, w, ch)
+    if ctype == 0:  # grayscale → replicate
+        return np.repeat(px, 3, axis=2)
+    if ctype == 3:  # palette lookup
+        idx = px[:, :, 0]
+        if int(idx.max()) >= len(plte):
+            raise ValueError("palette index out of range")
+        return plte[idx].copy()
+    return px[:, :, :3].copy()
 
 
 def encode_png(rgb: np.ndarray) -> bytes:

@@ -626,3 +626,49 @@ def test_gif_roundtrip_multiframe_and_sampling(spark):
     assert [r.frame_index for r in out] == [0, 1, 2]
     for r, src_idx in zip(out, [0, 2, 5]):
         assert (decode_png(bytes(r.frame_payload)) == frames[src_idx]).all()
+
+
+def test_png_grayscale_and_palette_color_types():
+    import struct
+    import zlib as _z
+
+    import numpy as np
+
+    from dev_clickhouse_spark.llm.multimodal import PNG_MAGIC, decode_png
+
+    def chunk(typ, data):
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", _z.crc32(typ + data) & 0xFFFFFFFF))
+
+    # grayscale (type 0): values replicate to all three channels
+    gray = np.arange(12, dtype=np.uint8).reshape(3, 4)
+    scan = np.zeros((3, 5), dtype=np.uint8)
+    scan[:, 1:] = gray
+    png0 = (PNG_MAGIC
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 3, 8, 0, 0, 0, 0))
+            + chunk(b"IDAT", _z.compress(scan.tobytes())) + chunk(b"IEND", b""))
+    out = decode_png(png0)
+    assert out.shape == (3, 4, 3)
+    assert (out[:, :, 0] == gray).all() and (out[:, :, 1] == gray).all()
+
+    # palette (type 3): indices map through PLTE
+    palette = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255]], dtype=np.uint8)
+    idx = np.array([[0, 1], [2, 1]], dtype=np.uint8)
+    scan = np.zeros((2, 3), dtype=np.uint8)
+    scan[:, 1:] = idx
+    png3 = (PNG_MAGIC
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0))
+            + chunk(b"PLTE", palette.tobytes())
+            + chunk(b"IDAT", _z.compress(scan.tobytes())) + chunk(b"IEND", b""))
+    assert (decode_png(png3) == palette[idx]).all()
+
+    # out-of-range palette index must raise, not wrap
+    bad = scan.copy()
+    bad[0, 1] = 9
+    png_bad = (PNG_MAGIC
+               + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0))
+               + chunk(b"PLTE", palette.tobytes())
+               + chunk(b"IDAT", _z.compress(bad.tobytes())) + chunk(b"IEND", b""))
+    import pytest
+    with pytest.raises(ValueError):
+        decode_png(png_bad)
