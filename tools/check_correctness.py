@@ -97,6 +97,21 @@ def main():
             continue
 
         ok = True
+        # The driver's hasher is stricter than normalize_cell: a DuckDB
+        # HUGEINT (INT128 — the default result of window/filtered sums over
+        # BIGINT) hashes differently from BIGINT even when values are equal.
+        # normalize_cell collapses both to Python int, which once masked a
+        # driver failure (pack_context_windows, round 2) — so type-check the
+        # oracle projection explicitly instead of trusting the values.
+        try:
+            desc = con.execute(f"DESCRIBE {spec.oracle}").fetchall()
+            wide = [(c, t) for c, t, *_ in desc if "HUGEINT" in t.upper()]
+            if wide:
+                print(f"FAIL  {name}: oracle emits INT128 column(s) "
+                      f"{wide} — CAST(... AS BIGINT) in the oracle SQL")
+                ok = False
+        except Exception:
+            pass  # DESCRIBE can't wrap every statement shape; value check still runs
         if len(srows) != len(drows):
             print(f"FAIL  {name}: rowcount spark={len(srows)} duckdb={len(drows)}")
             ok = False
