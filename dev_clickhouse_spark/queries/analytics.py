@@ -148,9 +148,10 @@ GROUP BY n_name
 )
 def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Star join around the lineitem fact — the reference's star-join shape
-    (fact_suricata star lookups, SURVEY.md J3) at BI scale.  True dims
-    (supplier/nation/region) get broadcast hints; orders/customer scale with
-    the data, so AQE decides their join strategy."""
+    (fact_suricata star lookups, SURVEY.md J3) at BI scale.  Only the
+    bounded dims (nation=25, region=5 rows at every SF) carry broadcast
+    hints; supplier/orders/customer all scale with the data, so AQE
+    size-checks them at runtime (auto-broadcast when small, SMJ at 100 TB)."""
     cust, orders, li, supp, nation, region = (
         load_table(spark, sf_dir, t)
         for t in ("customer", "orders", "lineitem", "supplier", "nation", "region")
@@ -163,7 +164,7 @@ def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders_win, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(
-            F.broadcast(supp),
+            supp,
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
@@ -189,11 +190,13 @@ LIMIT 10
 )
 def top_parts_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference 'top signatures' BI shape (clickhouse_examples.sql:21-29):
-    fact → broadcast dim → group → top-k."""
+    fact → dim lookup → group → top-k.  part grows ×10 per SF, so no
+    broadcast hint — AQE auto-broadcasts it while it fits and falls back
+    to a shuffled join at corpus scale."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
     return (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_brand")
         .agg(
             rnd(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
@@ -450,7 +453,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
             & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
         )
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
@@ -509,7 +512,8 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
 )
 def q14_promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar conditional-revenue ratio (TPC-H q14 shape) — two aggregates in
-    one pass, LIKE-prefix predicate on the broadcast dim."""
+    one pass; the part dim scales with SF so its join strategy is left to
+    AQE rather than force-broadcast."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
@@ -519,7 +523,7 @@ def q14_promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
             & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
         )
-        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
         .agg(rnd(F.lit(100.0) * F.sum(promo) / F.sum(rev), 4).alias("promo_pct"))
     )
 
@@ -558,7 +562,7 @@ def q15_top_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     max_rev = revenue.agg(F.max("total_rev").alias("m"))
     return (
         revenue.join(F.broadcast(max_rev), F.col("total_rev") == F.col("m"))
-        .join(F.broadcast(supp), F.col("supplier_no") == F.col("s_suppkey"))
+        .join(supp, F.col("supplier_no") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", rnd("total_rev", 2).alias("total_revenue"))
     )
 

@@ -44,7 +44,7 @@ def correlated_min_price_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         lines.join(mins, "l_partkey")
         .filter(F.col("unit_price") <= F.col("min_bound"))
-        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy(F.col("l_partkey").alias("partkey"), F.col("p_name"))
         .agg(
             rnd(F.min("unit_price"), 2).alias("min_unit_price"),

@@ -97,9 +97,9 @@ FROM (
 def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H q8: one nation's revenue share inside one region's customer
     base, per year.  The customer-side region restriction broadcasts down
-    to a semi-filter before the fact shuffle; both nation lookups are
-    broadcast (25 rows), so the only exchanges are lineitem⋈orders and
-    the final 2-row year aggregate."""
+    to a semi-filter before the fact shuffle (nation/region are bounded);
+    the supplier-side lookup scales with SF, so AQE picks its strategy —
+    auto-broadcast while supplier is small, shuffled join at corpus scale."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
@@ -128,7 +128,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(asia_nations), F.col("c_nationkey") == F.col("cust_nk"))
-        .join(F.broadcast(supp_nation), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supp_nation, F.col("l_suppkey") == F.col("s_suppkey"))
         .select(F.year("o_orderdate").cast("int").alias("o_year"),
                 vol.alias("volume"), "supp_nation")
         .groupBy("o_year")
@@ -162,8 +162,10 @@ FROM (
     tags=["J5", "A2", "like-pushdown"],
 )
 def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H q9 (sans partsupp cost side): the part LIKE filter broadcasts
-    as a ~1/8 semi-reduction of lineitem before the orders shuffle.
+    """TPC-H q9 (sans partsupp cost side): the part LIKE filter keeps a
+    constant ~1/8 fraction of a table that grows with SF, so the
+    semi-reduction of lineitem before the orders shuffle is left to AQE
+    (auto-broadcast when it fits, shuffled join beyond).
 
     The per-group sum rides DECIMAL(18,4): a plain double sum is
     order-dependent in its last ulp and this query's 1997 group lands
@@ -178,10 +180,10 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp_nation = supp.join(F.broadcast(nation),
                             F.col("s_nationkey") == F.col("n_nationkey"))
     return (
-        li.join(F.broadcast(part.filter(F.col("p_name").like("%widget%"))),
+        li.join(part.filter(F.col("p_name").like("%widget%")),
                 F.col("l_partkey") == F.col("p_partkey"))
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(supp_nation), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supp_nation, F.col("l_suppkey") == F.col("s_suppkey"))
         .select(F.col("n_name").alias("nation"),
                 F.year("o_orderdate").cast("int").alias("o_year"),
                 rnd(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
@@ -331,8 +333,9 @@ def q16_supplier_part_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H q16 (lineitem stands in for partsupp): how many distinct
     suppliers serve each surviving (brand, type, size) bucket, excluding a
     NOT-IN supplier denylist.  NOT IN over a non-null key compiles to a
-    broadcast left-anti join; count(DISTINCT) expands to the standard
-    two-shuffle expand-then-count plan."""
+    left-anti join (AQE broadcasts the denylist while it fits);
+    count(DISTINCT) expands to the standard two-shuffle
+    expand-then-count plan."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
     supp = load_table(spark, sf_dir, "supplier")
@@ -342,8 +345,8 @@ def q16_supplier_part_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29)
     )
     return (
-        li.join(F.broadcast(keep_part), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        li.join(keep_part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(bad, F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -374,15 +377,15 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
     brand = part.filter(F.col("p_brand") == "Brand#3").select("p_partkey")
-    narrowed = li.join(F.broadcast(brand), F.col("l_partkey") == F.col("p_partkey"))
+    narrowed = li.join(brand, F.col("l_partkey") == F.col("p_partkey"))
     thresholds = (
-        li.join(F.broadcast(brand.withColumnRenamed("p_partkey", "tp")),
+        li.join(brand.withColumnRenamed("p_partkey", "tp"),
                 F.col("l_partkey") == F.col("tp"))
         .groupBy(F.col("l_partkey").alias("t_partkey"))
         .agg((F.lit(0.2) * F.avg("l_quantity")).alias("qty_threshold"))
     )
     return (
-        narrowed.join(F.broadcast(thresholds),
+        narrowed.join(thresholds,
                       F.col("l_partkey") == F.col("t_partkey"))
         .filter(F.col("l_quantity") < F.col("qty_threshold"))
         .agg(rnd(F.sum("l_extendedprice") / F.lit(7.0), 2).alias("avg_yearly"))
@@ -419,7 +422,7 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("l_quantity").between(qlo, qhi)
     )
     return (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .filter(arm("Brand#2", 5, 1, 11) | arm("Brand#3", 10, 10, 20)
                 | arm("Brand#4", 15, 20, 30))
         .agg(rnd(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
@@ -479,7 +482,7 @@ def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     red = part.filter(F.col("p_name").like("red%")).select("p_partkey")
     dominant = (
         shipped.join(totals, F.col("l_partkey") == F.col("pt_partkey"))
-        .join(F.broadcast(red), F.col("l_partkey") == F.col("p_partkey"))
+        .join(red, F.col("l_partkey") == F.col("p_partkey"))
         .filter(F.col("qty") > F.lit(0.3) * F.col("total"))
         .select("l_suppkey")
     )
@@ -554,7 +557,7 @@ def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_suppkey") != F.col("o3_supp")),
             "left_anti",
         )
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
         .orderBy(F.desc("numwait"), F.asc("s_name"))
