@@ -28,68 +28,80 @@ def entry(spark: SparkSession) -> DataFrame:
     return REGISTRY["q5_nation_revenue"].fn(spark, "/root/testdata/sf0.001")
 
 
-# Beyond-reference extras (rollup/cube/percentiles/pivot/set-ops/frames/
-# session windows + the mechanical time dim): sorted after the core + LLM
-# operators so the driver's bounded correctness window always covers the
-# operators that carry coverage claims.  Everything here remains fully
-# oracle-checked by tools/check_correctness.py each round.
-_DEFER = {
-    "rollup_year_priority", "cube_segment_priority", "percentile_event_values",
-    "session_windows_gap", "pivot_daily_event_types", "except_intersect_users",
-    "sql_moving_avg_frame", "dim_time_complete", "top_users_by_value",
-    # each deferred entry's SURVEY §2 IDs keep an in-window representative:
-    "daily_event_type_ratio",   # A8/W1 → ratio_to_total_by_segment
-    "q14_promo_revenue_ratio",  # conditional-agg → q12
-    "q15_top_suppliers",        # J7/A4 → correlated_min_price_part, daily_order_stats
-    "event_date_time_keys",     # P1/date-fns → events_windowed_count, dim_date_build
-    "multi_key_daily_top",      # O2 → daily_order_stats
-    "q18_large_volume_orders",  # J6/having → order_priority_check
-    # TPC-H completion pack (tpch_rest.py) — every shape keeps an in-window
-    # representative (pushdown agg → q1; star+topk → q3/q5; correlated /
-    # scalar subqueries → correlated_min_price_part, q12; anti/semi →
-    # anti_join_customers_without_orders, order_priority_check):
-    "q6_forecast_revenue", "q8_market_share", "q9_product_profit",
-    "q10_returned_items", "q11_balance_concentration",
-    "q13_order_count_distribution", "q16_supplier_part_variety",
-    "q17_small_quantity_revenue", "q19_disjunctive_revenue",
-    "q20_dominant_suppliers", "q21_sole_late_supplier",
-    "q22_dormant_customers",
-    # content-signal pack (llm/signals.py) — in-window llm-text
-    # representatives: text_quality_scores, text_token_stats:
-    "pii_redaction_stats", "text_repetition_signals",
-    # ClickHouse-parity behavioral pack (queries/behavioral.py) — window/
-    # join shapes represented in-window by events_5min_buckets, q3, q5:
-    "timeseries_fill_gaps", "funnel_window_counts", "retention_cohorts",
-    # curation pack (llm/curation.py) — explode/ngram shapes represented
-    # in-window by dedup_ngram_jaccard_pairs, pack_context_windows:
-    "chunk_documents", "decontaminate_against_benchmark",
-    # ranking-window family — W2 represented by distinct_on_latest_event:
-    "window_rank_suite",
-    # exact-decimal second moments — A6 represented by q1_pricing_summary:
-    "stats_moments_by_returnflag",
-    # PNG codec round-trip proof — llm-multimodal represented in-window by
-    # multimodal_feature_extract:
-    "multimodal_png_roundtrip_stats",
+# Round-4 rotation of the driver's bounded (50-entry) correctness window.
+#
+# Rounds 2-3 checked the same 50 oracle queries (the CORRECTNESS_r03.json key
+# set below) twice over, leaving 37 oracle queries only locally mirrored.
+# This round inverts the window: never-driver-checked queries sort FIRST
+# (including any query added this round, which is by construction not in the
+# round-3 set), followed by 13 hand-picked representatives so every SURVEY §2
+# operator family keeps at least one in-window row, then the remaining twice-
+# green queries, then rows-only ops.  tools/check_correctness.py still
+# oracle-checks everything each round regardless of the driver's window.
+_CHECKED_R3 = {
+    "dedup_embedding_cosine_pairs", "dedup_exact_stats",
+    "dedup_ngram_jaccard_pairs", "dedup_minhash_lsh_pairs",
+    "dedup_near_dup_clusters", "dedup_keep_list", "dedup_simhash_signatures",
+    "multimodal_feature_extract", "ann_cosine_topk", "text_token_stats",
+    "text_quality_scores", "rolling_hash_fingerprints", "lang_id_markers",
+    "lang_id_char_ngrams", "tfidf_top_keywords", "doc_fingerprints",
+    "sample_hash_split", "sample_stratified_per_source",
+    "pack_context_windows", "embedding_centroids", "q1_pricing_summary",
+    "q3_shipping_priority", "q5_nation_revenue", "top_parts_by_revenue",
+    "order_priority_check", "ratio_to_total_by_segment", "events_5min_buckets",
+    "events_windowed_count", "q7_volume_shipping",
+    "q12_priority_by_quantity_band", "daily_order_stats",
+    "merge_upsert_daily_counts", "current_flag_version_join",
+    "gold_star_build_events", "gold_star_rollup_events",
+    "anti_join_customers_without_orders", "null_safe_join_priority_buckets",
+    "asof_join_last_purchase", "argmin_first_event_per_user",
+    "distinct_on_latest_event", "dedupe_last_write_wins",
+    "union_conform_nations", "json_extract_props", "dim_date_build",
+    "scd2_user_type_versions", "event_lag_seconds", "ts_parse_roundtrip",
+    "sql_revenue_by_region", "correlated_min_price_part",
+    "range_join_version_intervals",
 }
+
+# One in-window representative per §2 family whose only oracle coverage lives
+# in the round-3 set (IDs in comments; families already re-covered by the 37
+# rotated-in queries — e.g. J7 via q15/q11/q22, O2 via multi_key_daily_top,
+# W2 via window_rank_suite — stay rotated out this round):
+_KEEP_IN_WINDOW = [
+    "gold_star_build_events",          # S2/J3/gold star keying
+    "dedupe_last_write_wins",          # S4 ReplacingMergeTree semantics
+    "sql_revenue_by_region",           # S7 SQL serving path
+    "asof_join_last_purchase",         # J2 ASOF
+    "merge_upsert_daily_counts",       # J8 MERGE
+    "null_safe_join_priority_buckets", # J9/P5 null-safe equi
+    "current_flag_version_join",       # J11 current-flag dim
+    "argmin_first_event_per_user",     # A5 argMin
+    "distinct_on_latest_event",        # A7 DISTINCT ON
+    "events_5min_buckets",             # W3 time buckets
+    "union_conform_nations",           # U1 UNION ALL conform
+    "json_extract_props",              # P4/F-JSON fallback chains
+    "scd2_user_type_versions",         # §2.11 SCD2 protocol
+]
 
 
 def _ordered():
-    """Registry in driver-check priority order: LLM-pipeline oracle queries
-    (the ones a bounded window missed in round 1) → core operator oracle
-    queries → deferred beyond-reference extras → rows-only (no-oracle) ops."""
+    """Registry in driver-check priority order: never-driver-checked oracle
+    queries (round-3 deferred + anything new this round) → per-family
+    representatives → twice-green round-3 window rest → rows-only ops."""
     from dev_clickhouse_spark.queries import REGISTRY
+
+    keep_rank = {n: i for i, n in enumerate(_KEEP_IN_WINDOW)}
 
     def klass(item):
         name, spec = item
         if spec.oracle is None:
-            return 3
-        if name in _DEFER:
-            return 2
-        if any(t.startswith("llm-") for t in spec.tags):
-            return 0
-        return 1
+            return (3, 0)
+        if name not in _CHECKED_R3:
+            return (0, 0)
+        if name in keep_rank:
+            return (1, keep_rank[name])
+        return (2, 0)
 
-    return sorted(REGISTRY.items(), key=lambda it: (klass(it),))
+    return sorted(REGISTRY.items(), key=klass)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
