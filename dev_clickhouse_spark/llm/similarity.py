@@ -13,6 +13,9 @@ from __future__ import annotations
 
 import hashlib
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -127,6 +130,67 @@ def lsh_bucket_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"), "cosine")
+    )
+
+
+def _band_keys_udf(dim: int, bits: int, bands: int):
+    """Arrow UDF: all ``bands`` LSH band keys of a vector in one numpy matmul
+    (``bits`` sign-bits per band over deterministic md5-parity hyperplanes).
+    One vectorized pass beats ``bits*bands`` nested JVM aggregate expressions
+    and is map-only — the scale cost is the band equi-join, not this."""
+    planes = np.array(_plane_weights(dim, bits * bands))  # (bits*bands, dim)
+    pows = 1 << np.arange(bits)
+
+    @F.pandas_udf("array<int>")
+    def band_keys(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        E = np.array(v.tolist(), dtype=np.float64)
+        S = (E @ planes.T) >= 0  # (n, bits*bands)
+        K = np.stack(
+            [S[:, b * bits:(b + 1) * bits].dot(pows) for b in range(bands)], axis=1
+        ).astype(np.int32)
+        return pd.Series(list(K))
+
+    return band_keys
+
+
+def cosine_threshold_pairs(
+    emb: DataFrame, threshold: float, dim: int,
+    bits: int = 3, bands: int = 40,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """All pairs with cosine >= threshold via banded hyperplane-LSH blocking +
+    exact verify — the scale shape for embedding near-dup detection.
+
+    Candidates = pairs sharing at least one (band, key); each is scored with
+    the exact JVM cosine and filtered BEFORE the pair-dedup shuffle, so the
+    dedup handles only qualifying pairs.  The plan is a band equi-join
+    (shuffle on (band, key)) — no broadcast nested-loop over the full self
+    join, no executor ever holds the whole table.  Miss probability per
+    qualifying pair at cos=t is (1-p^bits)^bands with p = 1-acos(t)/pi; the
+    defaults give <1e-5 at t=0.4 and recall 1.0 on the driver testdata
+    (asserted against the brute force in tests/test_bucketing_ivf.py).
+    """
+    keys = _band_keys_udf(dim, bits, bands)
+    base = emb.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("e")
+    ).withColumn("bk", keys("e"))
+    keyed = base.select("id", "e", F.posexplode("bk").alias("band", "key"))
+    a = keyed.select(
+        F.col("id").alias("vec_a"), F.col("e").alias("ea"), "band", "key"
+    )
+    b = keyed.select(
+        F.col("id").alias("vec_b"), F.col("e").alias("eb"), "band", "key"
+    )
+    cos = _dot(F.col("ea"), F.col("eb")) / (_norm(F.col("ea")) * _norm(F.col("eb")))
+    return (
+        a.join(b, ["band", "key"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("__cos", cos)
+        .filter(F.col("__cos") >= threshold)
+        .dropDuplicates(["vec_a", "vec_b"])
+        .select("vec_a", "vec_b", rnd(F.col("__cos"), 4).alias("cosine"))
     )
 
 

@@ -111,9 +111,20 @@ WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.
 )
 def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (threshold 0.4) — semantic dedup
-    over the embedding column.  Brute-force O(n²) here; at corpus scale the
-    same verify runs behind hyperplane-LSH blocking
-    (llm/similarity.lsh_bucket_topk)."""
+    over the embedding column, via banded hyperplane-LSH blocking + exact
+    cosine verify on candidates only (llm/similarity.cosine_threshold_pairs).
+    The band equi-join replaces the O(n²) broadcast nested-loop self-join;
+    recall vs the brute force is asserted in tests/test_bucketing_ivf.py."""
+    from ..llm.similarity import cosine_threshold_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    return cosine_threshold_pairs(emb, threshold=0.4, dim=dim)
+
+
+def cosine_pairs_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs comparator for the LSH-blocked query above — test-only
+    recall baseline, not registered (O(n²) does not survive corpus scale)."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )

@@ -56,3 +56,30 @@ def test_ivf_full_probe_equals_exact(spark):
         for r in ivf_topk(emb, q, k=3, n_centroids=8, n_probe=8).collect()
     }
     assert exact == full
+
+
+def test_cosine_threshold_pairs_matches_bruteforce(spark):
+    """The LSH-blocked threshold join must return EXACTLY the brute-force
+    pair set (values included) on the driver testdata — this is what lets the
+    registered query keep its exact SQL oracle while dropping the O(n^2)
+    broadcast nested-loop plan."""
+    from dev_clickhouse_spark.queries.extended import (
+        cosine_pairs_bruteforce,
+        dedup_embedding_cosine_pairs,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    blocked = dedup_embedding_cosine_pairs(spark, sf)
+    brute = cosine_pairs_bruteforce(spark, sf)
+    got = {(r.vec_a, r.vec_b, r.cosine) for r in blocked.collect()}
+    want = {(r.vec_a, r.vec_b, r.cosine) for r in brute.collect()}
+    assert got == want and len(want) > 0
+
+
+def test_cosine_threshold_pairs_plan_has_no_nested_loop(spark):
+    from dev_clickhouse_spark.queries.extended import dedup_embedding_cosine_pairs
+
+    df = dedup_embedding_cosine_pairs(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
