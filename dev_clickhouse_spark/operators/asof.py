@@ -168,6 +168,7 @@ def asof_join_multi(
         .filter(F.col("__side") == 1)
         .groupBy(*id_cols)
         .agg(
+            F.count(F.lit(1)).alias("__probe_rows"),
             *[
                 F.max(F.when(F.col("__tag") == tag, F.col("__match"))).alias(
                     f"__m_{tag}"
@@ -175,6 +176,30 @@ def asof_join_multi(
                 for tag, *_ in specs
             ]
         )
+        # Enforce the id_cols-uniqueness precondition instead of trusting the
+        # docstring: every unique left row contributes exactly len(specs)
+        # probe rows to this fold, so a higher count means duplicate
+        # (id_cols) rows whose matches the max() would silently mix (e.g.
+        # duplicate (event_id, event_ts) across micro-batches with different
+        # natural keys).  Checked inside the existing aggregate — no extra
+        # shuffle; raises at action time.
+        .filter(
+            F.assert_true(
+                F.col("__probe_rows") == F.lit(len(specs)),
+                F.concat(
+                    F.lit(
+                        "asof_join_multi: id_cols do not uniquely identify "
+                        "left rows (id="
+                    ),
+                    F.concat_ws(", ", *[F.col(c).cast("string") for c in id_cols]),
+                    F.lit(
+                        f") — expected {len(specs)} probe rows per id; "
+                        "dropDuplicates(id_cols) the probe side first"
+                    ),
+                ),
+            ).isNull()
+        )
+        .drop("__probe_rows")
     )
     out = left.join(matched, on=id_cols, how="left")
     for tag, _, _, _, _, pcol in specs:

@@ -273,3 +273,35 @@ def test_asof_join_multi_single_window_exchange(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     # exactly ONE window sort serves all three lookups
     assert plan.count("Window") == 1
+
+
+def test_asof_join_multi_raises_on_duplicate_probe_ids(spark):
+    """Duplicate (event_id, event_ts) left rows with DIFFERENT natural keys
+    (possible across micro-batches — per-batch dropDuplicates) must raise at
+    action time, not silently mix one row's dim key onto another."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from dev_clickhouse_spark.operators.asof import asof_join_multi
+
+    events = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:00:00", "a", "h"),
+            (1, "2024-01-01 10:00:00", "b", "h"),  # same id, different agent nk
+        ],
+        "event_id long, event_ts string, ank string, hnk string",
+    ).withColumn("event_ts", F.col("event_ts").cast("timestamp"))
+    d = spark.createDataFrame(
+        [("a", "2024-01-01 00:00:00", 1), ("b", "2024-01-01 00:00:00", 2),
+         ("h", "2024-01-01 00:00:00", 3)],
+        "nk string, effective_from string, k long",
+    ).withColumn("effective_from", F.col("effective_from").cast("timestamp"))
+
+    out = asof_join_multi(
+        events,
+        [("agent", d, "ank", "nk", "effective_from", "k"),
+         ("host", d, "hnk", "nk", "effective_from", "k")],
+        left_ts="event_ts", id_cols=["event_id", "event_ts"],
+    )
+    with pytest.raises(Exception, match="uniquely identify"):
+        out.collect()
