@@ -84,8 +84,22 @@ class Warehouse:
         under a ``ingest_batch=<id>`` directory that is atomically replaced on
         replay, so a micro-batch retried after a partial write converges to
         exactly-once end state instead of duplicating (streaming callers pass
-        the foreachBatch id; a table must be written consistently with or
-        without batch ids — the two directory layouts don't mix)."""
+        the foreachBatch id).  A table must be written consistently with or
+        without batch ids — the two directory layouts don't mix, and mixing
+        them makes ``spark.read`` fail on conflicting partition structures —
+        so a mismatch against the existing layout is REFUSED here rather than
+        discovered at read time."""
+        existing = self._batch_layout(table)
+        if existing is True and batch_id is None:
+            raise ValueError(
+                f"table {table!r} uses the ingest_batch layout; "
+                "append() without batch_id would corrupt it"
+            )
+        if existing is False and batch_id is not None:
+            raise ValueError(
+                f"table {table!r} uses the plain layout; "
+                f"append(batch_id={batch_id}) would corrupt it"
+            )
         writer_df = self._prep(table, df)
         if batch_id is None:
             target, mode = self.path(table), "append"
@@ -97,14 +111,24 @@ class Warehouse:
         else:
             writer_df.write.mode(mode).parquet(target)
 
+    def _batch_layout(self, table: str) -> bool | None:
+        """True = existing table uses ``ingest_batch=`` dirs, False = plain
+        layout, None = no data yet (either layout may start)."""
+        if not self.exists(table):
+            return None
+        entries = [
+            f for f in os.listdir(self.path(table)) if not f.startswith((".", "_"))
+        ]
+        return any(e.startswith("ingest_batch=") for e in entries)
+
     def batch_committed(self, table: str, batch_id: int) -> bool:
-        """True when ``append(..., batch_id=...)`` has completed for this id
-        (used as the replay-skip marker by the streaming sink)."""
+        """True when ``append(..., batch_id=...)`` has fully committed for
+        this id (the replay-skip marker of the streaming sink).  Only the
+        job-level ``_SUCCESS`` marker counts: task files are moved into place
+        BEFORE job commit, so 'any .parquet present' would let a crash in
+        that gap make a replayed batch skip reprocessing and lose rows."""
         p = os.path.join(self.path(table), f"ingest_batch={batch_id}")
-        return os.path.exists(p) and (
-            os.path.exists(os.path.join(p, "_SUCCESS"))
-            or any(f.endswith(".parquet") for f in os.listdir(p))
-        )
+        return os.path.exists(os.path.join(p, "_SUCCESS"))
 
     def overwrite(self, table: str, df: DataFrame) -> None:
         """Full-snapshot replace (SCD2 dims).  The input may derive from the

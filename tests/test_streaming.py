@@ -133,3 +133,46 @@ def test_kafka_source_option_mapping(spark, tmp_path):
     # with the missing-data-source error, not silently degrade
     with pytest.raises(Exception, match="kafka|KAFKA"):
         bs.from_kafka("k1:9092", "t", "g")
+
+
+def test_commit_marker_requires_success(spark, tmp_path):
+    """A crash between task-file moves and job commit leaves .parquet files
+    without _SUCCESS — the batch must NOT count as committed, or the replayed
+    batch would skip reprocessing and lose rows (ADVICE round-2 item)."""
+    import os
+
+    from dev_clickhouse_spark.plans.warehouse import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    df = spark.createDataFrame([(7, 4, 1, 2, 1, 0)],
+                               "batch_id long, n_raw long, n_suricata long, "
+                               "n_wazuh long, n_zeek long, n_unrouted long")
+    wh.append("ingest_metrics", df, batch_id=7)
+    assert wh.batch_committed("ingest_metrics", 7)
+
+    # simulate the crash window: task files present, job commit marker absent
+    os.remove(os.path.join(wh.path("ingest_metrics"), "ingest_batch=7", "_SUCCESS"))
+    assert not wh.batch_committed("ingest_metrics", 7)
+
+    # replay converges: the per-batch overwrite replaces the partial files
+    wh.append("ingest_metrics", df, batch_id=7)
+    assert wh.batch_committed("ingest_metrics", 7)
+    assert wh.read("ingest_metrics").count() == 1
+
+
+def test_append_refuses_layout_mismatch(spark, tmp_path):
+    import pytest
+
+    from dev_clickhouse_spark.plans.warehouse import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    df = spark.createDataFrame([(1,)], "v long")
+
+    wh.append("ingest_metrics", df)  # plain layout
+    with pytest.raises(ValueError, match="plain layout"):
+        wh.append("ingest_metrics", df, batch_id=1)
+
+    wh2 = Warehouse(spark, str(tmp_path / "wh2"))
+    wh2.append("ingest_metrics", df, batch_id=1)  # batch layout
+    with pytest.raises(ValueError, match="ingest_batch layout"):
+        wh2.append("ingest_metrics", df)
