@@ -105,13 +105,20 @@ def main() -> None:
     finally:
         shutil.rmtree(wh, ignore_errors=True)
 
-    # 3: query pack at sf
+    # 3: query pack at sf — median of 3 runs per query: this VM's scheduler
+    # jitter swings single-shot timings ±3-10x between runs (round-3 BENCH
+    # recorded an 11.8x phantom regression on an untouched query), and the
+    # artifact should reflect plans, not noise.  Ingest/gold stay single-shot
+    # (they are long enough to dominate jitter and not idempotent to repeat).
     for name in BENCH_QUERIES:
         fn = REGISTRY[name].fn
-        t0 = time.time()
-        n = len(fn(spark, sf_dir).collect())
-        timings[name] = round(time.time() - t0, 3)
-        assert n >= 0
+        runs = []
+        for _ in range(3):
+            t0 = time.time()
+            n = len(fn(spark, sf_dir).collect())
+            runs.append(time.time() - t0)
+            assert n >= 0
+        timings[name] = round(sorted(runs)[1], 3)
 
     total = round(sum(timings.values()), 3)
     print(
