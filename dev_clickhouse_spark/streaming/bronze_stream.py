@@ -79,22 +79,49 @@ class BronzeStream:
             "failOnDataLoss": "false",
         }
 
+    #: the Kafka wire schema (what ``format("kafka").load()`` returns) — also
+    #: the schema test streams must present to ``from_kafka_wire``
+    KAFKA_WIRE_SCHEMA = (
+        "key binary, value binary, topic string, partition int, offset long, "
+        "timestamp timestamp, timestampType int"
+    )
+
+    @staticmethod
+    def kafka_wire_to_raw(kafka_df: DataFrame) -> DataFrame:
+        """The Kafka branch's value-cast step: binary ``value`` → UTF-8 raw
+        JSON string (the reference's JSONAsString framing,
+        02_kafka_ingest.sql.tmpl:9).  Shared by the real reader and the
+        wire-shaped test twin so the executed transform is identical."""
+        return kafka_df.selectExpr("CAST(value AS STRING) AS raw")
+
     def from_kafka(
         self, brokers: str, topics: str, group_id: str,
         available_now: bool = False, processing_time: str = "5 minutes",
     ) -> StreamingQuery:
         """Kafka source — same foreachBatch sink as ``from_files`` (shared
-        ``_start``), differing only in the reader.  Requires the
-        spark-sql-kafka connector + a broker; the test environment has
-        neither, so tests assert the option mapping and exercise the shared
-        sink through the file twin (documented env limit)."""
-        raw = (
+        ``_start``), differing only in the reader.  The broker-side reader
+        requires the spark-sql-kafka connector + a broker (absent in the test
+        environment); everything downstream of ``load()`` — value cast →
+        route → extract → exactly-once sink — is exercised for real by
+        ``from_kafka_wire`` micro-batches in tests/test_streaming.py."""
+        raw = self.kafka_wire_to_raw(
             self.spark.readStream.format("kafka")
             .options(**self.kafka_options(brokers, topics, group_id))
             .load()
-            .selectExpr("CAST(value AS STRING) AS raw")
         )
         return self._start(raw, available_now, processing_time)
+
+    def from_kafka_wire(
+        self, wire: DataFrame, available_now: bool = True,
+        processing_time: str = "5 minutes",
+    ) -> StreamingQuery:
+        """Drive the Kafka branch from an already-constructed stream with the
+        Kafka wire schema (``KAFKA_WIRE_SCHEMA``).  This is the broker-less
+        twin of ``from_kafka``: identical value-cast transform, identical
+        sink — only ``format("kafka").load()`` itself is substituted."""
+        return self._start(
+            self.kafka_wire_to_raw(wire), available_now, processing_time
+        )
 
     # -- sink --------------------------------------------------------------
 

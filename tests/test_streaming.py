@@ -135,6 +135,65 @@ def test_kafka_source_option_mapping(spark, tmp_path):
         bs.from_kafka("k1:9092", "t", "g")
 
 
+def _write_kafka_wire(spark, path, payloads, offset0=0):
+    """Parquet files with the exact Kafka wire schema: binary value = JSON
+    payload bytes, plus topic/partition/offset metadata."""
+    rows = [
+        (None, json.dumps(p).encode("utf-8"), "malcolm-logs", 0, offset0 + i,
+         None, 0)
+        for i, p in enumerate(payloads)
+    ]
+    from dev_clickhouse_spark.streaming.bronze_stream import BronzeStream
+
+    spark.createDataFrame(rows, BronzeStream.KAFKA_WIRE_SCHEMA).write.mode(
+        "append"
+    ).parquet(str(path))
+
+
+def test_kafka_wire_branch_micro_batches_and_replay(spark, tmp_path):
+    """Drives the from_kafka branch itself (value-cast → route → extract →
+    exactly-once sink) through real micro-batches: a wire-schema stream is
+    identical to format('kafka').load() output downstream of the reader, and
+    the value-cast transform is the SAME code object (kafka_wire_to_raw).
+    Second run from the checkpoint consumes only new wire files (ST1)."""
+    from dev_clickhouse_spark.streaming.bronze_stream import BronzeStream
+
+    wire_dir = tmp_path / "wire"
+    _write_kafka_wire(spark, wire_dir, [
+        wazuh_payload("w1", ts="2026-01-08T09:10:00.000Z"),
+        suricata_payload("s1", ts="2026-01-08T09:11:00.000Z"),
+        zeek_payload("z1", ts="2026-01-08T09:12:00.000Z"),
+        {"event": {"hash": ""}},  # unroutable → counted, not fatal (ST2)
+    ])
+
+    bs = BronzeStream(spark, str(tmp_path / "wh"), str(tmp_path / "ck"))
+    wire = (
+        spark.readStream.schema(BronzeStream.KAFKA_WIRE_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(wire_dir))
+    )
+    bs.from_kafka_wire(wire).awaitTermination(120)
+
+    assert bs.wh.read("wazuh_events_raw").count() == 1
+    assert bs.wh.read("suricata_events_raw").count() == 1
+    assert bs.wh.read("zeek_events_raw").count() == 1
+    m = spark.read.parquet(f"{tmp_path}/wh/ingest_metrics").collect()
+    assert sum(r.n_unrouted for r in m) == 1
+
+    # replay safety: restart from the checkpoint, only the new file consumed
+    _write_kafka_wire(spark, wire_dir,
+                      [wazuh_payload("w2", ts="2026-01-08T09:20:00.000Z")],
+                      offset0=100)
+    wire2 = (
+        spark.readStream.schema(BronzeStream.KAFKA_WIRE_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(wire_dir))
+    )
+    bs.from_kafka_wire(wire2).awaitTermination(120)
+    got = {r.event_id for r in bs.wh.read("wazuh_events_raw").collect()}
+    assert got == {"w1", "w2"}
+
+
 def test_commit_marker_requires_success(spark, tmp_path):
     """A crash between task-file moves and job commit leaves .parquet files
     without _SUCCESS — the batch must NOT count as committed, or the replayed
