@@ -65,21 +65,26 @@ _CHECKED_R3 = {
 # One in-window representative per §2 family whose only oracle coverage lives
 # in the round-3 set (IDs in comments; families already re-covered by the 37
 # rotated-in queries — e.g. J7 via q15/q11/q22, O2 via multi_key_daily_top,
-# W2 via window_rank_suite — stay rotated out this round):
+# W2 via window_rank_suite — stay rotated out this round).  ORDER MATTERS:
+# never-checked queries sort ahead of these, so when new oracle queries grow
+# that class past 50-len(this list), reps drop from the TAIL — the most
+# redundant families (SQL path also in sql_moving_avg_frame; the null-safe
+# eqNullSafe mechanic also inside current_flag_version_join's join condition)
+# are listed last on purpose.
 _KEEP_IN_WINDOW = [
+    "scd2_user_type_versions",         # §2.11 SCD2 protocol
     "gold_star_build_events",          # S2/J3/gold star keying
-    "dedupe_last_write_wins",          # S4 ReplacingMergeTree semantics
-    "sql_revenue_by_region",           # S7 SQL serving path
     "asof_join_last_purchase",         # J2 ASOF
     "merge_upsert_daily_counts",       # J8 MERGE
-    "null_safe_join_priority_buckets", # J9/P5 null-safe equi
-    "current_flag_version_join",       # J11 current-flag dim
+    "dedupe_last_write_wins",          # S4 ReplacingMergeTree semantics
+    "json_extract_props",              # P4/F-JSON fallback chains
     "argmin_first_event_per_user",     # A5 argMin
     "distinct_on_latest_event",        # A7 DISTINCT ON
     "events_5min_buckets",             # W3 time buckets
     "union_conform_nations",           # U1 UNION ALL conform
-    "json_extract_props",              # P4/F-JSON fallback chains
-    "scd2_user_type_versions",         # §2.11 SCD2 protocol
+    "current_flag_version_join",       # J11 current-flag dim + P5 eqNullSafe
+    "null_safe_join_priority_buckets", # J9/P5 null-safe equi
+    "sql_revenue_by_region",           # S7 SQL serving path
 ]
 
 

@@ -334,10 +334,112 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, emb.filter(F.col("vec_id") < 20), k=5)
 
 
-@register("ann_lsh_bucket_topk", tags=["llm-similarity"])  # rows-only check
+def _signature_sql(vec_expr: str = "e", dim: int = 64,
+                   n_planes: int = N_PLANES) -> str:
+    """DuckDB expression reproducing ``lsh_signature`` bit-for-bit: the
+    md5-parity planes are deterministic literals, and the smallest |dot|
+    across the testdata is ~7e-4 — nine orders of magnitude above float64
+    accumulation-order noise — so the sign decisions (and hence buckets)
+    are engine-independent.  That is what lets the LSH ANN queries carry
+    exact value-hash oracles instead of rows-only checks."""
+    planes = _plane_weights(dim, n_planes)
+    return " || ".join(
+        "(CASE WHEN list_dot_product(" + vec_expr + ", ["
+        + ",".join(repr(w) for w in p)
+        + "]) >= 0 THEN '1' ELSE '0' END)"
+        for p in planes
+    )
+
+
+_LSH_TOPK_ORACLE = f"""
+WITH sig AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e, {_signature_sql()} AS bucket
+  FROM embeddings
+),
+q AS (SELECT * FROM sig WHERE vec_id < 20),
+sims AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         floor(list_cosine_similarity(q.e, c.e) * 10000 + 0.5) / 10000 AS cosine
+  FROM q JOIN sig c ON c.bucket = q.bucket AND c.vec_id != q.vec_id
+),
+rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cosine DESC, neighbor_id) AS rn
+       FROM sims)
+SELECT query_id, neighbor_id, CAST(rn AS INTEGER) AS rank, cosine
+FROM rk WHERE rn <= 5
+"""
+
+
+@register("ann_lsh_bucket_topk", oracle=_LSH_TOPK_ORACLE, tags=["llm-similarity"])
 def ann_lsh_bucket_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hyperplane-LSH ANN for the same 20 queries (scale path; approximate —
-    no SQL oracle by design, the driver records a rows-only check)."""
+    """Hyperplane-LSH ANN for the same 20 queries (scale path).  Approximate
+    w.r.t. the exact top-k but fully deterministic: fixed md5-parity planes
+    make the buckets — and therefore the result — reproducible in ANSI SQL,
+    so this carries an exact oracle (see ``_signature_sql``)."""
     emb = load_table(spark, sf_dir, "embeddings")
     dim = len(emb.select("embedding").first()[0])
     return lsh_bucket_topk(emb, emb.filter(F.col("vec_id") < 20), dim=dim, k=5)
+
+
+_LSH_RECALL_ORACLE = f"""
+WITH sig AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e, {_signature_sql()} AS bucket
+  FROM embeddings
+),
+q AS (SELECT * FROM sig WHERE vec_id < 20),
+exact_sims AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         floor(list_cosine_similarity(q.e, c.e) * 10000 + 0.5) / 10000 AS cosine
+  FROM q JOIN sig c ON c.vec_id != q.vec_id
+),
+exact_rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                          ORDER BY cosine DESC, neighbor_id) AS rn
+             FROM exact_sims),
+exact5 AS (SELECT query_id, neighbor_id FROM exact_rk WHERE rn <= 5),
+ann_sims AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         floor(list_cosine_similarity(q.e, c.e) * 10000 + 0.5) / 10000 AS cosine
+  FROM q JOIN sig c ON c.bucket = q.bucket AND c.vec_id != q.vec_id
+),
+ann_rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cosine DESC, neighbor_id) AS rn
+           FROM ann_sims),
+ann5 AS (SELECT query_id, neighbor_id FROM ann_rk WHERE rn <= 5),
+hits AS (
+  SELECT e.query_id, count(*) AS n
+  FROM exact5 e JOIN ann5 a
+    ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+  GROUP BY e.query_id
+)
+SELECT q.vec_id AS query_id,
+       CAST(coalesce(h.n, 0) AS INTEGER) AS n_hits,
+       coalesce(h.n, 0) / 5.0 AS recall
+FROM q LEFT JOIN hits h ON h.query_id = q.vec_id
+"""
+
+
+@register("ann_lsh_recall_at_5", oracle=_LSH_RECALL_ORACLE, tags=["llm-similarity"])
+def ann_lsh_recall_at_5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the LSH-bucketed ANN against the exact top-5, per query —
+    the measured-not-guessed answer to 'how approximate is the scale path'.
+    Deterministic end to end (fixed planes, id tie-breaks), hence exact
+    SQL oracle; the aggregate recall is also asserted in tests."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20)
+    dim = len(emb.select("embedding").first()[0])
+    exact = cosine_topk(emb, q, k=5).select("query_id", "neighbor_id")
+    ann = lsh_bucket_topk(emb, q, dim=dim, k=5).select("query_id", "neighbor_id")
+    hits = (
+        exact.join(ann, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        q.select(F.col("vec_id").alias("query_id"))
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n"), F.lit(0)).cast("int").alias("n_hits"),
+            (F.coalesce(F.col("n"), F.lit(0)) / F.lit(5.0)).alias("recall"),
+        )
+    )

@@ -83,3 +83,25 @@ def test_cosine_threshold_pairs_plan_has_no_nested_loop(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_ann_lsh_recall_query_consistent(spark):
+    """ann_lsh_recall_at_5 must agree with an independent recomputation from
+    the exact and LSH top-5 sets, and report a usable aggregate recall."""
+    from dev_clickhouse_spark.llm.similarity import (
+        ann_lsh_bucket_topk,
+        ann_cosine_topk,
+        ann_lsh_recall_at_5,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    exact = {(r.query_id, r.neighbor_id) for r in ann_cosine_topk(spark, sf).collect()}
+    ann = {(r.query_id, r.neighbor_id) for r in ann_lsh_bucket_topk(spark, sf).collect()}
+    rows = ann_lsh_recall_at_5(spark, sf).collect()
+    assert len(rows) == 20
+    for r in rows:
+        want = len({p for p in exact if p[0] == r.query_id}
+                   & {p for p in ann if p[0] == r.query_id})
+        assert r.n_hits == want and r.recall == want / 5.0
+    mean_recall = sum(r.recall for r in rows) / len(rows)
+    assert 0.0 < mean_recall <= 1.0
