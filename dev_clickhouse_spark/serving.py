@@ -1,0 +1,161 @@
+"""BI/HTTP SQL serving endpoint (SURVEY.md §2.1 S7).
+
+The reference serves BI over ClickHouse's HTTP interface: Superset connects
+to ``clickhouse+connect://superset:…@clickhouse:8123`` and may read gold
+tables only, through the SELECT-only ``bi_reader`` role
+(reference docker-compose.yml:144-159, clickhouse/init/00_databases.sql:4-21,
+superset/bootstrap/README_superset.md:4-6).  This module re-expresses that
+serving contract Spark-side with no external dependencies:
+
+- **HTTP endpoint** (stdlib ``http.server``): ``GET/POST /query?q=<SQL>``
+  returns JSON rows, bound to 127.0.0.1.
+- **Read-only role analog**: queries run in an ISOLATED ``newSession()``
+  whose temp-view catalog contains exactly the registered gold views — a
+  reference to any other table fails analysis, the same visibility the
+  ``bi_reader`` grant enforces.  Statements that are not pure queries
+  (INSERT/CREATE/DROP/SET/…) are refused before execution.
+- **Superset envelope**: results are capped at 50 000 rows and queries at a
+  60 s timeout by default (reference superset/superset_config.py:1-2).
+
+A Spark Connect / Thrift server would serve the same views to real BI tools
+(the jars ship with Spark); the grpc/thrift *client* stacks are absent in
+this environment, so the demo speaks plain HTTP — which is also what the
+reference's own BI link uses.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import urllib.parse
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from pyspark.sql import SparkSession
+
+#: statement keywords that may START a served query
+_QUERY_STARTERS = ("select", "with", "values", "table", "explain")
+
+
+class SqlServingEndpoint:
+    """Serve registered gold views over HTTP SQL, read-only.
+
+    ``views`` maps view name → parquet path; the paths are read in a fresh
+    ``newSession()`` so the serving catalog holds ONLY these views (plus the
+    shared persistent catalog, which this engine does not use).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        views: dict[str, str],
+        max_rows: int = 50_000,
+        timeout_sec: float = 60.0,
+    ):
+        self.serving = spark.newSession()
+        for name, path in views.items():
+            self.serving.read.parquet(path).createOrReplaceTempView(name)
+        self.max_rows = max_rows
+        self.timeout_sec = timeout_sec
+        self._server: ThreadingHTTPServer | None = None
+        self._thread: threading.Thread | None = None
+
+    # -- query layer (usable without HTTP) ---------------------------------
+
+    def execute(self, sql: str) -> list[dict]:
+        """Run one read-only statement, return rows as dicts (row cap
+        applied).  Raises ``PermissionError`` for anything but a query."""
+        self._check_read_only(sql)
+        df = self.serving.sql(sql)
+        rows = df.limit(self.max_rows).collect()
+        return [r.asDict(recursive=True) for r in rows]
+
+    def _check_read_only(self, sql: str) -> None:
+        stripped = sql.strip().rstrip(";").strip()
+        if ";" in stripped:
+            raise PermissionError("multi-statement requests are not served")
+        first = stripped.split(None, 1)[0].lower() if stripped else ""
+        if first not in _QUERY_STARTERS:
+            raise PermissionError(
+                f"read-only endpoint: statement kind {first!r} is not served"
+            )
+        # defense in depth: refuse plans that parse to commands/DML even when
+        # disguised behind a query-looking prefix
+        jparser = self.serving._jsparkSession.sessionState().sqlParser()
+        plan_cls = jparser.parsePlan(stripped).getClass().getName()
+        deny = ("Command", "Insert", "Create", "Drop", "Alter", "Merge",
+                "Update", "Delete", "Truncate")
+        simple = plan_cls.rsplit(".", 1)[-1]
+        if any(d in simple for d in deny):
+            raise PermissionError(f"read-only endpoint: {simple} is not served")
+
+    # -- HTTP layer --------------------------------------------------------
+
+    def start(self, port: int = 0) -> int:
+        """Start serving on 127.0.0.1 (ephemeral port by default); returns
+        the bound port."""
+        endpoint = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *_args):  # quiet test output
+                pass
+
+            def _respond(self, code: int, payload: dict) -> None:
+                body = json.dumps(payload, default=str).encode("utf-8")
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def _serve(self, sql: str) -> None:
+                if not sql:
+                    self._respond(400, {"error": "missing q parameter"})
+                    return
+                result: dict = {}
+
+                def run():
+                    try:
+                        result["rows"] = endpoint.execute(sql)
+                    except PermissionError as e:
+                        result["denied"] = str(e)
+                    except Exception as e:  # analysis/execution errors
+                        result["error"] = str(e)[:2000]
+
+                t = threading.Thread(target=run, daemon=True)
+                t.start()
+                t.join(endpoint.timeout_sec)
+                if t.is_alive():
+                    self._respond(504, {"error": "query timeout"})
+                elif "denied" in result:
+                    self._respond(403, {"error": result["denied"]})
+                elif "error" in result:
+                    self._respond(400, {"error": result["error"]})
+                else:
+                    self._respond(
+                        200, {"rows": result["rows"], "n": len(result["rows"])}
+                    )
+
+            def do_GET(self):
+                parsed = urllib.parse.urlparse(self.path)
+                if parsed.path != "/query":
+                    self._respond(404, {"error": "use /query?q=<SQL>"})
+                    return
+                q = urllib.parse.parse_qs(parsed.query).get("q", [""])[0]
+                self._serve(q)
+
+            def do_POST(self):
+                n = int(self.headers.get("Content-Length", "0"))
+                self._serve(self.rfile.read(n).decode("utf-8"))
+
+        self._server = ThreadingHTTPServer(("127.0.0.1", port), Handler)
+        self._thread = threading.Thread(
+            target=self._server.serve_forever, daemon=True
+        )
+        self._thread.start()
+        return self._server.server_address[1]
+
+    def stop(self) -> None:
+        if self._server is not None:
+            self._server.shutdown()
+            self._server.server_close()
+            self._server = None

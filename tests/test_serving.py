@@ -1,0 +1,92 @@
+"""S7 BI/HTTP serving endpoint tests — the reference's Superset→HTTP contract
+re-expressed Spark-side (read-only gold-only catalog, 50k row cap, 60 s
+timeout)."""
+
+from __future__ import annotations
+
+import json
+import urllib.parse
+import urllib.request
+
+import pytest
+
+from dev_clickhouse_spark.serving import SqlServingEndpoint
+
+
+@pytest.fixture(scope="module")
+def endpoint(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("gold")
+    spark.createDataFrame(
+        [("EU", 10.0), ("EU", 5.0), ("US", 7.5)], "region string, revenue double"
+    ).write.parquet(str(root / "gold_revenue"))
+    spark.createDataFrame([(1, "x")], "id long, secret string").write.parquet(
+        str(root / "bronze_private")
+    )
+    ep = SqlServingEndpoint(spark, {"gold_revenue": str(root / "gold_revenue")})
+    port = ep.start()
+    yield ep, port
+    ep.stop()
+
+
+def _get(port: int, sql: str):
+    q = urllib.parse.urlencode({"q": sql})
+    req = urllib.request.Request(f"http://127.0.0.1:{port}/query?{q}")
+    try:
+        with urllib.request.urlopen(req, timeout=90) as resp:
+            return resp.status, json.loads(resp.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_http_query_roundtrip(endpoint):
+    _ep, port = endpoint
+    status, body = _get(
+        port,
+        "SELECT region, sum(revenue) AS rev FROM gold_revenue "
+        "GROUP BY region ORDER BY region",
+    )
+    assert status == 200
+    assert body["rows"] == [
+        {"region": "EU", "rev": 15.0},
+        {"region": "US", "rev": 7.5},
+    ]
+
+
+def test_non_gold_table_is_invisible(endpoint):
+    """The serving session's catalog holds gold views only — the bi_reader
+    visibility analog: other tables fail analysis, not leak."""
+    _ep, port = endpoint
+    status, body = _get(port, "SELECT * FROM bronze_private")
+    assert status == 400
+    assert "TABLE_OR_VIEW_NOT_FOUND" in body["error"]
+
+
+def test_writes_are_refused(endpoint):
+    _ep, port = endpoint
+    for sql in (
+        "INSERT INTO gold_revenue VALUES ('X', 1.0)",
+        "DROP TABLE gold_revenue",
+        "CREATE TABLE t AS SELECT 1",
+        "SET spark.sql.shuffle.partitions=1",
+        "SELECT 1; DROP TABLE gold_revenue",
+    ):
+        status, body = _get(port, sql)
+        assert status == 403, sql
+    # the underlying view still serves
+    status, _ = _get(port, "SELECT count(*) AS n FROM gold_revenue")
+    assert status == 200
+
+
+def test_row_cap(spark, tmp_path):
+    spark.range(0, 100).write.parquet(str(tmp_path / "g"))
+    ep = SqlServingEndpoint(spark, {"g": str(tmp_path / "g")}, max_rows=10)
+    rows = ep.execute("SELECT id FROM g")
+    assert len(rows) == 10
+
+
+def test_serving_isolation_from_parent_session(spark, endpoint):
+    """Registering gold views for serving must not pollute the engine's own
+    session catalog."""
+    assert not any(
+        t.name == "gold_revenue" for t in spark.catalog.listTables()
+    )
