@@ -4,18 +4,21 @@ Images/audio/video ride through the engine as ``binary`` columns with a typed
 metadata struct; decode / feature-extraction run as Arrow-batched
 ``mapInPandas`` stages.
 
-Decode support: four codecs are decoded for real with no external libs —
+Decode support: five codecs are decoded for real with no external libs —
 24-bit BMP images and 8-bit PNG in all four byte-depth color types —
 gray, palette, RGB, RGBA — (stdlib zlib inflate + all five scanline
 filters reversed in numpy), both with nearest-neighbor resize +
-re-encode; animated GIF (full LZW with variable code widths, frame
-composition onto the logical screen, GCE transparency) backing genuine
-frame sampling; and 16-bit PCM WAV audio (header walk + sample
-statistics).  Codecs that genuinely need PIL/torchaudio/ffmpeg (JPEG/MP3/
-MP4-class containers) raise ``NotImplementedError`` from
-:func:`real_decode` and the deterministic byte-level stub stands in.  The
-Spark-side plumbing (schema, batch shape, partitioning, 1→N fan-out) is
-the same for both paths.
+re-encode; baseline JPEG (marker walk, canonical Huffman, dequant, float
+IDCT, 4:4:4/4:2:2/4:2:0 sampling, restart markers — see
+:mod:`dev_clickhouse_spark.llm.jpeg`); animated GIF (full LZW with
+variable code widths, frame composition onto the logical screen, GCE
+transparency) backing genuine frame sampling; and 16-bit PCM WAV audio
+(header walk + sample statistics).  Codecs that genuinely need
+torchaudio/ffmpeg (MP3/MP4-class containers) and non-baseline JPEG modes
+(progressive) raise ``NotImplementedError`` from :func:`real_decode` and
+the deterministic byte-level stub stands in.  The Spark-side plumbing
+(schema, batch shape, partitioning, 1→N fan-out) is the same for both
+paths.
 """
 
 from __future__ import annotations
@@ -396,13 +399,13 @@ def encode_gif(frames: np.ndarray) -> bytes:
 def real_decode(payload: bytes, media_type: str) -> list[float]:
     """Decode a payload and emit content features.
 
-    - ``image`` + BMP or PNG magic → [width, height, mean R, mean G,
-      mean B, grayscale std] from the decoded pixels.
+    - ``image`` + BMP, PNG, baseline-JPEG, or GIF magic → [width, height,
+      mean R, mean G, mean B, grayscale std] from the decoded pixels.
     - ``audio`` + RIFF/WAVE magic → [sample_rate, n_samples, RMS, peak]
       from the decoded samples.
-    - anything else (JPEG/MP3/video containers) needs PIL / torchaudio /
-      ffmpeg, which are not installed here → ``NotImplementedError`` (callers
-      fall back to the byte-level stub).
+    - anything else (MP3/video containers, progressive JPEG) needs
+      torchaudio / ffmpeg / a full libjpeg, which are not installed here →
+      ``NotImplementedError`` (callers fall back to the byte-level stub).
     """
     if media_type == "video" and payload[:6] in GIF_MAGICS:
         frames = decode_gif(payload).astype(np.float64)
@@ -413,12 +416,21 @@ def real_decode(payload: bytes, media_type: str) -> list[float]:
         ]
     if media_type == "image" and (
         payload[:2] == b"BM" or payload[:8] == PNG_MAGIC
-        or payload[:6] in GIF_MAGICS
+        or payload[:6] in GIF_MAGICS or payload[:2] == b"\xff\xd8"
     ):
         if payload[:2] == b"BM":
             px = decode_bmp(payload).astype(np.float64)
         elif payload[:8] == PNG_MAGIC:
             px = decode_png(payload).astype(np.float64)
+        elif payload[:2] == b"\xff\xd8":
+            from .jpeg import decode_jpeg
+
+            try:
+                px = decode_jpeg(payload).astype(np.float64)
+            except ValueError as e:
+                if "not supported" in str(e):  # progressive / 12-bit modes
+                    raise NotImplementedError(str(e)) from e
+                raise
         else:
             px = decode_gif(payload)[0].astype(np.float64)  # first frame
         gray = px.mean(axis=2)
@@ -687,3 +699,66 @@ def multimodal_png_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFram
         rnd("mean_g", 4).alias("mean_g"),
         rnd("mean_b", 4).alias("mean_b"),
     )
+
+
+@register(
+    "multimodal_jpeg_roundtrip_stats",
+    oracle="""
+SELECT doc_id,
+       16 AS width, 16 AS height,
+       CAST(ascii(substr(text, 1, 1)) AS DOUBLE) AS q00,
+       CAST(ascii(substr(text, 2, 1)) AS DOUBLE) AS q01,
+       CAST(ascii(substr(text, 3, 1)) AS DOUBLE) AS q10,
+       CAST(ascii(substr(text, 4, 1)) AS DOUBLE) AS q11
+FROM documents
+WHERE n_chars >= 4
+""",
+    tags=["llm-multimodal", "jpeg-roundtrip"],
+)
+def multimodal_jpeg_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gate proof of the pure-numpy baseline JPEG codec: each
+    document's first 4 bytes become the gray levels of four flat 8x8
+    blocks in a 16x16 image that travels through ``encode_jpeg(quant=1)``
+    → ``decode_jpeg`` — the full marker/Huffman/DC-prediction/IDCT path —
+    inside an Arrow batch.  A flat block's DCT is a single integer DC
+    coefficient, so at quant=1 the roundtrip is EXACT and the decoded
+    quadrant means value-hash-match DuckDB reading the same bytes
+    directly; any Huffman/zigzag/IDCT error would shift them.  Map-only
+    at any scale (the same plan shape as the PNG gate)."""
+    from .jpeg import decode_jpeg, encode_jpeg
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("n_chars") >= 4
+    ).select("doc_id", "text")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                b = text.encode("utf-8")[:4]
+                img = np.block([
+                    [np.full((8, 8), b[0], np.uint8), np.full((8, 8), b[1], np.uint8)],
+                    [np.full((8, 8), b[2], np.uint8), np.full((8, 8), b[3], np.uint8)],
+                ])
+                back = decode_jpeg(encode_jpeg(img, quant=1)).astype(np.float64)
+                gray = back.mean(axis=2)
+                rows.append((
+                    int(doc_id), back.shape[1], back.shape[0],
+                    float(gray[:8, :8].mean()), float(gray[:8, 8:].mean()),
+                    float(gray[8:, :8].mean()), float(gray[8:, 8:].mean()),
+                ))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "width", "height", "q00", "q01", "q10", "q11"],
+            )
+
+    out_schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("q00", T.DoubleType()),
+        T.StructField("q01", T.DoubleType()),
+        T.StructField("q10", T.DoubleType()),
+        T.StructField("q11", T.DoubleType()),
+    ])
+    return docs.mapInPandas(run, schema=out_schema)

@@ -417,9 +417,10 @@ def test_real_decode_bmp_wav_roundtrip():
     assert (sr, n, peak) == (16000.0, 4.0, 1000.0)
     assert abs(rms - np.sqrt((0 + 1000**2 + 1000**2 + 0) / 4)) < 1e-9
 
-    # compressed codecs still raise (no libs in env)
+    # codecs that genuinely need external libs still raise; a JPEG magic with
+    # garbage after it is now a parse error from the real decoder, not a stub
     import pytest
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         real_decode(b"\xff\xd8\xff\xe0jpeg...", "image")
     with pytest.raises(NotImplementedError):
         real_decode(b"ID3mp3...", "audio")
@@ -672,3 +673,63 @@ def test_png_grayscale_and_palette_color_types():
     import pytest
     with pytest.raises(ValueError):
         decode_png(png_bad)
+
+
+def test_jpeg_codec_roundtrips():
+    """Baseline JPEG codec (pure numpy): flat blocks are EXACT at quant=1
+    (integer DC-only spectra — the property the driver oracle gates);
+    arbitrary content round-trips within the DCT float/rounding envelope;
+    4:2:0 subsampling and a coarser quant step decode sanely."""
+    import numpy as np
+
+    from dev_clickhouse_spark.llm.jpeg import decode_jpeg, encode_jpeg
+
+    # flat 8x8 blocks: exact (DC prediction chain across 4 MCUs included)
+    img = np.block([
+        [np.full((8, 8), 65, np.uint8), np.full((8, 8), 200, np.uint8)],
+        [np.full((8, 8), 0, np.uint8), np.full((8, 8), 255, np.uint8)],
+    ])
+    back = decode_jpeg(encode_jpeg(img, quant=1))
+    assert back.shape == (16, 16, 3)
+    for a, b in ((0, 0), (0, 8), (8, 0), (8, 8)):
+        assert np.all(back[a:a + 8, b:b + 8] == img[a, b])
+
+    rng = np.random.default_rng(42)
+    # arbitrary grayscale, non-multiple-of-8 dims
+    g = rng.integers(0, 256, (24, 17), dtype=np.uint8)
+    back = decode_jpeg(encode_jpeg(g, quant=1))
+    assert back.shape == (24, 17, 3)
+    assert np.abs(back[:, :, 0].astype(int) - g.astype(int)).max() <= 2
+
+    # color 4:4:4: adds the YCbCr conversion rounding
+    c = rng.integers(0, 256, (19, 21, 3), dtype=np.uint8)
+    back = decode_jpeg(encode_jpeg(c, quant=1))
+    assert np.abs(back.astype(int) - c.astype(int)).max() <= 4
+
+    # 4:2:0 with constant chroma: subsampling is lossless on the chroma
+    y = rng.integers(0, 256, (32, 32), dtype=np.uint8)
+    c420 = np.stack([y, y, y], axis=2)
+    back = decode_jpeg(encode_jpeg(c420, quant=1, subsample=True))
+    assert np.abs(back.astype(int) - c420.astype(int)).max() <= 2
+
+    # coarser quantization still decodes (lossy but bounded)
+    back = decode_jpeg(encode_jpeg(c, quant=8))
+    assert np.abs(back.astype(int) - c.astype(int)).max() <= 48
+
+
+def test_jpeg_real_decode_and_boundaries():
+    import numpy as np
+    import pytest
+
+    from dev_clickhouse_spark.llm.jpeg import encode_jpeg
+    from dev_clickhouse_spark.llm.multimodal import real_decode
+
+    img = np.full((16, 16), 100, np.uint8)
+    feats = real_decode(encode_jpeg(img, quant=1), "image")
+    assert feats[0] == 16.0 and feats[1] == 16.0      # width, height
+    assert feats[2] == feats[3] == feats[4] == 100.0  # channel means
+    assert feats[5] == 0.0                            # flat → zero std
+
+    # progressive JPEG (SOF2) is a declared mode boundary, not a crash
+    with pytest.raises(NotImplementedError, match="not supported"):
+        real_decode(b"\xff\xd8\xff\xc2" + bytes(20), "image")
