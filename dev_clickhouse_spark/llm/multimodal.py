@@ -526,10 +526,11 @@ def resize_images(
     use_real_decode: bool = False,
 ) -> DataFrame:
     """Image resize stage — row-preserving map-only.  With
-    ``use_real_decode`` BMP payloads are genuinely decoded, nearest-neighbor
-    resized in numpy, and re-encoded as BMP (other codecs raise — they need
-    PIL).  The default stub emits a deterministic byte slice standing in for
-    the resized encoding, with the target dimensions in typed columns."""
+    ``use_real_decode`` BMP/PNG/baseline-JPEG payloads are genuinely decoded,
+    nearest-neighbor resized in numpy, and re-encoded in their own codec
+    (other formats raise).  The default stub emits a deterministic byte slice
+    standing in for the resized encoding, with the target dimensions in
+    typed columns."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -541,6 +542,10 @@ def resize_images(
                         px, enc = decode_bmp(raw), encode_bmp
                     elif raw[:8] == PNG_MAGIC:
                         px, enc = decode_png(raw), encode_png
+                    elif raw[:2] == b"\xff\xd8":
+                        from .jpeg import decode_jpeg, encode_jpeg
+
+                        px, enc = decode_jpeg(raw), encode_jpeg
                     else:
                         px, enc = real_decode(raw, "image"), encode_bmp
                     ys = (np.arange(height) * px.shape[0] // height).clip(0, px.shape[0] - 1)

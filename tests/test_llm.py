@@ -733,3 +733,25 @@ def test_jpeg_real_decode_and_boundaries():
     # progressive JPEG (SOF2) is a declared mode boundary, not a crash
     with pytest.raises(NotImplementedError, match="not supported"):
         real_decode(b"\xff\xd8\xff\xc2" + bytes(20), "image")
+
+
+def test_jpeg_through_resize_pipeline(spark):
+    import numpy as np
+
+    from dev_clickhouse_spark.llm.jpeg import decode_jpeg, encode_jpeg
+    from dev_clickhouse_spark.llm.multimodal import resize_images
+
+    # gray-in-RGB flat image: Y=v, Cb=Cr=128 exactly → lossless through the
+    # lossy codec, so the resized payload must decode to the same flat color
+    rgb = np.full((16, 16, 3), 77, dtype=np.uint8)
+    payload = encode_jpeg(rgb)
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(payload), (len(payload), "image/jpeg", "t"))],
+        "media_id long, media_type string, payload binary, "
+        "meta struct<n_bytes:long, mime:string, source:string>",
+    )
+    out = resize_images(media, width=6, height=6, use_real_decode=True).collect()
+    assert len(out) == 1 and (out[0].width, out[0].height) == (6, 6)
+    resized = decode_jpeg(bytes(out[0].payload))
+    assert resized.shape == (6, 6, 3)
+    assert np.all(resized == 77)
