@@ -194,6 +194,14 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             prec, height, width, nc = struct.unpack_from(">BHHB", seg, 0)
             if prec != 8:
                 raise ValueError("only 8-bit precision JPEG is supported")
+            if nc not in (1, 3):
+                # 2-component frames and 4-component Adobe CMYK exist in the
+                # wild as VALID baseline JPEG; they're outside this codec's
+                # envelope and must take the documented stub fallback
+                # (real_decode maps "not supported" → NotImplementedError).
+                raise ValueError(
+                    f"{nc}-component JPEG frame is not supported"
+                )
             comps = [
                 (seg[6 + 3 * c], seg[7 + 3 * c] >> 4, seg[7 + 3 * c] & 15,
                  seg[8 + 3 * c])
@@ -211,10 +219,23 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             if not comps:
                 raise ValueError("JPEG SOS before SOF")
             ns = seg[0]
+            if ns != len(comps):
+                # a baseline scan covering a component subset = multi-scan
+                # (non-interleaved) encoding — valid JPEG, outside the
+                # envelope; must stub-fallback, not KeyError mid-decode
+                raise ValueError(
+                    "multi-scan (non-interleaved) baseline JPEG "
+                    "is not supported"
+                )
             scan_tabs = {}
             for c in range(ns):
                 cid, tt = seg[1 + 2 * c], seg[2 + 2 * c]
                 scan_tabs[cid] = (dc_tabs[tt >> 4], ac_tabs[tt & 15])
+            if set(scan_tabs) != {cid for cid, *_ in comps}:
+                raise ValueError(
+                    "JPEG scan component ids do not match frame "
+                    "components — not supported"
+                )
             segs, pos = _entropy_segments(payload, pos + ln)
             return _decode_scan(
                 comps, scan_tabs, qt, segs, width, height, restart_interval

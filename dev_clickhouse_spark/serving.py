@@ -25,7 +25,9 @@ reference's own BI link uses.
 
 from __future__ import annotations
 
+import itertools
 import json
+import re
 import threading
 import urllib.parse
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -34,6 +36,40 @@ from pyspark.sql import SparkSession
 
 #: statement keywords that may START a served query
 _QUERY_STARTERS = ("select", "with", "values", "table", "explain")
+
+_JOB_GROUP_SEQ = itertools.count()
+
+
+def _mask_quoted(sql: str, mask_backticks: bool) -> str:
+    """Blank out the contents of quoted regions so lexical checks
+    (statement separators, identifier deny-list) don't false-positive on
+    text inside literals.  Handles ``\\``-escapes and doubled-quote escapes
+    in ``'…'``/``"…"`` literals; backtick identifiers optionally."""
+    quotes = "'\"`" if mask_backticks else "'\""
+    out: list[str] = []
+    i, n, q = 0, len(sql), None
+    while i < n:
+        c = sql[i]
+        if q is None:
+            if c in quotes:
+                q = c
+            out.append(c)
+            i += 1
+        elif c == "\\" and q in "'\"" and i + 1 < n:
+            out.append("  ")
+            i += 2
+        elif c == q:
+            if i + 1 < n and sql[i + 1] == q:  # doubled-quote escape
+                out.append("  ")
+                i += 2
+            else:
+                q = None
+                out.append(c)
+                i += 1
+        else:
+            out.append(" ")
+            i += 1
+    return "".join(out)
 
 
 class SqlServingEndpoint:
@@ -52,6 +88,11 @@ class SqlServingEndpoint:
         timeout_sec: float = 60.0,
     ):
         self.serving = spark.newSession()
+        # bi_reader visibility is the CATALOG, not the filesystem: without
+        # this, ``SELECT * FROM parquet.`/any/path``` (runSQLOnFiles,
+        # default true) would read arbitrary parquet/text paths straight
+        # past the gold-views-only contract.
+        self.serving.conf.set("spark.sql.runSQLOnFiles", "false")
         for name, path in views.items():
             self.serving.read.parquet(path).createOrReplaceTempView(name)
         self.max_rows = max_rows
@@ -61,26 +102,66 @@ class SqlServingEndpoint:
 
     # -- query layer (usable without HTTP) ---------------------------------
 
-    def execute(self, sql: str) -> list[dict]:
+    def execute(self, sql: str, job_group: str | None = None) -> list[dict]:
         """Run one read-only statement, return rows as dicts (row cap
-        applied).  Raises ``PermissionError`` for anything but a query."""
+        applied).  Raises ``PermissionError`` for anything but a query.
+
+        ``job_group`` tags the Spark jobs so a caller (the HTTP timeout
+        handler) can :meth:`cancel` them — thread-local under pinned-thread
+        mode, so concurrent requests don't clobber each other."""
         self._check_read_only(sql)
+        if job_group is not None:
+            try:  # absent under Spark Connect — timeout stays best-effort
+                self.serving.sparkContext.setJobGroup(
+                    job_group, sql[:200], interruptOnCancel=True
+                )
+            except Exception:
+                pass
         df = self.serving.sql(sql)
         rows = df.limit(self.max_rows).collect()
         return [r.asDict(recursive=True) for r in rows]
 
+    def cancel(self, job_group: str) -> None:
+        """Cancel all Spark jobs tagged with ``job_group`` (no-op when the
+        session has no driver-side SparkContext, e.g. Spark Connect)."""
+        try:
+            self.serving.sparkContext.cancelJobGroup(job_group)
+        except Exception:
+            pass
+
     def _check_read_only(self, sql: str) -> None:
-        stripped = sql.strip().rstrip(";").strip()
-        if ";" in stripped:
+        stripped = sql.strip()
+        while stripped.endswith(";"):
+            stripped = stripped[:-1].rstrip()
+        # ';' is a separator only OUTSIDE quoted literals/identifiers:
+        # `SELECT ';' AS sep` is one statement, and a backtick identifier
+        # may legally contain ';'.
+        if ";" in _mask_quoted(stripped, mask_backticks=True):
             raise PermissionError("multi-statement requests are not served")
         first = stripped.split(None, 1)[0].lower() if stripped else ""
         if first not in _QUERY_STARTERS:
             raise PermissionError(
                 f"read-only endpoint: statement kind {first!r} is not served"
             )
+        # global_temp views are shared across ALL sessions of the JVM, so a
+        # reference to them would see past the serving session's isolated
+        # temp catalog.  Checked on literal-masked text (NOT backtick-masked,
+        # so `global_temp`.`v` is still caught).
+        if re.search(
+            r"\bglobal_temp\b", _mask_quoted(stripped, mask_backticks=False),
+            re.IGNORECASE,
+        ):
+            raise PermissionError(
+                "read-only endpoint: global_temp references are not served"
+            )
         # defense in depth: refuse plans that parse to commands/DML even when
-        # disguised behind a query-looking prefix
-        jparser = self.serving._jsparkSession.sessionState().sqlParser()
+        # disguised behind a query-looking prefix.  The private JVM handle is
+        # absent under Spark Connect; the keyword + global_temp + catalog
+        # checks above remain the contract there.
+        jsp = getattr(self.serving, "_jsparkSession", None)
+        if jsp is None:
+            return
+        jparser = jsp.sessionState().sqlParser()
         plan_cls = jparser.parsePlan(stripped).getClass().getName()
         deny = ("Command", "Insert", "Create", "Drop", "Alter", "Merge",
                 "Update", "Delete", "Truncate")
@@ -112,10 +193,11 @@ class SqlServingEndpoint:
                     self._respond(400, {"error": "missing q parameter"})
                     return
                 result: dict = {}
+                gid = f"bi-serve-{next(_JOB_GROUP_SEQ)}"
 
                 def run():
                     try:
-                        result["rows"] = endpoint.execute(sql)
+                        result["rows"] = endpoint.execute(sql, job_group=gid)
                     except PermissionError as e:
                         result["denied"] = str(e)
                     except Exception as e:  # analysis/execution errors
@@ -125,6 +207,9 @@ class SqlServingEndpoint:
                 t.start()
                 t.join(endpoint.timeout_sec)
                 if t.is_alive():
+                    # a 504 must RELEASE the cluster, not just the socket —
+                    # cancel the tagged jobs so slow queries can't pile up
+                    endpoint.cancel(gid)
                     self._respond(504, {"error": "query timeout"})
                 elif "denied" in result:
                     self._respond(403, {"error": result["denied"]})

@@ -735,6 +735,41 @@ def test_jpeg_real_decode_and_boundaries():
         real_decode(b"\xff\xd8\xff\xc2" + bytes(20), "image")
 
 
+def test_jpeg_unsupported_envelope_takes_stub_fallback():
+    """Valid baseline JPEGs OUTSIDE the codec envelope (Adobe CMYK
+    4-component, 2-component, multi-scan non-interleaved) must surface as
+    NotImplementedError — the documented stub fallback — not crash the Spark
+    task with ValueError/KeyError mid-decode."""
+    import struct
+
+    import pytest
+
+    from dev_clickhouse_spark.llm.jpeg import decode_jpeg
+    from dev_clickhouse_spark.llm.multimodal import real_decode
+
+    def sof0(nc: int) -> bytes:
+        seg = struct.pack(">BHHB", 8, 8, 8, nc)
+        for c in range(nc):
+            seg += bytes([c + 1, 0x11, 0])
+        return b"\xff\xc0" + struct.pack(">H", len(seg) + 2) + seg
+
+    def sos(ids: list[int]) -> bytes:
+        seg = bytes([len(ids)])
+        for cid in ids:
+            seg += bytes([cid, 0x00])
+        seg += b"\x00\x3f\x00"
+        return b"\xff\xda" + struct.pack(">H", len(seg) + 2) + seg
+
+    cmyk = b"\xff\xd8" + sof0(4) + sos([1, 2, 3, 4])
+    two_comp = b"\xff\xd8" + sof0(2) + sos([1, 2])
+    multi_scan = b"\xff\xd8" + sof0(3) + sos([1])  # Y-only first scan
+    for payload in (cmyk, two_comp, multi_scan):
+        with pytest.raises(ValueError, match="not supported"):
+            decode_jpeg(payload)
+        with pytest.raises(NotImplementedError, match="not supported"):
+            real_decode(payload, "image")
+
+
 def test_jpeg_through_resize_pipeline(spark):
     import numpy as np
 

@@ -23,6 +23,7 @@ def endpoint(spark, tmp_path_factory):
         str(root / "bronze_private")
     )
     ep = SqlServingEndpoint(spark, {"gold_revenue": str(root / "gold_revenue")})
+    ep._test_bronze_path = str(root / "bronze_private")
     port = ep.start()
     yield ep, port
     ep.stop()
@@ -75,6 +76,82 @@ def test_writes_are_refused(endpoint):
     # the underlying view still serves
     status, _ = _get(port, "SELECT count(*) AS n FROM gold_revenue")
     assert status == 200
+
+
+def test_path_based_table_access_is_refused(endpoint):
+    """runSQLOnFiles must be off in the serving session: ``parquet.`path```
+    / ``text.`path``` would otherwise read arbitrary files (bronze tables,
+    /etc/…) straight past the gold-only catalog."""
+    ep, port = endpoint
+    bronze = ep._test_bronze_path
+    for sql in (
+        f"SELECT * FROM parquet.`{bronze}`",
+        "SELECT * FROM text.`/etc/hostname`",
+        "SELECT * FROM json.`/etc/hosts`",
+    ):
+        status, body = _get(port, sql)
+        assert status == 400, (sql, body)
+        err = body["error"]
+        assert "UNSUPPORTED_FEATURE" in err or "NOT_FOUND" in err, (sql, err)
+
+
+def test_global_temp_views_are_refused(spark, endpoint):
+    """global_temp is shared across all sessions — a serving query must not
+    see it, even backtick-quoted."""
+    _ep, port = endpoint
+    spark.createDataFrame([(42,)], "leak int").createOrReplaceGlobalTempView(
+        "leaky"
+    )
+    try:
+        for sql in (
+            "SELECT * FROM global_temp.leaky",
+            "SELECT * FROM `global_temp`.`leaky`",
+            "SELECT * FROM GLOBAL_TEMP.leaky",
+        ):
+            status, body = _get(port, sql)
+            assert status == 403, (sql, body)
+    finally:
+        spark.catalog.dropGlobalTempView("leaky")
+
+
+def test_semicolon_inside_literal_is_served(endpoint):
+    _ep, port = endpoint
+    status, body = _get(port, "SELECT ';' AS sep")
+    assert status == 200
+    assert body["rows"] == [{"sep": ";"}]
+    status, body = _get(port, "SELECT \"a;b\" AS s, `x;y` FROM (SELECT 1 AS `x;y`)")
+    assert status == 200
+    # …while real multi-statement stays refused
+    status, _ = _get(port, "SELECT ';' AS sep; DROP TABLE gold_revenue")
+    assert status == 403
+
+
+def test_timeout_cancels_spark_jobs(spark, tmp_path):
+    """A 504 must release the cluster: the tagged job group is cancelled, so
+    the runaway query stops consuming the shared SparkContext."""
+    import time
+
+    spark.range(0, 50).write.parquet(str(tmp_path / "g"))
+    ep = SqlServingEndpoint(spark, {"g": str(tmp_path / "g")}, timeout_sec=2.0)
+    port = ep.start()
+    try:
+        slow = (
+            "SELECT sum(java_method('java.lang.Thread', 'sleep', 400L)) "
+            "FROM g"
+        )
+        status, body = _get(port, slow)
+        assert status in (504, 400), body  # 400 iff cancel lands pre-join
+        if status == 504:
+            # the cancelled group's jobs must drain, not run to completion
+            deadline = time.time() + 30
+            while time.time() < deadline:
+                tracker = spark.sparkContext.statusTracker()
+                if not tracker.getActiveJobsIds():
+                    break
+                time.sleep(0.5)
+            assert not spark.sparkContext.statusTracker().getActiveJobsIds()
+    finally:
+        ep.stop()
 
 
 def test_row_cap(spark, tmp_path):
