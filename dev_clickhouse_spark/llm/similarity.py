@@ -325,11 +325,81 @@ def ivf_topk(
     )
 
 
-@register("ann_ivf_topk", tags=["llm-similarity"])  # rows-only check
+#: squared L2 between two DOUBLE[] lists (DuckDB).  ``list_distance`` would
+#: order identically (sqrt is monotonic) but this mirrors the Spark-side
+#: ``(x-y)^2`` accumulation shape.
+_D2 = ("list_sum(list_transform(list_zip({a}, {b}), "
+       "z -> (z[1] - z[2]) * (z[1] - z[2])))")
+
+_IVF_TOPK_ORACLE = f"""
+WITH c AS (SELECT vec_id AS id, embedding::DOUBLE[] AS cv FROM embeddings),
+seeds AS (
+  SELECT row_number() OVER (ORDER BY id) AS cid, cv AS seed
+  FROM (SELECT * FROM c ORDER BY id LIMIT 16)
+),
+fa AS (
+  SELECT id, cid, cv FROM (
+    SELECT c.id, s.cid, c.cv,
+           row_number() OVER (
+             PARTITION BY c.id
+             ORDER BY {_D2.format(a='c.cv', b='s.seed')} ASC, s.cid ASC
+           ) AS rn
+    FROM c CROSS JOIN seeds s
+  ) WHERE rn = 1
+),
+means AS (
+  SELECT cid, list(m ORDER BY pos) AS mv FROM (
+    SELECT cid, pos, avg(val) AS m FROM (
+      SELECT cid, unnest(cv) AS val, generate_subscripts(cv, 1) AS pos FROM fa
+    ) GROUP BY cid, pos
+  ) GROUP BY cid
+),
+sa AS (
+  SELECT id, cid FROM (
+    SELECT c.id, m.cid,
+           row_number() OVER (
+             PARTITION BY c.id
+             ORDER BY {_D2.format(a='c.cv', b='m.mv')} ASC, m.cid ASC
+           ) AS rn
+    FROM c CROSS JOIN means m
+  ) WHERE rn = 1
+),
+q AS (SELECT id AS query_id, cv AS qv FROM c WHERE id < 20),
+probes AS (
+  SELECT query_id, qv, cid FROM (
+    SELECT q.query_id, q.qv, m.cid,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY {_D2.format(a='q.qv', b='m.mv')} ASC, m.cid ASC
+           ) AS rn
+    FROM q CROSS JOIN means m
+  ) WHERE rn <= 4
+),
+scored AS (
+  SELECT DISTINCT p.query_id, c.id AS neighbor_id,
+         floor(list_cosine_similarity(p.qv, c.cv) * 10000 + 0.5) / 10000
+           AS cosine
+  FROM probes p JOIN sa ON sa.cid = p.cid JOIN c ON c.id = sa.id
+  WHERE c.id != p.query_id
+),
+rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cosine DESC, neighbor_id) AS rn
+       FROM scored)
+SELECT query_id, neighbor_id, CAST(rn AS INTEGER) AS rank, cosine
+FROM rk WHERE rn <= 5
+"""
+
+
+@register("ann_ivf_topk", oracle=_IVF_TOPK_ORACLE, tags=["llm-similarity"])
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-list ANN for the first 20 query vectors (scale path #2 —
-    approximate by construction, rows-only driver check; recall vs the exact
-    baseline is asserted in tests/test_llm.py)."""
+    """IVF-list ANN for the first 20 query vectors (scale path #2).
+    Approximate w.r.t. the exact top-k but fully DETERMINISTIC end to end:
+    lowest-id seeds, one Lloyd step, cid/neighbor-id tie-breaks, no RNG —
+    so the whole build+probe+search is re-expressible in ANSI SQL and the
+    query carries an exact value-hash oracle (centroid-assignment margins
+    dwarf cross-engine float accumulation noise; asserted in
+    tests/test_bucketing_ivf.py).  Recall vs the exact baseline is
+    additionally asserted in tests."""
     emb = load_table(spark, sf_dir, "embeddings")
     return ivf_topk(emb, emb.filter(F.col("vec_id") < 20), k=5)
 
@@ -349,6 +419,23 @@ def _signature_sql(vec_expr: str = "e", dim: int = 64,
         + "]) >= 0 THEN '1' ELSE '0' END)"
         for p in planes
     )
+
+
+#: the embedding dimensionality baked into the LSH oracles below — their
+#: hyperplane literals are generated for exactly this many components.
+_ORACLE_DIM = 64
+
+
+def _require_oracle_dim(dim: int, query: str) -> None:
+    """The DuckDB oracles carry ``_ORACLE_DIM``-sized plane literals; a corpus
+    with any other dimensionality would be hashed against a DIFFERENT plane
+    set and fail (or worse, pass) confusingly.  Fail loudly instead."""
+    if dim != _ORACLE_DIM:
+        raise ValueError(
+            f"{query}: embeddings have dim={dim} but the registered DuckDB "
+            f"oracle was generated for dim={_ORACLE_DIM}; regenerate "
+            "_signature_sql's plane literals for the new dimensionality"
+        )
 
 
 _LSH_TOPK_ORACLE = f"""
@@ -378,6 +465,7 @@ def ann_lsh_bucket_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     so this carries an exact oracle (see ``_signature_sql``)."""
     emb = load_table(spark, sf_dir, "embeddings")
     dim = len(emb.select("embedding").first()[0])
+    _require_oracle_dim(dim, "ann_lsh_bucket_topk")
     return lsh_bucket_topk(emb, emb.filter(F.col("vec_id") < 20), dim=dim, k=5)
 
 
@@ -427,6 +515,7 @@ def ann_lsh_recall_at_5(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 20)
     dim = len(emb.select("embedding").first()[0])
+    _require_oracle_dim(dim, "ann_lsh_recall_at_5")
     exact = cosine_topk(emb, q, k=5).select("query_id", "neighbor_id")
     ann = lsh_bucket_topk(emb, q, dim=dim, k=5).select("query_id", "neighbor_id")
     hits = (

@@ -46,6 +46,34 @@ def test_ivf_recall_vs_exact(spark):
     assert all(sorted(v) == list(range(1, len(v) + 1)) for v in ranks.values())
 
 
+def test_ivf_assignment_margins_dominate_float_noise(spark):
+    """Backs the exact value-hash oracle on ann_ivf_topk: for every point,
+    the gap between its nearest and second-nearest centroid distance must be
+    many orders of magnitude above float64 accumulation-order noise (~1e-13
+    relative), so the assignment — and hence the whole IVF result — is
+    engine-independent.  (Exact ties are fine: both engines break them on
+    cid asc.)"""
+    import numpy as np
+
+    from dev_clickhouse_spark.llm.similarity import ivf_build
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    centroids, _ = ivf_build(emb, n_centroids=16)
+    C = np.array(
+        [r.cv for r in centroids.orderBy("cid").collect()], dtype=np.float64
+    )
+    E = np.array(
+        [r.embedding for r in emb.select("embedding").collect()],
+        dtype=np.float64,
+    )
+    d2 = ((E[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    d2.sort(axis=1)
+    gaps = d2[:, 1] - d2[:, 0]
+    scale = np.maximum(d2[:, 0], 1.0)
+    nonexact = gaps > 0  # exact ties take the cid tie-break in both engines
+    assert (gaps[nonexact] / scale[nonexact]).min() > 1e-9
+
+
 def test_ivf_full_probe_equals_exact(spark):
     # probing every list degrades IVF to exact search — recall must be 1.0
     emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
