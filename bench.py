@@ -81,29 +81,49 @@ def main() -> None:
 
     timings: dict[str, float] = {}
 
-    # 1+2: ingest throughput + gold refresh on synthetic bronze
-    wh = tempfile.mkdtemp(prefix="bench_wh_")
+    # 1+2: ingest throughput + gold refresh on synthetic bronze.
+    # Median of 3 FULL fresh-warehouse cycles: each rep does identical work
+    # (round-4 single-shot numbers swung ±30% on VM jitter with no code
+    # cause), and the per-pipeline seconds of the median refresh go into the
+    # artifact so the next regression is attributable to a pipeline, not a
+    # mystery.
+    indir = tempfile.mkdtemp(prefix="bench_raw_")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    payloads = synth_payloads(N_INGEST_EVENTS)
+    per = max(1, len(payloads) // cpus)
+    for i in range(0, len(payloads), per):
+        with open(os.path.join(indir, f"part_{i}.jsonl"), "w") as fh:
+            fh.write("\n".join(payloads[i : i + per]) + "\n")
+    # feed from files so the bench measures the engine (distributed text
+    # scan → parse → 3 typed writes), not driver-side re-serialization
+    raw = spark.read.text(indir).select(F.col("value").alias("raw"))
+    ingest_runs: list[float] = []
+    gold_runs: list[float] = []
+    pipeline_secs_runs: list[dict[str, float]] = []
     try:
-        runner = PipelineRunner(spark, wh)
-        # feed from files so the bench measures the engine (distributed text
-        # scan → parse → 3 typed writes), not driver-side re-serialization
-        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-        indir = os.path.join(wh, "_raw_in")
-        os.makedirs(indir)
-        payloads = synth_payloads(N_INGEST_EVENTS)
-        per = max(1, len(payloads) // cpus)
-        for i in range(0, len(payloads), per):
-            with open(os.path.join(indir, f"part_{i}.jsonl"), "w") as fh:
-                fh.write("\n".join(payloads[i : i + per]) + "\n")
-        raw = spark.read.text(indir).select(F.col("value").alias("raw"))
-        t0 = time.time()
-        runner.ingest_raw(raw, collect_counts=False)
-        timings["ingest_10k_events"] = round(time.time() - t0, 3)
-        t0 = time.time()
-        runner.run_window(dt.datetime(2026, 1, 8, 9, 0), dt.datetime(2026, 1, 8, 11, 0))
-        timings["gold_refresh_16_pipelines"] = round(time.time() - t0, 3)
+        for _rep in range(3):
+            wh = tempfile.mkdtemp(prefix="bench_wh_")
+            try:
+                runner = PipelineRunner(spark, wh)
+                t0 = time.time()
+                runner.ingest_raw(raw, collect_counts=False)
+                ingest_runs.append(time.time() - t0)
+                t0 = time.time()
+                metrics = runner.run_window(
+                    dt.datetime(2026, 1, 8, 9, 0), dt.datetime(2026, 1, 8, 11, 0)
+                )
+                gold_runs.append(time.time() - t0)
+                pipeline_secs_runs.append(
+                    {m["pipeline_id"]: m["seconds"] for m in metrics}
+                )
+            finally:
+                shutil.rmtree(wh, ignore_errors=True)
     finally:
-        shutil.rmtree(wh, ignore_errors=True)
+        shutil.rmtree(indir, ignore_errors=True)
+    timings["ingest_10k_events"] = round(sorted(ingest_runs)[1], 3)
+    med_gold = sorted(range(3), key=lambda i: gold_runs[i])[1]
+    timings["gold_refresh_16_pipelines"] = round(gold_runs[med_gold], 3)
+    pipeline_seconds = pipeline_secs_runs[med_gold]
 
     # 3: query pack at sf — median of 3 runs per query: this VM's scheduler
     # jitter swings single-shot timings ±3-10x between runs (round-3 BENCH
@@ -132,6 +152,7 @@ def main() -> None:
                 "ingest_events_per_sec": round(
                     N_INGEST_EVENTS / timings["ingest_10k_events"], 1
                 ),
+                "pipeline_seconds": pipeline_seconds,
             }
         )
     )
