@@ -38,6 +38,29 @@ class PipelineRunner:
         self.metrics: list[dict] = []
         self._row_counts: dict[str, int] = {}
 
+    @classmethod
+    def from_store(
+        cls,
+        spark: SparkSession,
+        warehouse_root: str,
+        url: str | None = None,
+        dag_name: str = "gold_star_schema",
+    ) -> "PipelineRunner":
+        """Build a runner from the metadata control plane (DB store with YAML
+        snapshot fallback) — the reference's DAG generator resolving its
+        pipeline set from metadata.gold_pipelines at parse time
+        (gold_pipeline.py:498-507).  Re-invoking after an operator edit
+        (``MetadataStore.set_enabled``/``set_window``) picks up the change
+        with no code deploy."""
+        from .metastore import load_pipeline_specs
+
+        dag, specs = load_pipeline_specs(spark, url, dag_name)
+        return cls(
+            spark, warehouse_root,
+            max_active_tasks=int(dag.get("max_active_tasks", 8)),
+            pipelines=specs,
+        )
+
     # -- ingest ------------------------------------------------------------
 
     def ingest_raw(

@@ -1,0 +1,118 @@
+"""DB-backed metadata control plane (reference metadata.gold_dags /
+metadata.gold_pipelines, postgres/init/10_metadata.sql:3-34; loader
+gold_pipeline.py:323-371): seed, reload, operator edits at runtime, and the
+YAML snapshot fallback — over embedded Derby, the same stand-in the S6
+federated-scan tests use."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+from dev_clickhouse_spark.plans import (
+    PIPELINES,
+    MetadataStore,
+    PipelineRunner,
+    load_pipeline_specs,
+    topo_sorted_waves,
+)
+
+
+def _url(tmp_path, name="meta"):
+    return f"jdbc:derby:{os.path.join(str(tmp_path), name)};create=true"
+
+
+def test_seed_and_load_roundtrip(spark, tmp_path):
+    """Seeding the store from the in-code snapshot and loading it back must
+    reproduce the catalog exactly — ids, targets, modes, windows, dependency
+    edges, and the (pipeline_order, pipeline_name) ordering."""
+    store = MetadataStore(spark, _url(tmp_path))
+    store.seed()
+    dag, specs = store.load()
+    assert dag["max_active_tasks"] == 8
+    assert dag["default_window_minutes"] == 10
+    assert specs == PIPELINES  # frozen dataclasses: full equality
+    # and the runner topology derived from the store matches the static one
+    assert [
+        [s.pipeline_id for s in w] for w in topo_sorted_waves(specs)
+    ] == [[s.pipeline_id for s in w] for w in topo_sorted_waves(PIPELINES)]
+
+
+def test_operator_edits_apply_at_runtime(spark, tmp_path):
+    """The reference contract: an operator disables a pipeline or changes its
+    window by UPDATEing the store — the next load sees it, no code change."""
+    url = _url(tmp_path)
+    store = MetadataStore(spark, url)
+    store.seed()
+
+    store.set_enabled("bridge_zeek_event_tag", False)
+    store.set_window("fact_wazuh_events", 30)
+    _dag, specs = store.load()
+    by_id = {s.pipeline_id: s for s in specs}
+    assert "bridge_zeek_event_tag" not in by_id
+    assert by_id["fact_wazuh_events"].window_minutes == 30
+    # everything else untouched
+    assert len(specs) == len(PIPELINES) - 1
+
+    # re-enable → full catalog again
+    store.set_enabled("bridge_zeek_event_tag", True)
+    _dag, specs = store.load()
+    assert len(specs) == len(PIPELINES)
+
+
+def test_runner_from_store_skips_disabled_pipeline(spark, tmp_path):
+    """End-to-end: a runner built from the store runs exactly the enabled
+    set.  Disabling a fact in the store removes it (and nothing else) from
+    the next run — the reference's enabled flag honored at orchestration
+    time (gold_pipeline.py:420-427 skips disabled rows)."""
+    from test_siem import wazuh_payload
+    from pyspark.sql import functions as F
+
+    url = _url(tmp_path)
+    store = MetadataStore(spark, url)
+    store.seed()
+    store.set_enabled("fact_wazuh_events", False)
+    store.set_enabled("bridge_wazuh_event_tag", False)  # depends on the fact
+
+    runner = PipelineRunner.from_store(spark, str(tmp_path / "wh"), url)
+    raw = spark.createDataFrame(
+        [(str(__import__("json").dumps(
+            wazuh_payload("m1", "10.0.0.1", "2026-01-08T09:10:00.000Z"))),)],
+        "raw string",
+    )
+    runner.ingest_raw(raw)
+    metrics = runner.run_window(
+        dt.datetime(2026, 1, 8, 9, 0), dt.datetime(2026, 1, 8, 10, 0)
+    )
+    ran = {m["pipeline_id"] for m in metrics}
+    assert "fact_wazuh_events" not in ran
+    assert "bridge_wazuh_event_tag" not in ran
+    assert "dim_agent_scd2" in ran and "fact_zeek_events" in ran
+    assert not runner.wh.exists("fact_wazuh_events")
+    # dims still built from the window
+    assert runner.wh.read("dim_agent").filter(F.col("is_current") == 1).count() >= 1
+
+
+def test_yaml_fallback_when_store_unreachable(spark, tmp_path):
+    """load_pipeline_specs degrades to the YAML snapshot when the store is
+    absent/unreachable — the reference's two-tier load
+    (postgres configs `or` file configs, gold_pipeline.py:498-507)."""
+    bad_url = f"jdbc:derby:{os.path.join(str(tmp_path), 'nope')}"  # no ;create
+    dag, specs = load_pipeline_specs(spark, bad_url)
+    assert {s.pipeline_id for s in specs} == {s.pipeline_id for s in PIPELINES}
+    assert dag["max_active_tasks"] == 8
+    # and url=None goes straight to the snapshot
+    _dag2, specs2 = load_pipeline_specs(spark, None)
+    assert specs2 == specs
+
+
+def test_seed_from_yaml_migration(spark, tmp_path):
+    """File → DB migration: seeding from the YAML snapshot then loading from
+    the store yields the same catalog as reading the YAML directly."""
+    from dev_clickhouse_spark.plans.spec import load_pipelines_yml
+
+    store = MetadataStore(spark, _url(tmp_path, "meta2"))
+    store.seed_from_yaml()
+    _dag, specs = store.load()
+    _ycfg, yspecs = load_pipelines_yml()
+    assert specs == yspecs
