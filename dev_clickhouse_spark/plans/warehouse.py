@@ -9,6 +9,7 @@ approximate the primary-key skip index; small gold dims unpartitioned.
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -16,6 +17,25 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..schemas import BRONZE_SCHEMAS, GOLD_SCHEMAS
+
+
+def conform_to_schema(df: DataFrame, schema: T.StructType) -> DataFrame:
+    """Project ``df`` onto the declared schema: absent columns materialize
+    as typed NULLs, type-widened columns are cast, order follows the
+    declaration.  This is the read side of ADDITIVE schema evolution — a
+    plan-level projection, so an ALTER is metadata-only and instant even on
+    a 100 TB table (ClickHouse's non-mutating ALTERs behave the same way);
+    old parquet files are never rewritten."""
+    cols = []
+    have = {f.name: f.dataType for f in df.schema.fields}
+    for f in schema.fields:
+        if f.name not in have:
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+        elif have[f.name] != f.dataType:
+            cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+        else:
+            cols.append(F.col(f.name))
+    return df.select(*cols)
 
 #: tables partitioned by event_date + their in-partition sort key
 _PARTITIONED_SORT: dict[str, list[str]] = {
@@ -47,9 +67,36 @@ class Warehouse:
             not f.startswith((".", "_")) for f in os.listdir(p)
         )
 
+    # -- declared-schema registry (ALTER target) ---------------------------
+
+    def _schema_override_path(self, table: str) -> str:
+        return os.path.join(self.root, "_schemas", table + ".json")
+
+    def schema_override(self, table: str) -> T.StructType | None:
+        """The persisted post-ALTER schema, if a migration has been applied
+        (quality/migrate.py writes it); None = the in-code declaration."""
+        p = self._schema_override_path(table)
+        if not os.path.exists(p):
+            return None
+        with open(p) as fh:
+            return T.StructType.fromJson(json.load(fh))
+
+    def save_schema_override(self, table: str, schema: T.StructType) -> None:
+        """Persist an ALTERed declared schema — the migration COMMIT.  Only
+        quality/migrate.SchemaMigrator should call this (it validates the
+        change is additive/widening first)."""
+        p = self._schema_override_path(table)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        tmp = p + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(schema.jsonValue(), fh, indent=1)
+        os.replace(tmp, p)  # atomic: readers see old or new, never partial
+
     def schema_for(self, table: str) -> T.StructType:
-        schema = _ALL_SCHEMAS[table]
-        if table in _PARTITIONED_SORT:
+        schema = self.schema_override(table) or _ALL_SCHEMAS[table]
+        if table in _PARTITIONED_SORT and not any(
+            f.name == "event_date" for f in schema.fields
+        ):
             return T.StructType(
                 [*schema.fields, T.StructField("event_date", T.DateType())]
             )
@@ -59,11 +106,32 @@ class Warehouse:
         """Read a table; a missing table reads as empty with its declared
         schema, so every pipeline is total on a fresh warehouse.  The
         ``ingest_batch`` directory level used by exactly-once streaming
-        appends is an implementation detail and is hidden from readers."""
+        appends is an implementation detail and is hidden from readers.
+        After an applied migration the read conforms to the ALTERed schema
+        (typed NULLs for added columns, casts for widened ones) — old files
+        are served through the new schema without rewrite."""
         if not self.exists(table):
             return self.spark.createDataFrame([], self.schema_for(table))
-        df = self.spark.read.parquet(self.path(table))
-        return df.drop("ingest_batch") if "ingest_batch" in df.columns else df
+        override = self.schema_override(table)
+        if override is None:
+            df = self.spark.read.parquet(self.path(table))
+        else:
+            # post-ALTER the directory mixes pre- and post-migration files;
+            # an inferred read would adopt ONE file's schema and could hide
+            # the added column in the others.  Reading with the declared
+            # schema is authoritative and free: missing columns surface as
+            # NULLs, widened types use the parquet reader's type promotion.
+            expected = self.schema_for(table)
+            if self._batch_layout(table):
+                expected = T.StructType(
+                    [*expected.fields, T.StructField("ingest_batch", T.LongType())]
+                )
+            df = self.spark.read.schema(expected).parquet(self.path(table))
+        if "ingest_batch" in df.columns:
+            df = df.drop("ingest_batch")
+        if override is not None:
+            df = conform_to_schema(df, self.schema_for(table))
+        return df
 
     def read_window(self, table: str, start_ts, end_ts) -> DataFrame:
         """Windowed scan with explicit partition pruning: the ts predicate

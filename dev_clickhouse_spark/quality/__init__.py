@@ -1,3 +1,4 @@
+from .migrate import MigrationPlan, SchemaMigrator, is_widening  # noqa: F401
 from .checks import (  # noqa: F401
     check_freshness,
     check_not_null,

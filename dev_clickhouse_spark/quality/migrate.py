@@ -1,0 +1,168 @@
+"""Schema-evolution apply path — the engine's ALTER TABLE.
+
+The reference evolves bronze schemas with manual ALTER migrations
+(scripts/alter_bronze_timezone_asia_jakarta.sql:1-16 — MODIFY COLUMN type
+changes applied to live MergeTree tables); quality/checks.py already DETECTS
+drift, this module APPLIES the change.  Spark-first semantics for
+parquet-backed tables:
+
+- **additive column** (new nullable field) — metadata-only: the declared
+  schema is updated and persisted (``Warehouse.save_schema_override``);
+  reads conform old files through the new schema (typed NULLs), writes
+  carry the column.  Instant at any scale — no 100 TB rewrite, the same
+  reason ClickHouse ADD COLUMN is O(1).
+- **type widening** (int→bigint, float→double, …) — also metadata-only:
+  the parquet reader's type promotion serves old narrow files through the
+  widened declared type.
+- **destructive change** (drop column, narrow/ incompatible retype,
+  rename) — REFUSED with the full reason list; destructive migrations are
+  a rewrite the operator must run deliberately (``rewrite=True`` is the
+  explicit opt-in, staged + atomic-swap like ``Warehouse.compact``).
+
+The reference's timezone MODIFY specifically is a display-level concern in
+this engine (timestamps are stored as UTC instants, SURVEY.md §1.2) — the
+equivalent here is a widening no-op plus the session timezone.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import types as T
+
+from ..plans.warehouse import _PARTITIONED_SORT, Warehouse, conform_to_schema
+
+#: safe numeric widenings (target rank must be >= source rank within family)
+_INT_RANK = {"tinyint": 1, "smallint": 2, "int": 3, "bigint": 4}
+_FLOAT_RANK = {"float": 1, "double": 2}
+
+
+def is_widening(src: T.DataType, dst: T.DataType) -> bool:
+    """True when every value of ``src`` is exactly representable in ``dst``
+    (the only retypes applied without a rewrite)."""
+    if src == dst:
+        return True
+    s, d = src.simpleString(), dst.simpleString()
+    if s in _INT_RANK and d in _INT_RANK:
+        return _INT_RANK[s] <= _INT_RANK[d]
+    if s in _FLOAT_RANK and d in _FLOAT_RANK:
+        return _FLOAT_RANK[s] <= _FLOAT_RANK[d]
+    if isinstance(src, T.ArrayType) and isinstance(dst, T.ArrayType):
+        return is_widening(src.elementType, dst.elementType)
+    return False
+
+
+@dataclass
+class MigrationPlan:
+    table: str
+    added: list[str] = field(default_factory=list)
+    widened: list[str] = field(default_factory=list)
+    unchanged: list[str] = field(default_factory=list)
+    destructive: list[str] = field(default_factory=list)  # human reasons
+
+    @property
+    def is_safe(self) -> bool:
+        return not self.destructive
+
+    @property
+    def is_noop(self) -> bool:
+        return not (self.added or self.widened or self.destructive)
+
+
+class SchemaMigrator:
+    """Plan and apply declared-schema changes on warehouse tables."""
+
+    def __init__(self, wh: Warehouse):
+        self.wh = wh
+
+    def plan(self, table: str, target: T.StructType) -> MigrationPlan:
+        """Classify ``current declared → target`` per column.  Nothing is
+        modified; ``apply`` executes a safe plan."""
+        current = self.wh.schema_for(table)
+        cur = {f.name: f for f in current.fields}
+        tgt = {f.name: f for f in target.fields}
+        p = MigrationPlan(table)
+        for name in cur:
+            if name == "event_date" and name not in tgt:
+                continue  # partition column is appended automatically
+            if name not in tgt:
+                p.destructive.append(
+                    f"drop column {name!r} (present in current schema)"
+                )
+        for name, f in tgt.items():
+            if name not in cur:
+                p.added.append(name)
+            elif cur[name].dataType == f.dataType:
+                p.unchanged.append(name)
+            elif is_widening(cur[name].dataType, f.dataType):
+                p.widened.append(name)
+            else:
+                p.destructive.append(
+                    f"retype {name!r} "
+                    f"{cur[name].dataType.simpleString()} → "
+                    f"{f.dataType.simpleString()} is not a widening"
+                )
+        return p
+
+    def apply(
+        self, table: str, target: T.StructType, rewrite: bool = False
+    ) -> MigrationPlan:
+        """Apply the migration.  Safe plans (additive/widening) commit as a
+        metadata-only declared-schema update, validated by reading the table
+        through the new schema first.  Destructive plans raise unless
+        ``rewrite=True`` — the explicit opt-in that rewrites the data
+        (staged, atomic swap) to the new shape, dropping/retyping columns.
+        Single-writer discipline as with ``compact``."""
+        p = self.plan(table, target)
+        if p.destructive and not rewrite:
+            raise ValueError(
+                f"migration on {table!r} is destructive and needs "
+                f"rewrite=True: " + "; ".join(p.destructive)
+            )
+        if p.is_noop:
+            return p
+        if not p.destructive:
+            # metadata-only commit; validate old data serves through the
+            # new schema before persisting it
+            if self.wh.exists(table):
+                probe = conform_to_schema(self.wh.read(table), target)
+                probe.limit(1).collect()
+            self.wh.save_schema_override(table, target)
+            return p
+        self._rewrite(table, target)
+        return p
+
+    def _rewrite(self, table: str, target: T.StructType) -> None:
+        """Destructive path: project/cast every row to the target shape and
+        swap the rewritten table in (same staged-rename discipline as
+        ``Warehouse.compact`` — single-writer maintenance window)."""
+        import os
+        import shutil
+        import uuid
+
+        wh = self.wh
+        if table in _PARTITIONED_SORT and not any(
+            f.name == "event_date" for f in target.fields
+        ):
+            target = T.StructType(
+                [*target.fields, T.StructField("event_date", T.DateType())]
+            )
+        if wh.exists(table):
+            df = conform_to_schema(wh.read(table), target)
+            staging = wh.path(f".{table}.migrate-{uuid.uuid4().hex[:8]}")
+            if "event_date" in df.columns:
+                df.write.mode("overwrite").partitionBy("event_date").parquet(
+                    staging
+                )
+            else:
+                df.write.mode("overwrite").parquet(staging)
+            final = wh.path(table)
+            backup = wh.path(f".{table}.old-{uuid.uuid4().hex[:8]}")
+            os.rename(final, backup)
+            try:
+                os.rename(staging, final)
+            except BaseException:
+                os.rename(backup, final)
+                raise
+            shutil.rmtree(backup)
+        wh.save_schema_override(table, target)
