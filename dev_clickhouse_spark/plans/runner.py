@@ -94,24 +94,57 @@ class PipelineRunner:
         pipeline_ids: set[str] | None = None,
     ) -> list[dict]:
         """One scheduled gold refresh over [start_ts, end_ts) — the reference's
-        */5-cron DAG run with a 10-minute window (gold_pipeline.py:27-49)."""
+        */5-cron DAG run with a 10-minute window (gold_pipeline.py:27-49).
+
+        The three bronze windows are materialized ONCE up front
+        (localCheckpoint) and shared by every pipeline: without this the 16
+        pipelines issue ~30 separate scan+filter jobs over the same window
+        (ClickHouse gets the sharing for free from its page cache; Spark
+        needs the explicit materialization).  A 10-minute window is small by
+        construction (~200k events at the reference envelope), so pinning it
+        is safe even when the underlying table is 100 TB."""
         run_metrics: list[dict] = []
-        for wave in topo_sorted_waves(self.pipelines):
-            todo = [
-                s for s in wave if pipeline_ids is None or s.pipeline_id in pipeline_ids
-            ]
-            if not todo:
-                continue
-            if len(todo) == 1:
-                results = [self._run_one(todo[0], start_ts, end_ts)]
-            else:
-                with ThreadPoolExecutor(
-                    max_workers=min(self.max_active_tasks, len(todo))
-                ) as pool:
-                    results = list(
-                        pool.map(lambda s: self._run_one(s, start_ts, end_ts), todo)
-                    )
-            run_metrics.extend(results)
+        from ..schemas import BRONZE_SCHEMAS
+
+        cache: dict[str, DataFrame] = {}
+        with ThreadPoolExecutor(max_workers=len(BRONZE_SCHEMAS)) as pool:
+            for t, df in zip(
+                BRONZE_SCHEMAS,
+                pool.map(
+                    lambda t: self.wh.read_window(t, start_ts, end_ts)
+                    .localCheckpoint(eager=True),
+                    BRONZE_SCHEMAS,
+                ),
+            ):
+                cache[t] = df
+        self._bronze_window_cache = cache
+        try:
+            for wave in topo_sorted_waves(self.pipelines):
+                todo = [
+                    s for s in wave
+                    if pipeline_ids is None or s.pipeline_id in pipeline_ids
+                ]
+                if not todo:
+                    continue
+                if len(todo) == 1:
+                    results = [self._run_one(todo[0], start_ts, end_ts)]
+                else:
+                    with ThreadPoolExecutor(
+                        max_workers=min(self.max_active_tasks, len(todo))
+                    ) as pool:
+                        results = list(
+                            pool.map(
+                                lambda s: self._run_one(s, start_ts, end_ts), todo
+                            )
+                        )
+                run_metrics.extend(results)
+        finally:
+            self._bronze_window_cache = {}
+            for df in cache.values():
+                try:
+                    df.unpersist()
+                except Exception:
+                    pass
         self.metrics.extend(run_metrics)
         self._persist_metrics(run_metrics)
         return run_metrics
@@ -232,7 +265,10 @@ class PipelineRunner:
         }
 
     def _build(self, spec: PipelineSpec, start_ts, end_ts) -> tuple[DataFrame, str]:
-        win = lambda t: self.wh.read_window(t, start_ts, end_ts)  # noqa: E731
+        cache = getattr(self, "_bronze_window_cache", {})
+        win = lambda t: (  # noqa: E731
+            cache[t] if t in cache else self.wh.read_window(t, start_ts, end_ts)
+        )
         cur = lambda t: (self.wh.read(t) if self.wh.exists(t) else None)  # noqa: E731
         pid = spec.pipeline_id
 
