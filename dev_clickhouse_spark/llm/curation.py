@@ -172,3 +172,83 @@ def decontaminate_against_benchmark(spark: SparkSession, sf_dir: str) -> DataFra
             .cast("int").alias("is_contaminated"),
         )
     )
+
+
+#: ordered curation gates: (stage name, SQL boolean the doc must pass).
+#: Both engines evaluate the SAME expressions; each stage's survivor count
+#: is the conjunction of all gates up to it — the funnel a curation run
+#: reports before committing a filter config.
+FUNNEL_GATES: list[tuple[str, str]] = [
+    ("min_chars_100", "n_chars >= 100"),
+    ("min_tokens_20", "n_tokens >= 20"),
+    ("mean_word_len_2_14",
+     "(CAST(n_chars AS DOUBLE) / n_tokens) >= 2.0 "
+     "AND (CAST(n_chars AS DOUBLE) / n_tokens) <= 14.0"),
+    ("ascii_ratio_50", "ascii_ratio >= 0.5"),
+]
+
+
+def _funnel_oracle() -> str:
+    conds, selects = [], [
+        "CAST(0 AS INTEGER) AS stage", "'total' AS gate",
+        "CAST(count(*) AS BIGINT) AS n_surviving",
+    ]
+    stages = ["SELECT " + ", ".join(selects) + " FROM t"]
+    for i, (name, cond) in enumerate(FUNNEL_GATES, start=1):
+        conds.append(f"({cond})")
+        stages.append(
+            f"SELECT CAST({i} AS INTEGER) AS stage, '{name}' AS gate, "
+            "CAST(count(*) AS BIGINT) AS n_surviving FROM t WHERE "
+            + " AND ".join(conds)
+        )
+    return (
+        """
+WITH t AS (
+  SELECT n_chars,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST(len(regexp_replace(text, '[^ -~]', '', 'g')) AS DOUBLE)
+           / n_chars AS ascii_ratio
+  FROM documents WHERE n_chars > 0
+)
+"""
+        + "\nUNION ALL\n".join(stages)
+    )
+
+
+@register("curation_filter_funnel", oracle=_funnel_oracle(), tags=["llm-quality"])
+def curation_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivor counts through the chained curation gates (length → token
+    count → mean word length → ASCII ratio) — the funnel report that tells
+    a curation run which filter is doing the cutting BEFORE committing it.
+    One scan computes every per-doc signal JVM-side; the funnel itself is a
+    single aggregation of conjunction flags (no per-stage rescans), so the
+    cost at 100 TB is one pass + a rows=stages result."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    t = docs.select(
+        F.col("n_chars"),
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        (
+            F.length(F.regexp_replace("text", "[^ -~]", "")).cast("double")
+            / F.col("n_chars")
+        ).alias("ascii_ratio"),
+    )
+    flags, acc = [], None
+    for name, cond in FUNNEL_GATES:
+        c = F.expr(cond)
+        acc = c if acc is None else (acc & c)
+        flags.append(F.sum(acc.cast("long")).alias(name))
+    agg = t.agg(F.count(F.lit(1)).alias("total"), *flags)
+    names = ["total"] + [n for n, _ in FUNNEL_GATES]
+    stacked = agg.select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).cast("int").alias("stage"),
+                    F.lit(n).alias("gate"),
+                    F.col(n).cast("long").alias("n_surviving"),
+                )
+                for i, n in enumerate(names)
+            ])
+        ).alias("s")
+    )
+    return stacked.select("s.stage", "s.gate", "s.n_surviving")

@@ -203,6 +203,108 @@ def pack_context_windows_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "domain_mix_weights",
+    oracle="""
+WITH t AS (
+  SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+  FROM documents
+),
+s AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n) AS BIGINT) AS n_tokens
+  FROM t GROUP BY source
+)
+SELECT source, n_docs, n_tokens,
+       floor(CAST(n_tokens AS DOUBLE) / (sum(n_tokens) OVER ())
+             * 1000000 + 0.5) / 1000000 AS token_share,
+       floor(CAST(sum(n_tokens) OVER () AS DOUBLE)
+             / (count(*) OVER ()) / n_tokens * 1000000 + 0.5) / 1000000
+         AS uniform_weight
+FROM s
+""",
+    tags=["llm-sample"],
+)
+def domain_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture planning: per-source token share and the sampling weight
+    that flattens the mix to uniform (weight = target_share / actual_share —
+    multiply each source's sampling probability by it to hit the target).
+    The heavy part is one partial-agg shuffle on ``source``; the share/weight
+    window runs over the handful of per-source rows, so the op costs the
+    same as a plain count at 100 TB.  The uniform target is the degenerate
+    config — production passes any target vector against the same shares."""
+    docs = load_table(spark, sf_dir, "documents")
+    s = (
+        docs.select(
+            "source",
+            F.size(F.split("text", " ")).cast("long").alias("n"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n").alias("n_tokens"),
+        )
+    )
+    w = Window.partitionBy()
+    total = F.sum("n_tokens").over(w)
+    k = F.count(F.lit(1)).over(w)
+    return s.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        rnd(F.col("n_tokens").cast("double") / total, 6).alias("token_share"),
+        rnd(total.cast("double") / k / F.col("n_tokens"), 6).alias(
+            "uniform_weight"
+        ),
+    )
+
+
+N_EXPORT_SHARDS = 16
+
+
+@register(
+    "training_export_shards",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+              % {N_EXPORT_SHARDS} AS INTEGER) AS shard_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+  FROM documents
+)
+SELECT shard_id, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n) AS BIGINT) AS n_tokens,
+       CAST(min(n) AS BIGINT) AS min_tokens,
+       CAST(max(n) AS BIGINT) AS max_tokens
+FROM t GROUP BY shard_id
+""",
+    tags=["llm-sample"],
+)
+def training_export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic shard plan for training export: every document maps to
+    ``md5(doc_id) mod {N_EXPORT_SHARDS}`` — a map-only assignment that is
+    stable under reruns/repartitioning AND a uniform pseudo-random global
+    shuffle (adjacent doc ids scatter across shards, the property
+    sequential range-sharding lacks and trainers need).  The per-shard stats
+    are the balance check an export job asserts before writing; at 100 TB
+    the write itself is ``df.repartition(N, shard_id).write`` — same single
+    shuffle as this aggregation."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            hash_bucket("doc_id", N_EXPORT_SHARDS).alias("shard_id"),
+            F.size(F.split("text", " ")).cast("long").alias("n"),
+        )
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n").alias("n_tokens"),
+            F.min("n").alias("min_tokens"),
+            F.max("n").alias("max_tokens"),
+        )
+    )
+
+
+@register(
     "embedding_centroids",
     oracle="""
 WITH e AS (
