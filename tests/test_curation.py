@@ -92,3 +92,16 @@ def test_chunk_spans_respects_custom_params(spark):
     assert [r.chunk_text for r in rows] == [
         "a b c d", "c d e f", "e f g h", "g h i j",
     ]
+
+
+def test_curation_filter_funnel_is_monotonic(spark):
+    from dev_clickhouse_spark.llm.curation import curation_filter_funnel
+
+    rows = curation_filter_funnel(spark, "/root/testdata/sf0.001").orderBy(
+        "stage"
+    ).collect()
+    assert rows[0].gate == "total" and rows[0].n_surviving > 0
+    counts = [r.n_surviving for r in rows]
+    # each chained gate can only shrink the survivor set
+    assert all(a >= b for a, b in zip(counts, counts[1:]))
+    assert len(rows) == 5

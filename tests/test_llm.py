@@ -790,3 +790,30 @@ def test_jpeg_through_resize_pipeline(spark):
     resized = decode_jpeg(bytes(out[0].payload))
     assert resized.shape == (6, 6, 3)
     assert np.all(resized == 77)
+
+
+def test_domain_mix_weights_properties(spark):
+    """Shares sum to 1; weight × share = 1/k for every source (the flattening
+    identity); reweighted mix is uniform."""
+    from dev_clickhouse_spark.llm.sampling import domain_mix_weights
+
+    rows = domain_mix_weights(spark, "/root/testdata/sf0.001").collect()
+    k = len(rows)
+    assert abs(sum(r.token_share for r in rows) - 1.0) < 1e-3
+    for r in rows:
+        assert abs(r.token_share * r.uniform_weight - 1.0 / k) < 1e-3
+
+
+def test_training_export_shards_cover_all_docs(spark):
+    from dev_clickhouse_spark.io import load_table
+    from dev_clickhouse_spark.llm.sampling import (
+        N_EXPORT_SHARDS, training_export_shards,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    rows = training_export_shards(spark, "/root/testdata/sf0.001").collect()
+    assert {r.shard_id for r in rows} <= set(range(N_EXPORT_SHARDS))
+    assert sum(r.n_docs for r in rows) == docs.count()
+    # md5 spreads uniformly: no shard is pathologically skewed
+    sizes = [r.n_docs for r in rows]
+    assert max(sizes) < 3 * (sum(sizes) / len(sizes))
