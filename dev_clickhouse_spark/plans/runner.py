@@ -77,13 +77,24 @@ class PipelineRunner:
         from ..sources.json_events import with_parsed
 
         raw_df = with_parsed(raw_df).localCheckpoint(eager=True)
-        counts = {}
-        for table, df in extract_all(raw_df).items():
-            df = df.filter(df.event_ts.isNotNull())
+        extracted = {
+            table: df.filter(df.event_ts.isNotNull())
+            for table, df in extract_all(raw_df).items()
+        }
+
+        # the three typed writes share the one materialized parse and target
+        # disjoint directories — submit them concurrently so the cluster
+        # pipelines the jobs instead of idling between three serial commits
+        def write(item):
+            table, df = item
             self.wh.append(table, df)
-            if collect_counts:
-                counts[table] = df.count()
-        return counts
+            return df.count() if collect_counts else None
+
+        with ThreadPoolExecutor(max_workers=len(extracted)) as pool:
+            results = list(pool.map(write, extracted.items()))
+        return {
+            t: n for t, n in zip(extracted, results) if collect_counts
+        }
 
     # -- gold --------------------------------------------------------------
 
