@@ -32,14 +32,40 @@ class ContinuousPipeline(BronzeStream):
         dedupe: bool = False,
         slack_minutes: int = 5,
         pipeline_ids: set[str] | None = None,
+        metadata_url: str | None = None,
+        metadata_reload_batches: int = 10,
     ):
+        """``metadata_url`` points the per-batch gold refresh at the DB
+        metadata store (plans/metastore.py): the pipeline catalog reloads
+        every ``metadata_reload_batches`` micro-batches, so an operator's
+        ``set_enabled``/``set_window`` edit reaches the RUNNING stream
+        without a restart — the streaming analog of the reference's DAG
+        generator re-reading metadata.gold_pipelines on its parse interval
+        (gold_pipeline.py:498-507)."""
         super().__init__(spark, warehouse_root, checkpoint_root, dedupe)
         self.runner = PipelineRunner(spark, warehouse_root)
         self.slack = dt.timedelta(minutes=slack_minutes)
         self.pipeline_ids = pipeline_ids
+        self.metadata_url = metadata_url
+        self.metadata_reload_batches = max(1, metadata_reload_batches)
+        self._batches_since_reload = 0
+        if metadata_url is not None:
+            self._reload_pipelines()
+
+    def _reload_pipelines(self) -> None:
+        from ..plans.metastore import load_pipeline_specs
+
+        dag, specs = load_pipeline_specs(self.spark, self.metadata_url)
+        self.runner.pipelines = specs
+        self.runner.max_active_tasks = int(dag.get("max_active_tasks", 8))
 
     def _process_batch(self, batch: DataFrame, batch_id: int) -> None:
         super()._process_batch(batch, batch_id)
+        if self.metadata_url is not None:
+            self._batches_since_reload += 1
+            if self._batches_since_reload >= self.metadata_reload_batches:
+                self._batches_since_reload = 0
+                self._reload_pipelines()
         span = self._batch_event_span(batch)
         if span is None:
             return

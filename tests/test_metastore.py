@@ -116,3 +116,46 @@ def test_seed_from_yaml_migration(spark, tmp_path):
     _dag, specs = store.load()
     _ycfg, yspecs = load_pipelines_yml()
     assert specs == yspecs
+
+
+def test_streaming_picks_up_metadata_edits(spark, tmp_path):
+    """A RUNNING continuous pipeline re-reads the metadata store on its
+    reload interval: disabling a fact in the store stops the stream
+    refreshing it — no restart, no code change (the streaming analog of the
+    reference DAG generator re-parsing metadata.gold_pipelines)."""
+    import json as _json
+
+    from test_siem import wazuh_payload
+    from dev_clickhouse_spark.streaming import ContinuousPipeline
+
+    url = _url(tmp_path, "meta_stream")
+    store = MetadataStore(spark, url)
+    store.seed()
+
+    inp = tmp_path / "in"
+    inp.mkdir()
+    (inp / "b1.jsonl").write_text(
+        _json.dumps(wazuh_payload("sw1", "10.3.0.1", "2026-01-08T09:10:00.000Z"))
+        + "\n"
+    )
+    cp = ContinuousPipeline(
+        spark, str(tmp_path / "wh"), str(tmp_path / "ckpt"),
+        metadata_url=url, metadata_reload_batches=1,
+    )
+    cp.from_files(str(inp)).awaitTermination(180)
+    n1 = cp.wh.read("fact_wazuh_events").count()
+    assert n1 == 1
+
+    # operator edit while the pipeline keeps running off the same checkpoint
+    store.set_enabled("fact_wazuh_events", False)
+    store.set_enabled("bridge_wazuh_event_tag", False)
+    (inp / "b2.jsonl").write_text(
+        _json.dumps(wazuh_payload("sw2", "10.3.0.2", "2026-01-08T09:20:00.000Z"))
+        + "\n"
+    )
+    cp.from_files(str(inp)).awaitTermination(180)
+    # bronze still ingests; the disabled fact stopped refreshing
+    assert cp.wh.read("wazuh_events_raw").count() == 2
+    assert cp.wh.read("fact_wazuh_events").count() == n1
+    # dims kept flowing
+    assert cp.wh.read("dim_agent").count() >= 2
