@@ -62,49 +62,51 @@ _CHECKED_R3 = {
     "range_join_version_intervals",
 }
 
-# One in-window representative per §2 family whose only oracle coverage lives
-# in the round-3 set (IDs in comments; families already re-covered by the 37
-# rotated-in queries — e.g. J7 via q15/q11/q22, O2 via multi_key_daily_top,
-# W2 via window_rank_suite — stay rotated out this round).  ORDER MATTERS:
-# never-checked queries sort ahead of these, so when new oracle queries grow
-# that class past 50-len(this list), reps drop from the TAIL — the most
-# redundant families (SQL path also in sql_moving_avg_frame; the null-safe
-# eqNullSafe mechanic also inside current_flag_version_join's join condition)
-# are listed last on purpose.
-_KEEP_IN_WINDOW = [
-    "scd2_user_type_versions",         # §2.11 SCD2 protocol
-    "gold_star_build_events",          # S2/J3/gold star keying
-    "asof_join_last_purchase",         # J2 ASOF
-    "merge_upsert_daily_counts",       # J8 MERGE
-    "dedupe_last_write_wins",          # S4 ReplacingMergeTree semantics
-    "json_extract_props",              # P4/F-JSON fallback chains
-    "argmin_first_event_per_user",     # A5 argMin
-    "distinct_on_latest_event",        # A7 DISTINCT ON
-    "events_5min_buckets",             # W3 time buckets
-    "union_conform_nations",           # U1 UNION ALL conform
-    "current_flag_version_join",       # J11 current-flag dim + P5 eqNullSafe
-    "null_safe_join_priority_buckets", # J9/P5 null-safe equi
-    "sql_revenue_by_region",           # S7 SQL serving path
-]
+# Round-4 window (CORRECTNESS_r04.json key set): the inverted window — the
+# 37 never-before-checked oracle queries + 13 per-family representatives.
+# After r4 every oracle query had at least one green driver row.
+_CHECKED_R4 = {
+    "ann_lsh_bucket_topk", "ann_lsh_recall_at_5", "argmin_first_event_per_user",
+    "asof_join_last_purchase", "chunk_documents", "cube_segment_priority",
+    "daily_event_type_ratio", "decontaminate_against_benchmark",
+    "dedupe_last_write_wins", "dim_time_complete", "distinct_on_latest_event",
+    "event_date_time_keys", "events_5min_buckets", "except_intersect_users",
+    "funnel_window_counts", "gold_star_build_events", "json_extract_props",
+    "merge_upsert_daily_counts", "multi_key_daily_top",
+    "multimodal_jpeg_roundtrip_stats", "multimodal_png_roundtrip_stats",
+    "percentile_event_values", "pii_redaction_stats", "pivot_daily_event_types",
+    "q10_returned_items", "q11_balance_concentration",
+    "q13_order_count_distribution", "q14_promo_revenue_ratio",
+    "q15_top_suppliers", "q16_supplier_part_variety",
+    "q17_small_quantity_revenue", "q18_large_volume_orders",
+    "q19_disjunctive_revenue", "q20_dominant_suppliers",
+    "q21_sole_late_supplier", "q22_dormant_customers", "q6_forecast_revenue",
+    "q8_market_share", "q9_product_profit", "retention_cohorts",
+    "rollup_year_priority", "scd2_user_type_versions", "session_windows_gap",
+    "sql_moving_avg_frame", "stats_moments_by_returnflag",
+    "text_repetition_signals", "timeseries_fill_gaps", "top_users_by_value",
+    "union_conform_nations", "window_rank_suite",
+}
 
 
 def _ordered():
-    """Registry in driver-check priority order: never-driver-checked oracle
-    queries (round-3 deferred + anything new this round) → per-family
-    representatives → twice-green round-3 window rest → rows-only ops."""
+    """Registry in round-5 driver-check priority order, LRU-style: oracle
+    queries never driver-checked (anything added this round) sort first,
+    then the stalest green rows (round-3 window, skipped in round 4), then
+    the just-checked round-4 window.  With 95 oracle queries and a 50-row
+    driver budget, this keeps every query's most recent green row at most
+    two rounds old."""
     from dev_clickhouse_spark.queries import REGISTRY
-
-    keep_rank = {n: i for i, n in enumerate(_KEEP_IN_WINDOW)}
 
     def klass(item):
         name, spec = item
         if spec.oracle is None:
-            return (3, 0)
-        if name not in _CHECKED_R3:
-            return (0, 0)
-        if name in keep_rank:
-            return (1, keep_rank[name])
-        return (2, 0)
+            return (3, name)
+        if name not in _CHECKED_R3 and name not in _CHECKED_R4:
+            return (0, name)  # new this round — never driver-checked
+        if name not in _CHECKED_R4:
+            return (1, name)  # last green in r3 — stalest
+        return (2, name)      # green in r4 — freshest, rotates out
 
     return sorted(REGISTRY.items(), key=klass)
 
