@@ -817,3 +817,34 @@ def test_training_export_shards_cover_all_docs(spark):
     # md5 spreads uniformly: no shard is pathologically skewed
     sizes = [r.n_docs for r in rows]
     assert max(sizes) < 3 * (sum(sizes) / len(sizes))
+
+
+def test_lang_id_arrow_twin_matches_explode_path(spark):
+    """The map-only Arrow twin must predict IDENTICALLY to the oracle-anchored
+    explode path — same profiles, same rank math, same tie-breaks — on the
+    driver corpus plus the edge shapes (sub-trigram docs → fallback)."""
+    from dev_clickhouse_spark.io import load_table
+    from dev_clickhouse_spark.llm.text import (
+        lang_id_predict,
+        lang_id_predict_arrow,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    jvm = {
+        r.doc_id: r.predicted_lang for r in lang_id_predict(docs).collect()
+    }
+    arrow = {
+        r.doc_id: r.predicted_lang
+        for r in lang_id_predict_arrow(docs).collect()
+    }
+    assert arrow == jvm and len(arrow) == docs.count()
+
+    edge = spark.createDataFrame(
+        [(1, "ab"), (2, ""), (3, None), (4, "der die das und ist nicht")],
+        "doc_id long, text string",
+    )
+    jvm_e = {r.doc_id: r.predicted_lang for r in lang_id_predict(edge).collect()}
+    arrow_e = {
+        r.doc_id: r.predicted_lang for r in lang_id_predict_arrow(edge).collect()
+    }
+    assert arrow_e == jvm_e
