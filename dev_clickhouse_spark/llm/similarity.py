@@ -238,6 +238,11 @@ def ivf_build(
     expressions: assignment is a broadcast cross join + row_number argmin;
     the mean recompute is posexplode → groupBy(cid, pos) avg → re-assemble.
     At corpus scale both steps are single-shuffle on cid/(cid,pos).
+
+    Both outputs are MATERIALIZED (localCheckpoint): an IVF index is a
+    persisted structure by nature — without this every search branch
+    re-runs the whole build.  At 100 TB the production move is the same
+    idea durable: write assignments to parquet once, search many times.
     """
     c = corpus.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("cv")
@@ -274,8 +279,16 @@ def ivf_build(
                 F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s.m
             ).alias("cv_centroid")
         )
+        # n_centroids rows, but the subtree above them (seed assign + window
+        # + per-dim means) re-executes once per downstream REFERENCE —
+        # second assign, query probes, candidate join all branch from here.
+        # Materializing turns ~4 recomputes of the build into 1.
+        .localCheckpoint(eager=True)
     )
-    assignments = assign(c, means, "cv_centroid").select("id", "cid")
+    assignments = (
+        assign(c, means, "cv_centroid").select("id", "cid")
+        .localCheckpoint(eager=True)  # same: probed by every query branch
+    )
     return means.withColumnRenamed("cv_centroid", "cv"), assignments
 
 
