@@ -227,9 +227,11 @@ class Warehouse:
 
         if not self.exists(table):
             return 0
-        df = self.spark.read.parquet(self.path(table))
-        if "ingest_batch" in df.columns:  # collapse the streaming batch dirs
-            df = df.drop("ingest_batch")
+        # go through read(): it collapses the streaming batch dirs AND, on a
+        # migrated table, reads with the declared schema — a raw inferred
+        # read over mixed pre/post-ALTER files could adopt an old file's
+        # schema and silently drop the added column from the rewrite
+        df = self.read(table)
         staging = self.path(f".{table}.compact-{uuid.uuid4().hex[:8]}")
         par = self.spark.sparkContext.defaultParallelism
         if table in _PARTITIONED_SORT and "event_date" in df.columns:

@@ -168,3 +168,35 @@ def test_destructive_rewrite_opt_in(spark, tmp_path):
     df = wh.read("dim_tag")
     assert "updated_at" not in df.columns
     assert df.count() == 2
+
+
+def test_compact_preserves_migrated_column(spark, tmp_path):
+    """Compaction after an additive migration must carry the new column's
+    VALUES through the rewrite — a raw inferred read over mixed pre/post-
+    ALTER files could adopt an old file's schema and null the column out."""
+    wh = _wh(spark, tmp_path)
+    base = wh.schema_for("wazuh_events_raw")
+    no_part = T.StructType([f for f in base.fields if f.name != "event_date"])
+    row = {f.name: None for f in no_part.fields}
+    row.update(event_id="c1", event_ts=dt.datetime(2026, 1, 8, 9, 0))
+    wh.append("wazuh_events_raw", spark.createDataFrame(
+        [tuple(row[f.name] for f in no_part.fields)], no_part
+    ))
+
+    target = T.StructType(
+        [*no_part.fields, T.StructField("enrichment_score", T.DoubleType())]
+    )
+    SchemaMigrator(wh).apply("wazuh_events_raw", target)
+
+    row2 = {f.name: None for f in target.fields}
+    row2.update(event_id="c2", event_ts=dt.datetime(2026, 1, 8, 9, 5),
+                enrichment_score=0.75)
+    wh.append("wazuh_events_raw", spark.createDataFrame(
+        [tuple(row2[f.name] for f in target.fields)], target
+    ))
+
+    n_files = wh.compact("wazuh_events_raw")
+    assert n_files >= 1
+    rows = {r.event_id: r.enrichment_score
+            for r in wh.read("wazuh_events_raw").collect()}
+    assert rows == {"c1": None, "c2": 0.75}
