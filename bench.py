@@ -40,6 +40,7 @@ BENCH_QUERIES = [
     "dedup_minhash_lsh_pairs",
     "dedup_keep_list",
     "lang_id_char_ngrams",
+    "lang_id_char_ngrams_arrow",  # map-only production twin, same oracle
     "ann_cosine_topk",
     "q9_product_profit",
     "q21_sole_late_supplier",

@@ -537,9 +537,7 @@ def _lang_profile_values_sql() -> str:
     return ", ".join(rows)
 
 
-@register(
-    "lang_id_char_ngrams",
-    oracle=f"""
+_LANG_NGRAM_ORACLE = f"""
 WITH prof(plang, ptg, pr) AS (VALUES {_lang_profile_values_sql()}),
 langs AS (SELECT DISTINCT plang FROM prof),
 t AS (SELECT doc_id, lang, lower(text) AS s FROM documents),
@@ -570,9 +568,10 @@ best AS (
 )
 SELECT t.doc_id, t.lang, coalesce(b.plang, 'de') AS predicted_lang
 FROM t LEFT JOIN best b ON b.doc_id = t.doc_id AND b.brn = 1
-""",
-    tags=["llm-text"],
-)
+"""
+
+
+@register("lang_id_char_ngrams", oracle=_LANG_NGRAM_ORACLE, tags=["llm-text"])
 def lang_id_char_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-trigram language ID over ``documents``: Cavnar–Trenkle
     out-of-place rank distance against the four trained trigram profiles
@@ -582,6 +581,21 @@ def lang_id_char_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     full rank/score/argmin pipeline."""
     docs = load_table(spark, sf_dir, "documents")
     return lang_id_predict(docs).select("doc_id", "lang", "predicted_lang")
+
+
+@register(
+    "lang_id_char_ngrams_arrow", oracle=_LANG_NGRAM_ORACLE, tags=["llm-text"]
+)
+def lang_id_char_ngrams_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME oracle served by the map-only Arrow production twin
+    (:func:`lang_id_predict_arrow`): the driver gate itself proves the twin
+    predicts identically to the SQL-replayed explode path — the strongest
+    form of the twin-parity property test, and the path a 100 TB run uses
+    (zero shuffle vs corpus-chars of (doc_id, trigram) rows)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return lang_id_predict_arrow(docs).select(
+        "doc_id", "lang", "predicted_lang"
+    )
 
 
 @register(
