@@ -129,8 +129,7 @@ def main() -> None:
     # 3: query pack at sf — median of 3 runs per query: this VM's scheduler
     # jitter swings single-shot timings ±3-10x between runs (round-3 BENCH
     # recorded an 11.8x phantom regression on an untouched query), and the
-    # artifact should reflect plans, not noise.  Ingest/gold stay single-shot
-    # (they are long enough to dominate jitter and not idempotent to repeat).
+    # artifact should reflect plans, not noise.
     for name in BENCH_QUERIES:
         fn = REGISTRY[name].fn
         runs = []

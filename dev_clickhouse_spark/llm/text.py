@@ -526,7 +526,13 @@ def lang_id_predict_arrow(docs: DataFrame, id_col: str = "doc_id",
             )
             yield pdf
 
-    return docs.mapInPandas(run, out_schema)
+    # mirror the JVM twin's output shape exactly: id column renamed to
+    # doc_id and moved first, remaining columns, then the prediction —
+    # code written against either twin sees the same frame
+    others = [c for c in docs.columns if c != id_col]
+    return docs.mapInPandas(run, out_schema).select(
+        F.col(id_col).alias("doc_id"), *others, "predicted_lang"
+    )
 
 
 def _lang_profile_values_sql() -> str:

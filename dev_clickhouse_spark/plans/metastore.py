@@ -124,15 +124,14 @@ class MetadataStore:
             conn.close()
 
     def _table_exists(self, name: str) -> bool:
-        conn = self._connect()
+        # probe with a no-row SELECT instead of DatabaseMetaData.getTables:
+        # engines fold unquoted identifiers differently (Derby → upper,
+        # Postgres → lower), so a cased catalog lookup misses cross-engine
         try:
-            rs = conn.getMetaData().getTables(None, None, name.upper(), None)
-            try:
-                return rs.next()
-            finally:
-                rs.close()
-        finally:
-            conn.close()
+            self._execute(f"SELECT 1 FROM {name} WHERE 1=0")
+            return True
+        except Exception:
+            return False
 
     # -- bootstrap / seed --------------------------------------------------
 
@@ -161,7 +160,7 @@ class MetadataStore:
             f"DELETE FROM gold_pipelines WHERE dag_name = {q(d['dag_name'])}",
             f"DELETE FROM gold_dags WHERE dag_name = {q(d['dag_name'])}",
             "INSERT INTO gold_dags VALUES ({}, {}, {}, {}, {}, {}, {}, "
-            "TIMESTAMP('{}'))".format(
+            "{{ts '{}'}})".format(
                 q(d["dag_name"]), q(d["schedule_cron"]), q(d["timezone"]),
                 q(d["owner"]), int(d["max_active_tasks"]),
                 int(d["default_window_minutes"]),
@@ -171,7 +170,7 @@ class MetadataStore:
         for order, s in enumerate(specs, start=1):
             stmts.append(
                 "INSERT INTO gold_pipelines VALUES ({}, {}, true, {}, {}, {}, "
-                "{}, {}, TIMESTAMP('{}'))".format(
+                "{}, {}, {{ts '{}'}})".format(
                     q(d["dag_name"]), q(s.pipeline_id), q(s.mode),
                     int(s.window_minutes), q(",".join(s.depends_on)),
                     q(s.target_table), order, now,
@@ -296,7 +295,19 @@ def load_pipeline_specs(
     if url is not None:
         try:
             return MetadataStore(spark, url).load(dag_name)
-        except Exception:
-            pass  # unreachable/empty store → snapshot, like the reference
+        except Exception as e:
+            # unreachable/empty store → snapshot, like the reference — but
+            # LOUDLY: a broken store (bad driver, auth, schema typo) that
+            # silently served the stale snapshot would make operator edits
+            # appear to take effect while the runner ignores them forever
+            import warnings
+
+            warnings.warn(
+                f"metadata store {url!r} unusable ({type(e).__name__}: {e}); "
+                "falling back to the YAML pipeline snapshot — operator edits "
+                "in the store will NOT take effect",
+                RuntimeWarning,
+                stacklevel=2,
+            )
     dag_cfg, specs = load_pipelines_yml(yaml_path)
     return {**DEFAULT_DAG, **dag_cfg}, specs

@@ -103,29 +103,52 @@ class PipelineRunner:
         start_ts: dt.datetime,
         end_ts: dt.datetime,
         pipeline_ids: set[str] | None = None,
+        honor_pipeline_windows: bool = False,
     ) -> list[dict]:
         """One scheduled gold refresh over [start_ts, end_ts) — the reference's
         */5-cron DAG run with a 10-minute window (gold_pipeline.py:27-49).
 
-        The three bronze windows are materialized ONCE up front
-        (localCheckpoint) and shared by every pipeline: without this the 16
-        pipelines issue ~30 separate scan+filter jobs over the same window
-        (ClickHouse gets the sharing for free from its page cache; Spark
-        needs the explicit materialization).  A 10-minute window is small by
-        construction (~200k events at the reference envelope), so pinning it
-        is safe even when the underlying table is 100 TB."""
+        ``honor_pipeline_windows=True`` (the scheduled-tick path,
+        :meth:`run_latest`) gives each pipeline its OWN trailing window
+        ``[end_ts - spec.window_minutes, end_ts)`` — the reference's
+        per-pipeline ``window_minutes`` override (gold_pipelines.yml:11,
+        gold_pipeline.py:316); an explicit backfill range (this method
+        called directly) applies to every pipeline as given.
+
+        The three bronze windows are materialized ONCE up front (persist +
+        eager count, released at the end) over the WIDEST requested window
+        and shared by every pipeline (narrower windows filter the cached
+        copy in memory): without this the 16 pipelines issue ~30 separate
+        scan+filter jobs (ClickHouse gets the sharing for free from its
+        page cache; Spark needs the explicit materialization).  A trailing
+        window is small by construction (~200k events at the reference
+        envelope), so pinning it is safe even when the table is 100 TB."""
         run_metrics: list[dict] = []
         from ..schemas import BRONZE_SCHEMAS
+
+        starts = {
+            s.pipeline_id: (
+                end_ts - dt.timedelta(minutes=s.window_minutes)
+                if honor_pipeline_windows and s.window_minutes
+                else start_ts
+            )
+            for s in self.pipelines
+        }
+        cache_start = min(starts.values(), default=start_ts)
+
+        def materialize(t: str) -> DataFrame:
+            # persist (not localCheckpoint): unpersist() actually frees
+            # persisted blocks, while a localCheckpoint's blocks only go
+            # away when the RDD is GC'd — per-tick streaming calls must
+            # release promptly, and the lineage here is a cheap pruned scan
+            df = self.wh.read_window(t, cache_start, end_ts).persist()
+            df.count()
+            return df
 
         cache: dict[str, DataFrame] = {}
         with ThreadPoolExecutor(max_workers=len(BRONZE_SCHEMAS)) as pool:
             for t, df in zip(
-                BRONZE_SCHEMAS,
-                pool.map(
-                    lambda t: self.wh.read_window(t, start_ts, end_ts)
-                    .localCheckpoint(eager=True),
-                    BRONZE_SCHEMAS,
-                ),
+                BRONZE_SCHEMAS, pool.map(materialize, BRONZE_SCHEMAS)
             ):
                 cache[t] = df
         self._bronze_window_cache = cache
@@ -138,14 +161,19 @@ class PipelineRunner:
                 if not todo:
                     continue
                 if len(todo) == 1:
-                    results = [self._run_one(todo[0], start_ts, end_ts)]
+                    results = [
+                        self._run_one(todo[0], starts[todo[0].pipeline_id], end_ts)
+                    ]
                 else:
                     with ThreadPoolExecutor(
                         max_workers=min(self.max_active_tasks, len(todo))
                     ) as pool:
                         results = list(
                             pool.map(
-                                lambda s: self._run_one(s, start_ts, end_ts), todo
+                                lambda s: self._run_one(
+                                    s, starts[s.pipeline_id], end_ts
+                                ),
+                                todo,
                             )
                         )
                 run_metrics.extend(results)
@@ -206,10 +234,14 @@ class PipelineRunner:
     ) -> list[dict]:
         """One scheduled tick: resolve the trailing window and refresh gold —
         what the reference's */5 cron invokes.  Safe to call on a timer or
-        from a Structured Streaming foreachBatch.  ``monitor=True`` also
-        writes the lag/volume/drift/alert observations for the tick."""
+        from a Structured Streaming foreachBatch.  Per-pipeline
+        ``window_minutes`` overrides are honored (each pipeline reads its
+        own trailing window off the shared end instant).  ``monitor=True``
+        also writes the lag/volume/drift/alert observations for the tick."""
         start_ts, end_ts = self.resolve_window(window_minutes, now)
-        results = self.run_window(start_ts, end_ts)
+        results = self.run_window(
+            start_ts, end_ts, honor_pipeline_windows=True
+        )
         if monitor:
             self.monitor_tick(start_ts, end_ts)
         return results
@@ -276,9 +308,15 @@ class PipelineRunner:
         }
 
     def _build(self, spec: PipelineSpec, start_ts, end_ts) -> tuple[DataFrame, str]:
+        from pyspark.sql import functions as F
+
         cache = getattr(self, "_bronze_window_cache", {})
+        # the cache holds the WIDEST window of the run; a pipeline with a
+        # narrower window filters the in-memory copy (no new scan)
         win = lambda t: (  # noqa: E731
-            cache[t] if t in cache else self.wh.read_window(t, start_ts, end_ts)
+            cache[t].filter(F.col("event_ts") >= F.lit(start_ts))
+            if t in cache
+            else self.wh.read_window(t, start_ts, end_ts)
         )
         cur = lambda t: (self.wh.read(t) if self.wh.exists(t) else None)  # noqa: E731
         pid = spec.pipeline_id

@@ -57,6 +57,9 @@ class Warehouse:
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.root = root
+        #: mtime-keyed cache of parsed schema overrides — read()/read_window()
+        #: consult the override several times per call and run ~30×/tick
+        self._override_cache: dict[str, tuple[float, T.StructType]] = {}
 
     def path(self, table: str) -> str:
         return os.path.join(self.root, table)
@@ -74,12 +77,21 @@ class Warehouse:
 
     def schema_override(self, table: str) -> T.StructType | None:
         """The persisted post-ALTER schema, if a migration has been applied
-        (quality/migrate.py writes it); None = the in-code declaration."""
+        (quality/migrate.py writes it); None = the in-code declaration.
+        Parsed once per (file, mtime) — the atomic replace in
+        ``save_schema_override`` bumps the mtime, invalidating the cache."""
         p = self._schema_override_path(table)
-        if not os.path.exists(p):
+        try:
+            mtime = os.path.getmtime(p)
+        except OSError:
             return None
+        hit = self._override_cache.get(table)
+        if hit is not None and hit[0] == mtime:
+            return hit[1]
         with open(p) as fh:
-            return T.StructType.fromJson(json.load(fh))
+            schema = T.StructType.fromJson(json.load(fh))
+        self._override_cache[table] = (mtime, schema)
+        return schema
 
     def save_schema_override(self, table: str, schema: T.StructType) -> None:
         """Persist an ALTERed declared schema — the migration COMMIT.  Only

@@ -41,33 +41,52 @@ _JOB_GROUP_SEQ = itertools.count()
 
 
 def _mask_quoted(sql: str, mask_backticks: bool) -> str:
-    """Blank out the contents of quoted regions so lexical checks
-    (statement separators, identifier deny-list) don't false-positive on
-    text inside literals.  Handles ``\\``-escapes and doubled-quote escapes
-    in ``'…'``/``"…"`` literals; backtick identifiers optionally."""
-    quotes = "'\"`" if mask_backticks else "'\""
+    """Blank out the contents of quoted regions and comments so lexical
+    checks (statement separators, identifier deny-list) operate on the same
+    token stream the SQL lexer sees.  The scanner must TRACK every region
+    kind the lexer knows — ``'…'``/``"…"`` literals (backslash and
+    doubled-quote escapes), backtick identifiers, ``--`` line comments and
+    ``/*…*/`` block comments — even when a region kind is left visible,
+    because a quote character INSIDE a comment or backtick identifier is
+    plain text, not a string opener; treating it as one desynchronizes the
+    mask and lets deny-listed identifiers hide behind it.  Comments are
+    always blanked.  ``mask_backticks`` chooses whether backtick contents
+    are blanked (';' scan) or kept (identifier deny scan)."""
     out: list[str] = []
     i, n, q = 0, len(sql), None
     while i < n:
         c = sql[i]
         if q is None:
-            if c in quotes:
-                q = c
-            out.append(c)
-            i += 1
+            if c == "-" and i + 1 < n and sql[i + 1] == "-":
+                j = sql.find("\n", i)
+                j = n if j < 0 else j
+                out.append(" " * (j - i))
+                i = j
+            elif c == "/" and i + 1 < n and sql[i + 1] == "*":
+                j = sql.find("*/", i + 2)
+                j = n if j < 0 else j + 2
+                out.append(" " * (j - i))
+                i = j
+            else:
+                if c in "'\"`":
+                    q = c
+                out.append(c)
+                i += 1
         elif c == "\\" and q in "'\"" and i + 1 < n:
-            out.append("  ")
+            out.append("  " if q != "`" else sql[i:i + 2])
             i += 2
         elif c == q:
             if i + 1 < n and sql[i + 1] == q:  # doubled-quote escape
-                out.append("  ")
+                out.append("  " if not (q == "`" and not mask_backticks)
+                           else sql[i:i + 2])
                 i += 2
             else:
                 q = None
                 out.append(c)
                 i += 1
         else:
-            out.append(" ")
+            keep = q == "`" and not mask_backticks
+            out.append(c if keep else " ")
             i += 1
     return "".join(out)
 

@@ -38,10 +38,13 @@ class ContinuousPipeline(BronzeStream):
         """``metadata_url`` points the per-batch gold refresh at the DB
         metadata store (plans/metastore.py): the pipeline catalog reloads
         every ``metadata_reload_batches`` micro-batches, so an operator's
-        ``set_enabled``/``set_window`` edit reaches the RUNNING stream
-        without a restart — the streaming analog of the reference's DAG
-        generator re-reading metadata.gold_pipelines on its parse interval
-        (gold_pipeline.py:498-507)."""
+        ``set_enabled`` edit reaches the RUNNING stream without a restart —
+        the streaming analog of the reference's DAG generator re-reading
+        metadata.gold_pipelines on its parse interval
+        (gold_pipeline.py:498-507).  ``set_window`` edits apply to the
+        SCHEDULED path (``run_latest`` trailing windows); the stream's
+        refresh window derives from each batch's event span, which
+        ``window_minutes`` does not parameterize."""
         super().__init__(spark, warehouse_root, checkpoint_root, dedupe)
         self.runner = PipelineRunner(spark, warehouse_root)
         self.slack = dt.timedelta(minutes=slack_minutes)

@@ -67,11 +67,31 @@ def test_ivf_assignment_margins_dominate_float_noise(spark):
         dtype=np.float64,
     )
     d2 = ((E[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
-    d2.sort(axis=1)
-    gaps = d2[:, 1] - d2[:, 0]
-    scale = np.maximum(d2[:, 0], 1.0)
+    ds = np.sort(d2, axis=1)
+    gaps = ds[:, 1] - ds[:, 0]
+    scale = np.maximum(ds[:, 0], 1.0)
     nonexact = gaps > 0  # exact ties take the cid tie-break in both engines
     assert (gaps[nonexact] / scale[nonexact]).min() > 1e-9
+
+    # the query-side boundary the assignment margin does NOT cover: probes
+    # keep the 4 nearest centroids, so the 4th-vs-5th distance gap for the
+    # 20 query vectors must also dwarf float noise
+    Q = E[:20] if len(E) >= 20 else E
+    qd = np.sort(((Q[:, None, :] - C[None, :, :]) ** 2).sum(axis=2), axis=1)
+    pgap = qd[:, 4] - qd[:, 3]
+    pscale = np.maximum(qd[:, 3], 1.0)
+    pne = pgap > 0
+    assert (pgap[pne] / pscale[pne]).min() > 1e-9
+
+    # and the ranking boundary: cosines are rounded to 4dp BEFORE ranking
+    # (ties then break on neighbor_id in both engines), so the only
+    # cross-engine risk is a raw cosine sitting within float noise of a
+    # x.xxxx5 rounding edge — assert every query-candidate cosine is far
+    # from one
+    norms = np.linalg.norm(E, axis=1)
+    cos = (Q @ E.T) / (np.linalg.norm(Q, axis=1)[:, None] * norms[None, :])
+    frac = np.abs((cos * 10000 + 0.5) - np.round(cos * 10000 + 0.5))
+    assert frac.min() > 1e-7  # ≫ 1e-12-ish accumulation noise at this scale
 
 
 def test_ivf_full_probe_equals_exact(spark):

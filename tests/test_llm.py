@@ -848,3 +848,13 @@ def test_lang_id_arrow_twin_matches_explode_path(spark):
         r.doc_id: r.predicted_lang for r in lang_id_predict_arrow(edge).collect()
     }
     assert arrow_e == jvm_e
+
+    # non-default id_col: both twins emit the SAME shape (id renamed to
+    # doc_id and first) — column contract parity, not just predictions
+    renamed = edge.withColumnRenamed("doc_id", "vec_id")
+    j = lang_id_predict(renamed, id_col="vec_id")
+    a = lang_id_predict_arrow(renamed, id_col="vec_id")
+    assert j.columns == a.columns
+    assert {r.doc_id: r.predicted_lang for r in j.collect()} == {
+        r.doc_id: r.predicted_lang for r in a.collect()
+    }

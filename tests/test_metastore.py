@@ -159,3 +159,46 @@ def test_streaming_picks_up_metadata_edits(spark, tmp_path):
     assert cp.wh.read("fact_wazuh_events").count() == n1
     # dims kept flowing
     assert cp.wh.read("dim_agent").count() >= 2
+
+
+def test_set_window_drives_pipeline_trailing_window(spark, tmp_path):
+    """set_window must change BEHAVIOR, not just the stored row: on the
+    scheduled tick each pipeline reads its own [now - window_minutes, now)
+    trailing window (reference per-pipeline window override,
+    gold_pipelines.yml:11).  dim_tag widened to 120 min picks up an event
+    the default 10-min pipelines ignore."""
+    import json as _json
+
+    from test_siem import suricata_payload
+
+    url = _url(tmp_path, "meta_win")
+    store = MetadataStore(spark, url)
+    store.seed()
+    store.set_window("dim_tag", 120)
+
+    runner = PipelineRunner.from_store(spark, str(tmp_path / "wh"), url)
+    raw = spark.createDataFrame(
+        [
+            (_json.dumps(suricata_payload(
+                "old1", ts="2026-01-08T09:00:00.000Z", tags=["old_only"])),),
+            (_json.dumps(suricata_payload(
+                "new1", ts="2026-01-08T09:55:00.000Z", tags=["new_tag"])),),
+        ],
+        "raw string",
+    )
+    runner.ingest_raw(raw)
+    metrics = runner.run_latest(
+        window_minutes=10, now=dt.datetime(2026, 1, 8, 10, 0), monitor=False
+    )
+
+    tags = {r.tag_value for r in runner.wh.read("dim_tag").collect()}
+    assert {"old_only", "new_tag"} <= tags  # 120-min window saw both
+    facts = {r.event_id for r in
+             runner.wh.read("fact_suricata_events").collect()}
+    assert facts == {"new1"}  # default 10-min window saw only the new event
+    # the per-pipeline window is visible in the run metrics
+    by_id = {m["pipeline_id"]: m for m in metrics}
+    assert by_id["dim_tag"]["start_ts"].startswith("2026-01-08 08:00")
+    assert by_id["fact_suricata_events"]["start_ts"].startswith(
+        "2026-01-08 09:50"
+    )

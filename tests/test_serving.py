@@ -114,6 +114,36 @@ def test_global_temp_views_are_refused(spark, endpoint):
         spark.catalog.dropGlobalTempView("leaky")
 
 
+def test_masker_bypass_attempts_are_refused(spark, endpoint):
+    """The lexical scans must track comments and backtick regions exactly
+    like the SQL lexer: a quote inside a comment or backtick identifier is
+    plain text — treating it as a string opener desynchronizes the mask and
+    hides deny-listed identifiers behind it."""
+    _ep, port = endpoint
+    spark.createDataFrame([(42,)], "leak int").createOrReplaceGlobalTempView(
+        "leaky2"
+    )
+    try:
+        for sql in (
+            "SELECT /* ' */ * FROM global_temp.leaky2 WHERE 'x' = 'x'",
+            "SELECT `x'`, 1 FROM global_temp.leaky2"
+            " CROSS JOIN (SELECT 1 AS `x'`)",
+            "SELECT -- '\n * FROM global_temp.leaky2",
+        ):
+            status, body = _get(port, sql)
+            assert status == 403, (sql, body)
+        # …and a comment must not hide a statement separator either
+        status, _ = _get(
+            port, "SELECT 1 /* x */; DROP TABLE gold_revenue"
+        )
+        assert status == 403
+        # benign: the word inside a LITERAL is served
+        status, body = _get(port, "SELECT 'global_temp' AS s")
+        assert status == 200 and body["rows"] == [{"s": "global_temp"}]
+    finally:
+        spark.catalog.dropGlobalTempView("leaky2")
+
+
 def test_semicolon_inside_literal_is_served(endpoint):
     _ep, port = endpoint
     status, body = _get(port, "SELECT ';' AS sep")
