@@ -206,3 +206,55 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("d1").alias("d1_retained"),
         F.sum("d7").alias("d7_retained"),
     )
+
+
+#: event_type → one-char symbol for the sequence string (deterministic,
+#: shared by the Spark query and the DuckDB oracle)
+_SEQ_SYMBOLS = {"view": "v", "click": "c", "purchase": "p",
+                "signup": "s", "error": "e"}
+_SEQ_SYM_SQL = "CASE " + " ".join(
+    f"WHEN event_type = '{k}' THEN '{v}'" for k, v in _SEQ_SYMBOLS.items()
+) + " ELSE 'x' END"
+
+
+@register(
+    "sequence_match_users",
+    oracle=f"""
+SELECT user_id,
+       CAST(CASE WHEN regexp_matches(
+              string_agg({_SEQ_SYM_SQL}, '' ORDER BY ts, event_id),
+              'v.*c.*p') THEN 1 ELSE 0 END AS INTEGER) AS matched,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events GROUP BY user_id
+""",
+    tags=["behavioral", "clickhouse-parity"],
+)
+def sequence_match_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``sequenceMatch('(?1).*(?2).*(?3)')(ts, view, click,
+    purchase)`` parity: per user, did a view→click→purchase occur IN ORDER
+    (any gaps allowed)?  The event stream compresses to a one-char-per-event
+    symbol string in (ts, event_id) order — the (?N).* pattern family then
+    IS a regular expression on that string, which both engines evaluate
+    identically.  Shape at scale: one groupBy(user) shuffle carrying
+    (ts, event_id, 1 char) triples; the per-user sort happens inside the
+    aggregated array (``array_sort`` on the struct), never a global sort.
+    Unlike ``funnel_window_counts`` (windowFunnel), there is no time-window
+    constraint — this is the unbounded-pattern variant."""
+    ev = load_table(spark, sf_dir, "events")
+    sym = F.when(F.lit(False), F.lit("x"))
+    for k, v in _SEQ_SYMBOLS.items():
+        sym = sym.when(F.col("event_type") == k, v)
+    sym = sym.otherwise("x")
+    seq = F.concat_ws(
+        "",
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", sym.alias("sym")))
+            ),
+            lambda s: s.sym,
+        ),
+    )
+    return ev.groupBy("user_id").agg(
+        F.when(seq.rlike("v.*c.*p"), 1).otherwise(0).cast("int").alias("matched"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

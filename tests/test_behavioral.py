@@ -78,3 +78,41 @@ def test_fill_gaps_densifies_and_carries_forward(spark, tmp_path):
     assert [r.filled for r in out] == [0, 1, 1, 1, 0]
     # LOCF: hours 1-3 inherit hour 0's avg (values 0.0, 1.0 → 0.5)
     assert [r.avg_value for r in out] == pytest.approx([0.5, 0.5, 0.5, 0.5, 2.0])
+
+
+def test_sequence_match_ordering_semantics(spark, tmp_path):
+    """sequenceMatch parity on a hand-built stream: order matters (p before
+    v→c→p chain absent → no match), gaps allowed, ts ties broken by
+    event_id so the symbol string is deterministic."""
+    import datetime as dt
+
+    from dev_clickhouse_spark.queries.behavioral import sequence_match_users
+
+    t0 = dt.datetime(2026, 1, 8, 9, 0)
+    rows = [
+        # user 1: view .. click .. purchase with noise between → match
+        (1, t0, 1, "view", 0.0, None),
+        (2, t0 + dt.timedelta(minutes=1), 1, "error", 0.0, None),
+        (3, t0 + dt.timedelta(minutes=2), 1, "click", 0.0, None),
+        (4, t0 + dt.timedelta(minutes=3), 1, "purchase", 0.0, None),
+        # user 2: purchase BEFORE view+click → no match
+        (5, t0, 2, "purchase", 0.0, None),
+        (6, t0 + dt.timedelta(minutes=1), 2, "view", 0.0, None),
+        (7, t0 + dt.timedelta(minutes=2), 2, "click", 0.0, None),
+        # user 3: same-ts tie — event_id order makes it v,c,p → match
+        (8, t0, 3, "view", 0.0, None),
+        (9, t0, 3, "click", 0.0, None),
+        (10, t0, 3, "purchase", 0.0, None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    sf_dir = str(tmp_path / "events_parquet")
+    df.write.parquet(sf_dir + "/events.parquet")
+    got = {
+        r.user_id: r.matched
+        for r in sequence_match_users(spark, sf_dir).collect()
+    }
+    assert got == {1: 1, 2: 0, 3: 1}
