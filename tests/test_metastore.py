@@ -97,12 +97,21 @@ def test_yaml_fallback_when_store_unreachable(spark, tmp_path):
     """load_pipeline_specs degrades to the YAML snapshot when the store is
     absent/unreachable — the reference's two-tier load
     (postgres configs `or` file configs, gold_pipeline.py:498-507)."""
+    import warnings as _w
+
+    import pytest
+
     bad_url = f"jdbc:derby:{os.path.join(str(tmp_path), 'nope')}"  # no ;create
-    dag, specs = load_pipeline_specs(spark, bad_url)
+    # a BROKEN store must fall back LOUDLY — silent fallback would make
+    # operator edits appear to work while the runner serves the snapshot
+    with pytest.warns(RuntimeWarning, match="falling back to the YAML"):
+        dag, specs = load_pipeline_specs(spark, bad_url)
     assert {s.pipeline_id for s in specs} == {s.pipeline_id for s in PIPELINES}
     assert dag["max_active_tasks"] == 8
-    # and url=None goes straight to the snapshot
-    _dag2, specs2 = load_pipeline_specs(spark, None)
+    # …while url=None (store intentionally absent) is silent
+    with _w.catch_warnings():
+        _w.simplefilter("error")
+        _dag2, specs2 = load_pipeline_specs(spark, None)
     assert specs2 == specs
 
 
