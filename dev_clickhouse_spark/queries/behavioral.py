@@ -258,3 +258,40 @@ def sequence_match_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(seq.rlike("v.*c.*p"), 1).otherwise(0).cast("int").alias("matched"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+@register(
+    "sequence_count_users",
+    oracle=f"""
+SELECT user_id,
+       CAST(length(regexp_extract_all(
+              string_agg({_SEQ_SYM_SQL}, '' ORDER BY ts, event_id),
+              'v.*?c.*?p')) AS BIGINT) AS n_chains
+FROM events GROUP BY user_id
+""",
+    tags=["behavioral", "clickhouse-parity"],
+)
+def sequence_count_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``sequenceCount`` parity: how many NON-OVERLAPPING
+    view→click→purchase chains per user, counted left-to-right with lazy
+    gaps (``.*?`` — both engines' regex scanners find leftmost matches and
+    resume after each match end, so the counts agree bit-for-bit).  Same
+    symbol-string shape and shuffle budget as ``sequence_match_users``."""
+    ev = load_table(spark, sf_dir, "events")
+    sym = F.when(F.lit(False), F.lit("x"))
+    for k, v in _SEQ_SYMBOLS.items():
+        sym = sym.when(F.col("event_type") == k, v)
+    sym = sym.otherwise("x")
+    seq = F.concat_ws(
+        "",
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", sym.alias("sym")))
+            ),
+            lambda s: s.sym,
+        ),
+    )
+    return ev.groupBy("user_id").agg(
+        F.size(F.regexp_extract_all(seq, F.lit("v.*?c.*?p"), F.lit(0)))
+        .cast("long").alias("n_chains"),
+    )

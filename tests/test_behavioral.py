@@ -116,3 +116,36 @@ def test_sequence_match_ordering_semantics(spark, tmp_path):
         for r in sequence_match_users(spark, sf_dir).collect()
     }
     assert got == {1: 1, 2: 0, 3: 1}
+
+
+def test_sequence_count_non_overlapping(spark, tmp_path):
+    """Two complete v→c→p chains in a row count as 2; a chain prefix after
+    them does not count; interleaved symbols are lazy-skipped."""
+    import datetime as dt
+
+    from dev_clickhouse_spark.queries.behavioral import sequence_count_users
+
+    t0 = dt.datetime(2026, 1, 8, 9, 0)
+    seqs = {1: "vcpvcp", 2: "vcpvc", 3: "vvccpp", 4: "pcv"}
+    sym_to_type = {"v": "view", "c": "click", "p": "purchase"}
+    rows = []
+    eid = 0
+    for uid, s in seqs.items():
+        for i, ch in enumerate(s):
+            eid += 1
+            rows.append((eid, t0 + dt.timedelta(minutes=i), uid,
+                         sym_to_type[ch], 0.0, None))
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    sf_dir = str(tmp_path / "ev")
+    df.write.parquet(sf_dir + "/events.parquet")
+    got = {r.user_id: r.n_chains
+           for r in sequence_count_users(spark, sf_dir).collect()}
+    # "vvccpp": the lazy leftmost match is v(0)..c(2)..p(4); the scanner
+    # resumes AFTER the match end, where only "p" remains → 1 chain, even
+    # though two disjoint chains exist combinatorially — exactly the
+    # non-overlapping left-to-right contract sequenceCount documents
+    assert got == {1: 2, 2: 1, 3: 1, 4: 0}
