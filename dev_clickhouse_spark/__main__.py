@@ -1,0 +1,248 @@
+"""Operator CLI — ``python -m dev_clickhouse_spark <command>``.
+
+The reference stack is DRIVEN from outside the code: cron fires the Airflow
+DAG, ``docker compose exec`` runs backfills, Superset hits the HTTP port
+(reference README.md:60-130).  This module is that operational surface for
+the Spark engine — each subcommand wraps the same library calls the tests
+drive, so an operator never has to write Python to run a tick, backfill a
+window, flip a pipeline, apply a migration, compact a table, or stand up
+the BI endpoint.
+
+Commands (all take ``--warehouse``; ``--store-url`` points at the metadata
+catalog when one exists):
+
+- ``ingest FILES...``      — raw JSONL files → the 3 typed bronze tables
+- ``run-latest``           — one scheduled tick (trailing windows, monitors)
+- ``run-window``           — explicit [--start, --end) backfill
+- ``pipelines``            — list the catalog (id, target, mode, window)
+- ``enable / disable NAME``— flip a pipeline in the metadata store
+- ``set-window NAME MIN``  — change a pipeline's trailing window
+- ``seed-store``           — bootstrap + seed the metadata store
+- ``migrate TABLE SCHEMA`` — apply a declared-schema migration (JSON file)
+- ``compact TABLE``        — small-file compaction (maintenance window!)
+- ``serve``                — BI/HTTP endpoint over the gold tables
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime as dt
+import json
+import sys
+
+
+def _parse_ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+def _runner(args):
+    from .plans import PipelineRunner
+
+    return PipelineRunner.from_store(
+        _spark(args), args.warehouse, args.store_url
+    )
+
+
+def _spark(args):
+    from .session import get_spark
+
+    return get_spark(app_name=f"dev-clickhouse-spark-cli:{args.command}")
+
+
+def _store(args):
+    from .plans import MetadataStore
+
+    if not args.store_url:
+        sys.exit("this command needs --store-url (the metadata catalog)")
+    return MetadataStore(_spark(args), args.store_url)
+
+
+def _print_metrics(metrics: list[dict]) -> None:
+    for m in metrics:
+        print(
+            f"{m['pipeline_id']:28s} {m['target_table']:28s} "
+            f"+{m['rows_delta']:<8d} {m['seconds']:.2f}s "
+            f"[{m['start_ts']} .. {m['end_ts']})"
+        )
+
+
+def cmd_ingest(args) -> None:
+    from pyspark.sql import functions as F
+
+    spark = _spark(args)
+    raw = spark.read.text(args.files).select(F.col("value").alias("raw"))
+    counts = _runner(args).ingest_raw(raw)
+    print(json.dumps(counts))
+
+
+def cmd_run_latest(args) -> None:
+    _print_metrics(
+        _runner(args).run_latest(
+            window_minutes=args.window_minutes, monitor=not args.no_monitor
+        )
+    )
+
+
+def cmd_run_window(args) -> None:
+    _print_metrics(
+        _runner(args).run_window(_parse_ts(args.start), _parse_ts(args.end))
+    )
+
+
+def cmd_pipelines(args) -> None:
+    from .plans import load_pipeline_specs
+
+    dag, specs = load_pipeline_specs(_spark(args), args.store_url)
+    print(f"dag {dag['dag_name']}  schedule {dag['schedule_cron']}  "
+          f"max_active_tasks {dag['max_active_tasks']}")
+    for s in specs:
+        deps = ",".join(s.depends_on) or "-"
+        print(f"{s.pipeline_id:28s} -> {s.target_table:28s} "
+              f"{s.mode:8s} {s.window_minutes:>4d}min  deps: {deps}")
+
+
+def cmd_enable(args) -> None:
+    _store(args).set_enabled(args.pipeline, True)
+    print(f"enabled {args.pipeline}")
+
+
+def cmd_disable(args) -> None:
+    _store(args).set_enabled(args.pipeline, False)
+    print(f"disabled {args.pipeline}")
+
+
+def cmd_set_window(args) -> None:
+    _store(args).set_window(args.pipeline, args.minutes)
+    print(f"{args.pipeline}: window_minutes={args.minutes}")
+
+
+def cmd_seed_store(args) -> None:
+    store = _store(args)
+    if args.from_yaml:
+        store.seed_from_yaml(args.from_yaml if args.from_yaml != "-" else None)
+    else:
+        store.seed()
+    _dag, specs = store.load()
+    print(f"seeded {len(specs)} pipelines")
+
+
+def cmd_migrate(args) -> None:
+    from pyspark.sql import types as T
+
+    from .plans import Warehouse
+    from .quality import SchemaMigrator
+
+    with open(args.schema_json) as fh:
+        target = T.StructType.fromJson(json.load(fh))
+    wh = Warehouse(_spark(args), args.warehouse)
+    mig = SchemaMigrator(wh)
+    if args.dry_run:
+        p = mig.plan(args.table, target)
+    else:
+        p = mig.apply(args.table, target, rewrite=args.rewrite)
+    print(json.dumps({
+        "table": p.table, "added": p.added, "widened": p.widened,
+        "destructive": p.destructive, "applied": not args.dry_run,
+    }))
+
+
+def cmd_compact(args) -> None:
+    from .plans import Warehouse
+
+    n = Warehouse(_spark(args), args.warehouse).compact(args.table)
+    print(f"{args.table}: {n} data files after compaction")
+
+
+def cmd_serve(args) -> None:
+    import os
+
+    from .serving import SqlServingEndpoint
+
+    spark = _spark(args)
+    views = {}
+    for entry in sorted(os.listdir(args.warehouse)):
+        if entry.startswith((".", "_")) or not entry.startswith(
+            ("dim_", "fact_", "bridge_", "gold_")
+        ):
+            continue
+        views[entry] = os.path.join(args.warehouse, entry)
+    ep = SqlServingEndpoint(spark, views)
+    port = ep.start(args.port)
+    print(f"serving {len(views)} gold views on http://127.0.0.1:{port}/query")
+    try:
+        import threading
+
+        threading.Event().wait()  # serve until interrupted
+    except KeyboardInterrupt:
+        ep.stop()
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(prog="dev_clickhouse_spark")
+    ap.add_argument("--warehouse", default="./warehouse",
+                    help="warehouse root directory")
+    ap.add_argument("--store-url", default=None,
+                    help="JDBC url of the metadata catalog (optional; "
+                         "YAML snapshot is the fallback)")
+    sub = ap.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("ingest", help="JSONL files -> bronze tables")
+    p.add_argument("files", nargs="+")
+    p.set_defaults(fn=cmd_ingest)
+
+    p = sub.add_parser("run-latest", help="one scheduled gold tick")
+    p.add_argument("--window-minutes", type=int, default=10)
+    p.add_argument("--no-monitor", action="store_true")
+    p.set_defaults(fn=cmd_run_latest)
+
+    p = sub.add_parser("run-window", help="explicit backfill window")
+    p.add_argument("--start", required=True, help="ISO timestamp, inclusive")
+    p.add_argument("--end", required=True, help="ISO timestamp, exclusive")
+    p.set_defaults(fn=cmd_run_window)
+
+    p = sub.add_parser("pipelines", help="list the pipeline catalog")
+    p.set_defaults(fn=cmd_pipelines)
+
+    p = sub.add_parser("enable", help="enable a pipeline in the store")
+    p.add_argument("pipeline")
+    p.set_defaults(fn=cmd_enable)
+
+    p = sub.add_parser("disable", help="disable a pipeline in the store")
+    p.add_argument("pipeline")
+    p.set_defaults(fn=cmd_disable)
+
+    p = sub.add_parser("set-window", help="change a pipeline's window")
+    p.add_argument("pipeline")
+    p.add_argument("minutes", type=int)
+    p.set_defaults(fn=cmd_set_window)
+
+    p = sub.add_parser("seed-store", help="bootstrap + seed the catalog")
+    p.add_argument("--from-yaml", default=None,
+                   help="seed from a pipelines.yml ('-' = packaged snapshot)")
+    p.set_defaults(fn=cmd_seed_store)
+
+    p = sub.add_parser("migrate", help="apply a schema migration")
+    p.add_argument("table")
+    p.add_argument("schema_json", help="target StructType as JSON file")
+    p.add_argument("--rewrite", action="store_true",
+                   help="opt into a DESTRUCTIVE staged rewrite")
+    p.add_argument("--dry-run", action="store_true")
+    p.set_defaults(fn=cmd_migrate)
+
+    p = sub.add_parser("compact", help="small-file compaction (single writer)")
+    p.add_argument("table")
+    p.set_defaults(fn=cmd_compact)
+
+    p = sub.add_parser("serve", help="BI/HTTP endpoint over gold tables")
+    p.add_argument("--port", type=int, default=8123)
+    p.set_defaults(fn=cmd_serve)
+    return ap
+
+
+def main(argv: list[str] | None = None) -> None:
+    args = build_parser().parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,93 @@
+"""Operator CLI (`python -m dev_clickhouse_spark`) — the engine's analog of
+the reference's cron/compose-exec operational surface.  Driven in-process
+through main(argv) with the shared Spark session (a subprocess would pay a
+full JVM spin-up per command)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from dev_clickhouse_spark.__main__ import main
+
+
+@pytest.fixture()
+def env(spark, tmp_path):
+    """warehouse dir + store url + two raw JSONL files."""
+    from test_siem import suricata_payload, wazuh_payload
+
+    raw = tmp_path / "raw.jsonl"
+    raw.write_text(
+        "\n".join([
+            json.dumps(wazuh_payload("w1", "10.5.0.1",
+                                     "2026-01-08T09:10:00.000Z")),
+            json.dumps(suricata_payload("s1", ts="2026-01-08T09:12:00.000Z")),
+        ]) + "\n"
+    )
+    return {
+        "wh": str(tmp_path / "wh"),
+        "store": f"jdbc:derby:{tmp_path / 'meta'};create=true",
+        "raw": str(raw),
+    }
+
+
+def test_cli_ingest_tick_and_catalog_edits(env, capsys):
+    main(["--warehouse", env["wh"], "ingest", env["raw"]])
+    counts = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert counts["wazuh_events_raw"] == 1
+    assert counts["suricata_events_raw"] == 1
+
+    # seed the store, disable a pipeline through the CLI
+    main(["--warehouse", env["wh"], "--store-url", env["store"], "seed-store"])
+    main(["--warehouse", env["wh"], "--store-url", env["store"],
+          "disable", "bridge_zeek_event_tag"])
+    out = capsys.readouterr().out
+    assert "seeded 16 pipelines" in out and "disabled" in out
+
+    # backfill window through the CLI honors the store's enabled set
+    main(["--warehouse", env["wh"], "--store-url", env["store"],
+          "run-window", "--start", "2026-01-08T09:00:00",
+          "--end", "2026-01-08T10:00:00"])
+    tick = capsys.readouterr().out
+    assert "fact_wazuh_events" in tick
+    assert "bridge_zeek_event_tag" not in tick
+
+    # catalog listing reflects the edit
+    main(["--warehouse", env["wh"], "--store-url", env["store"], "pipelines"])
+    listing = capsys.readouterr().out
+    assert "fact_wazuh_events" in listing
+    assert "bridge_zeek_event_tag" not in listing
+
+
+def test_cli_migrate_and_compact(env, spark, tmp_path, capsys):
+    from pyspark.sql import types as T
+
+    from dev_clickhouse_spark.plans import Warehouse
+
+    main(["--warehouse", env["wh"], "ingest", env["raw"]])
+    capsys.readouterr()
+
+    wh = Warehouse(spark, env["wh"])
+    base = [f for f in wh.schema_for("wazuh_events_raw").fields
+            if f.name != "event_date"]
+    target = T.StructType(
+        [*base, T.StructField("enrichment_score", T.DoubleType())]
+    )
+    sj = tmp_path / "target.json"
+    sj.write_text(json.dumps(target.jsonValue()))
+
+    main(["--warehouse", env["wh"], "migrate", "wazuh_events_raw", str(sj),
+          "--dry-run"])
+    plan = json.loads(capsys.readouterr().out.strip())
+    assert plan["added"] == ["enrichment_score"] and not plan["applied"]
+
+    main(["--warehouse", env["wh"], "migrate", "wazuh_events_raw", str(sj)])
+    applied = json.loads(capsys.readouterr().out.strip())
+    assert applied["applied"] and applied["added"] == ["enrichment_score"]
+    assert "enrichment_score" in wh.read("wazuh_events_raw").columns
+
+    main(["--warehouse", env["wh"], "compact", "wazuh_events_raw"])
+    out = capsys.readouterr().out
+    assert "after compaction" in out
+    assert wh.read("wazuh_events_raw").count() == 1
