@@ -61,7 +61,7 @@ def _print_metrics(metrics: list[dict]) -> None:
     for m in metrics:
         print(
             f"{m['pipeline_id']:28s} {m['target_table']:28s} "
-            f"+{m['rows_delta']:<8d} {m['seconds']:.2f}s "
+            f"{m['rows_delta']:<+8d} {m['seconds']:.2f}s "
             f"[{m['start_ts']} .. {m['end_ts']})"
         )
 
@@ -153,20 +153,36 @@ def cmd_compact(args) -> None:
     print(f"{args.table}: {n} data files after compaction")
 
 
+def gold_views(wh) -> dict:
+    """The serving view map for a warehouse: every EXISTING declared gold
+    table (catalog-driven, not directory prefixes), with migrated tables
+    read through their declared schema so an applied ALTER's column stays
+    visible over pre-migration files."""
+    from .schemas import GOLD_SCHEMAS
+
+    return {
+        t: (
+            (wh.path(t), wh.schema_for(t))
+            if wh.schema_override(t) is not None
+            else wh.path(t)
+        )
+        for t in GOLD_SCHEMAS
+        if wh.exists(t)
+    }
+
+
 def cmd_serve(args) -> None:
     import os
 
+    from .plans import Warehouse
     from .serving import SqlServingEndpoint
 
+    if not os.path.isdir(args.warehouse):
+        sys.exit(f"warehouse directory {args.warehouse!r} does not exist")
     spark = _spark(args)
-    views = {}
-    for entry in sorted(os.listdir(args.warehouse)):
-        if entry.startswith((".", "_")) or not entry.startswith(
-            ("dim_", "fact_", "bridge_", "gold_")
-        ):
-            continue
-        views[entry] = os.path.join(args.warehouse, entry)
-    ep = SqlServingEndpoint(spark, views)
+    ep = SqlServingEndpoint(
+        spark, gold_views(Warehouse(spark, args.warehouse))
+    )
     port = ep.start(args.port)
     print(f"serving {len(views)} gold views on http://127.0.0.1:{port}/query")
     try:

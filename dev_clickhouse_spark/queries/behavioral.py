@@ -217,6 +217,25 @@ _SEQ_SYM_SQL = "CASE " + " ".join(
 ) + " ELSE 'x' END"
 
 
+def _event_seq():
+    """Per-user symbol-string aggregate in (ts, event_id) order — the ONE
+    definition both sequence queries (and, via _SEQ_SYM_SQL, both oracles)
+    share, so the symbol map and tie-break order can never diverge."""
+    sym = F.when(F.lit(False), F.lit("x"))
+    for k, v in _SEQ_SYMBOLS.items():
+        sym = sym.when(F.col("event_type") == k, v)
+    sym = sym.otherwise("x")
+    return F.concat_ws(
+        "",
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", sym.alias("sym")))
+            ),
+            lambda s: s.sym,
+        ),
+    )
+
+
 @register(
     "sequence_match_users",
     oracle=f"""
@@ -241,19 +260,7 @@ def sequence_match_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     Unlike ``funnel_window_counts`` (windowFunnel), there is no time-window
     constraint — this is the unbounded-pattern variant."""
     ev = load_table(spark, sf_dir, "events")
-    sym = F.when(F.lit(False), F.lit("x"))
-    for k, v in _SEQ_SYMBOLS.items():
-        sym = sym.when(F.col("event_type") == k, v)
-    sym = sym.otherwise("x")
-    seq = F.concat_ws(
-        "",
-        F.transform(
-            F.array_sort(
-                F.collect_list(F.struct("ts", "event_id", sym.alias("sym")))
-            ),
-            lambda s: s.sym,
-        ),
-    )
+    seq = _event_seq()
     return ev.groupBy("user_id").agg(
         F.when(seq.rlike("v.*c.*p"), 1).otherwise(0).cast("int").alias("matched"),
         F.count(F.lit(1)).alias("n_events"),
@@ -278,19 +285,7 @@ def sequence_count_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     resume after each match end, so the counts agree bit-for-bit).  Same
     symbol-string shape and shuffle budget as ``sequence_match_users``."""
     ev = load_table(spark, sf_dir, "events")
-    sym = F.when(F.lit(False), F.lit("x"))
-    for k, v in _SEQ_SYMBOLS.items():
-        sym = sym.when(F.col("event_type") == k, v)
-    sym = sym.otherwise("x")
-    seq = F.concat_ws(
-        "",
-        F.transform(
-            F.array_sort(
-                F.collect_list(F.struct("ts", "event_id", sym.alias("sym")))
-            ),
-            lambda s: s.sym,
-        ),
-    )
+    seq = _event_seq()
     return ev.groupBy("user_id").agg(
         F.size(F.regexp_extract_all(seq, F.lit("v.*?c.*?p"), F.lit(0)))
         .cast("long").alias("n_chains"),

@@ -112,8 +112,17 @@ class SqlServingEndpoint:
         # default true) would read arbitrary parquet/text paths straight
         # past the gold-views-only contract.
         self.serving.conf.set("spark.sql.runSQLOnFiles", "false")
-        for name, path in views.items():
-            self.serving.read.parquet(path).createOrReplaceTempView(name)
+        for name, src in views.items():
+            # a (path, StructType) value reads with the DECLARED schema —
+            # required for tables with an applied schema migration, where
+            # an inferred read over mixed pre/post-ALTER files could adopt
+            # one file's footer and hide the added column
+            if isinstance(src, tuple):
+                path, schema = src
+                df = self.serving.read.schema(schema).parquet(path)
+            else:
+                df = self.serving.read.parquet(src)
+            df.createOrReplaceTempView(name)
         self.max_rows = max_rows
         self.timeout_sec = timeout_sec
         self._server: ThreadingHTTPServer | None = None

@@ -91,3 +91,42 @@ def test_cli_migrate_and_compact(env, spark, tmp_path, capsys):
     out = capsys.readouterr().out
     assert "after compaction" in out
     assert wh.read("wazuh_events_raw").count() == 1
+
+
+def test_cli_serve_views_respect_migrations(env, spark, tmp_path, capsys):
+    """The serving view map must read a migrated gold table through its
+    declared schema: an inferred read over mixed pre/post-ALTER files can
+    adopt one file's footer and hide the added column from BI."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    from dev_clickhouse_spark.__main__ import gold_views
+    from dev_clickhouse_spark.plans import Warehouse
+    from dev_clickhouse_spark.quality import SchemaMigrator
+    from dev_clickhouse_spark.serving import SqlServingEndpoint
+
+    wh = Warehouse(spark, env["wh"])
+    ts = dt.datetime(2026, 1, 8, 9, 0)
+    wh.append("dim_tag", spark.createDataFrame(
+        [(1, "t1", ts)], wh.schema_for("dim_tag")
+    ))
+    target = T.StructType(
+        [*wh.schema_for("dim_tag").fields,
+         T.StructField("tag_category", T.StringType())]
+    )
+    SchemaMigrator(wh).apply("dim_tag", target)
+    wh.append("dim_tag", spark.createDataFrame(
+        [(2, "t2", ts, "catB")], wh.schema_for("dim_tag")
+    ))
+
+    views = gold_views(wh)
+    assert isinstance(views["dim_tag"], tuple)  # declared-schema read
+    ep = SqlServingEndpoint(spark, views)
+    rows = ep.execute(
+        "SELECT tag_key, tag_category FROM dim_tag ORDER BY tag_key"
+    )
+    assert rows == [
+        {"tag_key": 1, "tag_category": None},
+        {"tag_key": 2, "tag_category": "catB"},
+    ]

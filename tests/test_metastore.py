@@ -110,7 +110,7 @@ def test_yaml_fallback_when_store_unreachable(spark, tmp_path):
     assert dag["max_active_tasks"] == 8
     # …while url=None (store intentionally absent) is silent
     with _w.catch_warnings():
-        _w.simplefilter("error")
+        _w.simplefilter("error", RuntimeWarning)  # only the fallback class
         _dag2, specs2 = load_pipeline_specs(spark, None)
     assert specs2 == specs
 
