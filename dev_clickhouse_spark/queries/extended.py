@@ -143,3 +143,39 @@ def cosine_pairs_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
             rnd(cos, 4).alias("cosine"),
         )
     )
+
+
+@register(
+    "salted_join_segment_revenue",
+    oracle="""
+SELECT c.c_mktsegment AS segment,
+       CAST(count(*) AS BIGINT) AS n_events,
+       floor(sum(e.value) * 100 + 0.5) / 100 AS total_value
+FROM events e JOIN customer c ON c.c_custkey = e.user_id
+GROUP BY c.c_mktsegment
+""",
+    tags=["skew", "join"],
+)
+def salted_join_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event revenue by customer segment THROUGH the salt fan-out join
+    (operators/skew.salted_join): the salt is routing-only and dropped, so
+    the result is row-identical to the plain join — which is exactly what
+    the oracle replays, making the skew tooling's correctness part of the
+    driver gate rather than a pytest-only property.  At 100 TB this is the
+    shape for a hot-key fact ⋈ mid-size dim that can't broadcast: each hot
+    key fans across salt_buckets reducers instead of melting one."""
+    from ..operators.skew import salted_join
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id"), F.col("value")
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), F.col("c_mktsegment")
+    )
+    joined = salted_join(ev, cust, on="user_id", salt_buckets=8)
+    return joined.groupBy(
+        F.col("c_mktsegment").alias("segment")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        rnd(F.sum("value"), 2).alias("total_value"),
+    )
