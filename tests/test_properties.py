@@ -188,3 +188,32 @@ def test_asof_join_multi_matches_chained_singles(spark, events, versions):
     got = sorted((r.event_id, r.va, r.vb) for r in fused.collect())
     want = sorted((r.event_id, r.va, r.vb) for r in step.collect())
     assert got == want
+
+
+@given(
+    st.text(
+        alphabet=list("ab;'\"`\\-/*\n g"),  # quotes, escapes, comment starters
+        max_size=60,
+    ),
+    st.booleans(),
+)
+@settings(max_examples=300, deadline=None)
+def test_serving_masker_invariants(sql, mask_backticks):
+    """The serving endpoint's lexical masker (security-critical: the ';' and
+    global_temp deny scans run on its output) must (1) preserve length, so
+    positions line up with the original statement, (2) only ever blank
+    characters or pass them through unchanged — never invent text, and
+    (3) never reveal a character the strict variant hides (monotone:
+    keeping backticks visible can only add back backtick-region chars)."""
+    from dev_clickhouse_spark.serving import _mask_quoted
+
+    masked = _mask_quoted(sql, mask_backticks)
+    assert len(masked) == len(sql)
+    for orig, m in zip(sql, masked):
+        assert m == orig or m == " "
+    if mask_backticks:
+        # strict mask hides at least everything the lenient mask hides
+        lenient = _mask_quoted(sql, False)
+        for pos, (strict_c, lenient_c) in enumerate(zip(masked, lenient)):
+            if lenient_c == " ":
+                assert strict_c == " " or sql[pos] == " ", (pos, sql)
