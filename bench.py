@@ -42,6 +42,8 @@ BENCH_QUERIES = [
     "lang_id_char_ngrams",
     "lang_id_char_ngrams_arrow",  # map-only production twin, same oracle
     "ann_cosine_topk",
+    "ann_lsh_bucket_topk",   # ANN scale path #1 (hyperplane buckets)
+    "ann_ivf_topk",          # ANN scale path #2 (IVF lists)
     "q9_product_profit",
     "q21_sole_late_supplier",
     "text_repetition_signals",

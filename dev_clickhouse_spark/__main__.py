@@ -78,7 +78,9 @@ def cmd_ingest(args) -> None:
 def cmd_run_latest(args) -> None:
     _print_metrics(
         _runner(args).run_latest(
-            window_minutes=args.window_minutes, monitor=not args.no_monitor
+            window_minutes=args.window_minutes,
+            now=_parse_ts(args.now) if args.now else None,
+            monitor=not args.no_monitor,
         )
     )
 
@@ -181,7 +183,8 @@ def cmd_serve(args) -> None:
         sys.exit(f"warehouse directory {args.warehouse!r} does not exist")
     spark = _spark(args)
     ep = SqlServingEndpoint(
-        spark, gold_views(Warehouse(spark, args.warehouse))
+        spark, gold_views(Warehouse(spark, args.warehouse)),
+        max_rows=args.max_rows, timeout_sec=args.timeout_sec,
     )
     port = ep.start(args.port)
     print(f"serving {len(views)} gold views on http://127.0.0.1:{port}/query")
@@ -208,6 +211,9 @@ def build_parser() -> argparse.ArgumentParser:
 
     p = sub.add_parser("run-latest", help="one scheduled gold tick")
     p.add_argument("--window-minutes", type=int, default=10)
+    p.add_argument("--now", default=None,
+                   help="tick instant (ISO; default wall clock) — rerun a "
+                        "historical tick deterministically")
     p.add_argument("--no-monitor", action="store_true")
     p.set_defaults(fn=cmd_run_latest)
 
@@ -251,6 +257,10 @@ def build_parser() -> argparse.ArgumentParser:
 
     p = sub.add_parser("serve", help="BI/HTTP endpoint over gold tables")
     p.add_argument("--port", type=int, default=8123)
+    p.add_argument("--max-rows", type=int, default=50_000,
+                   help="result row cap (reference Superset envelope)")
+    p.add_argument("--timeout-sec", type=float, default=60.0,
+                   help="per-query timeout; timed-out jobs are cancelled")
     p.set_defaults(fn=cmd_serve)
     return ap
 

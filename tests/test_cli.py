@@ -130,3 +130,16 @@ def test_cli_serve_views_respect_migrations(env, spark, tmp_path, capsys):
         {"tag_key": 1, "tag_category": None},
         {"tag_key": 2, "tag_category": "catB"},
     ]
+
+
+def test_cli_run_latest_with_explicit_now(env, capsys):
+    """--now reruns a historical tick deterministically: the trailing window
+    anchors to the given instant, not the wall clock (events from 2026
+    would otherwise never fall inside a live 10-minute window)."""
+    main(["--warehouse", env["wh"], "ingest", env["raw"]])
+    capsys.readouterr()
+    main(["--warehouse", env["wh"], "run-latest",
+          "--now", "2026-01-08T09:15:00", "--no-monitor"])
+    out = capsys.readouterr().out
+    assert "fact_wazuh_events" in out
+    assert "[2026-01-08 09:05:00 .. 2026-01-08 09:15:00)" in out
