@@ -182,18 +182,23 @@ def cmd_serve(args) -> None:
     if not os.path.isdir(args.warehouse):
         sys.exit(f"warehouse directory {args.warehouse!r} does not exist")
     spark = _spark(args)
+    views = gold_views(Warehouse(spark, args.warehouse))
     ep = SqlServingEndpoint(
-        spark, gold_views(Warehouse(spark, args.warehouse)),
-        max_rows=args.max_rows, timeout_sec=args.timeout_sec,
+        spark, views, max_rows=args.max_rows, timeout_sec=args.timeout_sec,
     )
     port = ep.start(args.port)
     print(f"serving {len(views)} gold views on http://127.0.0.1:{port}/query")
     try:
-        import threading
-
-        threading.Event().wait()  # serve until interrupted
+        _serve_forever(port)
     except KeyboardInterrupt:
         ep.stop()
+
+
+def _serve_forever(port: int) -> None:
+    """Block until interrupted (module-level so tests can stub the wait)."""
+    import threading
+
+    threading.Event().wait()
 
 
 def build_parser() -> argparse.ArgumentParser:

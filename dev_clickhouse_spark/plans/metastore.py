@@ -123,6 +123,18 @@ class MetadataStore:
         finally:
             conn.close()
 
+    def _execute_update(self, sql: str) -> int:
+        """Run one DML statement and return the affected-row count, so
+        operator edits can refuse to silently no-op on a typo'd name."""
+        conn = self._connect()
+        try:
+            st = conn.createStatement()
+            n = st.executeUpdate(sql)
+            st.close()
+            return int(n)
+        finally:
+            conn.close()
+
     def _table_exists(self, name: str) -> bool:
         # probe with a no-row SELECT instead of DatabaseMetaData.getTables:
         # engines fold unquoted identifiers differently (Derby → upper,
@@ -191,28 +203,39 @@ class MetadataStore:
         dag_name: str = "gold_star_schema",
     ) -> None:
         """Flip a pipeline on/off AT RUNTIME — the operator edit the
-        reference does with an UPDATE on metadata.gold_pipelines."""
-        self._execute(
+        reference does with an UPDATE on metadata.gold_pipelines.  Raises
+        ``LookupError`` when no row matched: a typo'd pipeline (or wrong
+        dag) must not silently no-op while the CLI reports success."""
+        n = self._execute_update(
             "UPDATE gold_pipelines SET enabled = {}, updated_at = "
             "CURRENT_TIMESTAMP WHERE dag_name = {} AND pipeline_name = {}".format(
                 "true" if enabled else "false",
                 _sql_quote(dag_name), _sql_quote(pipeline_name),
             )
         )
+        if n == 0:
+            raise LookupError(
+                f"no pipeline {pipeline_name!r} in dag {dag_name!r}"
+            )
 
     def set_window(
         self, pipeline_name: str, window_minutes: int,
         dag_name: str = "gold_star_schema",
     ) -> None:
         """Change a pipeline's incremental window (per-pipeline
-        ``window_minutes`` override, reference gold_pipelines.yml:11)."""
-        self._execute(
+        ``window_minutes`` override, reference gold_pipelines.yml:11).
+        Raises ``LookupError`` when no row matched (see set_enabled)."""
+        n = self._execute_update(
             "UPDATE gold_pipelines SET window_minutes = {}, updated_at = "
             "CURRENT_TIMESTAMP WHERE dag_name = {} AND pipeline_name = {}".format(
                 int(window_minutes), _sql_quote(dag_name),
                 _sql_quote(pipeline_name),
             )
         )
+        if n == 0:
+            raise LookupError(
+                f"no pipeline {pipeline_name!r} in dag {dag_name!r}"
+            )
 
     # -- load (the runner's view) ------------------------------------------
 

@@ -151,7 +151,10 @@ class PipelineRunner:
                 BRONZE_SCHEMAS, pool.map(materialize, BRONZE_SCHEMAS)
             ):
                 cache[t] = df
-        self._bronze_window_cache = cache
+        # the cache is threaded explicitly (not stashed on self): two
+        # overlapping run_window calls on one runner (scheduled tick +
+        # backfill) must not clobber each other's cache or unpersist
+        # DataFrames the other run is still executing against
         try:
             for wave in topo_sorted_waves(self.pipelines):
                 todo = [
@@ -162,7 +165,10 @@ class PipelineRunner:
                     continue
                 if len(todo) == 1:
                     results = [
-                        self._run_one(todo[0], starts[todo[0].pipeline_id], end_ts)
+                        self._run_one(
+                            todo[0], starts[todo[0].pipeline_id], end_ts,
+                            cache=cache,
+                        )
                     ]
                 else:
                     with ThreadPoolExecutor(
@@ -171,14 +177,14 @@ class PipelineRunner:
                         results = list(
                             pool.map(
                                 lambda s: self._run_one(
-                                    s, starts[s.pipeline_id], end_ts
+                                    s, starts[s.pipeline_id], end_ts,
+                                    cache=cache,
                                 ),
                                 todo,
                             )
                         )
                 run_metrics.extend(results)
         finally:
-            self._bronze_window_cache = {}
             for df in cache.values():
                 try:
                     df.unpersist()
@@ -274,7 +280,10 @@ class PipelineRunner:
             )
         return out
 
-    def _run_one(self, spec: PipelineSpec, start_ts, end_ts) -> dict:
+    def _run_one(
+        self, spec: PipelineSpec, start_ts, end_ts,
+        cache: dict[str, DataFrame] | None = None,
+    ) -> dict:
         t0 = time.time()
         # row counts are tracked incrementally: count the (small) written
         # delta, never rescan the whole target — the reference's
@@ -286,7 +295,7 @@ class PipelineRunner:
                 self.wh.read(table).count() if self.wh.exists(table) else 0
             )
         rows_before = self._row_counts[table]
-        out, mode = self._build(spec, start_ts, end_ts)
+        out, mode = self._build(spec, start_ts, end_ts, cache=cache)
         out = out.localCheckpoint(eager=True)  # materialize once: count + write
         written = out.count()
         if mode == "append":
@@ -307,10 +316,13 @@ class PipelineRunner:
             "seconds": round(time.time() - t0, 3),
         }
 
-    def _build(self, spec: PipelineSpec, start_ts, end_ts) -> tuple[DataFrame, str]:
+    def _build(
+        self, spec: PipelineSpec, start_ts, end_ts,
+        cache: dict[str, DataFrame] | None = None,
+    ) -> tuple[DataFrame, str]:
         from pyspark.sql import functions as F
 
-        cache = getattr(self, "_bronze_window_cache", {})
+        cache = cache or {}
         # the cache holds the WIDEST window of the run; a pipeline with a
         # narrower window filters the in-memory copy (no new scan)
         win = lambda t: (  # noqa: E731

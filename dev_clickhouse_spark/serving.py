@@ -164,9 +164,13 @@ class SqlServingEndpoint:
         # ';' is a separator only OUTSIDE quoted literals/identifiers:
         # `SELECT ';' AS sep` is one statement, and a backtick identifier
         # may legally contain ';'.
-        if ";" in _mask_quoted(stripped, mask_backticks=True):
+        masked = _mask_quoted(stripped, mask_backticks=True)
+        if ";" in masked:
             raise PermissionError("multi-statement requests are not served")
-        first = stripped.split(None, 1)[0].lower() if stripped else ""
+        # statement kind comes from the COMMENT-MASKED text: BI tools
+        # routinely prepend '-- tool: ...' or '/* tag */' to a legitimate
+        # SELECT, and the raw first token would be '--'
+        first = masked.split(None, 1)[0].lower() if masked.split() else ""
         if first not in _QUERY_STARTERS:
             raise PermissionError(
                 f"read-only endpoint: statement kind {first!r} is not served"

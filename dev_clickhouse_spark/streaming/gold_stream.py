@@ -53,12 +53,33 @@ class ContinuousPipeline(BronzeStream):
         self.metadata_reload_batches = max(1, metadata_reload_batches)
         self._batches_since_reload = 0
         if metadata_url is not None:
-            self._reload_pipelines()
+            self._reload_pipelines(initial=True)
 
-    def _reload_pipelines(self) -> None:
-        from ..plans.metastore import load_pipeline_specs
+    def _reload_pipelines(self, initial: bool = False) -> None:
+        """Initial load may fall back to the YAML snapshot (stream must come
+        up even if the store is down); PERIODIC reloads must not — a
+        transient store outage mid-run would otherwise silently revert
+        operator edits (e.g. re-enable a disabled pipeline) to the snapshot.
+        On a failed periodic reload we keep the last-good catalog and warn."""
+        from ..plans.metastore import MetadataStore, load_pipeline_specs
 
-        dag, specs = load_pipeline_specs(self.spark, self.metadata_url)
+        if initial:
+            dag, specs = load_pipeline_specs(self.spark, self.metadata_url)
+        else:
+            try:
+                dag, specs = MetadataStore(
+                    self.spark, self.metadata_url
+                ).load("gold_star_schema")
+            except Exception as e:
+                import warnings
+
+                warnings.warn(
+                    f"metadata store reload failed ({type(e).__name__}: {e});"
+                    " keeping the last-good pipeline catalog",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
+                return
         self.runner.pipelines = specs
         self.runner.max_active_tasks = int(dag.get("max_active_tasks", 8))
 

@@ -143,3 +143,36 @@ def test_cli_run_latest_with_explicit_now(env, capsys):
     out = capsys.readouterr().out
     assert "fact_wazuh_events" in out
     assert "[2026-01-08 09:05:00 .. 2026-01-08 09:15:00)" in out
+
+
+def test_cli_serve_starts_and_serves(env, monkeypatch, capsys):
+    """`python -m dev_clickhouse_spark serve` must come up and answer a
+    query — regression for the undefined-`views` NameError that crashed the
+    command right after binding the port."""
+    import urllib.parse
+    import urllib.request
+
+    main(["--warehouse", env["wh"], "ingest", env["raw"]])
+    main(["--warehouse", env["wh"], "run-latest",
+          "--now", "2026-01-08T09:15:00", "--no-monitor"])
+    capsys.readouterr()
+
+    import dev_clickhouse_spark.__main__ as cli
+
+    probed = {}
+
+    def probe_then_interrupt(port):
+        q = urllib.parse.urlencode(
+            {"q": "SELECT count(*) AS n FROM fact_wazuh_events"}
+        )
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/query?{q}", timeout=60
+        ) as resp:
+            probed["body"] = json.loads(resp.read())
+        raise KeyboardInterrupt
+
+    monkeypatch.setattr(cli, "_serve_forever", probe_then_interrupt)
+    main(["--warehouse", env["wh"], "serve", "--port", "0"])
+    out = capsys.readouterr().out
+    assert "serving" in out and "gold views on http://127.0.0.1:" in out
+    assert probed["body"]["rows"] == [{"n": 1}]

@@ -211,3 +211,58 @@ def test_set_window_drives_pipeline_trailing_window(spark, tmp_path):
     assert by_id["fact_suricata_events"]["start_ts"].startswith(
         "2026-01-08 09:50"
     )
+
+
+def test_operator_edit_on_unknown_pipeline_raises(spark, tmp_path):
+    """A typo'd pipeline name (or wrong dag) must raise, not silently no-op
+    while the CLI prints success — the exact operator-confusion failure the
+    store's fallback warning exists to prevent."""
+    import pytest as _pytest
+
+    store = MetadataStore(spark, _url(tmp_path, "meta_typo"))
+    store.seed()
+    with _pytest.raises(LookupError, match="fact_wazuh_eventz"):
+        store.set_enabled("fact_wazuh_eventz", False)
+    with _pytest.raises(LookupError, match="no_such_dag"):
+        store.set_window("fact_wazuh_events", 30, dag_name="no_such_dag")
+    # catalog untouched
+    _dag, specs = store.load()
+    assert specs == PIPELINES
+
+
+def test_stream_reload_keeps_last_good_on_store_outage(spark, tmp_path):
+    """A transient store outage during a RUNNING stream's periodic reload
+    must keep the last-good catalog — falling back to the YAML snapshot
+    would silently revert operator edits (e.g. re-enable a disabled
+    pipeline) mid-run."""
+    import warnings as _warnings
+
+    import pytest as _pytest
+
+    from dev_clickhouse_spark.streaming import ContinuousPipeline
+
+    url = _url(tmp_path, "meta_outage")
+    store = MetadataStore(spark, url)
+    store.seed()
+    store.set_enabled("bridge_zeek_event_tag", False)
+
+    cp = ContinuousPipeline(
+        spark, str(tmp_path / "wh"), str(tmp_path / "ckpt"), metadata_url=url,
+    )
+    edited = [s.pipeline_id for s in cp.runner.pipelines]
+    assert "bridge_zeek_event_tag" not in edited
+
+    # simulate the outage: periodic reloads now hit an unusable store
+    cp.metadata_url = f"jdbc:derby:{os.path.join(str(tmp_path), 'gone')}"
+    with _pytest.warns(RuntimeWarning, match="keeping the last-good"):
+        cp._reload_pipelines()
+    assert [s.pipeline_id for s in cp.runner.pipelines] == edited
+
+    # initial construction against a dead store still comes up (YAML
+    # fallback is reserved for that path), warning loudly
+    with _pytest.warns(RuntimeWarning, match="falling back"):
+        cp2 = ContinuousPipeline(
+            spark, str(tmp_path / "wh2"), str(tmp_path / "ckpt2"),
+            metadata_url=cp.metadata_url,
+        )
+    assert len(cp2.runner.pipelines) == len(PIPELINES)

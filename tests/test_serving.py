@@ -197,3 +197,23 @@ def test_serving_isolation_from_parent_session(spark, endpoint):
     assert not any(
         t.name == "gold_revenue" for t in spark.catalog.listTables()
     )
+
+
+def test_comment_prefixed_query_is_served(endpoint):
+    """BI tools prepend '-- tool: …' / '/* tag */' to legitimate SELECTs;
+    the statement-kind check must read the first REAL token (comment-masked
+    text), not reject the query as statement kind '--'."""
+    _ep, port = endpoint
+    for sql in (
+        "-- Superset dashboard 42\nSELECT count(*) AS n FROM gold_revenue",
+        "/* Metabase card 7 */ SELECT count(*) AS n FROM gold_revenue",
+        "  /* a */ -- b\n  SELECT count(*) AS n FROM gold_revenue",
+    ):
+        status, body = _get(port, sql)
+        assert status == 200, (sql, body)
+        assert body["rows"] == [{"n": 3}]
+    # comment-wrapped writes stay refused, and comment-only input is refused
+    status, _ = _get(port, "/* x */ DROP TABLE gold_revenue")
+    assert status == 403
+    status, _ = _get(port, "-- nothing here")
+    assert status == 403
