@@ -290,3 +290,89 @@ def sequence_count_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.regexp_extract_all(seq, F.lit("v.*?c.*?p"), F.lit(0)))
         .cast("long").alias("n_chains"),
     )
+
+
+#: (?t<=N) gap bound for the timed sequence match — 24 h, sized to the test
+#: corpus's per-user event spacing (median inter-event gap ≈ 7 h) so both
+#: matched and unmatched users exist at every sf
+_SEQ_TIMED_GAP_US = 86_400 * 1_000_000
+
+
+@register(
+    "sequence_match_timed_users",
+    oracle=f"""
+WITH m AS (
+  SELECT DISTINCT v.user_id
+  FROM events v
+  JOIN events c ON c.user_id = v.user_id AND c.event_type = 'click'
+       AND (c.ts, c.event_id) > (v.ts, v.event_id)
+       AND epoch_us(c.ts) - epoch_us(v.ts) <= {_SEQ_TIMED_GAP_US}
+  JOIN events p ON p.user_id = v.user_id AND p.event_type = 'purchase'
+       AND (p.ts, p.event_id) > (c.ts, c.event_id)
+       AND epoch_us(p.ts) - epoch_us(c.ts) <= {_SEQ_TIMED_GAP_US}
+  WHERE v.event_type = 'view'
+)
+SELECT e.user_id,
+       CAST(CASE WHEN m.user_id IS NOT NULL THEN 1 ELSE 0 END AS INTEGER)
+         AS matched,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events e LEFT JOIN m ON m.user_id = e.user_id
+GROUP BY e.user_id, m.user_id
+""",
+    tags=["behavioral", "clickhouse-parity"],
+)
+def sequence_match_timed_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``sequenceMatch('(?1)(?t<=86400)(?2)(?t<=86400)(?3)')(ts,
+    view, click, purchase)`` parity — the TIME-CONSTRAINED pattern family
+    (`(?t<=N)` bounds the gap between the two matched events; any events may
+    lie between them).  The regex-on-symbol-string trick of
+    ``sequence_match_users`` cannot carry timestamps, so this folds the
+    per-user (ts, event_id)-sorted event array with ``F.aggregate`` (pure
+    JVM, no Python): the accumulator keeps the LATEST view time and the
+    latest time-qualified click time, which is exact for existence — a later
+    predecessor always satisfies ``gap <= N`` at least as well as an earlier
+    one, so greedy-latest finds a chain iff one exists (the brute-force
+    triple-join oracle checks all (v, c, p) combinations).  Shape at scale:
+    identical to the untimed variant — ONE groupBy(user) shuffle carrying
+    (ts, event_id, 1-char) triples, per-user work linear in that user's
+    events; the oracle's O(n³) join is the spec, not the plan."""
+    ev = load_table(spark, sf_dir, "events")
+    sym = F.when(F.lit(False), F.lit("x"))
+    for k, v in _SEQ_SYMBOLS.items():
+        sym = sym.when(F.col("event_type") == k, v)
+    sym = sym.otherwise("x")
+    # epoch-µs precomputed pre-collect: ts is TIMESTAMP_NTZ in the test
+    # parquet, and the UTC session makes the cast agree with the oracle's
+    # epoch_us over the same naive timestamps
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    arr = F.array_sort(
+        F.collect_list(
+            F.struct("ts", "event_id", us.alias("us"), sym.alias("sym"))
+        )
+    )
+    gap = F.lit(_SEQ_TIMED_GAP_US)
+    acc0 = F.struct(
+        F.lit(None).cast("long").alias("v"),
+        F.lit(None).cast("long").alias("c"),
+        F.lit(False).alias("ok"),
+    )
+
+    def step(acc, e):
+        t = e.us
+        qual_c = (
+            (e.sym == F.lit("c")) & acc.v.isNotNull() & ((t - acc.v) <= gap)
+        )
+        qual_p = (
+            (e.sym == F.lit("p")) & acc.c.isNotNull() & ((t - acc.c) <= gap)
+        )
+        return F.struct(
+            F.when(e.sym == F.lit("v"), t).otherwise(acc.v).alias("v"),
+            F.when(qual_c, t).otherwise(acc.c).alias("c"),
+            (acc.ok | qual_p).alias("ok"),
+        )
+
+    matched = F.aggregate(arr, acc0, step).getField("ok")
+    return ev.groupBy("user_id").agg(
+        F.when(matched, 1).otherwise(0).cast("int").alias("matched"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

@@ -149,3 +149,56 @@ def test_sequence_count_non_overlapping(spark, tmp_path):
     # though two disjoint chains exist combinatorially — exactly the
     # non-overlapping left-to-right contract sequenceCount documents
     assert got == {1: 2, 2: 1, 3: 1, 4: 0}
+
+
+def test_sequence_match_timed_gap_semantics(spark, tmp_path):
+    """(?t<=N) parity on a hand-built stream, including the case where the
+    EARLIEST-predecessor greedy would wrongly miss: user 2's first view is
+    out of window for the click, but a later view is in window — ClickHouse
+    (and the brute-force oracle) match, so greedy-latest must too."""
+    import datetime as dt
+
+    from dev_clickhouse_spark.queries.behavioral import (
+        _SEQ_TIMED_GAP_US,
+        sequence_match_timed_users,
+    )
+
+    w_min = _SEQ_TIMED_GAP_US // 60_000_000  # gap bound in minutes
+    t0 = dt.datetime(2026, 1, 8, 9, 0)
+
+    def at(minutes):
+        return t0 + dt.timedelta(minutes=int(minutes))
+
+    rows = [
+        # user 1: v→c→p all inside the window → match
+        (1, at(0), 1, "view", 0.0, None),
+        (2, at(1), 1, "click", 0.0, None),
+        (3, at(2), 1, "purchase", 0.0, None),
+        # user 2: v@0 too old for c, but v@w-10 is in window → match
+        (4, at(0), 2, "view", 0.0, None),
+        (5, at(w_min - 10), 2, "view", 0.0, None),
+        (6, at(w_min + 30), 2, "click", 0.0, None),
+        (7, at(w_min + 40), 2, "purchase", 0.0, None),
+        # user 3: right order, but the v→c gap exceeds the bound → no match
+        (8, at(0), 3, "view", 0.0, None),
+        (9, at(w_min + 1), 3, "click", 0.0, None),
+        (10, at(w_min + 2), 3, "purchase", 0.0, None),
+        # user 4: gaps OK pairwise but order is c,v,p → no match
+        (11, at(0), 4, "click", 0.0, None),
+        (12, at(1), 4, "view", 0.0, None),
+        (13, at(2), 4, "purchase", 0.0, None),
+        # user 5: p exactly AT the bound from c → match (<=, not <)
+        (14, at(0), 5, "view", 0.0, None),
+        (15, at(1), 5, "click", 0.0, None),
+        (16, at(1 + w_min), 5, "purchase", 0.0, None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    sf_dir = str(tmp_path / "ev")
+    df.write.parquet(sf_dir + "/events.parquet")
+    got = {r.user_id: r.matched
+           for r in sequence_match_timed_users(spark, sf_dir).collect()}
+    assert got == {1: 1, 2: 1, 3: 0, 4: 0, 5: 1}
