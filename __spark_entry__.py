@@ -89,24 +89,50 @@ _CHECKED_R4 = {
 }
 
 
+# Round-5 window (CORRECTNESS_r05.json key set, all green).  With 100
+# registry queries and a 50-row driver budget, the round-6 window is exactly
+# this set's COMPLEMENT (which happens to be 50 queries, including the one
+# added in round 6) — so r05 ∪ r06 covers the whole registry and no query
+# goes more than two rounds without a driver row.
+_CHECKED_R5 = {
+    "ann_cosine_topk", "ann_ivf_topk", "ann_lsh_bucket_topk",
+    "anti_join_customers_without_orders", "approx_distinct_daily_users",
+    "correlated_min_price_part", "curation_filter_funnel",
+    "current_flag_version_join", "daily_order_stats",
+    "dedup_embedding_cosine_pairs", "dedup_exact_stats", "dedup_keep_list",
+    "dedup_minhash_lsh_pairs", "dedup_near_dup_clusters",
+    "dedup_ngram_jaccard_pairs", "dedup_simhash_signatures", "dim_date_build",
+    "doc_fingerprints", "domain_mix_weights", "embedding_centroids",
+    "event_lag_seconds", "events_windowed_count", "gold_star_rollup_events",
+    "lang_id_char_ngrams", "lang_id_char_ngrams_arrow", "lang_id_markers",
+    "multimodal_feature_extract", "null_safe_join_priority_buckets",
+    "order_priority_check", "pack_context_windows",
+    "q12_priority_by_quantity_band", "q1_pricing_summary",
+    "q3_shipping_priority", "q5_nation_revenue", "q7_volume_shipping",
+    "range_join_version_intervals", "ratio_to_total_by_segment",
+    "rolling_hash_fingerprints", "salted_join_segment_revenue",
+    "sample_hash_split", "sample_stratified_per_source",
+    "sequence_count_users", "sequence_match_users", "sql_revenue_by_region",
+    "text_quality_scores", "text_token_stats", "tfidf_top_keywords",
+    "top_parts_by_revenue", "training_export_shards", "ts_parse_roundtrip",
+}
+
+
 def _ordered():
-    """Registry in round-5 driver-check priority order, LRU-style: oracle
-    queries never driver-checked (anything added this round) sort first,
-    then the stalest green rows (round-3 window, skipped in round 4), then
-    the just-checked round-4 window.  With 95 oracle queries and a 50-row
-    driver budget, this keeps every query's most recent green row at most
-    two rounds old."""
+    """Registry in round-6 driver-check priority order, LRU-style: the
+    round-5 window's complement sorts FIRST (stalest green rows — last
+    checked in round 4 — plus anything added this round, never checked),
+    then the just-checked round-5 window.  tools/check_correctness.py still
+    oracle-checks everything each round regardless of the driver's window."""
     from dev_clickhouse_spark.queries import REGISTRY
 
     def klass(item):
         name, spec = item
         if spec.oracle is None:
             return (3, name)
-        if name not in _CHECKED_R3 and name not in _CHECKED_R4:
-            return (0, name)  # new this round — never driver-checked
-        if name not in _CHECKED_R4:
-            return (1, name)  # last green in r3 — stalest
-        return (2, name)      # green in r4 — freshest, rotates out
+        if name not in _CHECKED_R5:
+            return (0, name)  # complement of r5 — stalest or brand new
+        return (2, name)      # green in r5 — freshest, rotates out
 
     return sorted(REGISTRY.items(), key=klass)
 

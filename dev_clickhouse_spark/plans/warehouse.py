@@ -52,7 +52,20 @@ _ALL_SCHEMAS: dict[str, T.StructType] = {**BRONZE_SCHEMAS, **GOLD_SCHEMAS}
 
 
 class Warehouse:
-    """Path-rooted table registry with append / overwrite / read."""
+    """Path-rooted table registry with append / overwrite / read.
+
+    Batch-append (streaming) tables use a MANIFEST layout: the live member
+    directories are listed in ``_manifest/v<K>.json`` and a ``CURRENT``
+    pointer file names the live version (flipped with an atomic
+    ``os.replace``).  Readers resolve CURRENT once and scan exactly the
+    listed members, so compaction can rewrite members and flip the pointer
+    WHILE appends land — the ClickHouse-parts/Iceberg-snapshot discipline
+    instead of a single-writer maintenance window.  On a real deployment the
+    pointer flip maps to a metastore row or an object-store conditional PUT;
+    here it is a rename on the local filesystem."""
+
+    #: version files kept after a flip (debugging/undo); older ones pruned
+    _MANIFEST_KEEP = 10
 
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
@@ -104,6 +117,126 @@ class Warehouse:
             json.dump(schema.jsonValue(), fh, indent=1)
         os.replace(tmp, p)  # atomic: readers see old or new, never partial
 
+    # -- manifest / version pointer (batch-append tables) ------------------
+
+    def _manifest_dir(self, table: str) -> str:
+        return os.path.join(self.path(table), "_manifest")
+
+    def load_manifest(self, table: str) -> dict | None:
+        """The CURRENT manifest, or None when the table has no manifest
+        layout (plain tables, or legacy batch dirs from before the manifest).
+
+        {"version": K, "members": [dir, ...], "committed_batches": [id, ...]}
+
+        ``members`` are the live data directories (scanned by read());
+        ``committed_batches`` is the replay-skip ledger — it SURVIVES
+        compaction, so a replayed micro-batch whose ``ingest_batch=`` dir was
+        long since compacted away still skips instead of re-appending rows
+        that now live inside a compacted member."""
+        cur = os.path.join(self._manifest_dir(table), "CURRENT")
+        try:
+            with open(cur) as fh:
+                version_file = fh.read().strip()
+        except OSError:
+            return None
+        with open(os.path.join(self._manifest_dir(table), version_file)) as fh:
+            return json.load(fh)
+
+    def _write_manifest(self, table: str, manifest: dict) -> None:
+        """Write v<K>.json fully, then flip CURRENT atomically.  Callers
+        hold the manifest lock."""
+        d = self._manifest_dir(table)
+        os.makedirs(d, exist_ok=True)
+        name = f"v{manifest['version']:08d}.json"
+        with open(os.path.join(d, name), "w") as fh:
+            json.dump(manifest, fh, indent=1)
+        tmp = os.path.join(d, "CURRENT.tmp")
+        with open(tmp, "w") as fh:
+            fh.write(name)
+        os.replace(tmp, os.path.join(d, "CURRENT"))
+        keep = {name} | {
+            f"v{v:08d}.json"
+            for v in range(
+                max(1, manifest["version"] - self._MANIFEST_KEEP),
+                manifest["version"],
+            )
+        }
+        for f in os.listdir(d):
+            if f.startswith("v") and f.endswith(".json") and f not in keep:
+                try:
+                    os.unlink(os.path.join(d, f))
+                except OSError:
+                    pass
+
+    def _manifest_lock(self, table: str, timeout: float = 30.0):
+        """Exclusive manifest read-modify-write section via an O_EXCL
+        lockfile — the local-fs stand-in for a metastore transaction.  A
+        crash inside the section leaves the lockfile behind; the TimeoutError
+        names it so an operator can clear it (the manifest itself is never
+        torn: version files are whole and CURRENT flips atomically)."""
+        import contextlib
+        import time as _time
+
+        d = self._manifest_dir(table)
+        os.makedirs(d, exist_ok=True)
+        lock = os.path.join(d, "LOCK")
+
+        @contextlib.contextmanager
+        def _held():
+            deadline = _time.monotonic() + timeout
+            while True:
+                try:
+                    fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                    break
+                except FileExistsError:
+                    if _time.monotonic() > deadline:
+                        raise TimeoutError(
+                            f"manifest lock busy for {timeout}s: {lock} "
+                            "(remove it if the holder crashed)"
+                        ) from None
+                    _time.sleep(0.02)
+            try:
+                yield
+            finally:
+                os.close(fd)
+                os.unlink(lock)
+
+        return _held()
+
+    def _manifest_commit_batch(self, table: str, batch_id: int) -> None:
+        """Register a fully-written ``ingest_batch=<id>`` dir as live +
+        committed (the COMMIT POINT of a streaming append)."""
+        member = f"ingest_batch={batch_id}"
+        with self._manifest_lock(table):
+            man = self.load_manifest(table)
+            changed = man is None  # first manifest: always persist
+            if man is None:
+                man = self._bootstrap_manifest(table)
+            if member not in man["members"]:
+                man["members"].append(member)
+                changed = True
+            if batch_id not in man["committed_batches"]:
+                man["committed_batches"].append(batch_id)
+                changed = True
+            if changed:
+                man["version"] += 1
+                self._write_manifest(table, man)
+
+    def _bootstrap_manifest(self, table: str) -> dict:
+        """First manifest for a table: adopt any legacy ``ingest_batch=``
+        dirs already on disk (committed = job-level _SUCCESS present)."""
+        members, committed = [], []
+        p = self.path(table)
+        if os.path.isdir(p):
+            for e in sorted(os.listdir(p)):
+                if e.startswith("ingest_batch=") and os.path.exists(
+                    os.path.join(p, e, "_SUCCESS")
+                ):
+                    members.append(e)
+                    committed.append(int(e.split("=", 1)[1]))
+        return {"version": 0, "members": members,
+                "committed_batches": committed}
+
     def schema_for(self, table: str) -> T.StructType:
         schema = self.schema_override(table) or _ALL_SCHEMAS[table]
         if table in _PARTITIONED_SORT and not any(
@@ -124,6 +257,9 @@ class Warehouse:
         are served through the new schema without rewrite."""
         if not self.exists(table):
             return self.spark.createDataFrame([], self.schema_for(table))
+        man = self.load_manifest(table)
+        if man is not None:
+            return self._read_members(table, man["members"])
         override = self.schema_override(table)
         if override is None:
             df = self.spark.read.parquet(self.path(table))
@@ -144,6 +280,34 @@ class Warehouse:
         if override is not None:
             df = conform_to_schema(df, self.schema_for(table))
         return df
+
+    def _read_members(self, table: str, members: list[str]) -> DataFrame:
+        """Scan exactly the manifest's live member dirs.  Each member is its
+        own parquet root (event_date partition dirs inside), so a pointer
+        flip mid-query cannot mix generations.  Compaction keeps the member
+        count at 1 + (batches since last compact), so the union stays a
+        handful of scans, not thousands — and each scan still prunes
+        event_date partitions and pushes filters independently."""
+        override = self.schema_override(table)
+        dfs = []
+        for m in members:
+            p = os.path.join(self.path(table), m)
+            if override is None:
+                dfs.append(self.spark.read.parquet(p))
+            else:
+                # declared-schema read: mixed pre/post-ALTER members must not
+                # adopt one file's footer and hide the added column
+                dfs.append(
+                    self.spark.read.schema(self.schema_for(table)).parquet(p)
+                )
+        if not dfs:
+            return self.spark.createDataFrame([], self.schema_for(table))
+        out = dfs[0]
+        for df in dfs[1:]:
+            out = out.unionByName(df, allowMissingColumns=True)
+        if override is not None:
+            out = conform_to_schema(out, self.schema_for(table))
+        return out
 
     def read_window(self, table: str, start_ts, end_ts) -> DataFrame:
         """Windowed scan with explicit partition pruning: the ts predicate
@@ -190,10 +354,18 @@ class Warehouse:
             writer_df.write.mode(mode).partitionBy("event_date").parquet(target)
         else:
             writer_df.write.mode(mode).parquet(target)
+        if batch_id is not None:
+            # COMMIT: register the member in the manifest.  Data lands first,
+            # pointer flips second — a crash between the two leaves an
+            # uncommitted dir that the replay overwrite converges.
+            self._manifest_commit_batch(table, batch_id)
 
     def _batch_layout(self, table: str) -> bool | None:
-        """True = existing table uses ``ingest_batch=`` dirs, False = plain
-        layout, None = no data yet (either layout may start)."""
+        """True = existing table uses the batch-append layout (manifest or
+        legacy ``ingest_batch=`` dirs), False = plain layout, None = no data
+        yet (either layout may start)."""
+        if self.load_manifest(table) is not None:
+            return True
         if not self.exists(table):
             return None
         entries = [
@@ -203,10 +375,16 @@ class Warehouse:
 
     def batch_committed(self, table: str, batch_id: int) -> bool:
         """True when ``append(..., batch_id=...)`` has fully committed for
-        this id (the replay-skip marker of the streaming sink).  Only the
-        job-level ``_SUCCESS`` marker counts: task files are moved into place
-        BEFORE job commit, so 'any .parquet present' would let a crash in
-        that gap make a replayed batch skip reprocessing and lose rows."""
+        this id (the replay-skip marker of the streaming sink).  The manifest
+        ledger is authoritative — it survives compaction deleting the batch
+        dir, so a late replay cannot re-append rows that now live inside a
+        compacted member.  Legacy (pre-manifest) tables fall back to the
+        job-level ``_SUCCESS`` marker; task files alone never count — they
+        move into place BEFORE job commit, and a crash in that gap must make
+        the replay reprocess, not skip and lose rows."""
+        man = self.load_manifest(table)
+        if man is not None:
+            return batch_id in man["committed_batches"]
         p = os.path.join(self.path(table), f"ingest_batch={batch_id}")
         return os.path.exists(os.path.join(p, "_SUCCESS"))
 
@@ -217,42 +395,53 @@ class Warehouse:
         writer_df = self._prep(table, df).localCheckpoint(eager=True)
         writer_df.write.mode("overwrite").parquet(self.path(table))
 
-    def compact(self, table: str) -> int:
+    def compact(self, table: str, retain_old: bool = False) -> int:
         """Small-file compaction — the engine's analog of MergeTree background
         merges (streaming foreachBatch appends one file set per micro-batch;
-        ClickHouse merges parts the same way, SURVEY.md S3/S4).
+        ClickHouse merges parts the same way, SURVEY.md S3/S4).  Returns the
+        number of data files after compaction.
 
-        Rewrites the table to ONE sorted file per event_date partition
-        (hash-repartition on event_date: every date lands in exactly one task,
-        tasks run in parallel across dates) via a staging directory + rename
-        swap.  Returns the number of data files after compaction.
+        Batch-append (manifest) tables compact CONCURRENT-SAFELY: the live
+        member set is snapshotted from the manifest, rewritten to one sorted
+        file per event_date partition in a NEW ``compacted-*`` member, and
+        the pointer flips to [new member] + [members that appended since the
+        snapshot].  Appends landing mid-compaction register themselves in
+        the manifest and survive the flip; readers resolve the pointer once
+        and never see a half-swapped table.  Only compactors must not run
+        concurrently with each other (one compactor + N appenders is the
+        supported discipline — same as ClickHouse merges owning parts).
+        With ``retain_old`` the superseded members stay on disk (set it when
+        long-running readers may still hold a pre-flip plan; a later compact
+        run prunes them once unreferenced).
 
-        MUST run in a single-writer maintenance window: the two renames are
-        not jointly atomic (a reader in the gap sees a missing table, and an
-        append landing mid-swap would be dropped with the backup).  On a
-        failed swap the backup is restored, so a crash cannot strand the
-        table; the streaming ingest and the compactor must simply not run
-        concurrently — same discipline as ClickHouse's merges owning parts.
-        """
+        Plain-layout tables (gold dims/facts refreshed by the single-writer
+        runner) keep the staging + rename swap and the single-writer
+        discipline: their writer is the scheduler, which never overlaps
+        itself."""
         import shutil
         import uuid
 
         if not self.exists(table):
             return 0
-        # go through read(): it collapses the streaming batch dirs AND, on a
-        # migrated table, reads with the declared schema — a raw inferred
-        # read over mixed pre/post-ALTER files could adopt an old file's
-        # schema and silently drop the added column from the rewrite
+        if self.load_manifest(table) is None and self._batch_layout(table):
+            # legacy ingest_batch dirs from before the manifest layout:
+            # adopt them into a first manifest, then compact through it
+            with self._manifest_lock(table):
+                if self.load_manifest(table) is None:
+                    man = self._bootstrap_manifest(table)
+                    man["version"] = 1
+                    self._write_manifest(table, man)
+        man = self.load_manifest(table)
+        if man is not None:
+            return self._compact_manifest(table, man, retain_old)
+
+        # -- plain layout: staging + rename swap (single-writer) -----------
+        # go through read(): on a migrated table it reads with the declared
+        # schema — a raw inferred read over mixed pre/post-ALTER files could
+        # adopt an old file's schema and silently drop the added column
         df = self.read(table)
         staging = self.path(f".{table}.compact-{uuid.uuid4().hex[:8]}")
-        par = self.spark.sparkContext.defaultParallelism
-        if table in _PARTITIONED_SORT and "event_date" in df.columns:
-            out = df.repartition(par, "event_date").sortWithinPartitions(
-                *_PARTITIONED_SORT[table]
-            )
-            out.write.mode("overwrite").partitionBy("event_date").parquet(staging)
-        else:
-            df.coalesce(1).write.mode("overwrite").parquet(staging)
+        self._write_compacted(table, df, staging)
         final = self.path(table)
         backup = self.path(f".{table}.old-{uuid.uuid4().hex[:8]}")
         os.rename(final, backup)
@@ -262,8 +451,58 @@ class Warehouse:
             os.rename(backup, final)  # restore — never leave the table missing
             raise
         shutil.rmtree(backup)
+        return self._count_parquet(final)
+
+    def _write_compacted(self, table: str, df: DataFrame, target: str) -> None:
+        """One sorted file per event_date (hash-repartition on event_date:
+        every date lands in exactly one task, dates run in parallel)."""
+        par = self.spark.sparkContext.defaultParallelism
+        if table in _PARTITIONED_SORT and "event_date" in df.columns:
+            out = df.repartition(par, "event_date").sortWithinPartitions(
+                *_PARTITIONED_SORT[table]
+            )
+            out.write.mode("overwrite").partitionBy("event_date").parquet(target)
+        else:
+            df.coalesce(1).write.mode("overwrite").parquet(target)
+
+    def _compact_manifest(
+        self, table: str, man: dict, retain_old: bool
+    ) -> int:
+        import shutil
+        import uuid
+
+        snapshot = list(man["members"])
+        if not snapshot:
+            return 0
+        new_member = f"compacted-{uuid.uuid4().hex[:8]}"
+        self._write_compacted(
+            table,
+            self._read_members(table, snapshot),
+            os.path.join(self.path(table), new_member),
+        )
+        with self._manifest_lock(table):
+            cur = self.load_manifest(table)
+            gone = set(snapshot)
+            cur["members"] = [new_member] + [
+                m for m in cur["members"] if m not in gone
+            ]
+            cur["version"] += 1
+            self._write_manifest(table, cur)
+        if not retain_old:
+            for m in snapshot:
+                shutil.rmtree(
+                    os.path.join(self.path(table), m), ignore_errors=True
+                )
+        live = self.load_manifest(table)["members"]
+        return sum(
+            self._count_parquet(os.path.join(self.path(table), m))
+            for m in live
+        )
+
+    @staticmethod
+    def _count_parquet(path: str) -> int:
         n = 0
-        for root, _dirs, files in os.walk(final):
+        for _root, _dirs, files in os.walk(path):
             n += sum(1 for f in files if f.endswith(".parquet"))
         return n
 

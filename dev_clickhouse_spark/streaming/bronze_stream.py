@@ -149,15 +149,29 @@ class BronzeStream:
         # parse once, then the 3 stream writes + metrics reuse the struct
         batch = with_parsed(batch).localCheckpoint(eager=True)
         n_raw = batch.count()
-        counts: dict[str, int] = {}
-        for table, df in extract_all(batch).items():
+
+        # the three typed writes share the one materialized parse and target
+        # disjoint per-batch directories — submit them CONCURRENTLY (same
+        # design as PipelineRunner.ingest_raw).  Partial failure is safe:
+        # each table's ``ingest_batch=<id>`` dir is replay-overwritten, the
+        # metrics marker below is only written when all three succeeded, so
+        # a failed write fails the batch and the replay converges every
+        # table to exactly-once regardless of which subset committed.
+        from concurrent.futures import ThreadPoolExecutor
+
+        def write(item):
+            table, df = item
             df = df.filter(F.col("event_ts").isNotNull())
             if self.dedupe:
                 df = df.dropDuplicates(["event_id", "event_ts"])
             n = df.count()
             if n:
                 self.wh.append(table, df, batch_id=batch_id)
-            counts[table] = n
+            return n
+
+        extracted = extract_all(batch)
+        with ThreadPoolExecutor(max_workers=len(extracted)) as pool:
+            counts = dict(zip(extracted, pool.map(write, extracted.items())))
         # unrouted = documents matching NO route (a doc can match several
         # routes, and dedupe drops rows post-route — neither may be counted
         # as broken input)

@@ -165,21 +165,23 @@ def test_timeout_cancels_spark_jobs(spark, tmp_path):
     ep = SqlServingEndpoint(spark, {"g": str(tmp_path / "g")}, timeout_sec=2.0)
     port = ep.start()
     try:
+        # the sleep lives in a subquery PROJECTION (Spark 4 rejects
+        # non-deterministic expressions as aggregate arguments) and is
+        # count(s)-referenced so column pruning can't drop it
         slow = (
-            "SELECT sum(java_method('java.lang.Thread', 'sleep', 400L)) "
-            "FROM g"
+            "SELECT count(s) AS n FROM (SELECT java_method("
+            "'java.lang.Thread', 'sleep', 400L) AS s FROM g)"
         )
         status, body = _get(port, slow)
-        assert status in (504, 400), body  # 400 iff cancel lands pre-join
-        if status == 504:
-            # the cancelled group's jobs must drain, not run to completion
-            deadline = time.time() + 30
-            while time.time() < deadline:
-                tracker = spark.sparkContext.statusTracker()
-                if not tracker.getActiveJobsIds():
-                    break
-                time.sleep(0.5)
-            assert not spark.sparkContext.statusTracker().getActiveJobsIds()
+        assert status == 504, body
+        # the cancelled group's jobs must drain, not run to completion
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            tracker = spark.sparkContext.statusTracker()
+            if not tracker.getActiveJobsIds():
+                break
+            time.sleep(0.5)
+        assert not spark.sparkContext.statusTracker().getActiveJobsIds()
     finally:
         ep.stop()
 
@@ -217,3 +219,47 @@ def test_comment_prefixed_query_is_served(endpoint):
     assert status == 403
     status, _ = _get(port, "-- nothing here")
     assert status == 403
+
+
+def test_concurrent_slow_queries_cancel_without_cross_cancel(spark, tmp_path):
+    """N simultaneous 504s must each cancel their OWN job group and a
+    concurrent fast query must still be served: job groups are per-request
+    (thread-local under pinned-thread mode), so one timeout's cancel must
+    not kill another request's jobs or starve the endpoint."""
+    import concurrent.futures
+    import time
+
+    spark.range(0, 64).coalesce(4).write.parquet(str(tmp_path / "g"))
+    ep = SqlServingEndpoint(spark, {"g": str(tmp_path / "g")}, timeout_sec=3.0)
+    port = ep.start()
+    try:
+        # 4 slow queries: 4 tasks each (16 rows x 500 ms sleep per task =
+        # ~8 s >> timeout), leaving 16+ cores free for the fast one; the
+        # sleep sits in a subquery projection (Spark 4 rejects it as an
+        # aggregate argument) and count(s) keeps it from being pruned
+        slow = (
+            "SELECT count(s) AS n FROM (SELECT java_method("
+            "'java.lang.Thread', 'sleep', 500L) AS s FROM g)"
+        )
+        fast = "SELECT count(*) AS n FROM g"
+        with concurrent.futures.ThreadPoolExecutor(max_workers=5) as pool:
+            slow_futs = [pool.submit(_get, port, slow) for _ in range(4)]
+            time.sleep(0.5)  # slow requests in flight first
+            fast_status, fast_body = pool.submit(_get, port, fast).result()
+            slow_results = [f.result() for f in slow_futs]
+        # the fast query was NOT starved or cross-cancelled
+        assert fast_status == 200, fast_body
+        assert fast_body["rows"] == [{"n": 64}]
+        # every slow query timed out (400 iff its cancel landed pre-join)
+        for status, body in slow_results:
+            assert status in (504, 400), body
+        assert sum(1 for s, _ in slow_results if s == 504) >= 3
+        # ...and ALL their job groups drain instead of running to completion
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if not spark.sparkContext.statusTracker().getActiveJobsIds():
+                break
+            time.sleep(0.5)
+        assert not spark.sparkContext.statusTracker().getActiveJobsIds()
+    finally:
+        ep.stop()

@@ -1,6 +1,7 @@
 from __future__ import annotations
 
 import json
+import os
 
 from pyspark.sql import functions as F
 
@@ -195,10 +196,13 @@ def test_kafka_wire_branch_micro_batches_and_replay(spark, tmp_path):
 
 
 def test_commit_marker_requires_success(spark, tmp_path):
-    """A crash between task-file moves and job commit leaves .parquet files
-    without _SUCCESS — the batch must NOT count as committed, or the replayed
-    batch would skip reprocessing and lose rows (ADVICE round-2 item)."""
+    """A crash between task-file moves and the commit point leaves .parquet
+    files on disk — the batch must NOT count as committed, or the replayed
+    batch would skip reprocessing and lose rows (ADVICE round-2 item).  The
+    commit point is now the manifest flip; a legacy (pre-manifest) table
+    falls back to the job-level _SUCCESS marker."""
     import os
+    import shutil
 
     from dev_clickhouse_spark.plans.warehouse import Warehouse
 
@@ -209,7 +213,9 @@ def test_commit_marker_requires_success(spark, tmp_path):
     wh.append("ingest_metrics", df, batch_id=7)
     assert wh.batch_committed("ingest_metrics", 7)
 
-    # simulate the crash window: task files present, job commit marker absent
+    # simulate the crash window: task files moved into place, but neither
+    # the job commit marker nor the manifest flip happened
+    shutil.rmtree(os.path.join(wh.path("ingest_metrics"), "_manifest"))
     os.remove(os.path.join(wh.path("ingest_metrics"), "ingest_batch=7", "_SUCCESS"))
     assert not wh.batch_committed("ingest_metrics", 7)
 
@@ -235,3 +241,188 @@ def test_append_refuses_layout_mismatch(spark, tmp_path):
     wh2.append("ingest_metrics", df, batch_id=1)  # batch layout
     with pytest.raises(ValueError, match="ingest_batch layout"):
         wh2.append("ingest_metrics", df)
+
+
+def _wazuh_bronze_df(spark, wh, event_ids, minute=5):
+    rows = [
+        json.dumps(wazuh_payload(e, ts=f"2026-01-08T09:{minute:02d}:00.000Z"))
+        for e in event_ids
+    ]
+    from dev_clickhouse_spark.sources.json_events import extract_all, with_parsed
+
+    raw = spark.createDataFrame([(r,) for r in rows], "raw string")
+    return extract_all(with_parsed(raw))["wazuh_events_raw"]
+
+
+def test_compact_overlaps_appends_via_manifest(spark, tmp_path):
+    """The round-4/5 operational landmine: at 100 TB with continuous ingest
+    there is no maintenance window, so compact() must tolerate appends
+    landing MID-COMPACTION.  The manifest/version-pointer makes that safe:
+    an append that registers between the compactor's snapshot and its
+    pointer flip survives the flip; zero rows are lost."""
+    from dev_clickhouse_spark.plans.warehouse import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    t = "wazuh_events_raw"
+    wh.append(t, _wazuh_bronze_df(spark, wh, ["a0", "a1"]), batch_id=0)
+    wh.append(t, _wazuh_bronze_df(spark, wh, ["b0"]), batch_id=1)
+    assert sorted(wh.load_manifest(t)["members"]) == [
+        "ingest_batch=0", "ingest_batch=1"
+    ]
+
+    # interleave deterministically: the concurrent append lands after the
+    # compactor snapshotted + rewrote, but BEFORE its pointer flip
+    real_write = Warehouse._write_compacted
+    hit = {}
+
+    def write_then_append(self, table, df, target):
+        real_write(self, table, df, target)
+        if not hit:  # only on the outer compact call
+            hit["x"] = True
+            wh.append(t, _wazuh_bronze_df(spark, wh, ["c0", "c1"]), batch_id=2)
+
+    Warehouse._write_compacted = write_then_append
+    try:
+        n_files = wh.compact(t)
+    finally:
+        Warehouse._write_compacted = real_write
+
+    man = wh.load_manifest(t)
+    # live set = the compacted member + the mid-compaction append
+    assert len(man["members"]) == 2
+    compacted = [m for m in man["members"] if m.startswith("compacted-")]
+    assert compacted and "ingest_batch=2" in man["members"]
+    # zero rows lost, served through the manifest
+    got = {r.event_id for r in wh.read(t).collect()}
+    assert got == {"a0", "a1", "b0", "c0", "c1"}
+    assert n_files >= 2  # compacted file + batch-2 file
+
+    # the replay-skip ledger SURVIVES compaction: batches 0/1's dirs are
+    # gone, but a late replay of them must still skip, not re-append
+    import os
+
+    for b in (0, 1):
+        assert wh.batch_committed(t, b)
+        assert not os.path.exists(os.path.join(wh.path(t), f"ingest_batch={b}"))
+    assert wh.batch_committed(t, 2)
+
+    # a second compact folds the straggler in; data unchanged
+    assert wh.compact(t) == 1
+    assert {r.event_id for r in wh.read(t).collect()} == got
+    assert len(wh.load_manifest(t)["members"]) == 1
+
+
+def test_compact_concurrent_appender_thread(spark, tmp_path):
+    """Truly concurrent: an appender thread streams micro-batches while the
+    main thread compacts repeatedly.  Every appended row must be present at
+    the end — the lockfile + pointer flip serialize manifest edits, never
+    the data writes."""
+    import threading
+
+    from dev_clickhouse_spark.plans.warehouse import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    t = "wazuh_events_raw"
+    n_batches, per = 8, 3
+    errs = []
+
+    def appender():
+        try:
+            for b in range(n_batches):
+                ids = [f"e{b}_{i}" for i in range(per)]
+                wh.append(
+                    t, _wazuh_bronze_df(spark, wh, ids, minute=b % 60),
+                    batch_id=b,
+                )
+        except Exception as e:  # surface in the main thread
+            errs.append(e)
+
+    th = threading.Thread(target=appender)
+    th.start()
+    while th.is_alive():
+        if wh.exists(t):
+            wh.compact(t)
+    th.join()
+    assert not errs, errs
+    wh.compact(t)
+    got = {r.event_id for r in wh.read(t).collect()}
+    assert got == {f"e{b}_{i}" for b in range(n_batches) for i in range(per)}
+    assert all(wh.batch_committed(t, b) for b in range(n_batches))
+
+
+def test_legacy_batch_dirs_adopted_on_compact(spark, tmp_path):
+    """Pre-manifest tables (bare ingest_batch= dirs) adopt a manifest on
+    their first compact; committed ids carry over from _SUCCESS markers."""
+    import shutil
+
+    from dev_clickhouse_spark.plans.warehouse import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    t = "wazuh_events_raw"
+    wh.append(t, _wazuh_bronze_df(spark, wh, ["x0"]), batch_id=0)
+    wh.append(t, _wazuh_bronze_df(spark, wh, ["x1"]), batch_id=1)
+    shutil.rmtree(os.path.join(wh.path(t), "_manifest"))  # simulate legacy
+    assert wh.load_manifest(t) is None
+
+    assert wh.compact(t) == 1
+    man = wh.load_manifest(t)
+    assert man is not None and sorted(man["committed_batches"]) == [0, 1]
+    assert {r.event_id for r in wh.read(t).collect()} == {"x0", "x1"}
+
+
+def test_partial_bronze_write_failure_replays_exactly_once(
+    spark, tmp_path, monkeypatch
+):
+    """One of the three CONCURRENT typed writes dies mid-batch: the batch
+    must not mark committed (metrics marker is written last, only after all
+    three), and the replay must converge every table — including the two
+    whose writes already committed — to exactly-once."""
+    import pytest
+
+    from dev_clickhouse_spark.plans.warehouse import Warehouse
+    from dev_clickhouse_spark.streaming.bronze_stream import BronzeStream
+
+    bs = BronzeStream(spark, str(tmp_path / "wh"), str(tmp_path / "ckpt"))
+    raw = spark.createDataFrame(
+        [(json.dumps(p),) for p in (
+            wazuh_payload("w1", ts="2026-01-08T09:10:00.000Z"),
+            suricata_payload("s1", ts="2026-01-08T09:11:00.000Z"),
+            zeek_payload("z1", ts="2026-01-08T09:12:00.000Z"),
+        )],
+        "raw string",
+    )
+
+    real_append = Warehouse.append
+    fired = {}
+
+    def failing_append(self, table, df, batch_id=None):
+        if table == "zeek_events_raw" and "hit" not in fired:
+            fired["hit"] = True
+            raise RuntimeError("injected mid-batch write failure")
+        return real_append(self, table, df, batch_id=batch_id)
+
+    monkeypatch.setattr(Warehouse, "append", failing_append)
+    with pytest.raises(RuntimeError, match="injected"):
+        bs._process_batch(raw, 0)
+
+    # the batch is NOT committed (marker is last), even though two of the
+    # three writes landed
+    assert not bs.wh.batch_committed("ingest_metrics", 0)
+    assert bs.wh.read("wazuh_events_raw").count() == 1
+    assert bs.wh.read("zeek_events_raw").count() == 0
+
+    # replay (what foreachBatch does after the failed batch): every table
+    # converges to exactly-once — the two already-committed writes are
+    # overwritten in place, the failed one lands
+    bs._process_batch(raw, 0)
+    for t in ("wazuh_events_raw", "suricata_events_raw", "zeek_events_raw"):
+        assert bs.wh.read(t).count() == 1, t
+        assert bs.wh.batch_committed(t, 0)
+    assert bs.wh.batch_committed("ingest_metrics", 0)
+    m = spark.read.parquet(str(tmp_path / "wh" / "ingest_metrics")).collect()
+    assert len(m) == 1 and m[0].n_raw == 3
+
+    # a second replay of the committed batch is a pure skip
+    bs._process_batch(raw, 0)
+    for t in ("wazuh_events_raw", "suricata_events_raw", "zeek_events_raw"):
+        assert bs.wh.read(t).count() == 1, t
