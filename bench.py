@@ -71,6 +71,27 @@ def synth_payloads(n: int) -> list[str]:
     return out
 
 
+def _plan_hash(df) -> str:
+    """Stable 12-hex digest of the POST-AQE physical plan, captured after
+    the collect so adaptive re-optimization is included.  Expression ids,
+    plan ids, object addresses, codegen stage ids, and filesystem paths are
+    stripped first — the hash changes iff the plan SHAPE changes, which is
+    what attributes a cross-round timing swing to a plan flip vs VM noise
+    (VERDICT r5: q5 +63% / dedup_keep_list +33% had no explanation on
+    record)."""
+    import hashlib
+    import re
+
+    s = df._jdf.queryExecution().executedPlan().toString()
+    s = re.sub(r"#\d+[A-Za-z]*", "#x", s)
+    s = re.sub(r"@[0-9a-f]{6,}", "@x", s)
+    s = re.sub(r"\(\d+\)", "(n)", s)
+    s = re.sub(r"plan_id=\d+", "plan_id=n", s)
+    s = re.sub(r"file:[^\s,\]]+", "file:x", s)
+    s = re.sub(r"\[id=#?x?\d*\]", "[id=x]", s)
+    return hashlib.md5(s.encode()).hexdigest()[:12]
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from pyspark.sql import functions as F
@@ -132,15 +153,41 @@ def main() -> None:
     # jitter swings single-shot timings ±3-10x between runs (round-3 BENCH
     # recorded an 11.8x phantom regression on an untouched query), and the
     # artifact should reflect plans, not noise.
+    plan_hashes: dict[str, str] = {}
     for name in BENCH_QUERIES:
         fn = REGISTRY[name].fn
         runs = []
         for _ in range(3):
             t0 = time.time()
-            n = len(fn(spark, sf_dir).collect())
+            df = fn(spark, sf_dir)
+            n = len(df.collect())
             runs.append(time.time() - t0)
             assert n >= 0
         timings[name] = round(sorted(runs)[1], 3)
+        plan_hashes[name] = _plan_hash(df)
+
+    # hot-key stress on the fused as-of (VERDICT r4/r5 carry-over): one agent
+    # holds 90% of 400k events; record skewed vs uniform wall-time so a
+    # skew-sensitive regression in the window shuffle is visible per-round.
+    # The synthetic inputs and measurement are shared with
+    # tests/test_stateful_skew.py::test_fused_asof_hot_key_runtime.
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests"))
+    from test_stateful_skew import _asof_hotkey_inputs, _time_fused_asof
+
+    ev_u, ver = _asof_hotkey_inputs(spark, 400_000, hot_pct=0)
+    ev_s, _ = _asof_hotkey_inputs(spark, 400_000, hot_pct=90)
+    _time_fused_asof(spark, ev_u, ver)  # warm the lineage once
+    asof_skew = {
+        "uniform_sec": round(sorted(
+            _time_fused_asof(spark, ev_u, ver)[0] for _ in range(3)
+        )[1], 3),
+        "hotkey90_sec": round(sorted(
+            _time_fused_asof(spark, ev_s, ver)[0] for _ in range(3)
+        )[1], 3),
+    }
+    asof_skew["ratio"] = round(
+        asof_skew["hotkey90_sec"] / max(asof_skew["uniform_sec"], 1e-3), 2
+    )
 
     total = round(sum(timings.values()), 3)
     print(
@@ -155,6 +202,8 @@ def main() -> None:
                     N_INGEST_EVENTS / timings["ingest_10k_events"], 1
                 ),
                 "pipeline_seconds": pipeline_seconds,
+                "asof_skew": asof_skew,
+                "plan_hashes": plan_hashes,
             }
         )
     )
