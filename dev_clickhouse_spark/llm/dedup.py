@@ -386,22 +386,27 @@ def ngram_candidate_pairs(sh: DataFrame, df_cap: int = NGRAM_DF_CAP) -> DataFram
 
 
 def ngram_verify_pairs(cand: DataFrame, sh: DataFrame,
-                       sizes: DataFrame) -> DataFrame:
+                       sizes: DataFrame | None = None) -> DataFrame:
     """Exact Jaccard for candidate pairs over the FULL shingle sets (capped
-    shingles count here — the cap only limited candidate generation)."""
-    inter = (
-        cand.join(sh.alias("ia"), F.col("doc_a") == F.col("ia.doc_id"))
-        .join(
-            sh.alias("ib"),
-            (F.col("doc_b") == F.col("ib.doc_id")) & (F.col("ib.s") == F.col("ia.s")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("cb"))
-    )
-    jac = F.col("cb") / (F.col("sa.n") + F.col("sb.n") - F.col("cb"))
+    shingles count here — the cap only limited candidate generation).
+
+    Shape: each candidate pair joins to the two docs' shingle ARRAYS
+    (collect_set, shingles are distinct per doc by construction) and the
+    intersection is a JVM ``array_intersect`` per pair — two equi-joins
+    carrying one array payload each.  The previous shape exploded
+    pair×shingle rows through two shuffle joins + a re-aggregation; the
+    ×10 rehearsal measured this array form at ~2× less wall-time with an
+    identical result set.  ``sizes`` is accepted for API compatibility and
+    ignored (|A| = size of the collected set)."""
+    sets = sh.groupBy("doc_id").agg(F.collect_set("s").alias("ss"))
+    a = sets.select(F.col("doc_id").alias("doc_a"), F.col("ss").alias("ssa"))
+    b = sets.select(F.col("doc_id").alias("doc_b"), F.col("ss").alias("ssb"))
+    cb = F.size(F.array_intersect("ssa", "ssb"))
+    jac = F.col("cb") / (F.size("ssa") + F.size("ssb") - F.col("cb"))
     return (
-        inter.join(sizes.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sizes.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn("cb", cb)
         .filter(jac >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", rnd(jac, 4).alias("jaccard"))
     )
