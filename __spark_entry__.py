@@ -89,11 +89,11 @@ _CHECKED_R4 = {
 }
 
 
-# Round-5 window (CORRECTNESS_r05.json key set, all green).  With 100
-# registry queries and a 50-row driver budget, the round-6 window is exactly
-# this set's COMPLEMENT (which happens to be 50 queries, including the one
-# added in round 6) — so r05 ∪ r06 covers the whole registry and no query
-# goes more than two rounds without a driver row.
+# Round-5 window (CORRECTNESS_r05.json key set, all green).  With 101
+# registry queries and a 50-row driver budget, the round-6 window is the two
+# queries ADDED in round 6 (never driver-checked) followed by this set's
+# complement — r05 ∪ r06 covers everything except `window_rank_suite`
+# (green in r4, still in the 101/101 local mirror), which leads round 7.
 _CHECKED_R5 = {
     "ann_cosine_topk", "ann_ivf_topk", "ann_lsh_bucket_topk",
     "anti_join_customers_without_orders", "approx_distinct_daily_users",
@@ -130,8 +130,10 @@ def _ordered():
         name, spec = item
         if spec.oracle is None:
             return (3, name)
+        if name not in (_CHECKED_R3 | _CHECKED_R4 | _CHECKED_R5):
+            return (0, name)  # brand new this round — never driver-checked
         if name not in _CHECKED_R5:
-            return (0, name)  # complement of r5 — stalest or brand new
+            return (1, name)  # complement of r5 — stalest green rows
         return (2, name)      # green in r5 — freshest, rotates out
 
     return sorted(REGISTRY.items(), key=klass)

@@ -611,3 +611,83 @@ def dedup_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     gives the near-dup search its scale path."""
     docs = load_table(spark, sf_dir, "documents")
     return simhash_signatures(docs)
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup: a NEW batch against the EXISTING corpus index
+# ---------------------------------------------------------------------------
+
+def incremental_lsh_pairs(
+    new_docs: DataFrame, corpus_index: DataFrame, all_docs: DataFrame,
+) -> DataFrame:
+    """Near-dup pairs of a NEW micro-batch against an EXISTING corpus — the
+    shape continuous ingest actually needs at 100 TB.  A full-corpus rerun
+    per batch re-shuffles everything; here the corpus contributes only its
+    PERSISTED band index (``corpus_index`` = the (doc_id, band, band_hash)
+    rows ``minhash_signatures`` already computes — write it once, bucketed
+    on band_hash via ``io.write_bucketed`` and the per-batch join needs no
+    corpus-side shuffle at all).  Per batch: map-only signatures over the
+    batch, band equi-join against the index, exact-verify the collisions.
+    Cost is O(batch + collisions), independent of corpus size.
+
+    Returns (doc_a = new doc, doc_b = corpus doc, jaccard ≥ threshold)."""
+    sig_new = minhash_signatures(new_docs)
+    bands_new = sig_new.filter(F.col("bands").isNotNull()).select(
+        "doc_id", F.posexplode("bands").alias("band", "band_hash")
+    )
+    cand = (
+        bands_new.alias("a")
+        .join(
+            corpus_index.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    verified = verify_jaccard(cand, all_docs)
+    return verified.filter(F.col("jaccard") >= JACCARD_THRESHOLD).select(
+        "doc_a", "doc_b", rnd("jaccard", 4).alias("jaccard")
+    )
+
+
+def corpus_band_index(corpus_docs: DataFrame) -> DataFrame:
+    """The persisted side of :func:`incremental_lsh_pairs`: one row per
+    (doc_id, band, band_hash).  In production this is written once and
+    appended per accepted batch (bucketed on band_hash)."""
+    sigs = minhash_signatures(corpus_docs)
+    return sigs.filter(F.col("bands").isNotNull()).select(
+        "doc_id", F.posexplode("bands").alias("band", "band_hash")
+    )
+
+
+@register(
+    "dedup_incremental_new_vs_corpus",
+    oracle=f"""
+WITH {_SHINGLE_SQL},
+{_MINHASH_PAIRS_SQL.replace(
+    "ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id",
+    "ON a.band = b.band AND a.bh = b.bh "
+    "AND a.doc_id % 10 = 7 AND b.doc_id % 10 <> 7"
+)}
+SELECT doc_a, doc_b,
+       floor(jac * 10000 + 0.5) / 10000 AS jaccard
+FROM lsh_pairs
+""",
+    tags=["llm-dedup"],
+)
+def dedup_incremental_new_vs_corpus(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental dedup demo split: documents with ``doc_id % 10 = 7`` play
+    the arriving batch, the rest are the corpus; emit every (new, corpus)
+    near-dup pair.  The corpus side goes through ``corpus_band_index`` — in
+    production that index is PERSISTED and this query's corpus-side work
+    disappears; the driver-gated run rebuilds it so the oracle can replay
+    the identical math."""
+    docs = load_table(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 10 == 7)
+    corpus = docs.filter(F.col("doc_id") % 10 != 7)
+    return incremental_lsh_pairs(new, corpus_band_index(corpus), docs)

@@ -858,3 +858,38 @@ def test_lang_id_arrow_twin_matches_explode_path(spark):
     assert {r.doc_id: r.predicted_lang for r in j.collect()} == {
         r.doc_id: r.predicted_lang for r in a.collect()
     }
+
+
+def test_incremental_dedup_new_vs_corpus(spark):
+    """A planted near-dup in the arriving batch must pair with its corpus
+    original (doc_a = new id, doc_b = corpus id); unrelated batch docs must
+    not.  The corpus contributes only its band index — the per-batch join
+    never rescans corpus text except for the few verified collisions."""
+    from dev_clickhouse_spark.llm.dedup import (
+        corpus_band_index,
+        incremental_lsh_pairs,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog and then runs far "
+            "away into the deep dark forest tonight")
+    corpus_rows = [
+        (1, base),
+        (2, "completely different text about database engines and storage "
+            "formats with columnar compression and vectorized execution"),
+        (3, "yet another unrelated document mentioning streaming ingestion "
+            "watermarks and exactly once sinks in big data pipelines"),
+    ]
+    new_rows = [
+        (101, base + " extra"),   # near-dup of corpus doc 1
+        (102, "totally novel content paragraph speaking of cooking recipes "
+              "with tomatoes garlic basil and olive oil on fresh pasta"),
+    ]
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")  # noqa: E731
+    corpus, new = mk(corpus_rows), mk(new_rows)
+    all_docs = corpus.unionByName(new)
+
+    pairs = incremental_lsh_pairs(
+        new, corpus_band_index(corpus), all_docs
+    ).collect()
+    assert [(r.doc_a, r.doc_b) for r in pairs] == [(101, 1)]
+    assert pairs[0].jaccard >= 0.8
