@@ -89,11 +89,12 @@ _CHECKED_R4 = {
 }
 
 
-# Round-5 window (CORRECTNESS_r05.json key set, all green).  With 101
-# registry queries and a 50-row driver budget, the round-6 window is the two
-# queries ADDED in round 6 (never driver-checked) followed by this set's
-# complement — r05 ∪ r06 covers everything except `window_rank_suite`
-# (green in r4, still in the 101/101 local mirror), which leads round 7.
+# Round-5 window (CORRECTNESS_r05.json key set, all green).  With a grown
+# registry and a 50-row driver budget, the round-6 window is the queries
+# ADDED in round 6 (never driver-checked) followed by this set's complement
+# — r05 ∪ r06 covers everything except the last couple of alphabetical
+# complement entries (green in r4, still green in the full local mirror),
+# which lead round 7's window.
 _CHECKED_R5 = {
     "ann_cosine_topk", "ann_ivf_topk", "ann_lsh_bucket_topk",
     "anti_join_customers_without_orders", "approx_distinct_daily_users",

@@ -376,3 +376,74 @@ def sequence_match_timed_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(matched, 1).otherwise(0).cast("int").alias("matched"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+@register(
+    "funnel_strict_order_levels",
+    oracle="""
+WITH led AS (
+  SELECT user_id, ts, event_type,
+         lead(event_type, 1) OVER w AS t1,
+         lead(ts, 1)        OVER w AS ts1,
+         lead(event_type, 2) OVER w AS t2,
+         lead(ts, 2)        OVER w AS ts2
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+per_user AS (
+  SELECT user_id,
+         max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS l1,
+         max(CASE WHEN event_type = 'view' AND t1 = 'click'
+                   AND ts1 <= ts + INTERVAL 24 HOUR THEN 1 ELSE 0 END) AS l2,
+         max(CASE WHEN event_type = 'view' AND t1 = 'click' AND t2 = 'purchase'
+                   AND ts2 <= ts + INTERVAL 24 HOUR THEN 1 ELSE 0 END) AS l3
+  FROM led GROUP BY user_id
+)
+SELECT CAST(CASE WHEN l3 = 1 THEN 3 WHEN l2 = 1 THEN 2
+            WHEN l1 = 1 THEN 1 ELSE 0 END AS INTEGER) AS funnel_level,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM per_user GROUP BY 1
+""",
+    tags=["ch-window-funnel", "clickhouse-parity"],
+)
+def funnel_strict_order_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``windowFunnel(24h, 'strict_order')(ts, view, click, purchase)``
+    parity: in strict_order mode ANY event between two chain steps breaks
+    the chain, so a level-k chain is k CONSECUTIVE events in the user's
+    (ts, event_id)-ordered stream with the whole run inside the window.
+    That collapses the step joins of the default mode into LEAD window
+    lookups — per user: does any event have (self=view, next=click,
+    next²=purchase) within 24 h?  ONE window shuffle on user_id, no joins;
+    histogram of max strict level per user."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    deadline = F.expr("INTERVAL 24 HOURS")
+    led = ev.select(
+        "user_id", "ts", "event_type",
+        F.lead("event_type", 1).over(w).alias("t1"),
+        F.lead("ts", 1).over(w).alias("ts1"),
+        F.lead("event_type", 2).over(w).alias("t2"),
+        F.lead("ts", 2).over(w).alias("ts2"),
+    )
+    is_v = F.col("event_type") == "view"
+    l2 = is_v & (F.col("t1") == "click") & (F.col("ts1") <= F.col("ts") + deadline)
+    l3 = (
+        is_v & (F.col("t1") == "click") & (F.col("t2") == "purchase")
+        & (F.col("ts2") <= F.col("ts") + deadline)
+    )
+    per_user = led.groupBy("user_id").agg(
+        F.max(is_v.cast("int")).alias("l1"),
+        F.max(l2.cast("int")).alias("l2"),
+        F.max(l3.cast("int")).alias("l3"),
+    )
+    level = (
+        F.when(F.col("l3") == 1, 3)
+        .when(F.col("l2") == 1, 2)
+        .when(F.col("l1") == 1, 1)
+        .otherwise(0)
+    )
+    return (
+        per_user.select(level.cast("int").alias("funnel_level"))
+        .groupBy("funnel_level")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

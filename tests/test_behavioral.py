@@ -202,3 +202,49 @@ def test_sequence_match_timed_gap_semantics(spark, tmp_path):
     got = {r.user_id: r.matched
            for r in sequence_match_timed_users(spark, sf_dir).collect()}
     assert got == {1: 1, 2: 1, 3: 0, 4: 0, 5: 1}
+
+
+def test_funnel_strict_order_breaks_on_interruption(spark, tmp_path):
+    """strict_order parity: any event between two chain steps breaks the
+    chain (user 2's error between view and click caps them at level 1),
+    while the consecutive chain (user 1) reaches level 3 — the exact
+    delta from the default windowFunnel mode, which ignores gaps."""
+    import datetime as dt
+
+    from dev_clickhouse_spark.queries.behavioral import (
+        funnel_strict_order_levels,
+        funnel_window_counts,
+    )
+
+    t0 = dt.datetime(2026, 1, 8, 9, 0)
+    rows = [
+        # user 1: consecutive v,c,p → strict level 3
+        (1, t0, 1, "view", 0.0, None),
+        (2, t0 + dt.timedelta(minutes=1), 1, "click", 0.0, None),
+        (3, t0 + dt.timedelta(minutes=2), 1, "purchase", 0.0, None),
+        # user 2: v, error, c, p → default level 3, strict level 1
+        (4, t0, 2, "view", 0.0, None),
+        (5, t0 + dt.timedelta(minutes=1), 2, "error", 0.0, None),
+        (6, t0 + dt.timedelta(minutes=2), 2, "click", 0.0, None),
+        (7, t0 + dt.timedelta(minutes=3), 2, "purchase", 0.0, None),
+        # user 3: consecutive v,c but the purchase is out of window
+        (8, t0, 3, "view", 0.0, None),
+        (9, t0 + dt.timedelta(minutes=1), 3, "click", 0.0, None),
+        (10, t0 + dt.timedelta(hours=25), 3, "purchase", 0.0, None),
+        # user 4: no view at all
+        (11, t0, 4, "error", 0.0, None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    sf_dir = str(tmp_path / "ev")
+    df.write.parquet(sf_dir + "/events.parquet")
+
+    strict = {r.funnel_level: r.n_users
+              for r in funnel_strict_order_levels(spark, sf_dir).collect()}
+    assert strict == {3: 1, 2: 1, 1: 1, 0: 1}
+    dflt = {r.funnel_level: r.n_users
+            for r in funnel_window_counts(spark, sf_dir).collect()}
+    assert dflt == {3: 2, 2: 1, 0: 1}  # user 2 reaches 3 when gaps are OK
