@@ -684,3 +684,70 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         content_fingerprint("text").alias("exact_fp"),
         bag_fingerprint("text").alias("bag_fp"),
     )
+
+
+@register(
+    "lm_char_trigram_scores",
+    oracle="""
+WITH lt AS (SELECT doc_id, lower(text) AS s FROM documents),
+tri AS (
+  SELECT doc_id, substring(s, i, 3) AS t
+  FROM lt, LATERAL (SELECT unnest(generate_series(1, length(s) - 2)) AS i)
+  WHERE length(s) >= 3
+),
+c3 AS (SELECT t, count(*) AS c3 FROM tri GROUP BY t),
+c2 AS (SELECT substring(t, 1, 2) AS b, sum(c3) AS c2 FROM c3 GROUP BY 1),
+v AS (SELECT count(DISTINCT substring(t, 3, 1)) AS v FROM c3),
+lm AS (
+  SELECT c3.t, ln((c3.c3 + 1.0) / (c2.c2 + v.v)) AS lp
+  FROM c3 JOIN c2 ON substring(c3.t, 1, 2) = c2.b CROSS JOIN v
+)
+SELECT tri.doc_id,
+       CAST(count(*) AS BIGINT) AS n_trigrams,
+       floor(avg(lm.lp) * 10000 + 0.5) / 10000 AS avg_logprob
+FROM tri JOIN lm ON lm.t = tri.t
+GROUP BY tri.doc_id
+""",
+    tags=["llm-text", "llm-quality"],
+)
+def lm_char_trigram_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality scoring: a char-trigram language model with
+    add-one smoothing, trained on the corpus itself, scores every document
+    by its average trigram log-probability — the cheap stand-in for the
+    KenLM-style perplexity filters pretraining pipelines run (low scores =
+    unusual character statistics: boilerplate, encoding garbage, wrong
+    language).  P(z | xy) = (C3(xyz)+1) / (C2(xy)+V), V = distinct third
+    characters.
+
+    Scale shape: trigram occurrences are a map-only explode; the LM itself
+    is BOUNDED by charset³ regardless of corpus size, so both model joins
+    broadcast and the only data-sized shuffles are the count aggregation
+    (map-side combined) and the per-doc average.  Docs under 3 chars emit
+    no trigrams and drop out, same as the oracle's inner join."""
+    docs = load_table(spark, sf_dir, "documents")
+    tri = docs.select(
+        "doc_id", F.explode(_char_trigrams("text")).alias("t")
+    )
+    c3 = tri.groupBy("t").agg(F.count(F.lit(1)).alias("c3"))
+    c2 = c3.groupBy(F.substring("t", 1, 2).alias("b")).agg(
+        F.sum("c3").alias("c2")
+    )
+    v = c3.select(
+        F.countDistinct(F.substring("t", 3, 1)).alias("v")
+    )
+    lm = (
+        c3.join(F.broadcast(c2), F.substring(c3.t, 1, 2) == c2.b)
+        .crossJoin(F.broadcast(v))
+        .select(
+            "t",
+            F.log((F.col("c3") + 1.0) / (F.col("c2") + F.col("v"))).alias("lp"),
+        )
+    )
+    return (
+        tri.join(F.broadcast(lm), "t")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_trigrams"),
+            rnd(F.avg("lp"), 4).alias("avg_logprob"),
+        )
+    )

@@ -893,3 +893,26 @@ def test_incremental_dedup_new_vs_corpus(spark):
     ).collect()
     assert [(r.doc_a, r.doc_b) for r in pairs] == [(101, 1)]
     assert pairs[0].jaccard >= 0.8
+
+
+def test_lm_scores_rank_garbage_below_text(spark, tmp_path):
+    """The perplexity proxy must rank an encoding-garbage doc below docs
+    with ordinary character statistics — the property the pretraining
+    filter actually uses."""
+    from dev_clickhouse_spark.llm.text import lm_char_trigram_scores
+
+    normal = ("the quick brown fox jumps over the lazy dog while the rain "
+              "in spain falls mainly on the plain every single day") * 3
+    rows = [
+        (1, normal, "en", "web", len(normal)),
+        (2, normal.replace("the", "a"), "en", "web", 10),
+        (3, "zq9#x@!kv$7jw%p2&m8*rt^c4(bn)5hd-f6+g3=y1~u0`s", "xx", "web", 10),
+    ]
+    sf_dir = str(tmp_path / "docs")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(sf_dir + "/documents.parquet")
+    got = {r.doc_id: r.avg_logprob
+           for r in lm_char_trigram_scores(spark, sf_dir).collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[3] < got[1] and got[3] < got[2]
