@@ -315,3 +315,81 @@ def stats_moments_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)), 6)
         .alias("corr_qty_price"),
     )
+
+
+@register(
+    "histogram_event_values",
+    oracle="""
+WITH b AS (SELECT min(value) AS lo, max(value) AS hi FROM events),
+bins AS (
+  SELECT CAST(least(floor((value - b.lo) / ((b.hi - b.lo) / 20.0)), 19)
+              AS INTEGER) AS bin,
+         b.lo, b.hi
+  FROM events CROSS JOIN b WHERE value IS NOT NULL
+)
+SELECT bin,
+       floor((lo + bin * (hi - lo) / 20.0) * 10000 + 0.5) / 10000
+         AS bin_lower,
+       CAST(count(*) AS BIGINT) AS n
+FROM bins GROUP BY bin, lo, hi
+""",
+    tags=["ch-histogram", "A2"],
+)
+def histogram_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``histogram(20)(value)`` re-expressed with DETERMINISTIC
+    equal-width bins (ClickHouse's adaptive bin edges are seed-dependent —
+    fixed edges are what a cross-engine contract can pin down): one 1-row
+    min/max aggregate broadcast to the scan, then a single groupBy(bin)
+    with map-side combine.  The top edge folds into the last bin
+    (least(..., 19)), matching the SQL."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    b = ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    width = (F.col("hi") - F.col("lo")) / 20.0
+    binned = ev.crossJoin(F.broadcast(b)).select(
+        F.least(
+            F.floor((F.col("value") - F.col("lo")) / width), F.lit(19)
+        ).cast("int").alias("bin"),
+        "lo", "hi",
+    )
+    return binned.groupBy("bin", "lo", "hi").agg(
+        F.count(F.lit(1)).alias("n")
+    ).select(
+        "bin",
+        rnd(F.col("lo") + F.col("bin") * (F.col("hi") - F.col("lo")) / 20.0,
+            4).alias("bin_lower"),
+        "n",
+    )
+
+
+@register(
+    "agg_if_combinators",
+    oracle="""
+SELECT event_type,
+       CAST(count(*) FILTER (WHERE value > 50) AS BIGINT) AS n_high,
+       floor(coalesce(sum(value) FILTER (WHERE value > 50), 0) * 10000 + 0.5)
+         / 10000 AS sum_high,
+       floor(avg(value) FILTER (WHERE value <= 50) * 10000 + 0.5) / 10000
+         AS avg_low,
+       min(ts) FILTER (WHERE value > 90) AS first_extreme_ts
+FROM events
+GROUP BY event_type
+""",
+    tags=["ch-if-combinators", "A1", "A6"],
+)
+def agg_if_combinators(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse's ``-If`` aggregate combinators (countIf / sumIf / avgIf /
+    minIf) — conditional aggregation WITHOUT extra scans or joins, the
+    pattern the reference's dashboards use to split one pass into many
+    conditional metrics.  Spark spells it ``agg(expr).filter(cond)`` (ANSI
+    FILTER clause semantics); all four fold into ONE groupBy shuffle with
+    map-side partials."""
+    ev = load_table(spark, sf_dir, "events")
+    high, low = F.col("value") > 50, F.col("value") <= 50
+    return ev.groupBy("event_type").agg(
+        F.count(F.when(high, 1)).alias("n_high"),
+        rnd(F.coalesce(F.sum(F.when(high, F.col("value"))), F.lit(0.0)), 4)
+        .alias("sum_high"),
+        rnd(F.avg(F.when(low, F.col("value"))), 4).alias("avg_low"),
+        F.min(F.when(F.col("value") > 90, F.col("ts")))
+        .alias("first_extreme_ts"),
+    )
