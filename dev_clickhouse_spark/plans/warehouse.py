@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..schemas import BRONZE_SCHEMAS, GOLD_SCHEMAS
+from ..schemas import BRONZE_SCHEMAS, CORPUS_SCHEMAS, GOLD_SCHEMAS
 
 
 def conform_to_schema(df: DataFrame, schema: T.StructType) -> DataFrame:
@@ -48,7 +48,9 @@ _PARTITIONED_SORT: dict[str, list[str]] = {
     "bridge_zeek_event_tag": ["event_id", "event_ts"],
 }
 
-_ALL_SCHEMAS: dict[str, T.StructType] = {**BRONZE_SCHEMAS, **GOLD_SCHEMAS}
+_ALL_SCHEMAS: dict[str, T.StructType] = {
+    **BRONZE_SCHEMAS, **GOLD_SCHEMAS, **CORPUS_SCHEMAS,
+}
 
 
 class Warehouse:
@@ -280,6 +282,35 @@ class Warehouse:
         if override is not None:
             df = conform_to_schema(df, self.schema_for(table))
         return df
+
+    def read_at_version(self, table: str, version: int) -> DataFrame:
+        """Snapshot read: the table EXACTLY as manifest version ``version``
+        listed it — the Iceberg-style time travel the version-pointer layout
+        gives for free.  Valid for the retained version window
+        (``_MANIFEST_KEEP`` flips back); raises ``LookupError`` for pruned
+        or unknown versions, and ``ValueError`` when a superseded member
+        has already been deleted by a non-``retain_old`` compaction (the
+        snapshot is no longer reconstructible)."""
+        d = self._manifest_dir(table)
+        path = os.path.join(d, f"v{version:08d}.json")
+        try:
+            with open(path) as fh:
+                man = json.load(fh)
+        except OSError:
+            raise LookupError(
+                f"no retained manifest version {version} for {table!r}"
+            ) from None
+        missing = [
+            m for m in man["members"]
+            if not os.path.isdir(os.path.join(self.path(table), m))
+        ]
+        if missing:
+            raise ValueError(
+                f"snapshot v{version} of {table!r} references deleted "
+                f"members {missing}; compact with retain_old=True to keep "
+                "snapshots reconstructible"
+            )
+        return self._read_members(table, man["members"])
 
     def _read_members(self, table: str, members: list[str]) -> DataFrame:
         """Scan exactly the manifest's live member dirs.  Each member is its

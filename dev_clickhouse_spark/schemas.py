@@ -174,3 +174,28 @@ GOLD_SCHEMAS = {
     "bridge_suricata_event_tag": BRIDGE_EVENT_TAG,
     "bridge_zeek_event_tag": BRIDGE_EVENT_TAG,
 }
+
+
+# -- training-corpus tables (streaming corpus builder, llm/dedup inline) ----
+
+CORPUS_DOCUMENTS = T.StructType([
+    _l("doc_id"), _s("text"), _s("lang"), _s("source"), _l("n_chars"),
+])
+
+CORPUS_BAND_INDEX = T.StructType([
+    _l("doc_id"),
+    T.StructField("band", T.IntegerType()),
+    _s("band_hash"),
+])
+
+CORPUS_REJECTS = T.StructType([
+    _l("doc_id"), _s("text"), _l("matched_doc_id"),
+    T.StructField("jaccard", T.DoubleType()),
+    _s("reject_kind"),  # 'corpus_near_dup' | 'batch_near_dup' | 'batch_exact'
+])
+
+CORPUS_SCHEMAS = {
+    "corpus_documents": CORPUS_DOCUMENTS,
+    "corpus_band_index": CORPUS_BAND_INDEX,
+    "corpus_rejects": CORPUS_REJECTS,
+}

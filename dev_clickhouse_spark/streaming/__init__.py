@@ -1,2 +1,3 @@
 from .bronze_stream import BronzeStream, windowed_event_counts  # noqa: F401
 from .gold_stream import ContinuousPipeline  # noqa: F401
+from .corpus_stream import CorpusStream  # noqa: F401

@@ -1,0 +1,92 @@
+"""Streaming corpus builder: inline near-dup rejection against the growing
+corpus band index — the online form of the llm/dedup batch family."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dev_clickhouse_spark.schemas import CORPUS_DOCUMENTS
+from dev_clickhouse_spark.streaming import CorpusStream
+
+BASE = ("the quick brown fox jumps over the lazy dog and then runs far away "
+        "into the deep dark forest while nobody watches the misty river")
+NOVEL = ("completely different prose about columnar storage engines with "
+         "vectorized execution adaptive query planning and shuffle services")
+OTHER = ("a third unrelated passage mentioning streaming watermarks state "
+         "stores exactly once sinks and checkpoint recovery semantics")
+
+
+def _write_docs(spark, path, rows):
+    spark.createDataFrame(rows, CORPUS_DOCUMENTS).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(path))
+
+
+def test_corpus_stream_rejects_dups_across_batches(spark, tmp_path):
+    """Batch 1 seeds the corpus; batch 2's near-dup of a batch-1 doc is
+    rejected against the PERSISTED index (plus an intra-batch exact dup),
+    novel docs are accepted, and the index grows by exactly the accepted
+    docs' band rows."""
+    inp = tmp_path / "in"
+    cs = CorpusStream(spark, str(tmp_path / "wh"), str(tmp_path / "ck"))
+
+    _write_docs(spark, inp, [
+        (1, BASE, "en", "web", len(BASE)),
+        (2, NOVEL, "en", "web", len(NOVEL)),
+    ])
+    cs.from_files(str(inp)).awaitTermination(180)
+    assert cs.wh.read("corpus_documents").count() == 2
+    n_idx_1 = cs.wh.read("corpus_band_index").count()
+    assert n_idx_1 > 0 and cs.wh.read("corpus_rejects").count() == 0
+
+    _write_docs(spark, inp, [
+        (10, BASE + " extra", "en", "web", 10),   # near-dup of corpus doc 1
+        (11, OTHER, "en", "web", len(OTHER)),     # novel -> accepted
+        (12, OTHER, "en", "web", len(OTHER)),     # exact dup of 11 in-batch
+    ])
+    cs.from_files(str(inp)).awaitTermination(180)
+
+    docs = {r.doc_id for r in cs.wh.read("corpus_documents").collect()}
+    assert docs == {1, 2, 11}
+    rej = {r.doc_id: (r.matched_doc_id, r.reject_kind)
+           for r in cs.wh.read("corpus_rejects").collect()}
+    assert rej[10][0] == 1 and rej[10][1] == "corpus_near_dup"
+    assert rej[12] == (11, "batch_exact")
+    # index grew by exactly the accepted doc's band rows (6 bands/doc)
+    assert cs.wh.read("corpus_band_index").count() == n_idx_1 + 6
+    idx_ids = {r.doc_id for r in
+               cs.wh.read("corpus_band_index").select("doc_id").distinct().collect()}
+    assert idx_ids == {1, 2, 11}
+
+
+def test_corpus_stream_replay_is_exactly_once(spark, tmp_path):
+    """A replayed batch (crash before the rejects commit marker) must
+    re-derive the SAME decision: the index load excludes the batch's own
+    ids, so a partially-committed attempt cannot make the batch near-dup
+    itself, and all three tables converge to exactly-once."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    cs = CorpusStream(spark, str(tmp_path / "wh"), str(tmp_path / "ck"))
+    b0 = spark.createDataFrame(
+        [(1, BASE, "en", "web", len(BASE))], CORPUS_DOCUMENTS
+    )
+    cs._process_batch(b0, 0)
+    assert cs.wh.read("corpus_documents").count() == 1
+
+    # crash window: docs + index committed for batch 1, rejects not yet
+    b1 = spark.createDataFrame(
+        [(5, NOVEL, "en", "web", len(NOVEL))], CORPUS_DOCUMENTS
+    )
+    cs._process_batch(b1, 1)
+    shutil.rmtree(cs.wh.path("corpus_rejects"))  # wipe the commit marker
+    assert not cs.wh.batch_committed("corpus_rejects", 1)
+
+    cs._process_batch(b1, 1)  # replay
+    docs = [r.doc_id for r in cs.wh.read("corpus_documents").collect()]
+    assert sorted(docs) == [1, 5]  # no duplicate admission
+    assert cs.wh.read("corpus_rejects").count() == 0
+    assert cs.wh.read("corpus_band_index").filter(
+        F.col("doc_id") == 5
+    ).count() == 6

@@ -426,3 +426,44 @@ def test_partial_bronze_write_failure_replays_exactly_once(
     bs._process_batch(raw, 0)
     for t in ("wazuh_events_raw", "suricata_events_raw", "zeek_events_raw"):
         assert bs.wh.read(t).count() == 1, t
+
+
+def test_read_at_version_time_travel(spark, tmp_path):
+    """Snapshot reads off the retained manifest versions: each append is a
+    version; an old version keeps serving its exact row set after later
+    appends, and pruned/unknown versions fail loudly.  After a default
+    (deleting) compaction, pre-compaction snapshots correctly refuse
+    instead of silently serving partial data."""
+    import pytest
+
+    from dev_clickhouse_spark.plans.warehouse import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    t = "wazuh_events_raw"
+    wh.append(t, _wazuh_bronze_df(spark, wh, ["a0"]), batch_id=0)
+    v1 = wh.load_manifest(t)["version"]
+    wh.append(t, _wazuh_bronze_df(spark, wh, ["b0", "b1"]), batch_id=1)
+    v2 = wh.load_manifest(t)["version"]
+
+    assert {r.event_id for r in wh.read_at_version(t, v1).collect()} == {"a0"}
+    assert {r.event_id for r in wh.read_at_version(t, v2).collect()} == {
+        "a0", "b0", "b1"
+    }
+    with pytest.raises(LookupError, match="no retained manifest"):
+        wh.read_at_version(t, 999)
+
+    # retain_old compaction keeps prior snapshots reconstructible
+    wh.compact(t, retain_old=True)
+    v3 = wh.load_manifest(t)["version"]
+    assert {r.event_id for r in wh.read_at_version(t, v1).collect()} == {"a0"}
+    # a deleting compaction removes v3's compacted member: v3 then refuses
+    # LOUDLY instead of serving partial data; v1's retained batch dirs
+    # still serve, and the current read is intact
+    wh.append(t, _wazuh_bronze_df(spark, wh, ["c0"]), batch_id=2)
+    wh.compact(t)
+    assert {r.event_id for r in wh.read(t).collect()} == {
+        "a0", "b0", "b1", "c0"
+    }
+    with pytest.raises(ValueError, match="references deleted"):
+        wh.read_at_version(t, v3)
+    assert {r.event_id for r in wh.read_at_version(t, v1).collect()} == {"a0"}
