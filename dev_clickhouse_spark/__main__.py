@@ -19,7 +19,11 @@ catalog when one exists):
 - ``set-window NAME MIN``  — change a pipeline's trailing window
 - ``seed-store``           — bootstrap + seed the metadata store
 - ``migrate TABLE SCHEMA`` — apply a declared-schema migration (JSON file)
-- ``compact TABLE``        — small-file compaction (maintenance window!)
+- ``compact TABLE``        — small-file compaction (manifest tables may
+                             overlap live appends; plain tables need the
+                             single-writer window)
+- ``corpus-ingest FILES...``— parquet document batches → deduped training
+                             corpus (inline near-dup rejection)
 - ``serve``                — BI/HTTP endpoint over the gold tables
 """
 
@@ -173,6 +177,23 @@ def gold_views(wh) -> dict:
     }
 
 
+def cmd_corpus_ingest(args) -> None:
+    """Document parquet files → deduped corpus via the streaming builder
+    (one availableNow pass; checkpointed, so re-running only consumes new
+    files and replays converge exactly-once)."""
+    from .streaming import CorpusStream
+
+    cs = CorpusStream(
+        _spark(args), args.warehouse,
+        args.checkpoint or f"{args.warehouse}/_checkpoints",
+    )
+    cs.from_files(args.input_dir).awaitTermination()
+    print(json.dumps({
+        "corpus_documents": cs.wh.read("corpus_documents").count(),
+        "corpus_rejects": cs.wh.read("corpus_rejects").count(),
+    }))
+
+
 def cmd_serve(args) -> None:
     import os
 
@@ -259,6 +280,12 @@ def build_parser() -> argparse.ArgumentParser:
     p = sub.add_parser("compact", help="small-file compaction (single writer)")
     p.add_argument("table")
     p.set_defaults(fn=cmd_compact)
+
+    p = sub.add_parser("corpus-ingest",
+                       help="document parquet dir -> deduped corpus")
+    p.add_argument("input_dir")
+    p.add_argument("--checkpoint", default=None)
+    p.set_defaults(fn=cmd_corpus_ingest)
 
     p = sub.add_parser("serve", help="BI/HTTP endpoint over gold tables")
     p.add_argument("--port", type=int, default=8123)

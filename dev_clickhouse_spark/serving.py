@@ -123,6 +123,7 @@ class SqlServingEndpoint:
             else:
                 df = self.serving.read.parquet(src)
             df.createOrReplaceTempView(name)
+        self.view_names = sorted(views)
         self.max_rows = max_rows
         self.timeout_sec = timeout_sec
         self._server: ThreadingHTTPServer | None = None
@@ -254,6 +255,17 @@ class SqlServingEndpoint:
 
             def do_GET(self):
                 parsed = urllib.parse.urlparse(self.path)
+                # BI discovery endpoints: the catalog listing a connector
+                # probes before issuing SQL, and a load-balancer liveness
+                # probe that must not run a query
+                if parsed.path == "/tables":
+                    self._respond(200, {"tables": endpoint.view_names})
+                    return
+                if parsed.path == "/healthz":
+                    self._respond(
+                        200, {"ok": True, "tables": len(endpoint.view_names)}
+                    )
+                    return
                 if parsed.path != "/query":
                     self._respond(404, {"error": "use /query?q=<SQL>"})
                     return

@@ -176,3 +176,28 @@ def test_cli_serve_starts_and_serves(env, monkeypatch, capsys):
     out = capsys.readouterr().out
     assert "serving" in out and "gold views on http://127.0.0.1:" in out
     assert probed["body"]["rows"] == [{"n": 1}]
+
+
+def test_cli_corpus_ingest(env, spark, tmp_path, capsys):
+    """corpus-ingest drives the streaming corpus builder end to end: a
+    second run over the same directory consumes nothing new (checkpoint),
+    and a near-dup file added later is rejected against the index."""
+    from dev_clickhouse_spark.schemas import CORPUS_DOCUMENTS
+
+    base = ("one reasonably long sentence about engines pipelines shuffles "
+            "and partitions that repeats enough words to form shingles")
+    inp = tmp_path / "docs_in"
+    spark.createDataFrame(
+        [(1, base, "en", "web", len(base))], CORPUS_DOCUMENTS
+    ).coalesce(1).write.mode("append").parquet(str(inp))
+
+    main(["--warehouse", env["wh"], "corpus-ingest", str(inp)])
+    out1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out1 == {"corpus_documents": 1, "corpus_rejects": 0}
+
+    spark.createDataFrame(
+        [(2, base + " tail", "en", "web", 5)], CORPUS_DOCUMENTS
+    ).coalesce(1).write.mode("append").parquet(str(inp))
+    main(["--warehouse", env["wh"], "corpus-ingest", str(inp)])
+    out2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out2 == {"corpus_documents": 1, "corpus_rejects": 1}

@@ -263,3 +263,17 @@ def test_concurrent_slow_queries_cancel_without_cross_cancel(spark, tmp_path):
         assert not spark.sparkContext.statusTracker().getActiveJobsIds()
     finally:
         ep.stop()
+
+
+def test_discovery_endpoints(endpoint):
+    """BI connectors probe the catalog before issuing SQL; /tables lists
+    the served views and /healthz answers without running a query."""
+    import urllib.request as _rq
+
+    _ep, port = endpoint
+    with _rq.urlopen(f"http://127.0.0.1:{port}/tables", timeout=30) as r:
+        assert r.status == 200
+        assert json.loads(r.read()) == {"tables": ["gold_revenue"]}
+    with _rq.urlopen(f"http://127.0.0.1:{port}/healthz", timeout=30) as r:
+        assert r.status == 200
+        assert json.loads(r.read()) == {"ok": True, "tables": 1}
