@@ -177,6 +177,15 @@ def gold_views(wh) -> dict:
     }
 
 
+def cmd_gc(args) -> None:
+    from .plans import Warehouse
+
+    swept = Warehouse(_spark(args), args.warehouse).gc(
+        args.table, min_age_sec=args.min_age_sec
+    )
+    print(json.dumps({"table": args.table, "swept": swept}))
+
+
 def cmd_corpus_ingest(args) -> None:
     """Document parquet files → deduped corpus via the streaming builder
     (one availableNow pass; checkpointed, so re-running only consumes new
@@ -280,6 +289,13 @@ def build_parser() -> argparse.ArgumentParser:
     p = sub.add_parser("compact", help="small-file compaction (single writer)")
     p.add_argument("table")
     p.set_defaults(fn=cmd_compact)
+
+    p = sub.add_parser("gc", help="sweep unreferenced data dirs of a "
+                                  "manifest table (crash leftovers)")
+    p.add_argument("table")
+    p.add_argument("--min-age-sec", type=float, default=3600.0,
+                   help="in-flight guard: only dirs untouched this long")
+    p.set_defaults(fn=cmd_gc)
 
     p = sub.add_parser("corpus-ingest",
                        help="document parquet dir -> deduped corpus")

@@ -530,6 +530,54 @@ class Warehouse:
             for m in live
         )
 
+    def gc(self, table: str, min_age_sec: float = 3600.0) -> list[str]:
+        """Sweep data directories no RETAINED manifest version references —
+        the leftovers of (a) a compactor that crashed between writing its
+        ``compacted-*`` member and flipping the pointer, and (b) superseded
+        members kept by ``compact(retain_old=True)`` whose snapshots have
+        since been pruned from the version window.
+
+        ``min_age_sec`` is the in-flight guard: an append writes its data
+        dir BEFORE registering it, and a concurrent compactor's new member
+        is unreferenced until its flip — both look orphaned for a few
+        seconds.  Only dirs untouched for the window are swept, under the
+        manifest lock so no flip can race the re-check.  Returns the swept
+        directory names."""
+        import shutil
+        import time as _time
+
+        d = self._manifest_dir(table)
+        if not os.path.isdir(d):
+            return []
+        swept: list[str] = []
+        with self._manifest_lock(table):
+            referenced: set[str] = set()
+            for f in os.listdir(d):
+                if f.startswith("v") and f.endswith(".json"):
+                    with open(os.path.join(d, f)) as fh:
+                        referenced.update(json.load(fh)["members"])
+            now = _time.time()
+            for e in sorted(os.listdir(self.path(table))):
+                full = os.path.join(self.path(table), e)
+                if (
+                    e.startswith((".", "_"))
+                    or not os.path.isdir(full)
+                    or e in referenced
+                ):
+                    continue
+                if not (
+                    e.startswith("ingest_batch=") or e.startswith("compacted-")
+                ):
+                    continue
+                try:
+                    age = now - os.path.getmtime(full)
+                except OSError:
+                    continue
+                if age >= min_age_sec:
+                    shutil.rmtree(full, ignore_errors=True)
+                    swept.append(e)
+        return swept
+
     @staticmethod
     def _count_parquet(path: str) -> int:
         n = 0

@@ -467,3 +467,41 @@ def test_read_at_version_time_travel(spark, tmp_path):
     with pytest.raises(ValueError, match="references deleted"):
         wh.read_at_version(t, v3)
     assert {r.event_id for r in wh.read_at_version(t, v1).collect()} == {"a0"}
+
+
+def test_gc_sweeps_only_unreferenced_members(spark, tmp_path):
+    """gc() removes a crashed compactor's orphaned member and pruned
+    retain_old leftovers, but never a referenced member or a young
+    (possibly in-flight) directory."""
+    import os as _os
+    import time as _time
+
+    from dev_clickhouse_spark.plans.warehouse import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    t = "wazuh_events_raw"
+    wh.append(t, _wazuh_bronze_df(spark, wh, ["a0"]), batch_id=0)
+    wh.append(t, _wazuh_bronze_df(spark, wh, ["b0"]), batch_id=1)
+
+    # a compactor crash between member write and pointer flip: the member
+    # exists on disk but no manifest version references it
+    orphan = _os.path.join(wh.path(t), "compacted-deadbeef")
+    _os.makedirs(orphan)
+    with open(_os.path.join(orphan, "part-0.parquet"), "w") as fh:
+        fh.write("x")
+
+    # young orphans survive (in-flight guard)…
+    assert wh.gc(t, min_age_sec=3600) == []
+    # …old ones are swept; referenced members are untouched
+    old = _time.time() - 7200
+    _os.utime(orphan, (old, old))
+    assert wh.gc(t, min_age_sec=3600) == ["compacted-deadbeef"]
+    assert not _os.path.exists(orphan)
+    assert {r.event_id for r in wh.read(t).collect()} == {"a0", "b0"}
+
+    # referenced members are never swept even when old
+    for m in wh.load_manifest(t)["members"]:
+        p = _os.path.join(wh.path(t), m)
+        _os.utime(p, (old, old))
+    assert wh.gc(t, min_age_sec=0) == []
+    assert {r.event_id for r in wh.read(t).collect()} == {"a0", "b0"}
