@@ -48,6 +48,9 @@ BENCH_QUERIES = [
     "q21_sole_late_supplier",
     "text_repetition_signals",
     "funnel_window_counts",
+    "funnel_strict_order_levels",        # round 6: LEAD-window strict mode
+    "dedup_incremental_new_vs_corpus",   # round 6: batch-vs-index dedup
+    "lm_char_trigram_scores",            # round 6: bounded-LM perplexity proxy
 ]
 
 N_INGEST_EVENTS = 10_000
