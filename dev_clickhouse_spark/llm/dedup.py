@@ -166,26 +166,34 @@ def verify_jaccard(
     pairs: DataFrame, docs: DataFrame,
     id_col: str = "doc_id", text_col: str = "text",
 ) -> DataFrame:
-    """Exact shingle-set Jaccard for candidate pairs (texts joined in, set math
-    in an Arrow-batched UDF — candidates are few post-LSH)."""
-    d = docs.select(F.col(id_col), F.col(text_col))
-    joined = (
-        pairs.join(d.withColumnsRenamed({id_col: "doc_a", text_col: "text_a"}), "doc_a")
-        .join(d.withColumnsRenamed({id_col: "doc_b", text_col: "text_b"}), "doc_b")
+    """Exact shingle-set Jaccard for candidate pairs.  Each pair joins to
+    the two docs' distinct-shingle ARRAYS and intersects with a JVM
+    ``array_intersect`` — no Python workers and no per-pair re-shingling
+    (the round-6 rewrite that halved the n-gram verify also applies here;
+    ``_shingles`` and ``ngram_shingles`` produce the same 3-token sets, so
+    the value is bit-identical to the old Arrow-UDF path).  A doc under 3
+    tokens has an empty set → Jaccard 0.0, matching the old behavior."""
+    sets = ngram_shingles(docs, id_col, text_col).groupBy("doc_id").agg(
+        F.collect_set("s").alias("ss")
     )
-
-    @F.pandas_udf("double")
-    def jac(ta: pd.Series, tb: pd.Series) -> pd.Series:
-        out = []
-        for x, y in zip(ta, tb):
-            sa, sb = _shingles(x or ""), _shingles(y or "")
-            inter = len(sa & sb)
-            union = len(sa) + len(sb) - inter
-            out.append(inter / union if union else 0.0)
-        return pd.Series(out)
-
-    return joined.select(
-        "doc_a", "doc_b", jac("text_a", "text_b").alias("jaccard")
+    ids = docs.select(F.col(id_col).alias("doc_id"))
+    full = ids.join(sets, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("ss", F.array().cast("array<string>")).alias("ss"),
+    )
+    a = full.select(F.col("doc_id").alias("doc_a"), F.col("ss").alias("ssa"))
+    b = full.select(F.col("doc_id").alias("doc_b"), F.col("ss").alias("ssb"))
+    cb = F.size(F.array_intersect("ssa", "ssb"))
+    union = F.size("ssa") + F.size("ssb") - F.col("cb")
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn("cb", cb)
+        .select(
+            "doc_a", "doc_b",
+            F.when(union > 0, F.col("cb") / union)
+            .otherwise(0.0).alias("jaccard"),
+        )
     )
 
 

@@ -67,8 +67,10 @@ class CorpusStream:
     # -- the per-batch dedup decision -------------------------------------
 
     def _process_batch(self, batch: DataFrame, batch_id: int) -> None:
-        if self.wh.batch_committed("corpus_rejects", batch_id):
-            return  # fully-committed replay (rejects are written LAST)
+        # metrics are written LAST and per-batch-overwritten: they double as
+        # the commit marker (same pattern as BronzeStream's ingest_metrics)
+        if self.wh.batch_committed("corpus_ingest_metrics", batch_id):
+            return
         batch = batch.localCheckpoint(eager=True)
         batch_ids = batch.select("doc_id").distinct()
 
@@ -145,3 +147,25 @@ class CorpusStream:
         )
         self.wh.append("corpus_band_index", idx_rows, batch_id=batch_id)
         self.wh.append("corpus_rejects", rejects, batch_id=batch_id)
+
+        # observability + commit marker: accept/reject accounting per batch
+        kinds = {
+            r["reject_kind"]: r["n"]
+            for r in rejects.groupBy("reject_kind")
+            .agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        metrics = self.spark.createDataFrame(
+            [(
+                int(batch_id), batch.count(),
+                kinds.get("batch_exact", 0), kinds.get("batch_near_dup", 0),
+                kinds.get("corpus_near_dup", 0), accepted.count(),
+            )],
+            "batch_id long, n_in long, n_batch_exact long, "
+            "n_batch_near long, n_corpus_near long, n_accepted long",
+        ).withColumn("processed_at", F.current_timestamp())
+        metrics.write.mode("overwrite").parquet(
+            os.path.join(
+                self.wh.root, "corpus_ingest_metrics",
+                f"ingest_batch={batch_id}",
+            )
+        )

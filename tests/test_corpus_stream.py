@@ -52,6 +52,13 @@ def test_corpus_stream_rejects_dups_across_batches(spark, tmp_path):
            for r in cs.wh.read("corpus_rejects").collect()}
     assert rej[10][0] == 1 and rej[10][1] == "corpus_near_dup"
     assert rej[12] == (11, "batch_exact")
+    # per-batch accept/reject accounting (the commit marker doubles as
+    # observability, like bronze ingest_metrics)
+    m = cs.wh.spark.read.parquet(
+        str(cs.wh.root) + "/corpus_ingest_metrics"
+    ).orderBy("batch_id").collect()
+    assert (m[-1].n_in, m[-1].n_accepted) == (3, 1)
+    assert (m[-1].n_batch_exact, m[-1].n_corpus_near) == (1, 1)
     # index grew by exactly the accepted doc's band rows (6 bands/doc)
     assert cs.wh.read("corpus_band_index").count() == n_idx_1 + 6
     idx_ids = {r.doc_id for r in
@@ -80,8 +87,8 @@ def test_corpus_stream_replay_is_exactly_once(spark, tmp_path):
         [(5, NOVEL, "en", "web", len(NOVEL))], CORPUS_DOCUMENTS
     )
     cs._process_batch(b1, 1)
-    shutil.rmtree(cs.wh.path("corpus_rejects"))  # wipe the commit marker
-    assert not cs.wh.batch_committed("corpus_rejects", 1)
+    shutil.rmtree(cs.wh.path("corpus_ingest_metrics"))  # wipe the marker
+    assert not cs.wh.batch_committed("corpus_ingest_metrics", 1)
 
     cs._process_batch(b1, 1)  # replay
     docs = [r.doc_id for r in cs.wh.read("corpus_documents").collect()]
