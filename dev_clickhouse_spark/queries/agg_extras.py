@@ -393,3 +393,59 @@ def agg_if_combinators(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.when(F.col("value") > 90, F.col("ts")))
         .alias("first_extreme_ts"),
     )
+
+
+@register(
+    "approx_percentile_error_contract",
+    oracle="""
+SELECT event_type,
+       floor(quantile_cont(value, 0.50) * 10000 + 0.5) / 10000 AS p50_exact,
+       floor(quantile_cont(value, 0.95) * 10000 + 0.5) / 10000 AS p95_exact,
+       CAST(1 AS INTEGER) AS within_accuracy_bound
+FROM events WHERE value IS NOT NULL
+GROUP BY event_type
+""",
+    tags=["approx", "ch-quantile"],
+)
+def approx_percentile_error_contract(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ClickHouse ``quantileTDigest`` analog: Spark's ``approx_percentile``
+    (Greenwald-Khanna) is the sketch quantile you'd actually run at 100 TB
+    — one pass, bounded memory, mergeable partials.  Sketch internals
+    differ per engine, so (like the HLL oracle above) the SQL oracle pins
+    the CONTRACT: exact p50/p95 per group plus a flag asserting the GK
+    estimate's EMPIRICAL RANK (fraction of group values ≤ estimate) sits
+    within the declared rank accuracy of the target quantile, plus a
+    3-element discreteness slack — deterministic for fixed input."""
+    acc = 10_000
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    apx = F.expr(f"approx_percentile(value, array(0.5, 0.95), {acc})")
+    agg = ev.groupBy("event_type").agg(
+        rnd(F.expr("percentile(value, 0.5)"), 4).alias("p50_exact"),
+        rnd(F.expr("percentile(value, 0.95)"), 4).alias("p95_exact"),
+        apx[0].alias("a50"),
+        apx[1].alias("a95"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    # rank check: the estimate is an ACTUAL group element, so its empirical
+    # rank must sit within the declared rank accuracy of the target (plus a
+    # 3-element discreteness slack)
+    ranked = (
+        ev.join(F.broadcast(agg), "event_type")
+        .groupBy("event_type", "p50_exact", "p95_exact", "n")
+        .agg(
+            (F.sum((F.col("value") <= F.col("a50")).cast("long"))
+             / F.first("n")).alias("r50"),
+            (F.sum((F.col("value") <= F.col("a95")).cast("long"))
+             / F.first("n")).alias("r95"),
+        )
+    )
+    eps = F.lit(1.0 / acc) + F.lit(3.0) / F.col("n")
+    return ranked.select(
+        "event_type", "p50_exact", "p95_exact",
+        (
+            (F.abs(F.col("r50") - 0.5) <= eps)
+            & (F.abs(F.col("r95") - 0.95) <= eps)
+        ).cast("int").alias("within_accuracy_bound"),
+    )
