@@ -286,7 +286,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--dry-run", action="store_true")
     p.set_defaults(fn=cmd_migrate)
 
-    p = sub.add_parser("compact", help="small-file compaction (single writer)")
+    p = sub.add_parser("compact",
+                       help="small-file compaction (manifest tables may "
+                            "overlap appends; plain tables: single writer)")
     p.add_argument("table")
     p.set_defaults(fn=cmd_compact)
 

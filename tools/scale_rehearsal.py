@@ -173,7 +173,7 @@ INVARIANT_QUERIES = [
 
 def _time_pack(spark, registry, names, sf_dir, reps) -> tuple[dict, dict]:
     timings, rowcounts = {}, {}
-    for name in names:
+    for i, name in enumerate(names):
         fn = registry[name].fn
         runs = []
         n = 0
@@ -183,6 +183,15 @@ def _time_pack(spark, registry, names, sf_dir, reps) -> tuple[dict, dict]:
             runs.append(time.time() - t0)
         timings[name] = round(sorted(runs)[len(runs) // 2], 3)
         rowcounts[name] = n
+        if i % 5 == 4:
+            # ~100 query executions in one session pin every auto-broadcast
+            # in driver storage until the ContextCleaner's weak refs GC;
+            # at x30 that exhausted an 8g driver mid-pack.  Nudge the JVM
+            # so stale broadcasts actually drop (outside the timed region).
+            try:
+                spark.sparkContext._jvm.System.gc()
+            except Exception:
+                pass
     return timings, rowcounts
 
 
@@ -201,6 +210,11 @@ def main() -> None:
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         f"SCALE_X{args.factor}.json",
     )
+
+    # ×N data + ~4·|pack| query executions in one session need driver
+    # headroom beyond the sf0.1 default (spark-submit territory on a real
+    # cluster; an env override still wins)
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "16g")
 
     from bench import BENCH_QUERIES
 
