@@ -80,10 +80,13 @@ LETTERS = string.ascii_lowercase + string.ascii_uppercase
 
 
 def _caesar(shift: int) -> str:
-    lo = string.ascii_lowercase
-    up = string.ascii_uppercase
-    s = shift % 26
-    return lo[s:] + lo[:s] + up[s:] + up[:s]
+    """Rotate the COMBINED 52-letter cycle (not per case): period 52, so
+    replica texts only alias at factor > 52.  The first ×30 run rotated
+    lower/upper separately (period 26) and replicas 0/26, 1/27, … got
+    IDENTICAL text — cross-replica 'near-dups' that inflated the pair
+    invariants 116× instead of 30×."""
+    s = shift % len(LETTERS)
+    return LETTERS[s:] + LETTERS[:s]
 
 
 def synthesize(spark, base_sf: str, out_dir: str, factor: int) -> dict:
@@ -96,6 +99,12 @@ def synthesize(spark, base_sf: str, out_dir: str, factor: int) -> dict:
 
     from dev_clickhouse_spark.io import TEST_TABLES, load_table
 
+    if factor > len(LETTERS):
+        raise ValueError(
+            f"factor {factor} exceeds the text-perturbation period "
+            f"({len(LETTERS)}): replica texts would alias and corrupt the "
+            "dedup invariants"
+        )
     os.makedirs(out_dir, exist_ok=True)
     # per-family offset base: one power of 10 above the family's max key so
     # replica keyspaces never overlap (computed once, tiny agg per table)
