@@ -119,23 +119,64 @@ _CHECKED_R5 = {
 }
 
 
+# Round-6 window (CORRECTNESS_r06.json key set, all green): the seven
+# queries added in round 6 + the alphabetical head of the r5 complement.
+# Six r4-checked queries missed BOTH the r5 and r6 windows (the driver caps
+# at 50 rows) — VERDICT r6 names them and they lead round 7's window.
+_CHECKED_R6 = {
+    "agg_if_combinators", "ann_lsh_recall_at_5",
+    "approx_percentile_error_contract", "argmin_first_event_per_user",
+    "asof_join_last_purchase", "chunk_documents", "cube_segment_priority",
+    "daily_event_type_ratio", "decontaminate_against_benchmark",
+    "dedup_incremental_new_vs_corpus", "dedupe_last_write_wins",
+    "dim_time_complete", "distinct_on_latest_event", "event_date_time_keys",
+    "events_5min_buckets", "except_intersect_users",
+    "funnel_strict_order_levels", "funnel_window_counts",
+    "gold_star_build_events", "histogram_event_values", "json_extract_props",
+    "lm_char_trigram_scores", "merge_upsert_daily_counts",
+    "multi_key_daily_top", "multimodal_jpeg_roundtrip_stats",
+    "multimodal_png_roundtrip_stats", "percentile_event_values",
+    "pii_redaction_stats", "pivot_daily_event_types", "q10_returned_items",
+    "q11_balance_concentration", "q13_order_count_distribution",
+    "q14_promo_revenue_ratio", "q15_top_suppliers",
+    "q16_supplier_part_variety", "q17_small_quantity_revenue",
+    "q18_large_volume_orders", "q19_disjunctive_revenue",
+    "q20_dominant_suppliers", "q21_sole_late_supplier",
+    "q22_dormant_customers", "q6_forecast_revenue", "q8_market_share",
+    "q9_product_profit", "retention_cohorts", "rollup_year_priority",
+    "scd2_user_type_versions", "sequence_match_timed_users",
+    "session_windows_gap", "sql_moving_avg_frame",
+}
+
+
 def _ordered():
-    """Registry in round-6 driver-check priority order, LRU-style: the
-    round-5 window's complement sorts FIRST (stalest green rows — last
-    checked in round 4 — plus anything added this round, never checked),
-    then the just-checked round-5 window.  tools/check_correctness.py still
-    oracle-checks everything each round regardless of the driver's window."""
+    """Registry in round-7 driver-check priority order, LRU-style.
+
+    Leads with the six queries whose last driver row is round 4 (they
+    missed both the r5 and r6 windows — VERDICT r6 item #2:
+    stats_moments_by_returnflag, text_repetition_signals,
+    timeseries_fill_gaps, top_users_by_value, union_conform_nations,
+    window_rank_suite), then anything added this round (never checked),
+    then the r5 window (not re-checked in r6 — next stalest), then the
+    just-checked r6 window.  tools/check_correctness.py still
+    oracle-checks everything each round regardless of the driver's
+    window."""
     from dev_clickhouse_spark.queries import REGISTRY
+
+    recent = _CHECKED_R5 | _CHECKED_R6
+    ever = _CHECKED_R3 | _CHECKED_R4 | recent
 
     def klass(item):
         name, spec = item
         if spec.oracle is None:
-            return (3, name)
-        if name not in (_CHECKED_R3 | _CHECKED_R4 | _CHECKED_R5):
-            return (0, name)  # brand new this round — never driver-checked
-        if name not in _CHECKED_R5:
-            return (1, name)  # complement of r5 — stalest green rows
-        return (2, name)      # green in r5 — freshest, rotates out
+            return (4, name)
+        if name not in recent:
+            if name in ever:
+                return (0, name)  # stale: last driver row is r4
+            return (1, name)      # brand new this round — never checked
+        if name not in _CHECKED_R6:
+            return (2, name)      # checked r5, rotated out of r6
+        return (3, name)          # green in r6 — freshest, rotates out
 
     return sorted(REGISTRY.items(), key=klass)
 

@@ -193,23 +193,50 @@ def main() -> None:
     )
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
+    compact = {
+        "metric": "e2e_bench_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
+        "ingest_events_per_sec": round(
+            N_INGEST_EVENTS / timings["ingest_10k_events"], 1
+        ),
+    }
+    # The driver records only the TAIL of stdout as BENCH_r{N}.json; round 6
+    # learned the hard way that one line carrying plan hashes + pipeline
+    # timings + the skew probe outgrows that capture and truncates to
+    # `parsed: null`.  So stdout gets ONLY the compact headline line, and
+    # the full detail goes to a committed BENCH_DETAIL_r{N}.json next to
+    # this script (round inferred from the BENCH_r*.json already recorded;
+    # SPARK_GRAFT_ROUND overrides).
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    rnd_env = os.environ.get("SPARK_GRAFT_ROUND")
+    if rnd_env is not None:
+        rnd = int(rnd_env)
+    else:
+        import glob
+        import re as _re
+
+        seen = [
+            int(m.group(1))
+            for f in glob.glob(os.path.join(repo_dir, "BENCH_r*.json"))
+            if (m := _re.search(r"BENCH_r(\d+)\.json$", f))
+        ]
+        rnd = (max(seen) + 1) if seen else 1
+    detail_path = os.path.join(repo_dir, f"BENCH_DETAIL_r{rnd:02d}.json")
+    with open(detail_path, "w") as fh:
+        json.dump(
             {
-                "metric": "e2e_bench_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
-                "ingest_events_per_sec": round(
-                    N_INGEST_EVENTS / timings["ingest_10k_events"], 1
-                ),
+                **compact,
                 "pipeline_seconds": pipeline_seconds,
                 "asof_skew": asof_skew,
                 "plan_hashes": plan_hashes,
-            }
+            },
+            fh, indent=1, sort_keys=True,
         )
-    )
+        fh.write("\n")
+    print(json.dumps(compact))
     spark.stop()
 
 

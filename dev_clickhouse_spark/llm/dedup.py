@@ -172,7 +172,23 @@ def verify_jaccard(
     (the round-6 rewrite that halved the n-gram verify also applies here;
     ``_shingles`` and ``ngram_shingles`` produce the same 3-token sets, so
     the value is bit-identical to the old Arrow-UDF path).  A doc under 3
-    tokens has an empty set → Jaccard 0.0, matching the old behavior."""
+    tokens has an empty set → Jaccard 0.0, matching the old behavior.
+
+    Only docs that actually appear in ``pairs`` are shingled: the incoming
+    docs are semi-joined to the candidate ids FIRST, so the shingle +
+    collect_set shuffle is O(colliding docs), not O(corpus).  This is what
+    keeps ``incremental_lsh_pairs`` / the streaming corpus builder honest
+    about their 'O(batch + collisions), independent of corpus size'
+    contract — without the semi-join, every micro-batch would re-shingle
+    and re-shuffle the ENTIRE corpus text (ADVICE r6)."""
+    cand_ids = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .union(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    docs = docs.join(
+        cand_ids, docs[id_col] == cand_ids["doc_id"], "left_semi"
+    )
     sets = ngram_shingles(docs, id_col, text_col).groupBy("doc_id").agg(
         F.collect_set("s").alias("ss")
     )
@@ -394,7 +410,8 @@ def ngram_candidate_pairs(sh: DataFrame, df_cap: int = NGRAM_DF_CAP) -> DataFram
 
 
 def ngram_verify_pairs(cand: DataFrame, sh: DataFrame,
-                       sizes: DataFrame | None = None) -> DataFrame:
+                       sizes: DataFrame | None = None,
+                       threshold: float = JACCARD_THRESHOLD) -> DataFrame:
     """Exact Jaccard for candidate pairs over the FULL shingle sets (capped
     shingles count here — the cap only limited candidate generation).
 
@@ -415,7 +432,90 @@ def ngram_verify_pairs(cand: DataFrame, sh: DataFrame,
         cand.join(a, "doc_a")
         .join(b, "doc_b")
         .withColumn("cb", cb)
-        .filter(jac >= JACCARD_THRESHOLD)
+        .filter(jac >= threshold)
+        .select("doc_a", "doc_b", rnd(jac, 4).alias("jaccard"))
+    )
+
+
+def ngram_jaccard_pairs_counted(
+    docs: DataFrame, df_cap: int = NGRAM_DF_CAP,
+    threshold: float = JACCARD_THRESHOLD,
+    id_col: str = "doc_id", text_col: str = "text",
+) -> DataFrame:
+    """n-gram Jaccard pairs via COUNTED postings — the scale path that
+    replaced the array-intersect verify (VERDICT r6 item #3: 84 s at ×30,
+    3× the next-slowest query; the per-pair ``array_intersect`` over full
+    string shingle arrays was the cost center).
+
+    Two ideas:
+
+    1. **64-bit packed shingles.** Every shingle string becomes
+       ``xxhash64(s)`` immediately after the distinct — all downstream
+       shuffles carry 8-byte longs instead of ~30-byte strings, and every
+       comparison is a long equality.  A within-doc hash collision would
+       merge two distinct shingles (birthday bound ≈ |sh|²/2⁶⁵ per doc —
+       ~10⁻¹⁵ at 10³ shingles/doc); the property test pins the output
+       bit-identical to the string path on the test corpora.
+
+    2. **Count intersections from the inverted index, never materialize
+       sets.**  |A∩B| splits by document frequency:
+       - uncapped shingles (df ≤ cap): the candidate expansion ALREADY
+         visits one row per (pair, shared uncapped shingle) — so
+         ``groupBy(pair).count()`` yields the uncapped intersection size
+         as a by-product of candidate generation (one shuffle, map-side
+         combine), instead of re-joining full shingle arrays per pair.
+       - capped shingles (df > cap, the boilerplate tail): few DISTINCT
+         hashes by construction, so each doc's capped-shingle array is
+         tiny; one per-doc array join + ``array_intersect`` covers them.
+       Union sizes come from the per-doc distinct-shingle counts.
+
+    Identical result contract to ``ngram_verify_pairs(ngram_candidate_
+    pairs(sh), sh)``: same candidate set (docs sharing ≥1 uncapped
+    shingle), same exact Jaccard over FULL shingle sets (capped shingles
+    count in both |A∩B| and |A∪B|), same ≥ threshold filter and 4-digit
+    rounding."""
+    sh = ngram_shingles(docs, id_col, text_col).select(
+        "doc_id", F.xxhash64("s").alias("h")
+    )
+    postings = sh.groupBy("h").agg(F.collect_list("doc_id").alias("ds"))
+    bounded = postings.filter(F.size("ds") <= df_cap)
+    cand = (
+        bounded.select(F.explode("ds").alias("doc_a"), F.col("ds"))
+        .select("doc_a", F.explode("ds").alias("doc_b"))
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("cb_uncapped"))
+    )
+    # per-doc profile: total distinct shingles + the (tiny) array of capped
+    # shingle hashes this doc contains
+    capped_h = postings.filter(F.size("ds") > df_cap).select(
+        F.explode("ds").alias("doc_id"), "h"
+    )
+    profile = (
+        sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+        .join(
+            capped_h.groupBy("doc_id").agg(F.collect_set("h").alias("ch")),
+            "doc_id", "left",
+        )
+        .select(
+            "doc_id", "n",
+            F.coalesce("ch", F.array().cast("array<bigint>")).alias("ch"),
+        )
+    )
+    a = profile.select(
+        F.col("doc_id").alias("doc_a"), F.col("n").alias("na"),
+        F.col("ch").alias("cha"),
+    )
+    b = profile.select(
+        F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"),
+        F.col("ch").alias("chb"),
+    )
+    cb = F.col("cb_uncapped") + F.size(F.array_intersect("cha", "chb"))
+    jac = cb / (F.col("na") + F.col("nb") - cb)
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .filter(jac >= threshold)
         .select("doc_a", "doc_b", rnd(jac, 4).alias("jaccard"))
     )
 
@@ -454,12 +554,15 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     otherwise cost k² candidates), expand survivors pairwise, then verify
     candidates with the exact Jaccard over full shingle sets, filter J ≥ 0.8.
     A pair sharing ONLY capped shingles is missed by design (boilerplate
-    overlap is not near-duplication)."""
+    overlap is not near-duplication).
+
+    Since round 7 the verify runs on the COUNTED-POSTINGS path
+    (``ngram_jaccard_pairs_counted``): 64-bit packed shingle hashes and
+    intersection counts read off the inverted index instead of per-pair
+    array intersections — same pair set and values (property-tested), a
+    fraction of the ×30 wall-time."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = ngram_shingles(docs)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    cand = ngram_candidate_pairs(sh)
-    return ngram_verify_pairs(cand, sh, sizes)
+    return ngram_jaccard_pairs_counted(docs)
 
 
 _MINHASH_PAIRS_SQL = f"""

@@ -137,6 +137,7 @@ def cosine_threshold_pairs(
     emb: DataFrame, threshold: float, dim: int,
     chunk: int = 4096,
     id_col: str = "vec_id", vec_col: str = "embedding",
+    n_rows: int | None = None,
 ) -> DataFrame:
     """All pairs with cosine >= threshold, exactly, via BLOCK-MATRIX scoring —
     the scale shape for moderate-threshold embedding near-dup detection.
@@ -159,8 +160,15 @@ def cosine_threshold_pairs(
     the unavoidable n²·dim/2 multiplies at BLAS speed instead of ~40n²
     interpreted array-fold evaluations.  At corpus scale, exact all-pairs
     is only run inside bounded shards (dedup within a source/day); the
-    cross-shard approximate path is IVF/ANN (ivf_topk below)."""
-    n = emb.count()
+    cross-shard approximate path is IVF/ANN (ivf_topk below).
+
+    PLANNING JOB: when ``n_rows`` is not supplied, sizing the block grid
+    runs ``emb.count()`` EAGERLY at build time (one extra evaluation of
+    emb's lineage — a metadata-only footer count for a plain parquet scan).
+    This is the same planning-step shape as IVF training; callers that
+    already know the cardinality (or a good upper bound) should pass
+    ``n_rows`` to keep the builder fully lazy (ADVICE r6)."""
+    n = emb.count() if n_rows is None else n_rows
     n_blocks = max(1, -(-n // chunk))
     base = emb.select(
         F.col(id_col).alias("id"),

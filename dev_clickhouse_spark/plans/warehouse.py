@@ -212,6 +212,14 @@ class Warehouse:
         with self._manifest_lock(table):
             man = self.load_manifest(table)
             changed = man is None  # first manifest: always persist
+            if man is not None and batch_id in man["committed_batches"]:
+                # Already committed in a PERSISTED manifest: the batch's
+                # rows may since have been folded into a compacted member
+                # and its dir deleted — re-registering the member here
+                # would resurrect a stale (or duplicate) dir.  The ledger
+                # entry is the commit.  (A freshly-bootstrapped manifest
+                # adopts the dir just written and must still persist.)
+                return
             if man is None:
                 man = self._bootstrap_manifest(table)
             if member not in man["members"]:
@@ -375,6 +383,14 @@ class Warehouse:
                 f"table {table!r} uses the plain layout; "
                 f"append(batch_id={batch_id}) would corrupt it"
             )
+        if batch_id is not None and self.batch_committed(table, batch_id):
+            # Replay of an already-committed batch: skip ENTIRELY.  The
+            # ledger outlives compaction folding the batch dir into a
+            # compacted member, so re-writing + re-registering here would
+            # duplicate every row of the batch (the rows already live in
+            # the compacted member).  Skipping is safe because a replayed
+            # micro-batch re-derives the identical rows by construction.
+            return
         writer_df = self._prep(table, df)
         if batch_id is None:
             target, mode = self.path(table), "append"

@@ -322,8 +322,9 @@ def stats_moments_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH b AS (SELECT min(value) AS lo, max(value) AS hi FROM events),
 bins AS (
-  SELECT CAST(least(floor((value - b.lo) / ((b.hi - b.lo) / 20.0)), 19)
-              AS INTEGER) AS bin,
+  SELECT CAST(CASE WHEN b.hi = b.lo THEN 0
+              ELSE least(floor((value - b.lo) / ((b.hi - b.lo) / 20.0)), 19)
+              END AS INTEGER) AS bin,
          b.lo, b.hi
   FROM events CROSS JOIN b WHERE value IS NOT NULL
 )
@@ -341,13 +342,19 @@ def histogram_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed edges are what a cross-engine contract can pin down): one 1-row
     min/max aggregate broadcast to the scan, then a single groupBy(bin)
     with map-side combine.  The top edge folds into the last bin
-    (least(..., 19)), matching the SQL."""
+    (least(..., 19)), matching the SQL.  A degenerate domain (hi == lo,
+    i.e. every value equal) collapses to the single bin 0 in BOTH engines
+    — without the guard Spark's x/0.0 yields NaN bins while DuckDB's
+    differs (ADVICE r6)."""
     ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     b = ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
     width = (F.col("hi") - F.col("lo")) / 20.0
     binned = ev.crossJoin(F.broadcast(b)).select(
-        F.least(
-            F.floor((F.col("value") - F.col("lo")) / width), F.lit(19)
+        F.when(F.col("hi") == F.col("lo"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.floor((F.col("value") - F.col("lo")) / width), F.lit(19)
+            )
         ).cast("int").alias("bin"),
         "lo", "hi",
     )

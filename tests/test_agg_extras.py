@@ -51,3 +51,36 @@ def test_stats_moments_match_native_aggregates(spark):
         assert abs(g.std_price - n.s) < 1e-3
         assert abs(g.covar_qty_price - n.c) < 1e-3
         assert abs(g.corr_qty_price - n.r) < 1e-5
+
+
+def test_histogram_degenerate_domain_single_bin(spark, tmp_path):
+    """ADVICE r6: when every value is equal (hi == lo) the bin width is 0;
+    the guard must collapse to ONE bin 0 with bin_lower == lo instead of
+    NaN/null bins, and the DuckDB oracle must agree."""
+    import datetime as dt
+
+    import duckdb
+
+    from dev_clickhouse_spark.queries import REGISTRY
+
+    rows = [
+        (i, dt.datetime(2026, 1, 1, 0, 0, i), i % 3, "view", 42.0, "{}")
+        for i in range(7)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+
+    got = REGISTRY["histogram_event_values"].fn(spark, str(tmp_path)).collect()
+    assert len(got) == 1
+    assert got[0].bin == 0 and got[0].bin_lower == 42.0 and got[0].n == 7
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"'{tmp_path}/events.parquet/*.parquet'"
+    )
+    oracle = con.execute(REGISTRY["histogram_event_values"].oracle).fetchall()
+    assert oracle == [(0, 42.0, 7)]

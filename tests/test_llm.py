@@ -916,3 +916,59 @@ def test_lm_scores_rank_garbage_below_text(spark, tmp_path):
            for r in lm_char_trigram_scores(spark, sf_dir).collect()}
     assert set(got) == {1, 2, 3}
     assert got[3] < got[1] and got[3] < got[2]
+
+
+def test_ngram_counted_path_identical_to_string_path(spark):
+    """VERDICT r6 #3 contract: the counted-postings verify (packed 64-bit
+    shingle hashes, intersection counts off the inverted index) must return
+    the IDENTICAL pair set and jaccard values as the string-array path it
+    replaced — on the real test corpus AND on a capped-boilerplate corpus
+    where the capped-shingle correction term is exercised."""
+    from dev_clickhouse_spark.llm.dedup import (
+        ngram_candidate_pairs,
+        ngram_jaccard_pairs_counted,
+        ngram_shingles,
+        ngram_verify_pairs,
+    )
+
+    def old_path(docs, df_cap, threshold):
+        sh = ngram_shingles(docs)
+        cand = ngram_candidate_pairs(sh, df_cap=df_cap)
+        return ngram_verify_pairs(cand, sh, threshold=threshold)
+
+    # corpus 1: the real documents table (has genuine near-dups)
+    from dev_clickhouse_spark.io import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    for df_cap, threshold in ((20, 0.8), (3, 0.5)):
+        old = {
+            (r.doc_a, r.doc_b): r.jaccard
+            for r in old_path(docs, df_cap, threshold).collect()
+        }
+        new = {
+            (r.doc_a, r.doc_b): r.jaccard
+            for r in ngram_jaccard_pairs_counted(
+                docs, df_cap=df_cap, threshold=threshold
+            ).collect()
+        }
+        assert new == old and old, (df_cap, threshold, len(old))
+
+    # corpus 2: near-dup docs that ALSO share capped boilerplate — the
+    # capped shingles must count in |A∩B| via the per-doc capped arrays
+    boiler = "subscribe to our newsletter now"
+    long = ("rare alpha beta gamma delta epsilon zeta eta theta iota "
+            "kappa lam mu nu xi")
+    rows = [(i, f"{boiler} unique{i} filler{i} content{i}") for i in range(30)]
+    rows += [(100, f"{long} omicron {boiler}"), (101, f"{long} pi {boiler}")]
+    docs2 = spark.createDataFrame(rows, "doc_id long, text string")
+    old2 = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in old_path(docs2, 10, 0.5).collect()
+    }
+    new2 = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs_counted(
+            docs2, df_cap=10, threshold=0.5
+        ).collect()
+    }
+    assert new2 == old2 and (100, 101) in new2

@@ -505,3 +505,31 @@ def test_gc_sweeps_only_unreferenced_members(spark, tmp_path):
         _os.utime(p, (old, old))
     assert wh.gc(t, min_age_sec=0) == []
     assert {r.event_id for r in wh.read(t).collect()} == {"a0", "b0"}
+
+
+def test_replay_after_compaction_does_not_duplicate(spark, tmp_path):
+    """ADVICE r6: a batch whose DATA commit landed but whose stream crashed
+    before the metrics marker gets replayed by foreachBatch.  If compaction
+    folded the batch dir into a compacted member in between, the replayed
+    append() must consult the manifest ledger and skip — re-writing the dir
+    and re-registering the member would duplicate every row of the batch."""
+    from dev_clickhouse_spark.plans.warehouse import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    t = "wazuh_events_raw"
+    wh.append(t, _wazuh_bronze_df(spark, wh, ["a0", "a1"]), batch_id=0)
+    wh.append(t, _wazuh_bronze_df(spark, wh, ["b0"]), batch_id=1)
+    wh.compact(t)
+    man = wh.load_manifest(t)
+    assert all(m.startswith("compacted-") for m in man["members"])
+
+    # late replay of batch 1 (identical rows by construction)
+    wh.append(t, _wazuh_bronze_df(spark, wh, ["b0"]), batch_id=1)
+
+    man2 = wh.load_manifest(t)
+    # no member resurrected, no version churn, no duplicated rows
+    assert man2["members"] == man["members"]
+    assert man2["version"] == man["version"]
+    rows = [r.event_id for r in wh.read(t).collect()]
+    assert sorted(rows) == ["a0", "a1", "b0"]
+    assert wh.batch_committed(t, 1)
