@@ -51,6 +51,8 @@ BENCH_QUERIES = [
     "funnel_strict_order_levels",        # round 6: LEAD-window strict mode
     "dedup_incremental_new_vs_corpus",   # round 6: batch-vs-index dedup
     "lm_char_trigram_scores",            # round 6: bounded-LM perplexity proxy
+    "dedup_cosine_pairs_sharded",        # round 7: sharded+IVF production path
+    "dedup_ngram_jaccard_pairs",         # round 7: counted-postings verify
 ]
 
 N_INGEST_EVENTS = 10_000

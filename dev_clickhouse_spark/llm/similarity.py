@@ -190,6 +190,16 @@ def cosine_threshold_pairs(
     paired = left.join(right, ["i", "j"]).repartition(
         max(n_blocks * (n_blocks + 1) // 2, 1)
     )
+    return paired.mapInPandas(
+        _grid_scorer(threshold), "vec_a long, vec_b long, cosine double"
+    )
+
+
+def _grid_scorer(threshold: float):
+    """mapInPandas kernel shared by the exact and sharded pair paths: one
+    numpy GEMM per (vs_l, vs_r) block-pair row, emitting only pairs with
+    cosine ≥ threshold as canonical (min_id, max_id) with 4-digit
+    rounding.  Diagonal blocks (i == j) keep the upper triangle only."""
 
     def score(batches):
         for pdf in batches:
@@ -221,8 +231,133 @@ def cosine_threshold_pairs(
                     "cosine": np.concatenate(out_c),
                 })
 
-    return paired.mapInPandas(
-        score, "vec_a long, vec_b long, cosine double"
+    return score
+
+
+def shard_of(key, shards: int):
+    """Deterministic md5 shard in [0, shards) — the same first-8-hex-chars
+    construction as ``sampling.hash_bucket`` so a DuckDB oracle can replay
+    shard assignment exactly (xxhash64 has no DuckDB twin)."""
+    h = F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10)
+    return (h.cast("long") % shards).cast("int")
+
+
+def cosine_threshold_pairs_sharded(
+    emb: DataFrame, threshold: float, dim: int,
+    shards: int = 4, chunk: int = 4096,
+    n_centroids: int = 16, n_probe: int = 4,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    n_rows: int | None = None,
+) -> DataFrame:
+    """PRODUCTION recipe for embedding near-dup pairs at corpus scale:
+    **exact within bounded shards + IVF across shards** — the path
+    SCALING.md prescribes for quadratic operating points of
+    ``cosine_threshold_pairs`` (VERDICT r6 item #4).
+
+    Two branches, one union:
+
+    1. **Within-shard EXACT.**  Vectors hash into ``shards`` disjoint md5
+       shards; the block-GEMM grid of ``cosine_threshold_pairs`` runs with
+       the shard as a join-key prefix, so only same-shard block pairs are
+       generated: compute drops from n²/2 to n²/(2·shards) and every
+       same-shard pair is found exactly — at 100 TB a shard is a
+       source/day/tenant partition and this branch is the dedup-within-
+       partition guarantee.
+
+    2. **Cross-shard via IVF probes.**  One shared IVF index
+       (deterministic ``ivf_build``); every vector joins its ``n_probe``
+       nearest centroids; each centroid's probe list is scored by ONE
+       GEMM (lists are ~n·n_probe/n_centroids — size ``n_centroids``
+       ~ n/1024 in production to bound list memory); only pairs from
+       DIFFERENT shards are emitted (same-shard ones are branch 1's,
+       exactly).  A cross-shard near-dup is missed only if the two
+       vectors share none of their ``n_probe`` nearest centroids — rare
+       at near-dup cosine levels; ``dedup_cosine_sharded_recall``
+       measures exactly this.
+
+    Output: (vec_a, vec_b, cosine) canonical pairs, deduped with max()
+    over the (identical) branch cosines."""
+    n = emb.count() if n_rows is None else n_rows
+    per_shard = max(1, -(-n // shards))
+    n_blocks = max(1, -(-per_shard // chunk))
+    base = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("e"),
+    ).withColumn("sh", shard_of(F.col("id"), shards))
+
+    # branch 1: same-shard exact block grid, keyed (sh, i, j)
+    blocked = base.withColumn(
+        "ch", F.pmod(F.xxhash64(F.col("id")), F.lit(n_blocks))
+    )
+    blocks = blocked.groupBy("sh", "ch").agg(
+        F.collect_list(F.struct("id", "e")).alias("vs")
+    )
+    left = blocks.select(
+        "sh", F.col("ch").alias("i"),
+        F.explode(F.sequence(F.col("ch"), F.lit(n_blocks - 1))).alias("j"),
+        F.col("vs").alias("vs_l"),
+    )
+    right = blocks.select(
+        "sh", F.explode(F.sequence(F.lit(0), F.col("ch"))).alias("i"),
+        F.col("ch").alias("j"),
+        F.col("vs").alias("vs_r"),
+    )
+    within = (
+        left.join(right, ["sh", "i", "j"])
+        .repartition(max(shards * n_blocks * (n_blocks + 1) // 2, 1))
+        .mapInPandas(
+            _grid_scorer(threshold), "vec_a long, vec_b long, cosine double"
+        )
+    )
+
+    # branch 2: cross-shard candidates from shared IVF probe lists
+    centroids, _ = ivf_build(emb, n_centroids, id_col, vec_col)
+    dists = base.crossJoin(F.broadcast(centroids)).withColumn(
+        "__d",
+        F.aggregate(
+            F.zip_with(F.col("e"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0), lambda acc, v: acc + v,
+        ),
+    )
+    w = Window.partitionBy("id").orderBy(F.asc("__d"), F.asc("cid"))
+    probes = (
+        dists.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n_probe)
+        .select("id", "sh", "e", "cid")
+    )
+    lists = probes.groupBy("cid").agg(
+        F.collect_list(F.struct("id", "sh", "e")).alias("vs")
+    )
+
+    def score_list(batches):
+        for pdf in batches:
+            out_a, out_b, out_c = [], [], []
+            for _, row in pdf.iterrows():
+                ids = np.array([v["id"] for v in row.vs], dtype=np.int64)
+                shs = np.array([v["sh"] for v in row.vs], dtype=np.int64)
+                A = np.array([v["e"] for v in row.vs], dtype=np.float64)
+                A /= np.linalg.norm(A, axis=1, keepdims=True)
+                S = A @ A.T
+                ii, jj = np.nonzero(S >= threshold)
+                keep = (ids[ii] < ids[jj]) & (shs[ii] != shs[jj])
+                out_a.append(ids[ii][keep])
+                out_b.append(ids[jj][keep])
+                out_c.append(
+                    np.floor(S[ii[keep], jj[keep]] * 10000 + 0.5) / 10000
+                )
+            if out_a:
+                yield pd.DataFrame({
+                    "vec_a": np.concatenate(out_a),
+                    "vec_b": np.concatenate(out_b),
+                    "cosine": np.concatenate(out_c),
+                })
+
+    across = lists.mapInPandas(
+        score_list, "vec_a long, vec_b long, cosine double"
+    )
+    # a pair sharing both probes appears twice with the identical cosine
+    return within.union(across).groupBy("vec_a", "vec_b").agg(
+        F.max("cosine").alias("cosine")
     )
 
 
@@ -576,4 +711,111 @@ def ann_lsh_recall_at_5(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("n"), F.lit(0)).cast("int").alias("n_hits"),
             (F.coalesce(F.col("n"), F.lit(0)) / F.lit(5.0)).alias("recall"),
         )
+    )
+
+
+_SHARDED_RECALL_ORACLE = """
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT
+              % 4 AS INTEGER) AS sh
+  FROM embeddings
+),
+exact AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         a.sh = b.sh AS same_shard
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.v, b.v) >= 0.4
+)
+SELECT CAST(count(*) AS BIGINT) AS n_exact_pairs,
+       CAST(count(*) FILTER (WHERE same_shard) AS BIGINT) AS n_within_shard,
+       100.0 AS within_recall_pct,
+       CAST(1 AS INTEGER) AS contract_met
+FROM exact
+"""
+
+
+@register(
+    "dedup_cosine_sharded_recall",
+    oracle=_SHARDED_RECALL_ORACLE,
+    tags=["llm-similarity", "llm-dedup"],
+)
+def dedup_cosine_sharded_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall contract for the sharded production near-dup path
+    (``cosine_threshold_pairs_sharded``, VERDICT r6 item #4) vs the exact
+    block-GEMM path at the corpus's 0.4 operating point (the test corpus
+    has NO pairs at ≥ 0.6 — 0.4 is where its near-dups live).
+
+    Contract shape (same pattern as the HLL / quantile error-contract
+    oracles): the DuckDB oracle computes the exact pair census — total
+    pairs and how many fall within an md5 shard — and asserts the one
+    property the sharded design GUARANTEES deterministically: every
+    within-shard exact pair is found (within_recall_pct = 100, the
+    within-shard branch IS the exact algorithm restricted to the shard).
+    Cross-shard recall is approximate by design (IVF probe overlap) and is
+    measured, not gated, in tests/test_bucketing_ivf.py and the scale
+    rehearsal."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    exact = cosine_threshold_pairs(emb, 0.4, dim)
+    shd = cosine_threshold_pairs_sharded(emb, 0.4, dim, shards=4)
+    classified = exact.withColumn(
+        "same_shard",
+        shard_of(F.col("vec_a"), 4) == shard_of(F.col("vec_b"), 4),
+    ).join(
+        shd.select("vec_a", "vec_b", F.lit(1).alias("found")),
+        ["vec_a", "vec_b"], "left",
+    )
+    agg = classified.agg(
+        F.count(F.lit(1)).alias("n_exact_pairs"),
+        F.sum(F.col("same_shard").cast("long")).alias("n_within_shard"),
+        F.sum((F.col("same_shard") & F.col("found").isNotNull()).cast("long"))
+        .alias("n_within_found"),
+    )
+    return agg.select(
+        "n_exact_pairs",
+        "n_within_shard",
+        (F.col("n_within_found") * 100.0 / F.col("n_within_shard"))
+        .alias("within_recall_pct"),
+        F.when(F.col("n_within_found") == F.col("n_within_shard"), 1)
+        .otherwise(0).cast("int").alias("contract_met"),
+    )
+
+
+def sharded_pair_params(
+    n: int, target_shard: int = 5_000, target_list: int = 1_024,
+    n_probe: int = 4,
+) -> tuple[int, int]:
+    """Size the sharded near-dup path so TOTAL work grows LINEARLY with the
+    corpus: shards scale with n (each shard bounded at ~target_shard
+    vectors → within-shard exact work is n·target_shard/2  id-pairs, not
+    n²/2) and IVF centroids scale with n (each probe list bounded at
+    ~target_list vectors → cross-shard work is n·n_probe·target_list).
+    In production the shard is a natural bounded partition (source/day/
+    tenant); this helper is the synthetic stand-in that gives the scale
+    rehearsal the same bounded-partition shape."""
+    shards = max(4, -(-n // target_shard))
+    n_centroids = max(16, (n * n_probe) // target_list)
+    return shards, n_centroids
+
+
+@register(
+    "dedup_cosine_pairs_sharded",
+    oracle=None,  # cross-shard IVF probe sets are not SQL-replicable; the
+    # deterministic contract (within-shard exactness, soundness) is gated
+    # by dedup_cosine_sharded_recall's oracle instead
+    tags=["llm-similarity", "llm-dedup"],
+)
+def dedup_cosine_pairs_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sharded near-dup pair path ALONE, sized by ``sharded_pair_
+    params`` — the entry the bench/scale-rehearsal times to prove the
+    production recipe's wall-time stays sub-quadratic while the exact
+    block-GEMM path (``dedup_embedding_cosine_pairs``) is honestly
+    quadratic at the 0.4/dim-64 operating point."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    n = emb.count()
+    shards, n_centroids = sharded_pair_params(n)
+    return cosine_threshold_pairs_sharded(
+        emb, 0.4, dim, shards=shards, n_centroids=n_centroids, n_rows=n,
     )
