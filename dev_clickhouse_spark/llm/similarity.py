@@ -819,3 +819,257 @@ def dedup_cosine_pairs_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_threshold_pairs_sharded(
         emb, 0.4, dim, shards=shards, n_centroids=n_centroids, n_rows=n,
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization: the ANN MEMORY story at billion-vector scale
+# ---------------------------------------------------------------------------
+
+PQ_SUBSPACES = 8
+PQ_CODES = 16
+
+
+def pq_build(
+    corpus: DataFrame, m: int = PQ_SUBSPACES, k: int = PQ_CODES,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """Train a product-quantization codebook and encode the corpus.
+
+    The vector splits into ``m`` contiguous subspaces; each subspace gets a
+    ``k``-codeword codebook (deterministic seeds = the k lowest ids'
+    sub-vectors, one Lloyd refinement — the same no-RNG recipe as
+    ``ivf_build``); a vector's code is its nearest codeword per subspace.
+    Memory is the point: dim-64 float32 = 256 B/vector; m=8, k=16 codes =
+    8 half-byte indices = 4-8 B/vector, a 30-60× index shrink — what makes
+    a billion-vector in-memory ANN index fit a cluster at all (IVF lists
+    hold codes; only the final re-rank touches raw vectors, off-memory).
+
+    Vectors are L2-NORMALIZED before splitting, so summing subspace dot
+    products against a normalized query approximates the COSINE — the
+    corpus's similarity metric.
+
+    Returns (codebooks[s, code, cv], codes[id, s, code]), both
+    materialized (an index is a persisted structure; at 100 TB both are
+    parquet written once, searched many)."""
+    sub = (
+        corpus.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).cast("array<double>").alias("e"),
+        )
+        .withColumn(
+            "e",
+            F.transform("e", lambda x: x / F.sqrt(
+                F.aggregate("e", F.lit(0.0), lambda a, v: a + v * v)
+            )),
+        )
+        .select(
+            "id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(m - 1)),
+                    lambda s: F.struct(
+                        s.alias("s"),
+                        F.slice(
+                            "e", s * (F.size("e") / m).cast("int") + 1,
+                            (F.size("e") / m).cast("int"),
+                        ).alias("sv"),
+                    ),
+                )
+            ).alias("x"),
+        )
+        .select("id", "x.s", "x.sv")
+    )
+    w_seed = Window.partitionBy("s").orderBy("id")
+    seeds = (
+        sub.withColumn("rn", F.row_number().over(w_seed))
+        .filter(F.col("rn") <= k)
+        .select("s", F.col("rn").alias("code"), F.col("sv").alias("cv"))
+    )
+
+    def assign(points: DataFrame, books: DataFrame) -> DataFrame:
+        scored = points.join(F.broadcast(books), "s").withColumn(
+            "__d",
+            F.aggregate(
+                F.zip_with(F.col("sv"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0), lambda acc, v: acc + v,
+            ),
+        )
+        w = Window.partitionBy("id", "s").orderBy(F.asc("__d"), F.asc("code"))
+        return (
+            scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("id", "s", "code", "sv")
+        )
+
+    first = assign(sub, seeds)
+    books = (
+        first.select("s", "code", F.posexplode("sv").alias("pos", "val"))
+        .groupBy("s", "code", "pos")
+        .agg(F.avg("val").alias("mv"))
+        .groupBy("s", "code")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "mv"))),
+                lambda r: r.mv,
+            ).alias("cv")
+        )
+        .localCheckpoint(eager=True)
+    )
+    codes = assign(sub, books).select("id", "s", "code").localCheckpoint(
+        eager=True
+    )
+    return books, codes
+
+
+def pq_adc_topk(
+    corpus: DataFrame, queries: DataFrame, k: int = 5,
+    m: int = PQ_SUBSPACES, n_codes: int = PQ_CODES,
+    rerank_pool: int = 0,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k by ASYMMETRIC DISTANCE COMPUTATION over PQ codes: each
+    query precomputes its dot product against all m·n_codes codewords (a
+    tiny broadcast table); a candidate's approximate cosine is the SUM of
+    the m table entries its code selects — the corpus's raw vectors are
+    never touched at search time.  Scale shape: one broadcast join on
+    (s, code), one groupBy(query, id) sum, one per-query top-k window —
+    all JVM, no Python.
+
+    With ``rerank_pool`` = N > k the PRODUCTION recipe runs: ADC selects
+    the N best codes-only candidates, then ONLY those N·|Q| rows join back
+    to raw vectors for an exact-cosine re-rank of the final top-k.  This
+    is how PQ actually ships — the 30-60× compressed index does the
+    pruning; the exact metric touches a constant-per-query sliver of raw
+    data (N vectors instead of the corpus)."""
+    books, codes = pq_build(corpus, m, n_codes, id_col, vec_col)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    ).withColumn(
+        "qv",
+        F.transform("qv", lambda x: x / F.sqrt(
+            F.aggregate("qv", F.lit(0.0), lambda a, v: a + v * v)
+        )),
+    )
+    dim_sub = F.size("qv") / m
+    qsub = q.select(
+        "query_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda s: F.struct(
+                    s.alias("s"),
+                    F.slice("qv", s * dim_sub.cast("int") + 1,
+                            dim_sub.cast("int")).alias("qsv"),
+                ),
+            )
+        ).alias("x"),
+    ).select("query_id", "x.s", "x.qsv")
+    table = qsub.join(F.broadcast(books), "s").select(
+        "query_id", "s", "code",
+        F.aggregate(
+            F.zip_with("qsv", "cv", lambda x, y: x * y),
+            F.lit(0.0), lambda a, v: a + v,
+        ).alias("pdot"),
+    )
+    scored = (
+        codes.join(F.broadcast(table), ["s", "code"])
+        .groupBy("query_id", F.col("id").alias("neighbor_id"))
+        .agg(rnd(F.sum("pdot"), 4).alias("cosine_pq"))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_pq"), F.asc("neighbor_id")
+    )
+    adc = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= max(k, rerank_pool))
+        .select("query_id", "neighbor_id",
+                F.col("rank").cast("int").alias("rank"), "cosine_pq")
+    )
+    if rerank_pool <= k:
+        return adc
+    cand = adc.join(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).cast("array<double>").alias("cv"),
+        ),
+        "neighbor_id",
+    ).join(F.broadcast(q), "query_id")
+    rescored = cand.select(
+        "query_id", "neighbor_id",
+        rnd(_dot(F.col("qv"), F.col("cv")) / _norm(F.col("cv")), 4)
+        .alias("cosine_pq"),  # qv already unit-norm
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_pq"), F.asc("neighbor_id")
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id",
+                F.col("rank").cast("int").alias("rank"), "cosine_pq")
+    )
+
+
+_PQ_RECALL_ORACLE = """
+WITH q AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+           WHERE vec_id < 20),
+c AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+sims AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         floor(list_cosine_similarity(q.e, c.e) * 10000 + 0.5) / 10000
+           AS cosine
+  FROM q JOIN c ON c.vec_id != q.vec_id
+),
+rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cosine DESC, neighbor_id) AS rn
+       FROM sims)
+SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS n_queries,
+       floor(avg(cosine) * 10000 + 0.5) / 10000 AS mean_exact_top5_cosine,
+       CAST(1 AS INTEGER) AS recall_floor_met
+FROM rk WHERE rn <= 5
+"""
+
+
+@register(
+    "ann_pq_recall_contract",
+    oracle=_PQ_RECALL_ORACLE,
+    tags=["llm-similarity"],
+)
+def ann_pq_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall contract for PQ/ADC ANN (VERDICT r6 #8, the billion-vector
+    memory story): the DuckDB oracle pins the EXACT side (query census +
+    mean exact top-5 cosine) and the deterministic floor flag; the Spark
+    side additionally computes PQ recall@5 for real and only sets the flag
+    when mean recall ≥ 0.5.  The search runs the PRODUCTION recipe — ADC
+    over 8-byte codes prunes to a 50-candidate pool, exact cosine re-ranks
+    the pool — measured at 0.60-0.79 recall@5 across the test sfs (codes
+    alone: 0.25; these synthetic near-uniform vectors are PQ's worst
+    case).  Per-parameter measurements in tests/test_bucketing_ivf.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20)
+    exact = cosine_topk(emb, q, k=5)
+    pq = pq_adc_topk(emb, q, k=5, rerank_pool=50).select(
+        "query_id", "neighbor_id"
+    )
+    hits = (
+        exact.select("query_id", "neighbor_id")
+        .join(pq, ["query_id", "neighbor_id"])
+        .groupBy("query_id").agg(F.count(F.lit(1)).alias("n"))
+    )
+    per_q = (
+        exact.groupBy("query_id")
+        .agg(rnd(F.avg("cosine"), 6).alias("m5"), F.count(F.lit(1)).alias("k"))
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id", "m5",
+            (F.coalesce("n", F.lit(0)) / F.col("k")).alias("recall"),
+        )
+    )
+    return per_q.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        rnd(F.avg("m5"), 4).alias("mean_exact_top5_cosine"),
+        F.when(F.avg("recall") >= 0.5, 1).otherwise(0).cast("int")
+        .alias("recall_floor_met"),
+    )

@@ -188,3 +188,40 @@ def test_sharded_pairs_within_exact_and_cross_recall(spark):
     within = {k for k, v in exact.items() if v[1]}
     assert within <= set(shd)
     assert len(shd) / len(exact) >= 0.9, (len(shd), len(exact))
+
+
+def test_pq_adc_rerank_recall_and_code_size(spark):
+    """PQ/ADC ANN (VERDICT r6 #8): codes are 8 small ints per vector (the
+    30-60x memory shrink), ADC-only recall is the documented weak floor on
+    these near-uniform synthetic vectors, and the production ADC->exact-
+    rerank recipe recovers recall@5 >= 0.6 while touching only a
+    50-candidate pool of raw vectors per query."""
+    from dev_clickhouse_spark.llm.similarity import (
+        cosine_topk,
+        pq_adc_topk,
+        pq_build,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    emb = load_table(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20)
+
+    books, codes = pq_build(emb)
+    n = emb.count()
+    # every vector encodes to exactly m=8 (subspace, code) entries with
+    # codes in [1, 16] — 8 half-byte indices per vector
+    assert codes.count() == 8 * n
+    rng = codes.agg(F.min("code"), F.max("code")).first()
+    assert rng[0] >= 1 and rng[1] <= 16
+    assert books.count() == 8 * 16
+
+    exact = {(r.query_id, r.neighbor_id)
+             for r in cosine_topk(emb, q, k=5).collect()}
+    adc_only = {(r.query_id, r.neighbor_id)
+                for r in pq_adc_topk(emb, q, k=5).collect()}
+    rerank = {(r.query_id, r.neighbor_id)
+              for r in pq_adc_topk(emb, q, k=5, rerank_pool=50).collect()}
+    r_adc = len(exact & adc_only) / len(exact)
+    r_rr = len(exact & rerank) / len(exact)
+    assert r_rr >= 0.6, (r_adc, r_rr)
+    assert r_rr > r_adc  # the re-rank must actually help
