@@ -53,6 +53,7 @@ BENCH_QUERIES = [
     "lm_char_trigram_scores",            # round 6: bounded-LM perplexity proxy
     "dedup_cosine_pairs_sharded",        # round 7: sharded+IVF production path
     "dedup_ngram_jaccard_pairs",         # round 7: counted-postings verify
+    "rollup_state_distinct_users",       # round 7: -State/-Merge HLL rollup
 ]
 
 N_INGEST_EVENTS = 10_000

@@ -8,6 +8,7 @@ from . import (  # noqa: F401
     gold_star,
     relational,
     sql_api,
+    state_rollup,
     subquery_range,
     tpch_rest,
 )
