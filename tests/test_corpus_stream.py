@@ -97,3 +97,18 @@ def test_corpus_stream_replay_is_exactly_once(spark, tmp_path):
     assert cs.wh.read("corpus_band_index").filter(
         F.col("doc_id") == 5
     ).count() == 6
+
+
+def test_corpus_soak_compaction_gc_reload_replay(spark, tmp_path):
+    """Long-haul drill (VERDICT r6 #7): 20 micro-batches with a mid-soak
+    compact+gc, a metastore reload (fresh CorpusStream over the same root),
+    and a kill+replay between the data appends and the metrics marker.
+    ``run_soak`` asserts the end state: band index set-equal to a recompute,
+    zero near-dup pairs inside the accepted corpus, exactly-once rejects,
+    and a bounded final file count."""
+    from tools.corpus_soak import run_soak
+
+    report = run_soak(spark, str(tmp_path), n_batches=20)
+    assert report["verdict"] == "PASS"
+    assert report["residual_near_dup_pairs"] == 0
+    assert report["band_index_drift"] == {"extra": 0, "missing": 0}

@@ -214,6 +214,11 @@ def main() -> None:
     ap.add_argument("--keep-data", action="store_true")
     ap.add_argument("--skip-synth", action="store_true",
                     help="reuse an existing --workdir")
+    ap.add_argument("--pack", choices=["full", "invariants"], default="full",
+                    help="'invariants' times only the dedup/ANN/sequence "
+                    "invariant family (the ×50 synthesis-cap point, VERDICT "
+                    "r6 item #6 — the full pack's curve is already measured "
+                    "at ×10/×30)")
     args = ap.parse_args()
     out_path = args.out or os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -240,9 +245,12 @@ def main() -> None:
         counts = {}
     synth_sec = round(time.time() - t0, 1)
 
-    pack = list(dict.fromkeys(
-        q for q in BENCH_QUERIES + INVARIANT_QUERIES if q in REGISTRY
-    ))
+    wanted = (
+        INVARIANT_QUERIES + ["dedup_cosine_pairs_sharded"]
+        if args.pack == "invariants"
+        else BENCH_QUERIES + INVARIANT_QUERIES
+    )
+    pack = list(dict.fromkeys(q for q in wanted if q in REGISTRY))
     # warm first (JIT/codegen caches), then measure base before inflated so
     # any residual warm-up bias penalizes the ×N side, not the baseline
     base_t, base_n = _time_pack(spark, REGISTRY, pack, args.base_sf, args.reps)
