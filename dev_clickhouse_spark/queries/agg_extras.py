@@ -456,3 +456,47 @@ def approx_percentile_error_contract(
             & (F.abs(F.col("r95") - 0.95) <= eps)
         ).cast("int").alias("within_accuracy_bound"),
     )
+
+
+@register(
+    "sum_map_user_event_values",
+    oracle="""
+SELECT user_id,
+       string_agg(event_type || ':' || CAST(n AS VARCHAR) || ':' || v2,
+                  ',' ORDER BY event_type) AS value_map
+FROM (SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(floor(sum("value") * 100 + 0.5) / 100 AS VARCHAR) AS v2
+      FROM events GROUP BY user_id, event_type)
+GROUP BY user_id
+""",
+    tags=["clickhouse-parity", "sum-map"],
+)
+def sum_map_user_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``sumMap`` / ``countMap`` parity: per user, a MAP keyed by
+    event_type holding key-wise summed counts and values — the Map
+    combinator family (``sumMap(map(k, v))``).  Spark-first shape: the map
+    never exists as wide per-row state; it's a (user, key) group-by (one
+    shuffle, map-side combine) folded into per-user canonical form.  The
+    cross-engine gate serializes the map as 'k:n:sum' entries sorted by
+    key, since map column equality is engine-internal; Spark builds the
+    same string from an array_sort over the aggregated entries.  At scale
+    the (user, key) grouping carries |keys| rows per user - never a wide
+    row - and both shuffles are key-partitioned."""
+    ev = load_table(spark, sf_dir, "events")
+    per_key = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        rnd(F.sum("value"), 2).alias("v2"),
+    )
+    return per_key.groupBy("user_id").agg(
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("event_type", "n", "v2"))
+                ).alias("es"),
+                lambda e: F.concat_ws(
+                    ":", e.event_type, e.n.cast("string"), e.v2.cast("string")
+                ),
+            ),
+        ).alias("value_map")
+    )

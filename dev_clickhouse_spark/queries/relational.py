@@ -510,3 +510,38 @@ def multi_key_daily_top(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("event_date"), F.desc("cnt"), F.asc("event_type"))
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# ClickHouse LIMIT n BY — per-group head without a self-join
+# ---------------------------------------------------------------------------
+
+@register(
+    "limit_by_recent_events",
+    oracle="""
+SELECT user_id, event_id, event_type,
+       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+WHERE rn <= 2
+""",
+    tags=["clickhouse-parity", "limit-by", "W2"],
+)
+def limit_by_recent_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``SELECT ... ORDER BY ts DESC LIMIT 2 BY user_id`` — the
+    per-group head clause (docs §select/limit-by; the generalization of
+    ``distinct_on_latest_event``'s rn=1).  One row_number window over the
+    (user, ts desc, event_id desc) order — a single hash shuffle with
+    per-partition sort, no self-join, no global top-k; the deterministic
+    event_id tie-break keeps both engines' heads identical."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .select(
+            "user_id", "event_id", "event_type",
+            F.date_format("ts", TS_FMT).alias("ts_s"),
+        )
+    )
