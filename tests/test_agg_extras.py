@@ -84,3 +84,23 @@ def test_histogram_degenerate_domain_single_bin(spark, tmp_path):
     )
     oracle = con.execute(REGISTRY["histogram_event_values"].oracle).fetchall()
     assert oracle == [(0, 42.0, 7)]
+
+
+def test_misra_gries_hot_key_survives_small_capacity(spark):
+    """Eviction mechanics under genuine skew: with capacity m=8 and 100
+    distinct cold keys, the hot key (50% of the stream) must survive in
+    every partition, its merged lower bound must never exceed the true
+    count (MG underestimates), and the survivor set must respect the
+    capacity bound per partition."""
+    from dev_clickhouse_spark.queries.agg_extras import misra_gries_sketch
+
+    n_cold, reps = 100, 6
+    rows = [(999,) for _ in range(n_cold * reps)]  # hot: 600 occurrences
+    rows += [(i, ) for i in range(n_cold) for _ in range(reps)]  # cold: 6 each
+    df = spark.createDataFrame(rows, "user_id long").repartition(4)
+    sketch = {r.user_id: r.lb for r in
+              misra_gries_sketch(df, "user_id", m=8).collect()}
+    assert 999 in sketch                      # freq 0.5 >> 1/(m+1)
+    assert sketch[999] <= n_cold * reps       # lower bound, never over
+    assert sketch[999] >= n_cold * reps - (n_cold * reps * 2) // 9
+    assert len(sketch) <= 8 * 4               # capacity x partitions
