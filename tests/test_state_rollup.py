@@ -78,3 +78,55 @@ def test_state_refresh_is_idempotent_and_compactable(spark, tmp_path):
         for r in merge_user_states(wh.read("rollup_user_state")).collect()
     }
     assert before == after
+
+
+def test_streaming_state_mv_matches_batch_recompute(spark, tmp_path):
+    """AggregatingMergeTree MV analog: two parquet micro-batches stream
+    through foreachBatch into per-day state rows; the -Merge read must
+    equal a batch recompute over all rows (exact n/sum, identical HLL
+    estimate), and a replayed batch must not double the states."""
+    import datetime as dt
+
+    from dev_clickhouse_spark.streaming import StateRollupMV
+    from dev_clickhouse_spark.streaming.state_mv import EVENTS_STREAM
+
+    def rows(day, base_id, users):
+        return [
+            (base_id + i, dt.datetime(2026, 1, day, 9, i % 60), u,
+             ["view", "click"][i % 2], float(10 + i), "{}")
+            for i, u in enumerate(users)
+        ]
+
+    inp = tmp_path / "in"
+    b0 = rows(5, 0, [1, 2, 3, 1, 2, 4])
+    b1 = rows(6, 100, [2, 5, 6, 1])
+    mv = StateRollupMV(spark, str(tmp_path / "wh"), str(tmp_path / "ck"))
+    spark.createDataFrame(b0, EVENTS_STREAM).coalesce(1).write.mode(
+        "append").parquet(str(inp))
+    mv.from_files(str(inp)).awaitTermination(180)
+    spark.createDataFrame(b1, EVENTS_STREAM).coalesce(1).write.mode(
+        "append").parquet(str(inp))
+    mv.from_files(str(inp)).awaitTermination(180)
+
+    merged = {r.event_type: r for r in mv.merged().collect()}
+    both = spark.createDataFrame(b0 + b1, EVENTS_STREAM)
+    direct = {
+        r.event_type: r
+        for r in both.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+            F.hll_sketch_estimate(
+                F.hll_sketch_agg("user_id")
+            ).alias("approx_users"),
+        ).collect()
+    }
+    assert set(merged) == set(direct)
+    for t in direct:
+        assert merged[t].n_events == direct[t].n_events
+        assert abs(merged[t].sum_value - direct[t].sum_value) < 1e-9
+        assert merged[t].approx_users == direct[t].approx_users
+
+    # replay convergence: re-running an already-committed batch id is a no-op
+    before = mv.wh.read("mv_user_state").count()
+    mv._process_batch(spark.createDataFrame(b1, EVENTS_STREAM), 1)
+    assert mv.wh.read("mv_user_state").count() == before
