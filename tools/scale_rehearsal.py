@@ -89,7 +89,8 @@ def _caesar(shift: int) -> str:
     return LETTERS[s:] + LETTERS[:s]
 
 
-def synthesize(spark, base_sf: str, out_dir: str, factor: int) -> dict:
+def synthesize(spark, base_sf: str, out_dir: str, factor: int,
+               tables: list[str] | None = None) -> dict:
     """Write ×factor inflated copies of every test table to ``out_dir``.
 
     One distributed job per table: scan → explode(replica 0..N-1) → per-key
@@ -128,7 +129,7 @@ def synthesize(spark, base_sf: str, out_dir: str, factor: int) -> dict:
         for (t, c) in cols
     }
     counts: dict[str, int] = {}
-    for table in TEST_TABLES:
+    for table in (tables if tables is not None else TEST_TABLES):
         df = load_table(spark, base_sf, table)
         out = df.withColumn(
             "_r", F.explode(F.sequence(F.lit(0), F.lit(factor - 1)))
@@ -240,7 +241,14 @@ def main() -> None:
 
     t0 = time.time()
     if not args.skip_synth:
-        counts = synthesize(spark, args.base_sf, args.workdir, args.factor)
+        # the invariant family reads only the LLM-side tables — skip the
+        # TPC-H inflation (lineitem alone is 30M rows at x50)
+        synth_tables = (
+            ["documents", "embeddings", "events"]
+            if args.pack == "invariants" else None
+        )
+        counts = synthesize(spark, args.base_sf, args.workdir, args.factor,
+                            tables=synth_tables)
     else:
         counts = {}
     synth_sec = round(time.time() - t0, 1)
