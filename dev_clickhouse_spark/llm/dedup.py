@@ -393,6 +393,30 @@ def ngram_shingles(docs: DataFrame, id_col: str = "doc_id",
     ).distinct()
 
 
+def _hashed_doc_shingles(docs: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text") -> DataFrame:
+    """(doc_id, hs: array<long>) — each doc's DISTINCT 3-shingles as
+    xxhash64 longs, entirely map-side: ``array_distinct`` inside the
+    projection replaces ``ngram_shingles``'s row-level ``.distinct()``
+    shuffle, and hashing inside the array means no shingle STRING ever
+    enters an exchange.  Per-doc shingle count is ``size(hs)`` for free."""
+    toks = F.split(text_col, " ")
+    t = docs.select(F.col(id_col).alias("doc_id"), toks.alias("toks")).filter(
+        F.size("toks") >= SHINGLE_N
+    )
+    shs = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size("toks") - SHINGLE_N),
+            lambda i: F.concat_ws(
+                " ", F.col("toks")[i], F.col("toks")[i + 1], F.col("toks")[i + 2]
+            ),
+        )
+    )
+    return t.select(
+        "doc_id", F.transform(shs, lambda s: F.xxhash64(s)).alias("hs")
+    )
+
+
 def ngram_candidate_pairs(sh: DataFrame, df_cap: int = NGRAM_DF_CAP) -> DataFrame:
     """Candidate pairs from the inverted index with document-frequency
     capping: group by shingle (ONE shuffle), drop posting lists longer than
@@ -449,13 +473,17 @@ def ngram_jaccard_pairs_counted(
 
     Two ideas:
 
-    1. **64-bit packed shingles.** Every shingle string becomes
-       ``xxhash64(s)`` immediately after the distinct — all downstream
-       shuffles carry 8-byte longs instead of ~30-byte strings, and every
-       comparison is a long equality.  A within-doc hash collision would
-       merge two distinct shingles (birthday bound ≈ |sh|²/2⁶⁵ per doc —
-       ~10⁻¹⁵ at 10³ shingles/doc); the property test pins the output
-       bit-identical to the string path on the test corpora.
+    1. **64-bit packed shingles, hashed MAP-SIDE.** Every shingle string
+       becomes ``xxhash64(s)`` inside the per-doc array, with per-doc
+       distinctness via ``array_distinct`` in the same projection
+       (``_hashed_doc_shingles``) — so the string path's row-level
+       ``.distinct()`` (a full shuffle of ~30-byte shingle STRINGS, the
+       ×30 profile's top cost) and the per-doc profile count (a second
+       data-sized shuffle) vanish; ``n`` is just ``size(hs)``.  All
+       remaining shuffles carry 8-byte longs.  A within-doc hash collision
+       would merge two distinct shingles (birthday bound ≈ |sh|²/2⁶⁵ per
+       doc — ~10⁻¹⁵ at 10³ shingles/doc); the property test pins the
+       output bit-identical to the string path on the test corpora.
 
     2. **Count intersections from the inverted index, never materialize
        sets.**  |A∩B| splits by document frequency:
@@ -474,9 +502,8 @@ def ngram_jaccard_pairs_counted(
     shingle), same exact Jaccard over FULL shingle sets (capped shingles
     count in both |A∩B| and |A∪B|), same ≥ threshold filter and 4-digit
     rounding."""
-    sh = ngram_shingles(docs, id_col, text_col).select(
-        "doc_id", F.xxhash64("s").alias("h")
-    )
+    base = _hashed_doc_shingles(docs, id_col, text_col)
+    sh = base.select("doc_id", F.explode("hs").alias("h"))
     postings = sh.groupBy("h").agg(F.collect_list("doc_id").alias("ds"))
     bounded = postings.filter(F.size("ds") <= df_cap)
     cand = (
@@ -486,13 +513,13 @@ def ngram_jaccard_pairs_counted(
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("cb_uncapped"))
     )
-    # per-doc profile: total distinct shingles + the (tiny) array of capped
-    # shingle hashes this doc contains
+    # per-doc profile: total distinct shingles (map-side size(hs), no
+    # shuffle) + the (tiny) array of capped shingle hashes this doc contains
     capped_h = postings.filter(F.size("ds") > df_cap).select(
         F.explode("ds").alias("doc_id"), "h"
     )
     profile = (
-        sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+        base.select("doc_id", F.size("hs").alias("n"))
         .join(
             capped_h.groupBy("doc_id").agg(F.collect_set("h").alias("ch")),
             "doc_id", "left",

@@ -40,13 +40,20 @@ HEADLINE = [
     "domain_mix_weights",             # round 5: one agg shuffle + tiny window
     "training_export_shards",         # round 5: map-only shard + one agg
     "curation_filter_funnel",         # round 5: all gates in ONE scan
-    "sequence_match_users",           # round 5: one user shuffle + in-array sort
+    "sequence_match_users",           # round 7: running-max window flags
     "salted_join_segment_revenue",    # round 5: salt fan-out routing a hot join
     "sequence_match_timed_users",     # round 6: (?t<=N) fold, one user shuffle
     "dedup_ngram_jaccard_pairs",      # round 6: array_intersect verify stage
     "dedup_incremental_new_vs_corpus",  # round 6: batch probe of corpus index
     "lm_char_trigram_scores",         # round 6: bounded LM broadcast joins
     "funnel_strict_order_levels",     # round 6: LEAD-window strict funnel
+    "dedup_cosine_pairs_sharded",     # round 7: shard-exact + IVF cross path
+    "ann_pq_recall_contract",         # round 7: PQ ADC scan + exact re-rank
+    "rollup_state_distinct_users",    # round 7: -State/-Merge HLL rollup
+    "rollup_state_moments_merge",     # round 7: power-sum states, two shuffles
+    "topk_heavy_hitters",             # round 7: Misra-Gries capped sketch
+    "timeseries_interpolate_gaps",    # round 7: linear fill, grid-sized windows
+    "limit_by_recent_events",         # round 7: LIMIT n BY = one window
 ]
 
 
