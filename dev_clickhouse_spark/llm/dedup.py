@@ -401,6 +401,12 @@ def _hashed_doc_shingles(docs: DataFrame, id_col: str = "doc_id",
     shuffle, and hashing inside the array means no shingle STRING ever
     enters an exchange.  Per-doc shingle count is ``size(hs)`` for free."""
     toks = F.split(text_col, " ")
+    # single-file tables arrive as one partition — spread the CPU-bound
+    # shingle build + hashing across cores (same note as minhash_signatures;
+    # at real scale the input is already split)
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par)
     t = docs.select(F.col(id_col).alias("doc_id"), toks.alias("toks")).filter(
         F.size("toks") >= SHINGLE_N
     )
