@@ -242,6 +242,87 @@ def shard_of(key, shards: int):
     return (h.cast("long") % shards).cast("int")
 
 
+def _gemm_ivf_probes(base: DataFrame, n_centroids: int, n_probe: int,
+                     dim: int) -> DataFrame:
+    """IVF centroid build + probe assignment as two Arrow GEMM passes.
+
+    ``ivf_build``'s JVM crossJoin assignment is exact and oracle-replicable
+    (``ann_ivf_topk`` keeps it), but its cost is n × k interpreted fold
+    evaluations — the sharded pair query sizes k ~ n·n_probe/1024, so at
+    ×30 that is ~13e9 lambda steps and it made this branch the rehearsal's
+    slowest and noisiest entry (45–126 s run-to-run).  Here the same math
+    runs as BLAS: seeds = the lowest-id vectors (ivf_build's deterministic
+    choice), ONE Lloyd refinement where each partition emits per-centroid
+    partial sums (≤ k rows per partition, elementwise-summed JVM-side),
+    then a probe pass ranking centroids per vector with argpartition and a
+    stable (distance, cid) tie-break.  The centroid matrix rides in the
+    task closure (k × dim doubles — ~3.6 MB at k=7031, dim=64); collecting
+    it is the index-build planning job, same note as ivf_build's
+    materialization.  Returns (id, sh, e, cid) probe rows, ≤ n_probe per
+    id."""
+    seed_rows = base.orderBy("id").limit(n_centroids).select("e").collect()
+    C0 = np.array([r.e for r in seed_rows], dtype=np.float64)
+    k = C0.shape[0]
+
+    def _sqdist(E: np.ndarray, C: np.ndarray) -> np.ndarray:
+        return (
+            (E * E).sum(axis=1)[:, None]
+            - 2.0 * (E @ C.T)
+            + (C * C).sum(axis=1)[None, :]
+        )
+
+    def partial_sums(batches):
+        sums = np.zeros_like(C0)
+        counts = np.zeros(k, dtype=np.int64)
+        seen = False
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            seen = True
+            E = np.array(pdf["e"].tolist(), dtype=np.float64)
+            a = _sqdist(E, C0).argmin(axis=1)  # ties → lowest cid
+            np.add.at(sums, a, E)
+            np.add.at(counts, a, 1)
+        if seen:
+            nz = np.nonzero(counts)[0]
+            yield pd.DataFrame({
+                "cid": nz.astype("int64"),
+                "cnt": counts[nz],
+                "s": list(sums[nz]),
+            })
+
+    partials = base.select("e").mapInPandas(
+        partial_sums, "cid long, cnt long, s array<double>"
+    )
+    mean_rows = partials.groupBy("cid").agg(
+        F.sum("cnt").alias("cnt"),
+        *[F.sum(F.col("s")[i]).alias(f"s{i}") for i in range(dim)],
+    ).collect()
+    C1 = C0.copy()  # centroids with no members keep their seed
+    for r in mean_rows:
+        C1[r.cid] = np.array([r[f"s{i}"] for i in range(dim)]) / r.cnt
+
+    def probe(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            E = np.array(pdf["e"].tolist(), dtype=np.float64)
+            d = _sqdist(E, C1)
+            p = min(n_probe, k)
+            top = np.argpartition(d, p - 1, axis=1)[:, :p]
+            # stable (distance, cid) order inside the top set
+            rows = np.arange(len(E))[:, None]
+            order = np.lexsort((top, d[rows, top]))
+            cids = top[rows, order]
+            out = pdf.loc[pdf.index.repeat(p)].reset_index(drop=True)
+            out["cid"] = (cids.reshape(-1) + 1).astype("int64")  # 1-based like ivf_build
+            yield out
+
+    return base.mapInPandas(
+        probe, "id long, e array<double>, sh int, cid long"
+    )
+
+
 def cosine_threshold_pairs_sharded(
     emb: DataFrame, threshold: float, dim: int,
     shards: int = 4, chunk: int = 4096,
@@ -310,20 +391,12 @@ def cosine_threshold_pairs_sharded(
         )
     )
 
-    # branch 2: cross-shard candidates from shared IVF probe lists
-    centroids, _ = ivf_build(emb, n_centroids, id_col, vec_col)
-    dists = base.crossJoin(F.broadcast(centroids)).withColumn(
-        "__d",
-        F.aggregate(
-            F.zip_with(F.col("e"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0), lambda acc, v: acc + v,
-        ),
-    )
-    w = Window.partitionBy("id").orderBy(F.asc("__d"), F.asc("cid"))
-    probes = (
-        dists.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= n_probe)
-        .select("id", "sh", "e", "cid")
+    # branch 2: cross-shard candidates from shared IVF probe lists, with
+    # GEMM centroid build + assignment (_gemm_ivf_probes: the JVM crossJoin
+    # fold is n x k interpreted steps — prohibitive at the k ~ n/256 this
+    # query sizes)
+    probes = _gemm_ivf_probes(base, n_centroids, n_probe, dim).select(
+        "id", "sh", "e", "cid"
     )
     lists = probes.groupBy("cid").agg(
         F.collect_list(F.struct("id", "sh", "e")).alias("vs")
