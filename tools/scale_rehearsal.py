@@ -193,15 +193,19 @@ def _time_pack(spark, registry, names, sf_dir, reps) -> tuple[dict, dict]:
             runs.append(time.time() - t0)
         timings[name] = round(sorted(runs)[len(runs) // 2], 3)
         rowcounts[name] = n
-        if i % 5 == 4:
-            # ~100 query executions in one session pin every auto-broadcast
-            # in driver storage until the ContextCleaner's weak refs GC;
-            # at x30 that exhausted an 8g driver mid-pack.  Nudge the JVM
-            # so stale broadcasts actually drop (outside the timed region).
-            try:
-                spark.sparkContext._jvm.System.gc()
-            except Exception:
-                pass
+        print(f"  [{sf_dir}] {name}: {timings[name]}s ({n} rows)", flush=True)
+        # ~200 query executions in one session pin every auto-broadcast in
+        # driver storage until the ContextCleaner's weak refs GC; at x30
+        # that exhausted an 8g driver mid-pack in r6 and a 16g one in r7
+        # once the pack grew to 36 queries.  Nudge BOTH collectors after
+        # every query (outside the timed region) so stale broadcasts drop.
+        import gc as _gc
+
+        _gc.collect()
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:
+            pass
     return timings, rowcounts
 
 
@@ -229,7 +233,7 @@ def main() -> None:
     # ×N data + ~4·|pack| query executions in one session need driver
     # headroom beyond the sf0.1 default (spark-submit territory on a real
     # cluster; an env override still wins)
-    os.environ.setdefault("SPARK_DRIVER_MEMORY", "16g")
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "28g")
 
     from bench import BENCH_QUERIES
 
