@@ -254,7 +254,15 @@ def main() -> None:
         counts = synthesize(spark, args.base_sf, args.workdir, args.factor,
                             tables=synth_tables)
     else:
-        counts = {}
+        # reusing an existing workdir: recover the row counts so the
+        # artifact stays self-describing (footer-metadata counts, cheap)
+        counts = {
+            t[: -len(".parquet")]: spark.read.parquet(
+                os.path.join(args.workdir, t)
+            ).count()
+            for t in sorted(os.listdir(args.workdir))
+            if t.endswith(".parquet")
+        }
     synth_sec = round(time.time() - t0, 1)
 
     wanted = (
@@ -290,9 +298,20 @@ def main() -> None:
         for q in INVARIANT_QUERIES
         if q in REGISTRY
     }
+    # The wall-clock gate exempts queries whose OUTPUT is declared quadratic
+    # (their time cannot scale linearly when their result set doesn't — at
+    # ×50 the exact cosine-pair query emits 2.5M rows, 2694× base, and that
+    # is the documented reason the sharded path exists).  They are still
+    # reported, under their own key, so a regression is visible.
     superlinear = sorted(
         q for q, v in queries.items()
         if v["ratio"] is not None and v["ratio"] > args.factor
+        and q not in quadratic_output
+    )
+    quadratic_over = sorted(
+        q for q, v in queries.items()
+        if v["ratio"] is not None and v["ratio"] > args.factor
+        and q in quadratic_output
     )
     artifact = {
         "metric": "scale_rehearsal",
@@ -303,8 +322,13 @@ def main() -> None:
         "queries": queries,
         "invariants": invariants,
         "superlinear": superlinear,
+        "expected_quadratic_over_envelope": quadratic_over,
         "verdict": (
             "PASS: no query exceeds the x%d wall-clock envelope" % args.factor
+            + (
+                " (quadratic-output exact path over it as designed: %s)"
+                % ", ".join(quadratic_over) if quadratic_over else ""
+            )
             if not superlinear
             else "ATTENTION: super-linear queries need a plan diff: %s"
             % ", ".join(superlinear)
