@@ -410,17 +410,17 @@ def _hashed_doc_shingles(docs: DataFrame, id_col: str = "doc_id",
     t = docs.select(F.col(id_col).alias("doc_id"), toks.alias("toks")).filter(
         F.size("toks") >= SHINGLE_N
     )
-    shs = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.size("toks") - SHINGLE_N),
-            lambda i: F.concat_ws(
+    # hash BEFORE dedup: array_distinct then compares 8-byte longs, not
+    # ~30-byte strings (measured ~2.5x on the per-doc stage at sf0.1)
+    hashed = F.transform(
+        F.sequence(F.lit(0), F.size("toks") - SHINGLE_N),
+        lambda i: F.xxhash64(
+            F.concat_ws(
                 " ", F.col("toks")[i], F.col("toks")[i + 1], F.col("toks")[i + 2]
-            ),
-        )
+            )
+        ),
     )
-    return t.select(
-        "doc_id", F.transform(shs, lambda s: F.xxhash64(s)).alias("hs")
-    )
+    return t.select("doc_id", F.array_distinct(hashed).alias("hs"))
 
 
 def ngram_candidate_pairs(sh: DataFrame, df_cap: int = NGRAM_DF_CAP) -> DataFrame:
