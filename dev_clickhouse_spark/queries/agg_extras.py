@@ -5,7 +5,7 @@ DataFrame/Catalyst and rides partial aggregation like any group-by."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.ch_compat import round_half_up as rnd
@@ -593,4 +593,92 @@ def topk_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "left",
     ).select(
         "user_id", "cnt", F.coalesce("in_sketch", F.lit(0)).alias("in_sketch")
+    )
+
+
+@register(
+    "quantiles_exact_weighted",
+    oracle="""
+WITH w AS (
+  SELECT event_type, "value" AS v, CAST(user_id % 5 + 1 AS BIGINT) AS wt
+  FROM events WHERE "value" IS NOT NULL
+), c AS (
+  SELECT event_type, v, wt,
+         sum(wt) OVER (PARTITION BY event_type ORDER BY v, wt
+                       ROWS UNBOUNDED PRECEDING) AS cw,
+         sum(wt) OVER (PARTITION BY event_type) AS tw
+  FROM w
+)
+SELECT event_type,
+       min(CASE WHEN cw >= 0.5 * tw THEN v END)  AS p50_weighted,
+       min(CASE WHEN cw >= 0.9 * tw THEN v END)  AS p90_weighted
+FROM c GROUP BY event_type
+""",
+    tags=["clickhouse-parity", "percentile", "weighted"],
+)
+def quantiles_exact_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``quantileExactWeighted(q)(value, weight)`` — the weighted
+    quantile a sampling-weighted corpus needs (weights here derive
+    deterministically from user_id so both engines see identical inputs).
+    Lower-bound rule, spelled out identically in both engines: sort by
+    (value, weight), running weight sum, answer = least value whose
+    cumulative weight reaches q x total.  One hash shuffle on the group key
+    with a per-partition sort — the same shape as any ranking window; no
+    collect, no per-group arrays."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    w = ev.select(
+        "event_type", F.col("value").alias("v"),
+        (F.col("user_id") % 5 + 1).cast("long").alias("wt"),
+    )
+    win = Window.partitionBy("event_type").orderBy("v", "wt").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tot = Window.partitionBy("event_type")
+    c = w.select(
+        "event_type", "v", "wt",
+        F.sum("wt").over(win).alias("cw"),
+        F.sum("wt").over(tot).alias("tw"),
+    )
+    return c.groupBy("event_type").agg(
+        F.min(F.when(F.col("cw") >= 0.5 * F.col("tw"), F.col("v")))
+        .alias("p50_weighted"),
+        F.min(F.when(F.col("cw") >= 0.9 * F.col("tw"), F.col("v")))
+        .alias("p90_weighted"),
+    )
+
+
+@register(
+    "running_difference_daily",
+    oracle="""
+WITH d AS (
+  SELECT CAST(ts AS DATE) AS event_date, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1
+)
+SELECT event_date, n,
+       CAST(coalesce(n - lag(n) OVER (ORDER BY event_date), 0) AS BIGINT)
+         AS delta,
+       CAST(CASE WHEN n - lag(n) OVER (ORDER BY event_date) > 0
+                 THEN n - lag(n) OVER (ORDER BY event_date) ELSE 0 END
+            AS BIGINT) AS delta_sum_step
+FROM d
+""",
+    tags=["clickhouse-parity", "timeseries"],
+)
+def running_difference_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``runningDifference`` / ``deltaSum`` parity on the daily
+    event-count series: per-row difference vs the previous day and the
+    positive-increments-only step that deltaSum accumulates (counter-reset
+    semantics for monotone gauges).  The window is over the DAY series —
+    time-range-sized, never event-volume-sized — after one data-sized
+    groupBy(day) with map-side combine."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(F.to_date("ts").alias("event_date")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.orderBy("event_date")
+    diff = F.col("n") - F.lag("n").over(w)
+    return d.select(
+        "event_date", "n",
+        F.coalesce(diff, F.lit(0)).cast("long").alias("delta"),
+        F.when(diff > 0, diff).otherwise(0).cast("long").alias("delta_sum_step"),
     )
