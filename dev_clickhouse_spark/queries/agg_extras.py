@@ -682,3 +682,54 @@ def running_difference_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(diff, F.lit(0)).cast("long").alias("delta"),
         F.when(diff > 0, diff).otherwise(0).cast("long").alias("delta_sum_step"),
     )
+
+
+@register(
+    "group_array_user_events",
+    oracle="""
+WITH e AS (
+  SELECT user_id, ts, event_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+)
+SELECT user_id,
+       string_agg(event_type, ',' ORDER BY ts, event_id) AS event_seq,
+       string_agg(CASE WHEN rn <= 10 THEN event_type END, ','
+                  ORDER BY ts, event_id) AS first10_seq,
+       array_to_string(list_sort(list(DISTINCT event_type)), ',')
+         AS uniq_types,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM e GROUP BY user_id
+""",
+    tags=["clickhouse-parity", "group-array", "A2"],
+)
+def group_array_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``groupArray`` / ``groupArray(10)`` / ``groupUniqArray``
+    parity (reference uses per-entity event sequences throughout its
+    behavioral SQL).  Per user: the full time-ordered event-type sequence,
+    the bounded ``groupArray(10)`` prefix, and the sorted distinct set —
+    all serialized with ``array_join`` so the oracle comparison is
+    hash-stable across engines.
+
+    Scale note: the unbounded sequence column is per-user-cardinality state
+    — the classic groupArray hazard at 100 TB.  The ``first10_seq`` column
+    is the production shape (``groupArray(N)`` caps per-group state at N);
+    at cluster scale prefer it, or sessionize first.  One hash shuffle on
+    user_id; the sort is inside the aggregated array (array_sort over a
+    struct of (ts, event_id, event_type)), so no global or per-partition
+    row sort is needed."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull() & F.col("event_type").isNotNull())
+    )
+    sorted_seq = F.array_sort(
+        F.collect_list(F.struct("ts", "event_id", "event_type"))
+    )
+    types = F.transform(sorted_seq, lambda s: s["event_type"])
+    return ev.groupBy("user_id").agg(
+        F.array_join(types, ",").alias("event_seq"),
+        F.array_join(F.slice(types, 1, 10), ",").alias("first10_seq"),
+        F.array_join(F.array_sort(F.collect_set("event_type")), ",")
+        .alias("uniq_types"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
