@@ -733,3 +733,54 @@ def group_array_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("uniq_types"),
         F.count(F.lit(1)).cast("long").alias("n_events"),
     )
+
+
+@register(
+    "bit_agg_by_event_type",
+    oracle="""
+SELECT event_type,
+       CAST(bit_and(event_id) AS BIGINT) AS band,
+       CAST(bit_or(event_id)  AS BIGINT) AS bor,
+       CAST(bit_xor(event_id) AS BIGINT) AS bxor
+FROM events WHERE event_id IS NOT NULL
+GROUP BY event_type
+""",
+    tags=["clickhouse-parity", "bit-agg"],
+)
+def bit_agg_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``groupBitAnd`` / ``groupBitOr`` / ``groupBitXor`` parity.
+    All three are commutative-associative single-long states, so they ride
+    partial aggregation (map-side combine) like sum — constant per-group
+    state at any scale."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id").isNotNull())
+    return ev.groupBy("event_type").agg(
+        F.bit_and("event_id").cast("long").alias("band"),
+        F.bit_or("event_id").cast("long").alias("bor"),
+        F.bit_xor("event_id").cast("long").alias("bxor"),
+    )
+
+
+@register(
+    "uniq_up_to_users",
+    oracle="""
+SELECT event_type,
+       CAST(least(count(DISTINCT user_id), 6) AS BIGINT) AS uniq_up_to_5,
+       CAST(count(DISTINCT user_id) > 5 AS BIGINT) AS overflowed
+FROM events GROUP BY event_type
+""",
+    tags=["clickhouse-parity", "uniq"],
+)
+def uniq_up_to_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``uniqUpTo(5)(user_id)`` — exact distinct count while it is
+    <= 5, else 6 ("more than 5"), plus the overflow flag.  ClickHouse keeps a
+    capped hash set per group; here Catalyst's distinct-aggregate expansion
+    computes the exact count and the cap is applied after — same answer, and
+    at 100 TB the capped-set semantics matter only as an optimization the
+    caller opts into (the HLL state rollup covers the unbounded-cardinality
+    case)."""
+    ev = load_table(spark, sf_dir, "events")
+    n = F.countDistinct("user_id")
+    return ev.groupBy("event_type").agg(
+        F.least(n, F.lit(6)).cast("long").alias("uniq_up_to_5"),
+        (n > 5).cast("long").alias("overflowed"),
+    )
