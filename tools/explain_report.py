@@ -54,6 +54,11 @@ HEADLINE = [
     "topk_heavy_hitters",             # round 7: Misra-Gries capped sketch
     "timeseries_interpolate_gaps",    # round 7: linear fill, grid-sized windows
     "limit_by_recent_events",         # round 7: LIMIT n BY = one window
+    "quantiles_exact_weighted",       # round 7: weighted quantile, rank window
+    "running_difference_daily",       # round 7: day-series window after agg
+    "group_array_user_events",        # round 7: groupArray(N) bounded prefix
+    "bit_agg_by_event_type",          # round 7: single-long bit states
+    "uniq_up_to_users",               # round 7: capped exact-distinct
 ]
 
 
