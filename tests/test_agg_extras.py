@@ -104,3 +104,72 @@ def test_misra_gries_hot_key_survives_small_capacity(spark):
     assert sketch[999] <= n_cold * reps       # lower bound, never over
     assert sketch[999] >= n_cold * reps - (n_cold * reps * 2) // 9
     assert len(sketch) <= 8 * 4               # capacity x partitions
+
+
+def test_group_array_ordering_cap_and_uniq(spark, tmp_path):
+    """groupArray parity: the sequence is time-ordered regardless of input
+    order, the groupArray(10) prefix caps at 10, and groupUniqArray is the
+    sorted distinct set."""
+    import datetime as dt
+
+    types = ["view", "click", "buy", "view", "view", "click",
+             "scroll", "buy", "view", "click", "scroll", "exit"]
+    rows = [
+        (i, dt.datetime(2026, 1, 1, 0, 0, i), 7, types[i], 1.0, "{}")
+        for i in range(12)
+    ]
+    rows.reverse()  # insertion order is the REVERSE of time order
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string"
+    )
+    df.repartition(3).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+
+    from dev_clickhouse_spark.queries.agg_extras import group_array_user_events
+
+    got = group_array_user_events(spark, str(tmp_path)).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r.event_seq == ",".join(types)
+    assert r.first10_seq == ",".join(types[:10])
+    assert r.uniq_types == "buy,click,exit,scroll,view"
+    assert r.n_events == 12
+
+
+def test_bit_agg_and_uniq_up_to_values(spark, tmp_path):
+    """groupBitAnd/Or/Xor spot values and the uniqUpTo(5) cap + overflow."""
+    import datetime as dt
+
+    rows = [
+        # type "a": event_ids 1,2,4 over 7 distinct users -> overflow
+        (1, dt.datetime(2026, 1, 1), 1, "a", 1.0, "{}"),
+        (2, dt.datetime(2026, 1, 1), 2, "a", 1.0, "{}"),
+        (4, dt.datetime(2026, 1, 1), 3, "a", 1.0, "{}"),
+        (8, dt.datetime(2026, 1, 1), 4, "a", 1.0, "{}"),
+        (16, dt.datetime(2026, 1, 1), 5, "a", 1.0, "{}"),
+        (32, dt.datetime(2026, 1, 1), 6, "a", 1.0, "{}"),
+        (64, dt.datetime(2026, 1, 1), 7, "a", 1.0, "{}"),
+        # type "b": event_ids 5,6 over 2 distinct users -> no overflow
+        (5, dt.datetime(2026, 1, 1), 1, "b", 1.0, "{}"),
+        (6, dt.datetime(2026, 1, 1), 2, "b", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+
+    from dev_clickhouse_spark.queries.agg_extras import (
+        bit_agg_by_event_type,
+        uniq_up_to_users,
+    )
+
+    bits = {r.event_type: r for r in bit_agg_by_event_type(spark, str(tmp_path)).collect()}
+    assert (bits["a"].band, bits["a"].bor, bits["a"].bxor) == (0, 127, 127)
+    assert (bits["b"].band, bits["b"].bor, bits["b"].bxor) == (4, 7, 3)
+
+    uniq = {r.event_type: r for r in uniq_up_to_users(spark, str(tmp_path)).collect()}
+    assert (uniq["a"].uniq_up_to_5, uniq["a"].overflowed) == (6, 1)
+    assert (uniq["b"].uniq_up_to_5, uniq["b"].overflowed) == (2, 0)
