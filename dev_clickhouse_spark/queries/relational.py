@@ -167,6 +167,42 @@ def argmin_first_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "argmax_last_event_per_user",
+    oracle="""
+SELECT user_id,
+       arg_max(event_type,
+               strftime(ts, '%Y-%m-%d %H:%M:%S.%f') || '#' ||
+               lpad(CAST(event_id AS VARCHAR), 12, '0')) AS last_type,
+       floor(arg_max("value",
+               strftime(ts, '%Y-%m-%d %H:%M:%S.%f') || '#' ||
+               lpad(CAST(event_id AS VARCHAR), 12, '0')) * 100 + 0.5) / 100
+         AS last_value,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS last_ts
+FROM events GROUP BY user_id
+""",
+    tags=["A5", "clickhouse-parity"],
+)
+def argmax_last_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """argMax(attr, ts) / anyLast — latest-seen attribute per key (the
+    ClickHouse twin of `argmin_first_event_per_user`) → Spark max_by.
+    Ties on ts are broken deterministically by a lexicographic
+    ``ts '#' zero-padded event_id`` key, spelled identically in both
+    engines, so the oracle comparison never depends on engine-internal
+    tie order.  Same shape as any hash group-by: one shuffle, map-side
+    partial max_by state is a single (key, attr) pair per group."""
+    ev = load_table(spark, sf_dir, "events")
+    tie_key = F.concat(
+        F.date_format("ts", TS_FMT), F.lit("#"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    return ev.groupBy("user_id").agg(
+        F.max_by("event_type", tie_key).alias("last_type"),
+        rnd(F.max_by("value", tie_key), 2).alias("last_value"),
+        F.date_format(F.max("ts"), TS_FMT).alias("last_ts"),
+    )
+
+
+@register(
     "distinct_on_latest_event",
     oracle="""
 SELECT user_id, event_id, event_type, floor("value" * 100 + 0.5) / 100 AS value
