@@ -109,6 +109,12 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # every perf artifact states whether the quiet-run protocol was honored
+    # (SCALING.md "quiet runs"; VERDICT r7 #8) — one stamp at start
+    from tools.quietcheck import quiet_stamp
+
+    quiet = quiet_stamp()
+
     timings: dict[str, float] = {}
 
     # 1+2: ingest throughput + gold refresh on synthetic bronze.
@@ -205,6 +211,7 @@ def main() -> None:
         "ingest_events_per_sec": round(
             N_INGEST_EVENTS / timings["ingest_10k_events"], 1
         ),
+        "quiet": quiet,
     }
     # The driver records only the TAIL of stdout as BENCH_r{N}.json; round 6
     # learned the hard way that one line carrying plan hashes + pipeline

@@ -368,6 +368,19 @@ sh AS (
 sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
 """
 
+# the oracle SQL above spells the 3-token shingle out literally; keep the
+# Spark side (which derives everything from SHINGLE_N) from silently
+# diverging if the constant ever changes
+assert SHINGLE_N == 3, "_SHINGLE_SQL hardcodes 3-token shingles"
+
+
+def _shingle_tokens(toks_col: str = "toks"):
+    """``SHINGLE_N`` consecutive tokens starting at array index ``i`` —
+    the one place the shingle width is spelled out for the JVM builders."""
+    return lambda i: F.concat_ws(
+        " ", *[F.col(toks_col)[i + j] for j in range(SHINGLE_N)]
+    )
+
 
 def ngram_shingles(docs: DataFrame, id_col: str = "doc_id",
                    text_col: str = "text") -> DataFrame:
@@ -382,12 +395,7 @@ def ngram_shingles(docs: DataFrame, id_col: str = "doc_id",
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.size("toks") - SHINGLE_N),
-                lambda i: F.concat_ws(
-                    " ",
-                    F.col("toks")[i],
-                    F.col("toks")[i + 1],
-                    F.col("toks")[i + 2],
-                ),
+                _shingle_tokens("toks"),
             )
         ).alias("s"),
     ).distinct()
@@ -412,13 +420,10 @@ def _hashed_doc_shingles(docs: DataFrame, id_col: str = "doc_id",
     )
     # hash BEFORE dedup: array_distinct then compares 8-byte longs, not
     # ~30-byte strings (measured ~2.5x on the per-doc stage at sf0.1)
+    shingle = _shingle_tokens("toks")
     hashed = F.transform(
         F.sequence(F.lit(0), F.size("toks") - SHINGLE_N),
-        lambda i: F.xxhash64(
-            F.concat_ws(
-                " ", F.col("toks")[i], F.col("toks")[i + 1], F.col("toks")[i + 2]
-            )
-        ),
+        lambda i: F.xxhash64(shingle(i)),
     )
     return t.select("doc_id", F.array_distinct(hashed).alias("hs"))
 

@@ -250,12 +250,17 @@ def _gemm_ivf_probes(base: DataFrame, n_centroids: int, n_probe: int,
     (``ann_ivf_topk`` keeps it), but its cost is n × k interpreted fold
     evaluations — the sharded pair query sizes k ~ n·n_probe/1024, so at
     ×30 that is ~13e9 lambda steps and it made this branch the rehearsal's
-    slowest and noisiest entry (45–126 s run-to-run).  Here the same math
-    runs as BLAS: seeds = the lowest-id vectors (ivf_build's deterministic
-    choice), ONE Lloyd refinement where each partition emits per-centroid
-    partial sums (≤ k rows per partition, elementwise-summed JVM-side),
-    then a probe pass ranking centroids per vector with argpartition and a
-    stable (distance, cid) tie-break.  The centroid matrix rides in the
+    slowest and noisiest entry (45–126 s run-to-run).  Here the same
+    ALGORITHM runs as BLAS: seeds = the lowest-id vectors (ivf_build's
+    deterministic choice), ONE Lloyd refinement where each partition emits
+    per-centroid partial sums (≤ k rows per partition, elementwise-summed
+    JVM-side), memberless seeds dropped exactly as ivf_build's groupBy
+    drops them, then a probe pass ranking centroids per vector with
+    argpartition and a stable (distance, cid) tie-break.  NOT bit-exact
+    with ivf_build: the GEMM expands ‖x‖²−2x·y+‖y‖² while the JVM fold
+    sums (x−y)², so the two round differently and probe sets can diverge
+    under near-ties — acceptable here because every consumer is
+    recall-gated, never parity-gated, on this path.  The centroid matrix rides in the
     task closure (k × dim doubles — ~3.6 MB at k=7031, dim=64); collecting
     it is the index-build planning job, same note as ivf_build's
     materialization.  Returns (id, sh, e, cid) probe rows, ≤ n_probe per
@@ -298,9 +303,20 @@ def _gemm_ivf_probes(base: DataFrame, n_centroids: int, n_probe: int,
         F.sum("cnt").alias("cnt"),
         *[F.sum(F.col("s")[i]).alias(f"s{i}") for i in range(dim)],
     ).collect()
-    C1 = C0.copy()  # centroids with no members keep their seed
-    for r in mean_rows:
-        C1[r.cid] = np.array([r[f"s{i}"] for i in range(dim)]) / r.cnt
+    # ivf_build's mean recompute is a groupBy over the first assignment, so
+    # a seed that attracts no members simply DISAPPEARS from the refined
+    # centroid set (ADVICE r7: C0.copy() kept such seeds alive here and
+    # could diverge).  Mirror that: keep only member-bearing cids, original
+    # 1-based labels, label-ascending order so the (distance, cid)
+    # tie-break below ranks identically.
+    live = sorted(r.cid for r in mean_rows)
+    by_cid = {r.cid: r for r in mean_rows}
+    C1 = np.array(
+        [[by_cid[c][f"s{i}"] for i in range(dim)] for c in live],
+        dtype=np.float64,
+    ) / np.array([[by_cid[c].cnt] for c in live], dtype=np.float64)
+    cid_labels = np.array(live, dtype=np.int64) + 1  # 1-based like ivf_build
+    k_live = len(live)
 
     def probe(batches):
         for pdf in batches:
@@ -308,14 +324,15 @@ def _gemm_ivf_probes(base: DataFrame, n_centroids: int, n_probe: int,
                 continue
             E = np.array(pdf["e"].tolist(), dtype=np.float64)
             d = _sqdist(E, C1)
-            p = min(n_probe, k)
+            p = min(n_probe, k_live)
             top = np.argpartition(d, p - 1, axis=1)[:, :p]
-            # stable (distance, cid) order inside the top set
+            # stable (distance, cid) order inside the top set; column index
+            # order == cid label order because `live` is sorted ascending
             rows = np.arange(len(E))[:, None]
             order = np.lexsort((top, d[rows, top]))
             cids = top[rows, order]
             out = pdf.loc[pdf.index.repeat(p)].reset_index(drop=True)
-            out["cid"] = (cids.reshape(-1) + 1).astype("int64")  # 1-based like ivf_build
+            out["cid"] = cid_labels[cids.reshape(-1)]
             yield out
 
     return base.mapInPandas(

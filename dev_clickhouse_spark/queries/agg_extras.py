@@ -465,7 +465,7 @@ SELECT user_id,
        string_agg(event_type || ':' || CAST(n AS VARCHAR) || ':' || v2,
                   ',' ORDER BY event_type) AS value_map
 FROM (SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n,
-             CAST(floor(sum("value") * 100 + 0.5) / 100 AS VARCHAR) AS v2
+             printf('%.2f', floor(sum("value") * 100 + 0.5) / 100) AS v2
       FROM events GROUP BY user_id, event_type)
 GROUP BY user_id
 """,
@@ -479,7 +479,11 @@ def sum_map_user_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle, map-side combine) folded into per-user canonical form.  The
     cross-engine gate serializes the map as 'k:n:sum' entries sorted by
     key, since map column equality is engine-internal; Spark builds the
-    same string from an array_sort over the aggregated entries.  At scale
+    same string from an array_sort over the aggregated entries.  The sum
+    is rendered with an explicit fixed-point ``%.2f`` format mirrored in
+    the oracle's ``printf`` — a bare double->string cast diverges at
+    magnitude >= 1e7, where Spark switches to scientific notation
+    ('1.0E7') while DuckDB prints '10000000.0'.  At scale
     the (user, key) grouping carries |keys| rows per user - never a wide
     row - and both shuffles are key-partitioned."""
     ev = load_table(spark, sf_dir, "events")
@@ -495,7 +499,8 @@ def sum_map_user_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.collect_list(F.struct("event_type", "n", "v2"))
                 ).alias("es"),
                 lambda e: F.concat_ws(
-                    ":", e.event_type, e.n.cast("string"), e.v2.cast("string")
+                    ":", e.event_type, e.n.cast("string"),
+                    F.format_string("%.2f", e.v2),
                 ),
             ),
         ).alias("value_map")

@@ -181,6 +181,35 @@ INVARIANT_QUERIES = [
 ]
 
 
+#: default ceiling on the consecutive-point local exponent
+#: α = log(tN/tM)/log(N/M); linear scaling is 1.0, and quiet-run
+#: measurement noise on >2 s entries stays well inside ±0.3.
+ALPHA_MAX = 1.3
+
+#: queries with a DOCUMENTED superlinear tail carry their own envelope so
+#: the known cause doesn't flip every future verdict, while a regression
+#: BEYOND the documented behavior still does.
+KNOWN_SUPERLINEAR_TAIL: dict[str, dict] = {
+    "dedup_ngram_jaccard_pairs": {
+        "alpha_max": 2.5,
+        "cause": (
+            "fixed NGRAM_DF_CAP: as the corpus grows, more posting lists "
+            "approach the cap, so candidate expansion per surviving list "
+            "rises toward the df_cap^2/2 bound before saturating "
+            "(SCALING.md, x50 section; at real scale the cap is a RATE)"
+        ),
+    },
+    "dedup_embedding_cosine_pairs": {
+        "alpha_max": 2.5,
+        "cause": (
+            "quadratic OUTPUT at the 0.4/dim-64 operating point — the "
+            "random-pair cosine tail grows ~N^2 (expected_quadratic "
+            "invariant); the sharded path is the production recipe"
+        ),
+    },
+}
+
+
 def _time_pack(spark, registry, names, sf_dir, reps) -> tuple[dict, dict]:
     timings, rowcounts = {}, {}
     for i, name in enumerate(names):
@@ -271,6 +300,15 @@ def main() -> None:
         else BENCH_QUERIES + INVARIANT_QUERIES
     )
     pack = list(dict.fromkeys(q for q in wanted if q in REGISTRY))
+    # stamp quiet-ness at measurement start (AFTER synthesis — synthesis
+    # itself loads the box but is not timed against the envelope): the
+    # artifact records whether the quiet-run protocol was actually honored
+    from tools.quietcheck import quiet_stamp
+
+    quiet = quiet_stamp()
+    if not quiet["quiet"]:
+        print(f"WARNING: non-quiet run ({quiet}) — timings are advisory",
+              flush=True)
     # warm first (JIT/codegen caches), then measure base before inflated so
     # any residual warm-up bias penalizes the ×N side, not the baseline
     base_t, base_n = _time_pack(spark, REGISTRY, pack, args.base_sf, args.reps)
@@ -298,21 +336,78 @@ def main() -> None:
         for q in INVARIANT_QUERIES
         if q in REGISTRY
     }
-    # The wall-clock gate exempts queries whose OUTPUT is declared quadratic
-    # (their time cannot scale linearly when their result set doesn't — at
-    # ×50 the exact cosine-pair query emits 2.5M rows, 2694× base, and that
-    # is the documented reason the sharded path exists).  They are still
-    # reported, under their own key, so a regression is visible.
+    # Queries whose OUTPUT is declared quadratic get a LOOSER bound, not a
+    # free pass (ADVICE r7): their time cannot scale linearly when their
+    # result set doesn't (at ×50 the exact cosine-pair query emits 2.5M
+    # rows, 2694× base — the documented reason the sharded path exists),
+    # but a plan regression making them worse than their own output growth
+    # must still flip the verdict.  Bound: ratio ≤ max(factor,
+    # 1.5 × rows_ratio) — pure-quadratic compute tracks rows_ratio, so 1.5×
+    # is headroom for constant factors, not for a complexity change.
+    def _envelope(q: str) -> float:
+        if q in quadratic_output and base_n.get(q):
+            rr = big_n[q] / base_n[q]
+            return max(float(args.factor), 1.5 * rr)
+        return float(args.factor)
+
     superlinear = sorted(
         q for q, v in queries.items()
-        if v["ratio"] is not None and v["ratio"] > args.factor
-        and q not in quadratic_output
+        if v["ratio"] is not None and v["ratio"] > _envelope(q)
     )
     quadratic_over = sorted(
         q for q, v in queries.items()
         if v["ratio"] is not None and v["ratio"] > args.factor
-        and q in quadratic_output
+        and q in quadratic_output and q not in superlinear
     )
+    # Consecutive-point LOCAL exponents (VERDICT r7 #1): the base-relative
+    # ratio gate cannot see a tail that BENDS between the last two factors —
+    # r7's ×50 artifact read `superlinear: []` while the n-gram query's
+    # 30→50 local exponent was ≈2.3.  Compare against the committed
+    # artifact at the largest smaller factor: α = log(tN/tM) / log(N/M).
+    # A query with a DOCUMENTED superlinear tail carries its own envelope
+    # (cause cited); anything else flags above ALPHA_MAX.  Sub-2-second
+    # entries are skipped — at that magnitude a JIT hiccup moves α by >1.
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    prev = None
+    for f in sorted(os.listdir(repo_root)):
+        if f.startswith("SCALE_X") and f.endswith(".json"):
+            try:
+                with open(os.path.join(repo_root, f)) as fh:
+                    cand = json.load(fh)
+            except (OSError, ValueError):
+                continue
+            m = cand.get("factor")
+            if isinstance(m, int) and m < args.factor and (
+                prev is None or m > prev["factor"]
+            ):
+                prev = cand
+    local_exponents: dict[str, dict] = {}
+    tail_superlinear: list[str] = []
+    if prev is not None:
+        import math
+
+        for q, v in queries.items():
+            pv = prev.get("queries", {}).get(q)
+            if not pv or not pv.get("xn_sec") or not v["xn_sec"]:
+                continue
+            alpha = round(
+                math.log(v["xn_sec"] / pv["xn_sec"])
+                / math.log(args.factor / prev["factor"]), 2,
+            )
+            env = KNOWN_SUPERLINEAR_TAIL.get(q)
+            entry = {
+                "from_factor": prev["factor"],
+                "alpha_local": alpha,
+                "alpha_max": env["alpha_max"] if env else ALPHA_MAX,
+                **({"documented_cause": env["cause"]} if env else {}),
+            }
+            local_exponents[q] = entry
+            if (
+                alpha > entry["alpha_max"]
+                and max(v["xn_sec"], pv["xn_sec"]) >= 2.0
+            ):
+                tail_superlinear.append(q)
+        tail_superlinear.sort()
     artifact = {
         "metric": "scale_rehearsal",
         "factor": args.factor,
@@ -323,15 +418,25 @@ def main() -> None:
         "invariants": invariants,
         "superlinear": superlinear,
         "expected_quadratic_over_envelope": quadratic_over,
+        "local_exponents": local_exponents,
+        "tail_superlinear": tail_superlinear,
+        "quiet": quiet,
         "verdict": (
             "PASS: no query exceeds the x%d wall-clock envelope" % args.factor
             + (
                 " (quadratic-output exact path over it as designed: %s)"
                 % ", ".join(quadratic_over) if quadratic_over else ""
             )
-            if not superlinear
-            else "ATTENTION: super-linear queries need a plan diff: %s"
-            % ", ".join(superlinear)
+            if not (superlinear or tail_superlinear)
+            else "ATTENTION: "
+            + "; ".join(
+                s for s in (
+                    "super-linear queries need a plan diff: %s"
+                    % ", ".join(superlinear) if superlinear else "",
+                    "tail bend (consecutive-point exponent over envelope): %s"
+                    % ", ".join(tail_superlinear) if tail_superlinear else "",
+                ) if s
+            )
         ),
     }
     with open(out_path, "w") as fh:
