@@ -149,34 +149,65 @@ _CHECKED_R6 = {
 }
 
 
-def _ordered():
-    """Registry in round-7 driver-check priority order, LRU-style.
+# Round-7 window (CORRECTNESS_r07.json key set, all green).
+_CHECKED_R7 = {
+    "ann_cosine_topk", "ann_ivf_topk", "ann_lsh_bucket_topk",
+    "ann_pq_recall_contract", "anti_join_customers_without_orders",
+    "approx_distinct_daily_users", "argmax_last_event_per_user",
+    "bit_agg_by_event_type", "correlated_min_price_part",
+    "curation_filter_funnel", "current_flag_version_join",
+    "daily_order_stats", "dedup_cosine_sharded_recall",
+    "dedup_embedding_cosine_pairs", "dedup_exact_stats", "dedup_keep_list",
+    "dedup_minhash_lsh_pairs", "dedup_near_dup_clusters",
+    "dedup_ngram_jaccard_pairs", "dedup_simhash_signatures", "dim_date_build",
+    "doc_fingerprints", "domain_mix_weights", "embedding_centroids",
+    "event_lag_seconds", "events_windowed_count", "gold_star_rollup_events",
+    "group_array_user_events", "lang_id_char_ngrams",
+    "lang_id_char_ngrams_arrow", "lang_id_markers", "limit_by_recent_events",
+    "multimodal_feature_extract", "null_safe_join_priority_buckets",
+    "order_priority_check", "pack_context_windows",
+    "quantiles_exact_weighted", "rollup_state_distinct_users",
+    "rollup_state_moments_merge", "running_difference_daily",
+    "stats_moments_by_returnflag", "sum_map_user_event_values",
+    "text_repetition_signals", "timeseries_fill_gaps",
+    "timeseries_interpolate_gaps", "top_users_by_value", "topk_heavy_hitters",
+    "union_conform_nations", "uniq_up_to_users", "window_rank_suite",
+}
 
-    Leads with the six queries whose last driver row is round 4 (they
-    missed both the r5 and r6 windows — VERDICT r6 item #2:
-    stats_moments_by_returnflag, text_repetition_signals,
-    timeseries_fill_gaps, top_users_by_value, union_conform_nations,
-    window_rank_suite), then anything added this round (never checked),
-    then the r5 window (not re-checked in r6 — next stalest), then the
-    just-checked r6 window.  tools/check_correctness.py still
+
+def _ordered():
+    """Registry in round-8 driver-check priority order, LRU-style.
+
+    Leads with ``dedup_cosine_pairs_sharded`` — the ONE registry entry
+    with no driver row in any round (rows-only by design; VERDICT r7 #2
+    asks for its row to lead this window; its new oracle-gated soundness
+    twin ``dedup_cosine_sharded_soundness`` sorts in with this round's
+    additions).  Then anything added this round (never checked), then the
+    stalest greens (last driver row r4/r5 — they missed the r6 AND r7
+    windows), then the r6 window, then the just-checked r7 window, then
+    the remaining rows-only ops.  tools/check_correctness.py still
     oracle-checks everything each round regardless of the driver's
     window."""
     from dev_clickhouse_spark.queries import REGISTRY
 
-    recent = _CHECKED_R5 | _CHECKED_R6
-    ever = _CHECKED_R3 | _CHECKED_R4 | recent
+    recent = _CHECKED_R6 | _CHECKED_R7
+    ever = _CHECKED_R3 | _CHECKED_R4 | _CHECKED_R5 | recent
 
     def klass(item):
         name, spec = item
+        if name == "dedup_cosine_pairs_sharded":
+            return (0, name)      # only never-driver-checked entry (r7 #2)
         if spec.oracle is None:
-            return (4, name)
+            return (6, name)
         if name not in recent:
-            if name in ever:
-                return (0, name)  # stale: last driver row is r4
-            return (1, name)      # brand new this round — never checked
-        if name not in _CHECKED_R6:
-            return (2, name)      # checked r5, rotated out of r6
-        return (3, name)          # green in r6 — freshest, rotates out
+            if name not in ever:
+                return (1, name)  # brand new this round — never checked
+            if name not in _CHECKED_R5:
+                return (2, name)  # stalest: last driver row is r4
+            return (3, name)      # checked r5, missed r6+r7
+        if name not in _CHECKED_R7:
+            return (4, name)      # checked r6, rotated out of r7
+        return (5, name)          # green in r7 — freshest, rotates out
 
     return sorted(REGISTRY.items(), key=klass)
 

@@ -151,6 +151,45 @@ def sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sample_clause_events_agg",
+    oracle="""
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_sampled,
+       floor(sum("value") * 100 + 0.5) / 100 AS sum_value
+FROM events
+WHERE ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))::BIGINT
+      % 10000 < 1000
+GROUP BY event_type
+""",
+    tags=["clickhouse-parity", "sample"],
+)
+def sample_clause_events_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``SAMPLE 0.1`` parity: a DETERMINISTIC 10% of the table
+    selected by primary-key hash bucket, aggregated — the interactive-BI
+    move for sub-second answers over a huge fact table.
+
+    ClickHouse samples by ``intHash32(key) < 0.1 * 2^32`` over the
+    declared sampling key; here the same contract is ``hash_bucket
+    (event_id) < 1000`` of 10000 (md5-based so the oracle replays the
+    exact row set).  The properties that make SAMPLE useful hold: stable
+    under reruns and repartitioning, nested samples are subsets
+    (``SAMPLE 0.05``'s buckets < 500 ⊂ this row set), and the filter is a
+    map-side predicate evaluated at scan time — no shuffle is spent on
+    rows outside the sample.  At 100 TB with data CLUSTERED by the hash
+    bucket (ClickHouse's SAMPLE BY does exactly this), the predicate
+    becomes file-level pruning; on unclustered parquet it is still a
+    full-scan-cheap projection filter."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.filter(hash_bucket("event_id") < 1000)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            rnd(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+@register(
     "sample_stratified_per_source",
     oracle="""
 SELECT source, doc_id, CAST(rn AS INTEGER) AS sample_rank

@@ -911,6 +911,73 @@ def dedup_cosine_pairs_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_cosine_sharded_soundness",
+    oracle="""
+SELECT CAST(0 AS BIGINT) AS n_below_threshold,
+       CAST(0 AS BIGINT) AS n_noncanonical,
+       CAST(0 AS BIGINT) AS n_cosine_mismatch,
+       CAST(1 AS INTEGER) AS has_pairs
+""",
+    tags=["llm-similarity", "llm-dedup"],
+)
+def dedup_cosine_sharded_soundness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SOUNDNESS contract for the sharded production near-dup path
+    (VERDICT r7 #2): the pair SET of ``dedup_cosine_pairs_sharded`` is not
+    SQL-replicable (cross-shard membership depends on IVF probe overlap),
+    but every property of each EMITTED pair is deterministic and checkable
+    against the raw parquet:
+
+    - **threshold soundness** — re-deriving the cosine from the embeddings
+      table (JVM zip_with/aggregate fold, independent of the numpy GEMM
+      that emitted it) must give ≥ 0.4 − 1e-9 for every pair;
+    - **canonical form** — vec_a < vec_b, so no pair can appear twice
+      in either orientation;
+    - **value fidelity** — the reported 4-digit cosine equals the
+      re-derived one to within one rounding ulp (GEMM expands
+      ‖x‖²−2x·y+‖y‖²; the fold sums sequentially — they may differ in the
+      last float64 bits, never by 1e-4);
+    - **non-vacuity** — the within-shard exact branch guarantees at least
+      one pair on this corpus (the recall contract counts them), so an
+      empty result cannot fake a pass.
+
+    The complement (no TRUE within-shard pair is MISSED) is
+    ``dedup_cosine_sharded_recall``; together they driver-gate both
+    directions of the production path."""
+    pairs = dedup_cosine_pairs_sharded(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id"), F.col("embedding").cast("array<double>").alias("e")
+    )
+
+    def _norm(c: str):
+        return F.sqrt(F.aggregate(c, F.lit(0.0), lambda a, x: a + x * x))
+
+    j = (
+        pairs
+        .join(emb.select(F.col("vec_id").alias("vec_a"),
+                         F.col("e").alias("ea")), "vec_a")
+        .join(emb.select(F.col("vec_id").alias("vec_b"),
+                         F.col("e").alias("eb")), "vec_b")
+        .withColumn(
+            "cos_check",
+            F.aggregate(F.zip_with("ea", "eb", lambda x, y: x * y),
+                        F.lit(0.0), lambda a, v: a + v)
+            / (_norm("ea") * _norm("eb")),
+        )
+    )
+    return j.agg(
+        F.sum((F.col("cos_check") < 0.4 - 1e-9).cast("long"))
+        .alias("n_below_threshold"),
+        F.sum((F.col("vec_a") >= F.col("vec_b")).cast("long"))
+        .alias("n_noncanonical"),
+        F.sum(
+            (F.abs(F.floor(F.col("cos_check") * 10000 + 0.5) / 10000
+                   - F.col("cosine")) > 1e-4 + 1e-12).cast("long")
+        ).alias("n_cosine_mismatch"),
+        (F.count(F.lit(1)) > 0).cast("int").alias("has_pairs"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Product quantization: the ANN MEMORY story at billion-vector scale
 # ---------------------------------------------------------------------------

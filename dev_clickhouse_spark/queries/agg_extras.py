@@ -61,6 +61,41 @@ def cube_segment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "with_totals_segment_priority",
+    oracle="""
+SELECT c_mktsegment, o_orderpriority, CAST(count(*) AS BIGINT) AS cnt,
+       floor(sum(o_totalprice) * 100 + 0.5) / 100 AS total_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY GROUPING SETS ((c_mktsegment, o_orderpriority), ())
+""",
+    tags=["clickhouse-parity", "with-totals"],
+)
+def with_totals_segment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``GROUP BY … WITH TOTALS`` parity: every (segment,
+    priority) group PLUS one grand-total row computed in the same pass —
+    the Superset/BI shape where the totals line footers a pivot table.
+
+    WITH TOTALS is exactly GROUPING SETS ((keys…), ()): unlike ROLLUP it
+    adds NO per-prefix subtotals, just the () set.  Spark-first:
+    ``DataFrame.groupingSets`` lowers to one Expand + one hash aggregate,
+    so the totals row rides the same shuffle as the groups (partial
+    aggregation on both sets map-side) — not a second scan UNIONed on, the
+    way a naive port would phrase it.  Grouping keys in the totals row are
+    NULL in both engines (ClickHouse renders them as empty/default values;
+    NULL is the grouping-sets spelling of the same row)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    j = orders.join(cust, F.col("o_custkey") == F.col("c_custkey"))
+    return j.groupingSets(
+        [["c_mktsegment", "o_orderpriority"], []],
+        "c_mktsegment", "o_orderpriority",
+    ).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        rnd(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+@register(
     "percentile_event_values",
     oracle="""
 SELECT event_type,
