@@ -1,0 +1,225 @@
+#!/usr/bin/env python
+"""Corpus-size-independence probe for incremental dedup (VERDICT r7 #3).
+
+The contract under test: ``incremental_lsh_pairs`` costs
+**O(batch + collisions), independent of corpus size** — per micro-batch the
+corpus contributes only its PERSISTED band index (joined map-side) and only
+colliding docs are ever re-shingled (``verify_jaccard`` semi-joins the doc
+table to candidate ids FIRST — the ADVICE-r6 fix that cost +45% at sf0.1 and
+bought exactly this property).  The ×10/×30 rehearsals scale batch AND
+corpus together, so they cannot see a violation of this contract; this probe
+holds the BATCH FIXED while the corpus grows 1×/10×/30× and measures the
+per-batch probe wall-time, which must stay FLAT.
+
+Design (mirrors tools/scale_rehearsal.py's inflation so expectations are
+known by construction):
+
+- **batch** = the sf0.1 documents with ``doc_id % 10 == 7`` (500 docs),
+  identical at every corpus size.
+- **corpus at factor f** = the remaining docs replicated f times, each
+  replica's text Caesar-shifted over the combined 52-letter cycle and its
+  doc_ids offset into a disjoint keyspace.  Shifted replicas share no
+  shingles with the unshifted batch, so TRUE near-dup pairs — and, up to
+  rare 32-bit band-hash accidents, band COLLISIONS — are constant by
+  construction; both counts are recorded to prove it.
+- the band index is built and written to parquet OUTSIDE the timed region:
+  it is the persisted structure of the production design (built once,
+  appended per accepted batch), not per-batch work.
+- timed region per factor (median of --reps): read the index parquet, run
+  ``incremental_lsh_pairs(batch, index, batch ∪ corpus)``, count the result.
+
+Verdict: PASS iff max(probe_sec)/min(probe_sec) ≤ --flat-tolerance
+(default 1.3 — the ±20% contract plus measurement headroom on ~1 s
+timings; only meaningful from a quiet run, which the artifact stamps) AND
+the verified pair count is identical at every factor.
+
+Artifact: SCALE_INCR.json.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tools.scale_rehearsal import LETTERS, _caesar  # noqa: E402
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--factors", default="1,10,30")
+    ap.add_argument("--base-sf", default="/root/testdata/sf0.1")
+    ap.add_argument("--workdir", default="/tmp/incr_dedup_probe")
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--flat-tolerance", type=float, default=1.3)
+    ap.add_argument("--keep-data", action="store_true")
+    ap.add_argument("--skip-synth", action="store_true",
+                    help="reuse an existing --workdir")
+    args = ap.parse_args()
+    factors = [int(f) for f in args.factors.split(",")]
+    out_path = args.out or os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "SCALE_INCR.json",
+    )
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "28g")
+
+    from pyspark.sql import functions as F
+
+    from dev_clickhouse_spark.io import load_table
+    from dev_clickhouse_spark.llm.dedup import (
+        corpus_band_index, incremental_lsh_pairs, minhash_signatures,
+    )
+    from dev_clickhouse_spark.session import get_spark
+    from tools.quietcheck import quiet_stamp
+
+    spark = get_spark(app_name="incr_dedup_probe")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs = load_table(spark, args.base_sf, "documents")
+    batch = docs.filter(F.col("doc_id") % 10 == 7)
+    corpus1 = docs.filter(F.col("doc_id") % 10 != 7)
+    key_base = 10
+    mx = int(docs.agg(F.max("doc_id")).first()[0] or 0)
+    while key_base <= mx * max(factors):
+        key_base *= 10
+
+    os.makedirs(args.workdir, exist_ok=True)
+    paths: dict[int, tuple[str, str]] = {}
+    for f in factors:
+        if f > len(LETTERS):
+            raise ValueError(f"factor {f} exceeds the Caesar period")
+        cdir = os.path.join(args.workdir, f"corpus_x{f}.parquet")
+        idir = os.path.join(args.workdir, f"index_x{f}.parquet")
+        paths[f] = (cdir, idir)
+        if args.skip_synth:
+            continue
+        inflated = corpus1.withColumn(
+            "_r", F.explode(F.sequence(F.lit(0), F.lit(f - 1)))
+        ).withColumn("doc_id", F.col("doc_id") + F.col("_r") * F.lit(key_base))
+        shifted = F.col("text")
+        for r in range(1, f):
+            shifted = F.when(
+                F.col("_r") == r, F.translate("text", LETTERS, _caesar(r))
+            ).otherwise(shifted)
+        inflated = inflated.withColumn("text", shifted).drop("_r")
+        inflated.repartition(max(4, min(32, f * 2))).write.mode(
+            "overwrite"
+        ).parquet(cdir)
+        # persisted production structure — built once, NOT per-batch work
+        corpus_band_index(spark.read.parquet(cdir)).write.mode(
+            "overwrite"
+        ).parquet(idir)
+
+    # one untimed warm-up probe (smallest factor): the very first execution
+    # of this lineage pays JIT/codegen/Arrow-worker startup (~2-3 s measured)
+    # that has nothing to do with corpus size; without it the x1 point reads
+    # artificially slow and the spread gate misfires on warm-up, not growth
+    wf = min(factors)
+    incremental_lsh_pairs(
+        batch,
+        spark.read.parquet(paths[wf][1]),
+        batch.select("doc_id", "text").union(
+            spark.read.parquet(paths[wf][0]).select("doc_id", "text")
+        ),
+    ).count()
+
+    quiet = quiet_stamp()
+    if not quiet["quiet"]:
+        print(f"WARNING: non-quiet run ({quiet}) — timings are advisory",
+              flush=True)
+
+    results: dict[str, dict] = {}
+    import gc as _gc
+
+    for f in factors:
+        cdir, idir = paths[f]
+        corpus = spark.read.parquet(cdir)
+        index = spark.read.parquet(idir)
+        all_docs = batch.select("doc_id", "text").union(
+            corpus.select("doc_id", "text")
+        )
+        runs, n_pairs = [], 0
+        for _ in range(args.reps):
+            t0 = time.time()
+            n_pairs = incremental_lsh_pairs(batch, index, all_docs).count()
+            runs.append(time.time() - t0)
+            _gc.collect()
+            try:
+                spark.sparkContext._jvm.System.gc()
+            except Exception:
+                pass
+        # band-collision census (untimed): candidates must be constant by
+        # construction — shifted replicas share no shingles with the batch,
+        # so only 32-bit band-hash accidents could add any
+        bands_new = minhash_signatures(batch).filter(
+            F.col("bands").isNotNull()
+        ).select("doc_id", F.posexplode("bands").alias("band", "band_hash"))
+        n_cand = (
+            bands_new.alias("a")
+            .join(
+                index.alias("b"),
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.band_hash") == F.col("b.band_hash")),
+            )
+            .select(F.col("a.doc_id").alias("da"),
+                    F.col("b.doc_id").alias("db"))
+            .distinct().count()
+        )
+        results[f"x{f}"] = {
+            "factor": f,
+            "corpus_docs": corpus.count(),
+            "index_rows": index.count(),
+            "probe_sec": round(sorted(runs)[len(runs) // 2], 3),
+            "n_candidates": n_cand,
+            "n_pairs": n_pairs,
+        }
+        print(f"  x{f}: {results[f'x{f}']}", flush=True)
+
+    secs = [v["probe_sec"] for v in results.values()]
+    pair_counts = {v["n_pairs"] for v in results.values()}
+    spread = round(max(secs) / max(min(secs), 1e-9), 2)
+    flat = spread <= args.flat_tolerance
+    same_pairs = len(pair_counts) == 1
+    artifact = {
+        "metric": "incremental_dedup_corpus_independence",
+        "base_sf": args.base_sf,
+        "batch_docs": batch.count(),
+        "results": results,
+        "probe_sec_spread": spread,
+        "flat_tolerance": args.flat_tolerance,
+        "pairs_constant": same_pairs,
+        "quiet": quiet,
+        "verdict": (
+            "PASS: per-batch probe cost is corpus-size-independent "
+            f"(spread {spread}x over {max(factors)}x corpus growth)"
+            if flat and same_pairs
+            else "ATTENTION: "
+            + "; ".join(
+                s for s in (
+                    f"probe wall-time spread {spread}x exceeds "
+                    f"{args.flat_tolerance}x" if not flat else "",
+                    f"verified pair count varies across factors: "
+                    f"{sorted(pair_counts)}" if not same_pairs else "",
+                ) if s
+            )
+        ),
+    }
+    with open(out_path, "w") as fh:
+        json.dump(artifact, fh, indent=1, sort_keys=True)
+        fh.write("\n")
+    print(json.dumps({k: artifact[k] for k in
+                      ("probe_sec_spread", "pairs_constant", "verdict")}))
+    print(f"wrote {out_path}")
+    if not args.keep_data:
+        shutil.rmtree(args.workdir, ignore_errors=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

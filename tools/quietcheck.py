@@ -28,36 +28,48 @@ import os
 
 
 def _other_python_pids() -> list[int]:
-    """Live python interpreter pids other than this process and its
-    ancestors (the py4j-launched JVM is not python; pytest workers,
-    concurrent tools, and stray drivers are)."""
+    """Live python interpreter pids that are NOT part of this process tree:
+    not this process, not an ancestor (a python wrapper that launched us),
+    and not a descendant (the pyspark.daemon/worker fleet our own session
+    forks under the JVM — the first probe run counted 33 of those as
+    'foreign').  What remains is genuinely concurrent work: a pytest, a
+    second rehearsal, a stray driver."""
     me = os.getpid()
-    skip = {me}
-    # walk own ancestry so `python tools/x.py` run from a python wrapper
-    # does not flag its parent
-    try:
-        pid = me
-        for _ in range(10):
-            with open(f"/proc/{pid}/stat") as fh:
-                pid = int(fh.read().split(")")[-1].split()[1])
-            if pid <= 1:
-                break
-            skip.add(pid)
-    except OSError:
-        pass
-    out = []
+    ppid: dict[int, int] = {}
+    python_pids: set[int] = set()
     for d in os.listdir("/proc"):
-        if not d.isdigit() or int(d) in skip:
+        if not d.isdigit():
             continue
+        pid = int(d)
         try:
+            with open(f"/proc/{d}/stat") as fh:
+                ppid[pid] = int(fh.read().split(")")[-1].split()[1])
             with open(f"/proc/{d}/cmdline", "rb") as fh:
                 argv0 = fh.read().split(b"\0", 1)[0].decode(errors="replace")
         except OSError:
             continue
-        base = os.path.basename(argv0)
-        if base.startswith("python"):
-            out.append(int(d))
-    return out
+        if os.path.basename(argv0).startswith("python"):
+            python_pids.add(pid)
+
+    def related(pid: int) -> bool:
+        # ancestor of me, or descendant of me (walk pid's ancestry; if it
+        # passes through me, it is ours)
+        cur, seen = pid, 0
+        while cur > 1 and seen < 64:
+            if cur == me:
+                return True
+            cur = ppid.get(cur, 0)
+            seen += 1
+        # ancestors: walk me upward looking for pid
+        cur, seen = me, 0
+        while cur > 1 and seen < 64:
+            if cur == pid:
+                return True
+            cur = ppid.get(cur, 0)
+            seen += 1
+        return False
+
+    return [p for p in python_pids if not related(p)]
 
 
 def quiet_stamp(load_max: float = 4.0) -> dict:
