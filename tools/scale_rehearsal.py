@@ -238,6 +238,44 @@ def _time_pack(spark, registry, names, sf_dir, reps) -> tuple[dict, dict]:
     return timings, rowcounts
 
 
+def _ngram_census(spark, sf_dir: str) -> dict:
+    """Volume census of the df-capped inverted-index candidate generator
+    (the evidence side of the ×30→×50 tail attribution, VERDICT r7 #1):
+    with a FIXED absolute NGRAM_DF_CAP, corpus growth pushes ever more
+    posting lists toward the cap, so the pair-expansion volume
+    Σ_{df≤cap} df·(df−1)/2 — the exact row count the candidate shuffle
+    carries — grows faster than the doc count until the surviving lists
+    saturate at cap.  If wall-time growth tracks ``expansion_rows`` growth,
+    the bend is the documented cap property, not a plan regression."""
+    from pyspark.sql import functions as F
+
+    from dev_clickhouse_spark.io import load_table
+    from dev_clickhouse_spark.llm.dedup import (
+        NGRAM_DF_CAP, _hashed_doc_shingles,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _hashed_doc_shingles(docs).select(
+        "doc_id", F.explode("hs").alias("h")
+    )
+    dfc = sh.groupBy("h").agg(F.count(F.lit(1)).alias("d"))
+    row = dfc.agg(
+        F.count(F.lit(1)).alias("n_distinct_shingles"),
+        F.sum((F.col("d") > NGRAM_DF_CAP).cast("long")).alias("n_lists_capped"),
+        F.sum(
+            F.when(F.col("d") <= NGRAM_DF_CAP,
+                   F.col("d") * (F.col("d") - 1) / 2).otherwise(0)
+        ).cast("long").alias("expansion_rows"),
+    ).first()
+    return {
+        "n_docs": docs.count(),
+        "df_cap": NGRAM_DF_CAP,
+        "n_distinct_shingles": row.n_distinct_shingles,
+        "n_lists_capped": row.n_lists_capped,
+        "expansion_rows": row.expansion_rows,
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--factor", type=int, default=10)
@@ -248,6 +286,9 @@ def main() -> None:
     ap.add_argument("--keep-data", action="store_true")
     ap.add_argument("--skip-synth", action="store_true",
                     help="reuse an existing --workdir")
+    ap.add_argument("--ngram-census", action="store_true",
+                    help="record the df-capped candidate-expansion volume "
+                    "at base and xN (evidence for the fixed-cap tail)")
     ap.add_argument("--pack", choices=["full", "invariants"], default="full",
                     help="'invariants' times only the dedup/ANN/sequence "
                     "invariant family (the ×50 synthesis-cap point, VERDICT "
@@ -408,9 +449,22 @@ def main() -> None:
             ):
                 tail_superlinear.append(q)
         tail_superlinear.sort()
+    ngram_census = None
+    if args.ngram_census:
+        cb = _ngram_census(spark, args.base_sf)
+        cn = _ngram_census(spark, args.workdir)
+        ngram_census = {
+            "base": cb,
+            "xn": cn,
+            "docs_ratio": round(cn["n_docs"] / cb["n_docs"], 2),
+            "expansion_rows_ratio": round(
+                cn["expansion_rows"] / max(cb["expansion_rows"], 1), 2
+            ),
+        }
     artifact = {
         "metric": "scale_rehearsal",
         "factor": args.factor,
+        "pack": args.pack,
         "base_sf": args.base_sf,
         "synth_sec": synth_sec,
         "row_counts": counts,
@@ -420,6 +474,7 @@ def main() -> None:
         "expected_quadratic_over_envelope": quadratic_over,
         "local_exponents": local_exponents,
         "tail_superlinear": tail_superlinear,
+        **({"ngram_census": ngram_census} if ngram_census else {}),
         "quiet": quiet,
         "verdict": (
             "PASS: no query exceeds the x%d wall-clock envelope" % args.factor
