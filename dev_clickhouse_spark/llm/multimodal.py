@@ -767,3 +767,123 @@ def multimodal_jpeg_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFra
         T.StructField("q11", T.DoubleType()),
     ])
     return docs.mapInPandas(run, schema=out_schema)
+
+
+#: codec assignment for the coverage census: doc_id % 8 → (codec label,
+#: media_type, expected stub fallback).  The three stub=1 rows are the
+#: DECLARED decode boundary (real_decode docstring): progressive JPEG needs
+#: the SOF2 decoder, MP3/MP4 need torchaudio/ffmpeg.
+CODEC_CENSUS = [
+    ("bmp", "image", 0),
+    ("png", "image", 0),
+    ("gif", "image", 0),
+    ("jpeg_baseline", "image", 0),
+    ("jpeg_progressive", "image", 1),
+    ("wav", "audio", 0),
+    ("mp3", "audio", 1),
+    ("mp4", "video", 1),
+]
+
+_CODEC_ORACLE = " UNION ALL ".join(
+    f"SELECT {k} AS k, '{c}' AS codec, {s} AS stub"
+    for k, (c, _m, s) in enumerate(CODEC_CENSUS)
+)
+
+
+@register(
+    "multimodal_codec_coverage",
+    oracle=f"""
+WITH n AS (
+  SELECT CAST(doc_id % 8 AS INTEGER) AS k, count(*) AS n
+  FROM documents GROUP BY doc_id % 8
+),
+m AS ({_CODEC_ORACLE})
+SELECT m.codec,
+       CAST(n.n AS BIGINT) AS n_blobs,
+       CAST(n.n * (1 - m.stub) AS BIGINT) AS n_real_decoded,
+       CAST(n.n * m.stub AS BIGINT) AS n_stub_fallback,
+       CAST(m.stub AS DOUBLE) AS stub_fraction
+FROM m JOIN n ON n.k = m.k
+""",
+    tags=["llm-multimodal", "codec-coverage"],
+)
+def multimodal_codec_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode-coverage census for the multimodal boundary (VERDICT r7 #5):
+    per codec, what fraction of blobs falls back to the byte-level stub
+    instead of a real decode — the number a curation operator must watch,
+    because a corpus skewed toward a stubbed codec silently degrades every
+    downstream content feature.
+
+    The census is EMPIRICAL on the Spark side: each document synthesizes a
+    genuine payload in its assigned codec (deterministic pixels/samples
+    from doc_id; the progressive-JPEG payload is a real baseline encoding
+    with its SOF0 marker rewritten to SOF2, which is exactly how a
+    progressive file presents to the marker walk) and ``real_decode`` is
+    actually attempted — a blob counts as covered only if the decoder
+    returns features, and as a stub fallback only on the declared
+    ``NotImplementedError`` boundary.  The DuckDB oracle replays the
+    EXPECTED coverage from the deterministic assignment — so the driver
+    gate fails if the decode boundary ever drifts from its documentation
+    (e.g. a regression stubs a codec that claims real support, or
+    progressive support lands without updating the census).
+
+    Scale shape: map-only mapInPandas, one tiny groupBy(codec); the decode
+    attempt is the same partition-local Arrow stage as
+    ``extract_features``."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .jpeg import encode_jpeg
+
+        def payload_for(doc_id: int, codec: str) -> bytes:
+            v = (doc_id * 37) % 251
+            px = np.full((8, 8, 3), v, np.uint8)
+            if codec == "bmp":
+                return encode_bmp(px)
+            if codec == "png":
+                return encode_png(px)
+            if codec == "gif":
+                return encode_gif(px[None, :, :, :])
+            if codec in ("jpeg_baseline", "jpeg_progressive"):
+                enc = encode_jpeg(px[:, :, 0], quant=1)
+                if codec == "jpeg_progressive":
+                    i = enc.find(b"\xff\xc0")
+                    enc = enc[:i] + b"\xff\xc2" + enc[i + 2:]
+                return enc
+            if codec == "wav":
+                samples = struct.pack("<4h", v, -v, v, -v)
+                return (
+                    b"RIFF" + struct.pack("<I", 36 + len(samples)) + b"WAVE"
+                    + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000,
+                                            16000, 2, 16)
+                    + b"data" + struct.pack("<I", len(samples)) + samples
+                )
+            if codec == "mp3":
+                return b"ID3\x03\x00" + bytes([v]) * 16
+            return (b"\x00\x00\x00\x18ftypmp42\x00\x00\x00\x00mp42"
+                    + bytes([v]) * 8)
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                codec, mtype, _s = CODEC_CENSUS[int(doc_id) % 8]
+                raw = payload_for(int(doc_id), codec)
+                try:
+                    real_decode(raw, mtype)
+                    decoded = 1
+                except NotImplementedError:
+                    _stub_features(raw)  # the documented fallback
+                    decoded = 0
+                rows.append((codec, decoded))
+            yield pd.DataFrame(rows, columns=["codec", "decoded"])
+
+    att = docs.mapInPandas(
+        run, schema="codec string, decoded int"
+    )
+    return att.groupBy("codec").agg(
+        F.count(F.lit(1)).alias("n_blobs"),
+        F.sum("decoded").cast("long").alias("n_real_decoded"),
+        F.sum(1 - F.col("decoded")).cast("long").alias("n_stub_fallback"),
+        (F.sum(1 - F.col("decoded")) / F.count(F.lit(1)))
+        .cast("double").alias("stub_fraction"),
+    )
