@@ -238,6 +238,65 @@ def _time_pack(spark, registry, names, sf_dir, reps) -> tuple[dict, dict]:
     return timings, rowcounts
 
 
+def _time_pack_isolated(names, sf_dir, reps) -> tuple[dict, dict]:
+    """Process-per-query measurement: each query runs in a FRESH driver JVM
+    (one untimed warm-up, then ``reps`` timed runs, median).
+
+    Why: even with the GC nudges, a long measuring session inflates late
+    heavy entries 2-6× — round 8 caught `dedup_embedding_cosine_pairs` at
+    46.6 s mid-pack vs 8.2 s standalone on the SAME quiet box and the SAME
+    ×30 data (the pack had collected ~3M rows across prior entries;
+    r7's scd2 21/50/9 s spread was the same effect).  The ×30→×50
+    'superlinear bend' in VERDICT r7 #1 was this measurement artifact, not
+    a plan property — the candidate-volume census (`--ngram-census`) shows
+    the synthetic corpus's posting-list depth is constant across replicas,
+    so candidate work grows EXACTLY linearly by construction.  Isolation
+    makes each entry's number independent of pack composition and order,
+    at ~10 s JVM startup per query (outside the timed region)."""
+    import subprocess
+
+    timings, rowcounts = {}, {}
+    for name in names:
+        cmd = [
+            sys.executable, os.path.abspath(__file__),
+            "--worker-query", name, "--worker-sf", sf_dir,
+            "--reps", str(reps),
+        ]
+        proc = subprocess.run(cmd, capture_output=True, text=True)
+        if proc.returncode != 0:
+            raise RuntimeError(
+                f"worker for {name} failed:\n{proc.stderr[-2000:]}"
+            )
+        res = json.loads(proc.stdout.strip().splitlines()[-1])
+        timings[name] = res["median_sec"]
+        rowcounts[name] = res["rows"]
+        print(f"  [{sf_dir}] {name}: {res['median_sec']}s "
+              f"({res['rows']} rows, isolated)", flush=True)
+    return timings, rowcounts
+
+
+def _worker(name: str, sf_dir: str, reps: int) -> None:
+    """Single-query measurement child: fresh session, one warm-up, median
+    of ``reps``.  Prints ONE JSON line."""
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "28g")
+    from dev_clickhouse_spark.queries import REGISTRY
+    from dev_clickhouse_spark.session import get_spark
+
+    spark = get_spark(app_name=f"rehearsal_{name}")
+    spark.sparkContext.setLogLevel("ERROR")
+    fn = REGISTRY[name].fn
+    len(fn(spark, sf_dir).collect())  # warm-up: JIT/codegen/Arrow startup
+    runs, n = [], 0
+    for _ in range(reps):
+        t0 = time.time()
+        n = len(fn(spark, sf_dir).collect())
+        runs.append(time.time() - t0)
+    print(json.dumps({
+        "median_sec": round(sorted(runs)[len(runs) // 2], 3), "rows": n,
+    }))
+    spark.stop()
+
+
 def _ngram_census(spark, sf_dir: str) -> dict:
     """Volume census of the df-capped inverted-index candidate generator
     (the evidence side of the ×30→×50 tail attribution, VERDICT r7 #1):
@@ -286,6 +345,12 @@ def main() -> None:
     ap.add_argument("--keep-data", action="store_true")
     ap.add_argument("--skip-synth", action="store_true",
                     help="reuse an existing --workdir")
+    ap.add_argument("--in-session", action="store_true",
+                    help="measure all queries inside one driver session "
+                    "(the pre-r8 protocol; late heavy entries read 2-6x "
+                    "high from session GC state — see _time_pack_isolated)")
+    ap.add_argument("--worker-query", default=None, help=argparse.SUPPRESS)
+    ap.add_argument("--worker-sf", default=None, help=argparse.SUPPRESS)
     ap.add_argument("--ngram-census", action="store_true",
                     help="record the df-capped candidate-expansion volume "
                     "at base and xN (evidence for the fixed-cap tail)")
@@ -295,6 +360,9 @@ def main() -> None:
                     "r6 item #6 — the full pack's curve is already measured "
                     "at ×10/×30)")
     args = ap.parse_args()
+    if args.worker_query:
+        _worker(args.worker_query, args.worker_sf, args.reps)
+        return
     out_path = args.out or os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         f"SCALE_X{args.factor}.json",
@@ -350,10 +418,16 @@ def main() -> None:
     if not quiet["quiet"]:
         print(f"WARNING: non-quiet run ({quiet}) — timings are advisory",
               flush=True)
-    # warm first (JIT/codegen caches), then measure base before inflated so
-    # any residual warm-up bias penalizes the ×N side, not the baseline
-    base_t, base_n = _time_pack(spark, REGISTRY, pack, args.base_sf, args.reps)
-    big_t, big_n = _time_pack(spark, REGISTRY, pack, args.workdir, args.reps)
+    if args.in_session:
+        # warm first (JIT/codegen caches), then measure base before inflated
+        # so any residual warm-up bias penalizes the ×N side, not the base
+        base_t, base_n = _time_pack(
+            spark, REGISTRY, pack, args.base_sf, args.reps
+        )
+        big_t, big_n = _time_pack(spark, REGISTRY, pack, args.workdir, args.reps)
+    else:
+        base_t, base_n = _time_pack_isolated(pack, args.base_sf, args.reps)
+        big_t, big_n = _time_pack_isolated(pack, args.workdir, args.reps)
 
     queries = {
         q: {
@@ -465,6 +539,7 @@ def main() -> None:
         "metric": "scale_rehearsal",
         "factor": args.factor,
         "pack": args.pack,
+        "isolation": "in-session" if args.in_session else "process-per-query",
         "base_sf": args.base_sf,
         "synth_sec": synth_sec,
         "row_counts": counts,
