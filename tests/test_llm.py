@@ -730,9 +730,62 @@ def test_jpeg_real_decode_and_boundaries():
     assert feats[2] == feats[3] == feats[4] == 100.0  # channel means
     assert feats[5] == 0.0                            # flat → zero std
 
-    # progressive JPEG (SOF2) is a declared mode boundary, not a crash
-    with pytest.raises(NotImplementedError, match="not supported"):
+    # progressive JPEG (SOF2) decodes for real since round 8
+    from dev_clickhouse_spark.llm.jpeg import encode_jpeg_progressive
+
+    pfeats = real_decode(encode_jpeg_progressive(img, quant=1), "image")
+    assert pfeats == feats
+
+    # a truncated SOF is malformed data (ValueError), not a mode boundary
+    with pytest.raises(ValueError, match="truncated"):
         real_decode(b"\xff\xd8\xff\xc2" + bytes(20), "image")
+
+
+def test_jpeg_progressive_bit_identical_to_baseline():
+    """Progressive (SOF2) decode correctness, round 8: the 10-scan
+    progressive script of ``encode_jpeg_progressive`` (DC first/refine
+    interleaved + per-component spectral-band AC first/refine) transmits
+    every coefficient bit, so decoding it must be BIT-IDENTICAL to decoding
+    the baseline encoding of the same image at the same quant — this pins
+    all four Annex G scan decoders (EOB runs, correction bits,
+    newly-significant inserts, successive-approximation shifts) against the
+    already-oracle-gated baseline path, with no external test vectors."""
+    import numpy as np
+
+    from dev_clickhouse_spark.llm.jpeg import (
+        decode_jpeg, encode_jpeg, encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(7)
+    cases = [
+        rng.integers(0, 256, (16, 16), dtype=np.uint8),      # gray, aligned
+        rng.integers(0, 256, (13, 19, 3), dtype=np.uint8),   # rgb, ragged
+        rng.integers(0, 256, (40, 40, 3), dtype=np.uint8),   # many blocks
+        np.zeros((8, 8), dtype=np.uint8),                    # all-EOB bands
+        np.full((24, 24, 3), 201, dtype=np.uint8),           # flat color
+    ]
+    for img in cases:
+        for quant in (1, 4):
+            base = decode_jpeg(encode_jpeg(img, quant=quant))
+            prog = decode_jpeg(encode_jpeg_progressive(img, quant=quant))
+            assert np.array_equal(base, prog), (img.shape, quant)
+
+    # flat gray-in-RGB is EXACT end-to-end at quant=1 (integer DC spectra)
+    flat = np.full((16, 16, 3), 77, np.uint8)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg_progressive(flat, quant=1)), flat
+    )
+
+    # progressive DC scan with Se != 0 is rejected, not mis-decoded
+    import pytest
+
+    from dev_clickhouse_spark.llm.jpeg import ZIGZAG  # noqa: F401
+
+    enc = encode_jpeg(np.full((8, 8), 9, np.uint8), quant=1)
+    i = enc.find(b"\xff\xc0")
+    fake_prog = enc[:i] + b"\xff\xc2" + enc[i + 2:]  # baseline scan under SOF2
+    with pytest.raises(ValueError, match="Se=0"):
+        decode_jpeg(fake_prog)
 
 
 def test_jpeg_unsupported_envelope_takes_stub_fallback():
