@@ -238,7 +238,9 @@ def _time_pack(spark, registry, names, sf_dir, reps) -> tuple[dict, dict]:
     return timings, rowcounts
 
 
-def _time_pack_isolated(names, sf_dir, reps) -> tuple[dict, dict]:
+def _time_pack_isolated(
+    names, sf_dir, reps, shuffle_partitions: int | None = None
+) -> tuple[dict, dict]:
     """Process-per-query measurement: each query runs in a FRESH driver JVM
     (one untimed warm-up, then ``reps`` timed runs, median).
 
@@ -262,6 +264,8 @@ def _time_pack_isolated(names, sf_dir, reps) -> tuple[dict, dict]:
             "--worker-query", name, "--worker-sf", sf_dir,
             "--reps", str(reps),
         ]
+        if shuffle_partitions:
+            cmd += ["--worker-shuffle-partitions", str(shuffle_partitions)]
         proc = subprocess.run(cmd, capture_output=True, text=True)
         if proc.returncode != 0:
             raise RuntimeError(
@@ -275,17 +279,31 @@ def _time_pack_isolated(names, sf_dir, reps) -> tuple[dict, dict]:
     return timings, rowcounts
 
 
-def _worker(name: str, sf_dir: str, reps: int) -> None:
-    """Single-query measurement child: fresh session, one warm-up, median
+def _worker(
+    name: str, sf_dir: str, reps: int, shuffle_partitions: int | None = None
+) -> None:
+    """Single-query measurement child: fresh session, ADAPTIVE warm-up
+    (re-run untimed until the runtime stops dropping by >20%, max 4 — heavy
+    multi-stage plans keep JIT-settling for several executions: ngram at
+    ×50 measured 75.6 s cold → 29.7 s settled in one session), then median
     of ``reps``.  Prints ONE JSON line."""
     os.environ.setdefault("SPARK_DRIVER_MEMORY", "28g")
     from dev_clickhouse_spark.queries import REGISTRY
     from dev_clickhouse_spark.session import get_spark
 
-    spark = get_spark(app_name=f"rehearsal_{name}")
+    spark = get_spark(
+        app_name=f"rehearsal_{name}", shuffle_partitions=shuffle_partitions
+    )
     spark.sparkContext.setLogLevel("ERROR")
     fn = REGISTRY[name].fn
-    len(fn(spark, sf_dir).collect())  # warm-up: JIT/codegen/Arrow startup
+    prev = None
+    for _ in range(4):
+        t0 = time.time()
+        len(fn(spark, sf_dir).collect())
+        dt = time.time() - t0
+        if prev is not None and dt >= prev * 0.8:
+            break  # settled: no longer dropping >20% per run
+        prev = dt
     runs, n = [], 0
     for _ in range(reps):
         t0 = time.time()
@@ -351,6 +369,14 @@ def main() -> None:
                     "high from session GC state — see _time_pack_isolated)")
     ap.add_argument("--worker-query", default=None, help=argparse.SUPPRESS)
     ap.add_argument("--worker-sf", default=None, help=argparse.SUPPRESS)
+    ap.add_argument("--worker-shuffle-partitions", type=int, default=None,
+                    help=argparse.SUPPRESS)
+    ap.add_argument("--no-scale-partitions", action="store_true",
+                    help="keep the base shuffle-partition count (32) on the "
+                    "xN side instead of scaling it with the data "
+                    "(32 x factor/10) — the pre-r8 behavior; at x50 the "
+                    "fixed count carries 50x the rows per partition and "
+                    "measures partition-overload, not the plan")
     ap.add_argument("--ngram-census", action="store_true",
                     help="record the df-capped candidate-expansion volume "
                     "at base and xN (evidence for the fixed-cap tail)")
@@ -361,7 +387,8 @@ def main() -> None:
                     "at ×10/×30)")
     args = ap.parse_args()
     if args.worker_query:
-        _worker(args.worker_query, args.worker_sf, args.reps)
+        _worker(args.worker_query, args.worker_sf, args.reps,
+                args.worker_shuffle_partitions)
         return
     out_path = args.out or os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -426,8 +453,19 @@ def main() -> None:
         )
         big_t, big_n = _time_pack(spark, REGISTRY, pack, args.workdir, args.reps)
     else:
+        # the xN side runs with shuffle partitions scaled to its data
+        # (32 × factor/10, the spark-submit sizing rule a cluster operator
+        # applies; AQE coalesces but cannot exceed the initial count) —
+        # a FIXED 32 at ×50 carries 50× the rows per partition and measures
+        # partition overload, not the plan (minhash: 33.2 s fixed →
+        # 19.0 s scaled at ×50)
+        xn_parts = None if args.no_scale_partitions else max(
+            32, 32 * args.factor // 10
+        )
         base_t, base_n = _time_pack_isolated(pack, args.base_sf, args.reps)
-        big_t, big_n = _time_pack_isolated(pack, args.workdir, args.reps)
+        big_t, big_n = _time_pack_isolated(
+            pack, args.workdir, args.reps, shuffle_partitions=xn_parts
+        )
 
     queries = {
         q: {
@@ -540,6 +578,10 @@ def main() -> None:
         "factor": args.factor,
         "pack": args.pack,
         "isolation": "in-session" if args.in_session else "process-per-query",
+        "xn_shuffle_partitions": (
+            None if args.in_session else
+            (32 if args.no_scale_partitions else max(32, 32 * args.factor // 10))
+        ),
         "base_sf": args.base_sf,
         "synth_sec": synth_sec,
         "row_counts": counts,
