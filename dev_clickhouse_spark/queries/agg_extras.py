@@ -291,7 +291,12 @@ def window_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "stats_moments_by_returnflag",
     oracle="""
-WITH s AS (
+WITH qz AS (
+  SELECT l_returnflag,
+         CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS q
+  FROM lineitem
+),
+s AS (
   SELECT l_returnflag,
          CAST(count(*) AS BIGINT) AS n,
          CAST(sum(CAST(l_quantity AS DECIMAL(19,4))) AS DOUBLE)        AS sx,
@@ -823,4 +828,139 @@ def uniq_up_to_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("event_type").agg(
         F.least(n, F.lit(6)).cast("long").alias("uniq_up_to_5"),
         (n > 5).cast("long").alias("overflowed"),
+    )
+
+
+@register(
+    "stats_skew_kurtosis_by_flag",
+    oracle="""
+WITH qz AS (
+  SELECT l_returnflag,
+         CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS q
+  FROM lineitem
+),
+s AS (
+  SELECT l_returnflag,
+         CAST(count(*) AS BIGINT) AS n,
+         sum(CAST(q AS HUGEINT)) AS s1,
+         sum(CAST(q AS HUGEINT) * q) AS s2,
+         sum(CAST(q AS HUGEINT) * q * q) AS s3,
+         sum(CAST(q AS HUGEINT) * q * q * q) AS s4
+  FROM qz GROUP BY l_returnflag
+),
+m AS (
+  SELECT l_returnflag, n,
+         CAST(s1 AS DOUBLE) / n AS m1,
+         CAST(s2 AS DOUBLE) / n AS r2,
+         CAST(s3 AS DOUBLE) / n AS r3,
+         CAST(s4 AS DOUBLE) / n AS r4
+  FROM s
+),
+c AS (
+  SELECT l_returnflag, n,
+         r2 - m1 * m1 AS m2,
+         r3 - 3 * m1 * r2 + 2 * m1 * m1 * m1 AS m3,
+         r4 - 4 * m1 * r3 + 6 * m1 * m1 * r2 - 3 * m1 * m1 * m1 * m1 AS m4
+  FROM m
+)
+SELECT l_returnflag, n,
+       floor(m3 / pow(m2, 1.5) * 1000000 + 0.5) / 1000000 AS skew_pop,
+       floor((m4 / (m2 * m2) - 3.0) * 1000000 + 0.5) / 1000000
+         AS kurt_pop_excess
+FROM c
+""",
+    tags=["clickhouse-parity", "moments"],
+)
+def stats_skew_kurtosis_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``skewPop`` / ``kurtPop`` parity via EXACT integer power
+    sums — the same cross-engine determinism recipe as
+    ``stats_moments_by_returnflag``, extended to 3rd/4th moments.
+
+    The 2dp-quantized quantity becomes an exact integer (×100, ≤ 5,000,000)
+    whose 4th power (~6.25e26 per row) sums losslessly inside a 38-digit
+    DECIMAL (Spark) / HUGEINT (DuckDB) — doubles enter only at the final
+    central-moment formula, evaluated bit-identically from identical exact
+    sums in both engines.  Spark-first shape: one hash aggregate with
+    map-side combine carrying four decimal sums; no second pass for the
+    mean (the raw→central moment conversion is driver-free algebra).
+    Kurtosis is reported as EXCESS kurtosis (normal = 0), ClickHouse's
+    ``kurtPop`` minus 3."""
+    li = load_table(spark, sf_dir, "lineitem")
+    # floor(x*100 + 0.5) in BOTH engines: a double->int CAST truncates in
+    # Spark but rounds in DuckDB — the explicit half-up floor is the shared
+    # quantization (l_quantity is 2dp-quantized, so this is exact)
+    x = F.floor(F.col("l_quantity") * 100 + 0.5).cast("long").cast(
+        "decimal(38,0)")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).cast("double").alias("s1"),
+        F.sum(x * x).cast("double").alias("s2"),
+        F.sum(x * x * x).cast("double").alias("s3"),
+        F.sum(x * x * x * x).cast("double").alias("s4"),
+    )
+    n = F.col("n").cast("double")
+    m1 = F.col("s1") / n
+    r2, r3, r4 = F.col("s2") / n, F.col("s3") / n, F.col("s4") / n
+    m2 = r2 - m1 * m1
+    m3 = r3 - 3 * m1 * r2 + 2 * m1 * m1 * m1
+    m4 = r4 - 4 * m1 * r3 + 6 * m1 * m1 * r2 - 3 * m1 * m1 * m1 * m1
+    return s.select(
+        "l_returnflag", "n",
+        rnd(m3 / F.pow(m2, 1.5), 6).alias("skew_pop"),
+        rnd(m4 / (m2 * m2) - 3.0, 6).alias("kurt_pop_excess"),
+    )
+
+
+@register(
+    "moving_sum_arrays_per_user",
+    oracle="""
+WITH w AS (
+  SELECT user_id, ts, event_id,
+         printf('%.2f', floor(sum(coalesce("value", 0)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) * 100 + 0.5) / 100)
+           AS mv
+  FROM events
+)
+SELECT user_id,
+       string_agg(mv, ',' ORDER BY ts, event_id) AS moving_sums
+FROM w GROUP BY user_id
+""",
+    tags=["clickhouse-parity", "moving-agg"],
+)
+def moving_sum_arrays_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``groupArrayMovingSum(3)`` parity: per user, the ARRAY of
+    3-element moving sums over the value series in (ts, event_id) order —
+    the array-combinator view of a sliding aggregate.
+
+    Spark-first: the moving sum is a frame-bounded window aggregate (ROWS
+    BETWEEN 2 PRECEDING AND CURRENT ROW — one shuffle on user_id, no
+    per-row array state), and the per-user array is a tie-broken
+    ``array_sort(collect_list(struct(ts, event_id, mv)))`` fold — the same
+    collect-then-sort determinism discipline as ``group_array_user_events``
+    (collect_list order is nondeterministic under parallel merge; sorting
+    inside the aggregated array restores it without a row-level sort).
+    Values render with the fixed ``%.2f``/printf pattern (a bare
+    double→string cast goes scientific at ≥1e7, ADVICE r7)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    mv = ev.select(
+        "user_id", "ts", "event_id",
+        F.format_string(
+            "%.2f",
+            rnd(F.sum(F.coalesce(F.col("value"), F.lit(0.0))).over(w), 2),
+        ).alias("mv"),
+    )
+    return mv.groupBy("user_id").agg(
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ts", "event_id", "mv"))),
+                lambda e: e.mv,
+            ),
+        ).alias("moving_sums")
     )

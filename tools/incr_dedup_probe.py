@@ -76,7 +76,7 @@ def main() -> None:
         corpus_band_index, incremental_lsh_pairs, minhash_signatures,
     )
     from dev_clickhouse_spark.session import get_spark
-    from tools.quietcheck import quiet_stamp
+    from tools.quietcheck import quiet_stamp, settle
 
     spark = get_spark(app_name="incr_dedup_probe")
     spark.sparkContext.setLogLevel("ERROR")
@@ -129,6 +129,7 @@ def main() -> None:
         ),
     ).count()
 
+    settle()  # let our own synthesis/warm-up load decay
     quiet = quiet_stamp()
     if not quiet["quiet"]:
         print(f"WARNING: non-quiet run ({quiet}) — timings are advisory",

@@ -64,10 +64,11 @@ def main() -> None:
     from dev_clickhouse_spark.plans.warehouse import Warehouse
     from dev_clickhouse_spark.session import get_spark
     from dev_clickhouse_spark.sources.json_events import extract_all
-    from tools.quietcheck import quiet_stamp
+    from tools.quietcheck import quiet_stamp, settle
 
     spark = get_spark(app_name="ingest_soak")
     spark.sparkContext.setLogLevel("ERROR")
+    settle()
     quiet = quiet_stamp()
     if not quiet["quiet"]:
         print(f"WARNING: non-quiet run ({quiet}) — timings are advisory",

@@ -87,3 +87,23 @@ def quiet_stamp(load_max: float = 4.0) -> dict:
             (load1 is None or load1 <= load_max) and not others
         ),
     }
+
+
+def settle(load_max: float = 4.0, timeout: float = 240.0,
+           poll: float = 10.0) -> None:
+    """Block until the 1-minute load average decays below ``load_max`` (or
+    ``timeout`` elapses).  Call between a heavy setup phase (corpus
+    synthesis, soak prep) and ``quiet_stamp()``: loadavg cannot tell OUR
+    just-finished synthesis from foreign work, so without the settle the
+    stamp reads non-quiet on runs that honored the protocol perfectly —
+    the ×10 r8 rehearsal stamped loadavg 4.85 from its own synthesis."""
+    import time
+
+    deadline = time.monotonic() + timeout
+    while time.monotonic() < deadline:
+        try:
+            if os.getloadavg()[0] <= load_max:
+                return
+        except OSError:
+            return
+        time.sleep(poll)

@@ -439,8 +439,9 @@ def main() -> None:
     # stamp quiet-ness at measurement start (AFTER synthesis — synthesis
     # itself loads the box but is not timed against the envelope): the
     # artifact records whether the quiet-run protocol was actually honored
-    from tools.quietcheck import quiet_stamp
+    from tools.quietcheck import quiet_stamp, settle
 
+    settle()  # let our own synthesis load decay before stamping
     quiet = quiet_stamp()
     if not quiet["quiet"]:
         print(f"WARNING: non-quiet run ({quiet}) — timings are advisory",
