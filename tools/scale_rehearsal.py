@@ -178,6 +178,14 @@ INVARIANT_QUERIES = [
     "dedup_embedding_cosine_pairs",
     "dedup_near_dup_clusters",
     "sequence_match_users",
+    # round 8 (VERDICT r7 #7): the two heaviest relational entries join the
+    # measured curve — both read only `events`, so the invariants synth
+    # covers them.  asof emits exactly one row per event (rows_ratio must
+    # equal the factor); scd2 emits the version count, which grows
+    # linearly for the synthetic event stream (per-event change
+    # probability is scale-free).
+    "asof_join_last_purchase",
+    "scd2_user_type_versions",
 ]
 
 
@@ -369,19 +377,6 @@ def main() -> None:
     ap.add_argument("--worker-sf", default=None, help=argparse.SUPPRESS)
     ap.add_argument("--worker-shuffle-partitions", type=int, default=None,
                     help=argparse.SUPPRESS)
-    ap.add_argument("--scale-partitions", action="store_true",
-                    help="scale the xN side's shuffle partitions with the "
-                    "data (32 x factor/10) instead of keeping the core "
-                    "count.  NOT the default: on this fixed 32-core box, "
-                    "growing partitions grows task WAVES, and the wave "
-                    "overhead swamps the curve (isolated 2x2 probe at x30: "
-                    "minhash 11.5 s @32 parts vs 21.3 s @96; at x50 it "
-                    "amortizes to 21.0 vs 23.5).  A real cluster grows "
-                    "executors with partitions, keeping waves constant — "
-                    "which is what the fixed count reproduces.  No query "
-                    "overloads 32 partitions at x50 with the 28g heap "
-                    "(ngram 25.0 s, keep_list 19.7 s @32 — both FASTER "
-                    "than scaled)")
     ap.add_argument("--ngram-census", action="store_true",
                     help="record the df-capped candidate-expansion volume "
                     "at base and xN (evidence that expansion stays LINEAR "
@@ -460,22 +455,17 @@ def main() -> None:
         )
         big_t, big_n = _time_pack(spark, REGISTRY, pack, args.workdir, args.reps)
     else:
-        # the xN side keeps the core-count shuffle partitions by default:
-        # on a FIXED 32-core box, scaling partitions with the data scales
-        # task waves, and the measured wave overhead (minhash 21.3 s @96
-        # vs 11.5 s @32 at ×30) masquerades as a superlinear bend in the
-        # curve.  A real cluster grows executors alongside partitions so
-        # waves stay constant — fixed partitions reproduce that here.  The
-        # earlier "33.2 s fixed vs 19.0 s scaled at ×50" number that
-        # justified scaling was taken BEFORE the adaptive warm-up landed
-        # (a cold first-run artifact); the settled medians go the other
-        # way at every factor (×50 ngram 25.0 @32 vs 30.2 @160).
-        xn_parts = max(32, 32 * args.factor // 10) if args.scale_partitions \
-            else None
+        # Both sides run the session default: a 256 shuffle-partition
+        # CEILING with AQE coalescing sizing every post-shuffle stage to
+        # ~64 MB at runtime (see session.get_spark).  One protocol at
+        # every factor — no per-factor knob — after round 8 measured both
+        # alternatives failing in opposite directions: a fixed core-count
+        # partition count is spill-borderline for the heaviest verify at
+        # ×50 (bimodal 25 s / 60 s run-to-run), while a count scaled with
+        # the data pays ~2× task-wave overhead at ×30 on this fixed
+        # 32-core box (minhash 21.3 s @96 vs 10.9 s @256 ceiling).
         base_t, base_n = _time_pack_isolated(pack, args.base_sf, args.reps)
-        big_t, big_n = _time_pack_isolated(
-            pack, args.workdir, args.reps, shuffle_partitions=xn_parts
-        )
+        big_t, big_n = _time_pack_isolated(pack, args.workdir, args.reps)
 
     queries = {
         q: {
@@ -588,10 +578,9 @@ def main() -> None:
         "factor": args.factor,
         "pack": args.pack,
         "isolation": "in-session" if args.in_session else "process-per-query",
-        "xn_shuffle_partitions": (
-            None if args.in_session else
-            (max(32, 32 * args.factor // 10) if args.scale_partitions else 32)
-        ),
+        # both sides: 256-ceiling + AQE coalescing (session default) —
+        # one protocol at every factor
+        "shuffle_partition_ceiling": 256,
         "base_sf": args.base_sf,
         "synth_sec": synth_sec,
         "row_counts": counts,
