@@ -442,7 +442,9 @@ class Warehouse:
         writer_df = self._prep(table, df).localCheckpoint(eager=True)
         writer_df.write.mode("overwrite").parquet(self.path(table))
 
-    def compact(self, table: str, retain_old: bool = False) -> int:
+    def compact(
+        self, table: str, retain_old: bool = False, ttl_older_than=None
+    ) -> int:
         """Small-file compaction — the engine's analog of MergeTree background
         merges (streaming foreachBatch appends one file set per micro-batch;
         ClickHouse merges parts the same way, SURVEY.md S3/S4).  Returns the
@@ -478,15 +480,27 @@ class Warehouse:
                     man = self._bootstrap_manifest(table)
                     man["version"] = 1
                     self._write_manifest(table, man)
+        ttl_cond = None
+        if ttl_older_than is not None:
+            # TTL folded into the merge — ClickHouse applies TTL exactly
+            # here, when a merge rewrites parts anyway (zero extra passes)
+            import datetime
+
+            cutoff = ttl_older_than
+            if isinstance(cutoff, str):
+                cutoff = datetime.datetime.fromisoformat(cutoff)
+            ttl_cond = F.col("event_ts") >= F.lit(cutoff)
         man = self.load_manifest(table)
         if man is not None:
-            return self._compact_manifest(table, man, retain_old)
+            return self._compact_manifest(table, man, retain_old, ttl_cond)
 
         # -- plain layout: staging + rename swap (single-writer) -----------
         # go through read(): on a migrated table it reads with the declared
         # schema — a raw inferred read over mixed pre/post-ALTER files could
         # adopt an old file's schema and silently drop the added column
         df = self.read(table)
+        if ttl_cond is not None:
+            df = df.filter(ttl_cond)
         staging = self.path(f".{table}.compact-{uuid.uuid4().hex[:8]}")
         self._write_compacted(table, df, staging)
         final = self.path(table)
@@ -513,7 +527,7 @@ class Warehouse:
             df.coalesce(1).write.mode("overwrite").parquet(target)
 
     def _compact_manifest(
-        self, table: str, man: dict, retain_old: bool
+        self, table: str, man: dict, retain_old: bool, ttl_cond=None
     ) -> int:
         import shutil
         import uuid
@@ -522,9 +536,12 @@ class Warehouse:
         if not snapshot:
             return 0
         new_member = f"compacted-{uuid.uuid4().hex[:8]}"
+        merged = self._read_members(table, snapshot)
+        if ttl_cond is not None:
+            merged = merged.filter(ttl_cond)
         self._write_compacted(
             table,
-            self._read_members(table, snapshot),
+            merged,
             os.path.join(self.path(table), new_member),
         )
         with self._manifest_lock(table):
@@ -545,6 +562,311 @@ class Warehouse:
             self._count_parquet(os.path.join(self.path(table), m))
             for m in live
         )
+
+    # -- mutations (ALTER TABLE … DELETE / UPDATE / DROP PARTITION, TTL) ----
+    #
+    # ClickHouse mutations rewrite only the PARTS that contain matching rows
+    # and commit by swapping the part set (clickhouse/init/01_bronze_tables
+    # MergeTree tables are mutated this way by ALTER … DELETE/UPDATE).  The
+    # manifest layout gives the same discipline: snapshot the live members,
+    # rewrite only members the predicate touches into new ``mutated-*``
+    # members, flip the pointer.  Appends landing mid-mutation register
+    # themselves and survive the flip; the ``committed_batches`` ledger is
+    # untouched, so exactly-once replay semantics survive mutations exactly
+    # as they survive compaction.  One maintenance writer (mutation OR
+    # compaction) at a time — the same discipline ClickHouse applies to
+    # merges/mutations owning parts.
+
+    def delete_where(
+        self, table: str, condition, retain_old: bool = False
+    ) -> dict:
+        """``ALTER TABLE … DELETE WHERE condition`` analog.  ``condition``
+        is a SQL expression string or Column selecting rows to DELETE.
+        Members with no matching rows are kept as-is (the match probe is a
+        count with the predicate pushed into the parquet scan, so row-group
+        stats skip untouched members cheaply).  Returns
+        ``{"rows_deleted", "members_rewritten", "members_kept"}``."""
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        return self._mutate(table, cond, None, retain_old)
+
+    def update_set(
+        self,
+        table: str,
+        assignments: dict[str, object],
+        condition,
+        retain_old: bool = False,
+    ) -> dict:
+        """``ALTER TABLE … UPDATE col = expr, … WHERE condition`` analog.
+        ``assignments`` maps column name → SQL expression string or Column;
+        rows matching ``condition`` get the new values, other rows pass
+        through unchanged.  Returns ``{"rows_updated", "members_rewritten",
+        "members_kept"}``."""
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        return self._mutate(table, cond, assignments, retain_old)
+
+    def _mutate(
+        self,
+        table: str,
+        cond,
+        assignments: dict[str, object] | None,
+        retain_old: bool,
+    ) -> dict:
+        import shutil
+        import uuid
+
+        verb = "rows_updated" if assignments is not None else "rows_deleted"
+        if not self.exists(table):
+            return {verb: 0, "members_rewritten": 0, "members_kept": 0}
+        if assignments:
+            missing = [
+                c for c in assignments if c not in self.read(table).columns
+            ]
+            if missing:
+                raise ValueError(
+                    f"UPDATE of {table!r} assigns unknown columns {missing}"
+                )
+
+        def rewrite(df: DataFrame, target: str) -> None:
+            if assignments is None:
+                out = df.filter(~cond)
+            else:
+                sets = {
+                    k: F.expr(v) if isinstance(v, str) else v
+                    for k, v in assignments.items()
+                }
+                out = df.select(
+                    *[
+                        F.when(cond, sets[c]).otherwise(F.col(c)).alias(c)
+                        if c in sets
+                        else F.col(c)
+                        for c in df.columns
+                    ]
+                )
+            self._write_compacted(table, out, target)
+
+        man = self.load_manifest(table)
+        if man is None and self._batch_layout(table):
+            with self._manifest_lock(table):
+                if self.load_manifest(table) is None:
+                    boot = self._bootstrap_manifest(table)
+                    boot["version"] = 1
+                    self._write_manifest(table, boot)
+            man = self.load_manifest(table)
+
+        if man is None:
+            # plain layout: single-writer staging + rename swap (compact's)
+            df = self.read(table)
+            n = df.filter(cond).count()
+            if n == 0:
+                return {verb: 0, "members_rewritten": 0, "members_kept": 1}
+            staging = self.path(f".{table}.mutate-{uuid.uuid4().hex[:8]}")
+            rewrite(df, staging)
+            final = self.path(table)
+            backup = self.path(f".{table}.old-{uuid.uuid4().hex[:8]}")
+            os.rename(final, backup)
+            try:
+                os.rename(staging, final)
+            except BaseException:
+                os.rename(backup, final)
+                raise
+            shutil.rmtree(backup)
+            return {verb: n, "members_rewritten": 1, "members_kept": 0}
+
+        # manifest layout: rewrite ONLY affected members, flip the pointer
+        snapshot = list(man["members"])
+        rewritten: dict[str, str | None] = {}
+        total = 0
+        for m in snapshot:
+            mdf = self._read_members(table, [m])
+            n = mdf.filter(cond).count()
+            if n == 0:
+                continue
+            total += n
+            new_member = f"mutated-{uuid.uuid4().hex[:8]}"
+            target = os.path.join(self.path(table), new_member)
+            rewrite(mdf, target)
+            if self._count_parquet(target) == 0:
+                # a DELETE matched every row of the member: drop the member
+                # instead of keeping an empty parquet dir (unreadable)
+                shutil.rmtree(target, ignore_errors=True)
+                rewritten[m] = None
+            else:
+                rewritten[m] = new_member
+        if not rewritten:
+            return {verb: 0, "members_rewritten": 0,
+                    "members_kept": len(snapshot)}
+        with self._manifest_lock(table):
+            cur = self.load_manifest(table)
+            members = []
+            for m in cur["members"]:
+                if m not in rewritten:
+                    members.append(m)
+                elif rewritten[m] is not None:
+                    members.append(rewritten[m])
+            cur["members"] = members
+            cur["version"] += 1
+            self._write_manifest(table, cur)
+        if not retain_old:
+            for m in rewritten:
+                shutil.rmtree(
+                    os.path.join(self.path(table), m), ignore_errors=True
+                )
+        return {
+            verb: total,
+            "members_rewritten": len(rewritten),
+            "members_kept": len(snapshot) - len(rewritten),
+        }
+
+    def drop_partition(self, table: str, date, retain_old: bool = False) -> int:
+        """``ALTER TABLE … DROP PARTITION`` analog — remove one
+        ``event_date`` partition WITHOUT scanning or rewriting rows.  Each
+        affected member is replaced by a hardlink clone excluding the
+        dropped partition directory (metadata-only, O(files) not O(rows) —
+        the reason ClickHouse DROP PARTITION is instant at any size), and
+        the pointer flips.  Returns the number of members affected."""
+        import shutil
+        import uuid
+
+        if not self.exists(table):
+            return 0
+        part = f"event_date={date}"
+        man = self.load_manifest(table)
+        if man is None and self._batch_layout(table):
+            with self._manifest_lock(table):
+                if self.load_manifest(table) is None:
+                    boot = self._bootstrap_manifest(table)
+                    boot["version"] = 1
+                    self._write_manifest(table, boot)
+            man = self.load_manifest(table)
+
+        def clone_excluding(src: str, dst: str) -> bool:
+            """Hardlink every data file of ``src`` into ``dst`` except those
+            under the dropped partition.  True when dst has any data."""
+            kept = False
+            for root, _dirs, files in os.walk(src):
+                rel = os.path.relpath(root, src)
+                if part in rel.split(os.sep):
+                    continue
+                for f in files:
+                    if f.startswith("."):
+                        continue
+                    d = os.path.join(dst, rel)
+                    os.makedirs(d, exist_ok=True)
+                    os.link(os.path.join(root, f), os.path.join(d, f))
+                    if f.endswith(".parquet"):
+                        kept = True
+            return kept
+
+        if man is None:
+            src = self.path(table)
+            if not os.path.isdir(os.path.join(src, part)):
+                return 0
+            staging = self.path(f".{table}.drop-{uuid.uuid4().hex[:8]}")
+            os.makedirs(staging, exist_ok=True)
+            clone_excluding(src, staging)
+            backup = self.path(f".{table}.old-{uuid.uuid4().hex[:8]}")
+            os.rename(src, backup)
+            try:
+                os.rename(staging, src)
+            except BaseException:
+                os.rename(backup, src)
+                raise
+            shutil.rmtree(backup)
+            return 1
+
+        snapshot = list(man["members"])
+        replaced: dict[str, str | None] = {}
+        for m in snapshot:
+            src = os.path.join(self.path(table), m)
+            if not os.path.isdir(os.path.join(src, part)):
+                continue
+            new_member = f"mutated-{uuid.uuid4().hex[:8]}"
+            dst = os.path.join(self.path(table), new_member)
+            os.makedirs(dst, exist_ok=True)
+            has_data = clone_excluding(src, dst)
+            if not has_data:
+                shutil.rmtree(dst, ignore_errors=True)
+                replaced[m] = None  # member was entirely the dropped partition
+            else:
+                replaced[m] = new_member
+        if not replaced:
+            return 0
+        with self._manifest_lock(table):
+            cur = self.load_manifest(table)
+            members = []
+            for m in cur["members"]:
+                if m not in replaced:
+                    members.append(m)
+                elif replaced[m] is not None:
+                    members.append(replaced[m])
+            cur["members"] = members
+            cur["version"] += 1
+            self._write_manifest(table, cur)
+        if not retain_old:
+            for m in replaced:
+                shutil.rmtree(
+                    os.path.join(self.path(table), m), ignore_errors=True
+                )
+        return len(replaced)
+
+    def apply_ttl(
+        self, table: str, older_than, ttl_col: str = "event_ts"
+    ) -> dict:
+        """Row TTL — ClickHouse ``TTL event_ts + INTERVAL …`` applied as a
+        maintenance pass (CH applies TTL during merges; ``compact`` accepts
+        the same cutoff via ``ttl_older_than`` to fold it into a merge).
+
+        Fast path first (``ttl_only_drop_parts`` analog): every
+        ``event_date`` partition STRICTLY before the cutoff's date is
+        dropped via the metadata-only ``drop_partition`` — no scan, no
+        rewrite.  Only the boundary date (which mixes expired and live rows)
+        goes through the row-level ``delete_where`` rewrite.  Returns
+        ``{"partitions_dropped", "rows_deleted"}``."""
+        import datetime
+
+        cutoff = older_than
+        if isinstance(cutoff, str):
+            cutoff = datetime.datetime.fromisoformat(cutoff)
+        cutoff_date = cutoff.date()
+        dropped = 0
+        if table in _PARTITIONED_SORT or self._has_date_dirs(table):
+            for d in self._partition_dates(table):
+                if d < cutoff_date:
+                    dropped += self.drop_partition(table, d)
+        res = self.delete_where(table, F.col(ttl_col) < F.lit(cutoff))
+        return {"partitions_dropped": dropped,
+                "rows_deleted": res["rows_deleted"]}
+
+    def _has_date_dirs(self, table: str) -> bool:
+        return bool(self._partition_dates(table))
+
+    def _partition_dates(self, table: str) -> list:
+        """Distinct ``event_date`` partition values present on disk (from
+        directory names — no data scan)."""
+        import datetime
+
+        dates: set = set()
+        root = self.path(table)
+        if not os.path.isdir(root):
+            return []
+        man = self.load_manifest(table)
+        roots = (
+            [os.path.join(root, m) for m in man["members"]]
+            if man is not None
+            else [root]
+        )
+        for r in roots:
+            if not os.path.isdir(r):
+                continue
+            for e in os.listdir(r):
+                if e.startswith("event_date="):
+                    try:
+                        dates.add(
+                            datetime.date.fromisoformat(e.split("=", 1)[1])
+                        )
+                    except ValueError:
+                        pass
+        return sorted(dates)
 
     def gc(self, table: str, min_age_sec: float = 3600.0) -> list[str]:
         """Sweep data directories no RETAINED manifest version references —
@@ -581,9 +903,7 @@ class Warehouse:
                     or e in referenced
                 ):
                     continue
-                if not (
-                    e.startswith("ingest_batch=") or e.startswith("compacted-")
-                ):
+                if not e.startswith(("ingest_batch=", "compacted-", "mutated-")):
                     continue
                 try:
                     age = now - os.path.getmtime(full)

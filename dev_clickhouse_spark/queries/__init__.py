@@ -6,9 +6,11 @@ from . import (  # noqa: F401
     behavioral,
     extended,
     gold_star,
+    mutation_parity,
     relational,
     sql_api,
     state_rollup,
+    stats_parity,
     subquery_range,
     tpch_rest,
 )

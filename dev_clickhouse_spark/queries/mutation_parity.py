@@ -1,0 +1,71 @@
+"""Driver-gated evidence row for the mutation surface (round 8).
+
+ClickHouse maintains MergeTree tables with ``ALTER TABLE … DELETE/UPDATE``
+mutations (the reference runs point ALTERs against live tables, e.g.
+scripts/alter_bronze_timezone_asia_jakarta.sql); plans/warehouse.py
+implements them as part-swap rewrites of only the affected manifest
+members.  This query runs a real DELETE + UPDATE against a scratch
+manifest-layout warehouse built from the events table and aggregates the
+survivors — the DuckDB oracle replays the same mutations as a filter +
+CASE over the ORIGINAL parquet, so a wrong row deleted, a missed update,
+or a replay-ledger regression all flip the value hash.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.ch_compat import round_half_up as rnd
+from ..io import load_table
+from ..plans.warehouse import Warehouse
+from .registry import register
+
+
+@register(
+    "mutation_delete_update_stats",
+    oracle="""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS cnt,
+       floor(sum(CASE WHEN event_type = 'purchase' THEN "value" * 2
+                      ELSE "value" END) * 100 + 0.5) / 100 AS sum_value
+FROM events
+WHERE NOT (event_type = 'click' AND "value" < 5.0)
+GROUP BY event_type
+""",
+    tags=["clickhouse-parity", "mutations"],
+)
+def mutation_delete_update_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``ALTER TABLE … DELETE / UPDATE`` end-to-end: copy events into a
+    scratch manifest-layout table (two batch appends), DELETE cheap clicks,
+    UPDATE purchase values ×2, read the mutated table back and aggregate.
+    The mutations rewrite only affected members and flip the version
+    pointer (plans/warehouse.py::delete_where/update_set); the oracle
+    replays both mutations declaratively over the original parquet."""
+    ev = load_table(spark, sf_dir, "events")
+    scratch = os.path.join(
+        tempfile.gettempdir(),
+        "dcs_mutation_parity_"
+        + hashlib.md5(sf_dir.encode()).hexdigest()[:10],
+    )
+    shutil.rmtree(scratch, ignore_errors=True)
+    wh = Warehouse(spark, scratch)
+    t = "mut_events"
+    # two appends so the DELETE exercises the affected-member-only rewrite
+    wh.append(t, ev.filter(F.col("event_id") % 2 == 0), batch_id=0)
+    wh.append(t, ev.filter(F.col("event_id") % 2 == 1), batch_id=1)
+    wh.delete_where(t, "event_type = 'click' AND value < 5.0")
+    wh.update_set(t, {"value": "value * 2"}, "event_type = 'purchase'")
+    return (
+        wh.read(t)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            rnd(F.sum("value"), 2).alias("sum_value"),
+        )
+    )

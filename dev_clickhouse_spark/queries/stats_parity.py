@@ -1,0 +1,411 @@
+"""ClickHouse statistical / timeseries aggregate parity (round 8).
+
+Functions a ClickHouse user reaches for that had no counterpart yet:
+``entropy``, ``maxIntersections``/``maxIntersectionsPosition``,
+``avgWeighted``, ``minMap``/``maxMap``, ``exponentialMovingAverage``,
+``welchTTest``/``studentTTest``, ``cramersV``.  Each follows the registry
+conventions: identical aliases both engines, exact DECIMAL power sums where
+a double sum's ordering could diverge cross-engine, floor-form rounding.
+
+All are single-shuffle group-bys or grid-sized folds — nothing here grows
+driver state or per-row Python at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.ch_compat import round_half_up as rnd
+from ..io import load_table
+from .registry import register
+
+
+@register(
+    "entropy_daily_event_types",
+    oracle="""
+SELECT CAST(ts AS DATE) AS day,
+       floor(entropy(event_type) * 1000000 + 0.5) / 1000000 AS type_entropy
+FROM events
+GROUP BY CAST(ts AS DATE)
+""",
+    tags=["clickhouse-parity", "entropy"],
+)
+def entropy_daily_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``entropy(x)`` parity: Shannon entropy (log2) of the
+    event_type distribution per day.  Spark-first: one (day, type) count
+    aggregate, then p·log2(p) folded per day — two narrow shuffles whose
+    second input is |days|×|types| rows, never raw data.  DuckDB's native
+    ``entropy`` aggregate is the oracle."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy(
+        F.to_date("ts").alias("day"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("day")
+    p = F.col("c") / F.sum("c").over(w)
+    return (
+        counts.withColumn("plogp", -p * F.log2(p))
+        .groupBy("day")
+        .agg(rnd(F.sum("plogp"), 6).alias("type_entropy"))
+    )
+
+
+@register(
+    "max_intersections_sessions",
+    oracle="""
+WITH pts AS (
+  SELECT event_type, ts AS t, 1 AS delta FROM events
+  UNION ALL
+  SELECT event_type, ts + INTERVAL 1 HOUR AS t, -1 AS delta FROM events
+),
+run AS (
+  SELECT event_type, t, delta,
+         CAST(sum(delta) OVER (
+           PARTITION BY event_type ORDER BY t, delta
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS concurrent
+  FROM pts
+),
+mx AS (SELECT event_type, max(concurrent) AS max_intersections FROM run
+       GROUP BY event_type)
+SELECT run.event_type, mx.max_intersections,
+       strftime(min(run.t), '%Y-%m-%d %H:%M:%S.%f') AS first_peak_ts
+FROM run JOIN mx ON run.event_type = mx.event_type
+               AND run.concurrent = mx.max_intersections
+GROUP BY run.event_type, mx.max_intersections
+""",
+    tags=["clickhouse-parity", "max-intersections"],
+)
+def max_intersections_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``maxIntersections`` / ``maxIntersectionsPosition``
+    parity: treating each event as a 1-hour interval ``[ts, ts+1h)``, the
+    maximum number of simultaneously open intervals per event_type and the
+    earliest instant that peak is reached.  Classic +1/−1 sweep: endpoints
+    become deltas, a running sum counts open intervals (ties order −1
+    before +1 so half-open touching intervals don't intersect), max over
+    the run.  One window shuffle on (event_type); integer arithmetic, so
+    no cross-engine FP concern."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts")
+    pts = ev.select(
+        "event_type", F.col("ts").alias("t"), F.lit(1).alias("delta")
+    ).unionAll(
+        ev.select(
+            "event_type",
+            (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("t"),
+            F.lit(-1).alias("delta"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("t", "delta")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = pts.withColumn("concurrent", F.sum("delta").over(w).cast("long"))
+    mx = run.groupBy("event_type").agg(
+        F.max("concurrent").alias("max_intersections")
+    ).withColumnRenamed("event_type", "et")
+    return (
+        run.join(
+            F.broadcast(mx),
+            (F.col("event_type") == F.col("et"))
+            & (F.col("concurrent") == F.col("max_intersections")),
+        )
+        .groupBy("event_type", "max_intersections")
+        .agg(
+            F.date_format(F.min("t"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            .alias("first_peak_ts")
+        )
+    )
+
+
+@register(
+    "avg_weighted_price_by_flag",
+    oracle="""
+SELECT l_returnflag,
+       floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(19,4))
+                    * CAST(l_quantity AS DECIMAL(19,4))) AS DOUBLE)
+             / CAST(sum(CAST(l_quantity AS DECIMAL(19,4))) AS DOUBLE)
+             * 1000000 + 0.5) / 1000000 AS avg_weighted_price,
+       floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(19,4))
+                    * CAST(l_discount AS DECIMAL(19,4))) AS DOUBLE)
+             / CAST(sum(CAST(l_discount AS DECIMAL(19,4))) AS DOUBLE)
+             * 1000000 + 0.5) / 1000000 AS avg_weighted_by_discount
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    tags=["clickhouse-parity", "avg-weighted"],
+)
+def avg_weighted_price_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``avgWeighted(x, w)`` parity: quantity- and
+    discount-weighted mean price per return flag — sum(x·w)/sum(w) from
+    exact DECIMAL sums (order-independent, so both engines divide identical
+    doubles; see stats_moments_by_returnflag for the width asymmetry)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = F.col("l_extendedprice").cast("decimal(12,4)")
+    q = F.col("l_quantity").cast("decimal(12,4)")
+    d = F.col("l_discount").cast("decimal(12,4)")
+    return li.groupBy("l_returnflag").agg(
+        rnd(
+            F.sum(p * q).cast("double") / F.sum(q).cast("double"), 6
+        ).alias("avg_weighted_price"),
+        rnd(
+            F.sum(p * d).cast("double") / F.sum(d).cast("double"), 6
+        ).alias("avg_weighted_by_discount"),
+    )
+
+
+@register(
+    "min_max_map_user_event_values",
+    oracle="""
+SELECT user_id,
+       string_agg(event_type || ':' || lo || ':' || hi,
+                  ',' ORDER BY event_type) AS minmax_map
+FROM (SELECT user_id, event_type,
+             printf('%.2f', min("value")) AS lo,
+             printf('%.2f', max("value")) AS hi
+      FROM events GROUP BY user_id, event_type)
+GROUP BY user_id
+""",
+    tags=["clickhouse-parity", "min-max-map"],
+)
+def min_max_map_user_event_values(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ClickHouse ``minMap`` / ``maxMap`` parity (completing the Map
+    combinator family next to ``sumMap``): per user, a map keyed by
+    event_type holding the key-wise min and max value.  Same Spark-first
+    shape as sumMap — (user, key) group-by, never wide per-row map state —
+    folded to canonical sorted 'k:min:max' entries.  min/max pass original
+    doubles through unchanged, so the %.2f rendering is bit-stable
+    cross-engine."""
+    ev = load_table(spark, sf_dir, "events")
+    per_key = ev.groupBy("user_id", "event_type").agg(
+        F.min("value").alias("lo"), F.max("value").alias("hi")
+    )
+    entry = F.concat_ws(
+        ":",
+        F.col("event_type"),
+        F.format_string("%.2f", F.col("lo")),
+        F.format_string("%.2f", F.col("hi")),
+    )
+    return (
+        per_key.select("user_id", entry.alias("e"))
+        .groupBy("user_id")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("e")), ",")
+            .alias("minmax_map")
+        )
+    )
+
+
+@register(
+    "ema_daily_order_totals",
+    oracle="""
+WITH RECURSIVE daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(19,4))) AS DOUBLE) AS total
+  FROM orders GROUP BY CAST(o_orderdate AS DATE)
+),
+idx AS (SELECT day, total, row_number() OVER (ORDER BY day) AS i FROM daily),
+rec AS (
+  SELECT i, day, total, total AS ema FROM idx WHERE i = 1
+  UNION ALL
+  SELECT idx.i, idx.day, idx.total,
+         0.3 * idx.total + 0.7 * rec.ema
+  FROM idx JOIN rec ON idx.i = rec.i + 1
+)
+SELECT day, floor(ema * 10000 + 0.5) / 10000 AS ema_total
+FROM rec
+""",
+    tags=["clickhouse-parity", "ema"],
+)
+def ema_daily_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``exponentialMovingAverage`` parity: EMA (α = 0.3) over
+    the daily order-total series, seeded with the first day's total.
+
+    A recurrence is inherently sequential, but the SERIES is grid-sized
+    (one row per day — ~2.4k days at any sf), so the right distributed
+    shape is: data-sized DECIMAL aggregate to daily totals (exact, so both
+    engines fold identical doubles), then ONE grid-sized fold inside an
+    ``aggregate`` expression over the sorted array — never a driver-side
+    loop over collected raw rows.  The fold's arithmetic
+    (0.3·x + 0.7·ema) is spelled identically in the DuckDB recursive-CTE
+    oracle, so the doubles match bit-for-bit before rounding."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(12,4)"))
+        .cast("double")
+        .alias("total")
+    )
+    series = daily.groupBy().agg(
+        F.array_sort(F.collect_list(F.struct("day", "total"))).alias("s")
+    )
+    folded = series.select(
+        F.expr(
+            """
+            aggregate(
+              slice(s, 2, size(s) - 1),
+              struct(s[0].total AS ema,
+                     array(struct(s[0].day AS day, s[0].total AS ema)) AS out),
+              (acc, x) -> struct(
+                0.3 * x.total + 0.7 * acc.ema AS ema,
+                array_append(acc.out,
+                  struct(x.day AS day, 0.3 * x.total + 0.7 * acc.ema AS ema))
+                  AS out),
+              acc -> acc.out
+            )
+            """
+        ).alias("out")
+    )
+    e = F.explode("out").alias("e")
+    return folded.select(e).select(
+        F.col("e.day").alias("day"), rnd(F.col("e.ema"), 4).alias("ema_total")
+    )
+
+
+@register(
+    "welch_ttest_price_by_flag",
+    oracle="""
+WITH s AS (
+  SELECT l_returnflag,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(19,4))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(19,4))
+                * CAST(l_extendedprice AS DECIMAL(19,4))) AS DOUBLE) AS sxx
+  FROM lineitem WHERE l_returnflag IN ('A', 'R')
+  GROUP BY l_returnflag
+),
+ab AS (
+  SELECT max(CASE WHEN l_returnflag = 'A' THEN n END)   AS n1,
+         max(CASE WHEN l_returnflag = 'A' THEN sx END)  AS sx1,
+         max(CASE WHEN l_returnflag = 'A' THEN sxx END) AS sxx1,
+         max(CASE WHEN l_returnflag = 'R' THEN n END)   AS n2,
+         max(CASE WHEN l_returnflag = 'R' THEN sx END)  AS sx2,
+         max(CASE WHEN l_returnflag = 'R' THEN sxx END) AS sxx2
+  FROM s
+)
+SELECT n1, n2,
+       floor((sx1 / n1 - sx2 / n2)
+             / sqrt(((sxx1 - sx1 * sx1 / n1) / (n1 - 1)) / n1
+                  + ((sxx2 - sx2 * sx2 / n2) / (n2 - 1)) / n2)
+             * 1000000 + 0.5) / 1000000 AS welch_t,
+       floor(
+         (((sxx1 - sx1 * sx1 / n1) / (n1 - 1)) / n1
+        + ((sxx2 - sx2 * sx2 / n2) / (n2 - 1)) / n2)
+         * (((sxx1 - sx1 * sx1 / n1) / (n1 - 1)) / n1
+          + ((sxx2 - sx2 * sx2 / n2) / (n2 - 1)) / n2)
+         / ((((sxx1 - sx1 * sx1 / n1) / (n1 - 1)) / n1)
+            * (((sxx1 - sx1 * sx1 / n1) / (n1 - 1)) / n1) / (n1 - 1)
+          + (((sxx2 - sx2 * sx2 / n2) / (n2 - 1)) / n2)
+            * (((sxx2 - sx2 * sx2 / n2) / (n2 - 1)) / n2) / (n2 - 1))
+         * 10000 + 0.5) / 10000 AS welch_df
+FROM ab
+""",
+    tags=["clickhouse-parity", "ttest"],
+)
+def welch_ttest_price_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``welchTTest(x, g)`` parity: Welch's t statistic and
+    Welch–Satterthwaite degrees of freedom comparing l_extendedprice
+    between return flags A and R.  Derived entirely from exact DECIMAL
+    power sums (n, Σx, Σx²) per group — one map-side-combined aggregate
+    over the data, then a 2-row closed form; both engines evaluate the
+    identical formula on identical doubles.  (The p-value needs the
+    incomplete beta function — not SQL-expressible — so the gate pins the
+    statistic and df, which determine it.)"""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag").isin("A", "R")
+    )
+    x = F.col("l_extendedprice").cast("decimal(12,4)")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(x * x).cast("double").alias("sxx"),
+    )
+    ab = s.groupBy().agg(
+        F.max(F.when(F.col("l_returnflag") == "A", F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("l_returnflag") == "A", F.col("sx"))).alias("sx1"),
+        F.max(F.when(F.col("l_returnflag") == "A", F.col("sxx"))).alias("sxx1"),
+        F.max(F.when(F.col("l_returnflag") == "R", F.col("n"))).alias("n2"),
+        F.max(F.when(F.col("l_returnflag") == "R", F.col("sx"))).alias("sx2"),
+        F.max(F.when(F.col("l_returnflag") == "R", F.col("sxx"))).alias("sxx2"),
+    )
+    n1, sx1, sxx1 = F.col("n1"), F.col("sx1"), F.col("sxx1")
+    n2, sx2, sxx2 = F.col("n2"), F.col("sx2"), F.col("sxx2")
+    se1 = ((sxx1 - sx1 * sx1 / n1) / (n1 - 1)) / n1
+    se2 = ((sxx2 - sx2 * sx2 / n2) / (n2 - 1)) / n2
+    t = (sx1 / n1 - sx2 / n2) / F.sqrt(se1 + se2)
+    df = (se1 + se2) * (se1 + se2) / (
+        se1 * se1 / (n1 - 1) + se2 * se2 / (n2 - 1)
+    )
+    return ab.select(
+        "n1", "n2",
+        rnd(t, 6).alias("welch_t"),
+        rnd(df, 4).alias("welch_df"),
+    )
+
+
+@register(
+    "cramers_v_type_bucket",
+    oracle="""
+WITH obs AS (
+  SELECT event_type, user_id % 8 AS bucket,
+         CAST(count(*) AS DOUBLE) AS o
+  FROM events GROUP BY event_type, user_id % 8
+),
+margins AS (
+  SELECT event_type, sum(o) OVER (PARTITION BY event_type) AS row_tot,
+         sum(o) OVER (PARTITION BY bucket) AS col_tot,
+         sum(o) OVER () AS n, o, bucket
+  FROM obs
+),
+chi AS (
+  SELECT max(n) AS n,
+         sum((o - row_tot * col_tot / n) * (o - row_tot * col_tot / n)
+             / (row_tot * col_tot / n)) AS chi2,
+         count(DISTINCT event_type) AS r, count(DISTINCT bucket) AS c
+  FROM margins
+)
+SELECT floor(chi2 * 1000000 + 0.5) / 1000000 AS chi2,
+       floor(sqrt(chi2 / (n * (least(r, c) - 1))) * 1000000 + 0.5) / 1000000
+         AS cramers_v
+FROM chi
+""",
+    tags=["clickhouse-parity", "cramers-v"],
+)
+def cramers_v_type_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``cramersV(a, b)`` parity (+ the χ² it derives from):
+    association between event_type and a user-id hash bucket.  One
+    contingency-count aggregate (data-sized, one shuffle), then margins and
+    χ² over the |types|×|buckets| grid — the heavy lifting is the count
+    group-by; everything after is grid-sized.  χ² sums 40 doubles, so 6dp
+    rounding absorbs cross-engine summation order."""
+    ev = load_table(spark, sf_dir, "events")
+    obs = ev.groupBy(
+        "event_type", (F.col("user_id") % 8).alias("bucket")
+    ).agg(F.count(F.lit(1)).cast("double").alias("o"))
+    wr = Window.partitionBy("event_type")
+    wc = Window.partitionBy("bucket")
+    wn = Window.partitionBy()
+    m = obs.select(
+        "event_type", "bucket", "o",
+        F.sum("o").over(wr).alias("row_tot"),
+        F.sum("o").over(wc).alias("col_tot"),
+        F.sum("o").over(wn).alias("n"),
+    )
+    e = F.col("row_tot") * F.col("col_tot") / F.col("n")
+    chi = m.groupBy().agg(
+        F.max("n").alias("n"),
+        F.sum((F.col("o") - e) * (F.col("o") - e) / e).alias("chi2"),
+        F.countDistinct("event_type").alias("r"),
+        F.countDistinct("bucket").alias("c"),
+    )
+    return chi.select(
+        rnd(F.col("chi2"), 6).alias("chi2"),
+        rnd(
+            F.sqrt(
+                F.col("chi2")
+                / (F.col("n") * (F.least(F.col("r"), F.col("c")) - 1))
+            ),
+            6,
+        ).alias("cramers_v"),
+    )

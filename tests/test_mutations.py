@@ -1,0 +1,219 @@
+"""Mutations: ALTER TABLE … DELETE / UPDATE, DROP PARTITION, row TTL.
+
+ClickHouse mutations rewrite only the parts whose rows match and commit by
+swapping the part set (reference MergeTree tables are maintained with
+ALTER … DELETE/UPDATE, e.g. scripts/alter_bronze_timezone_asia_jakarta.sql
+runs point ALTERs against live tables); DROP PARTITION and
+``ttl_only_drop_parts`` remove whole partitions without reading a row.
+The manifest layout reproduces all of it: affected members → new
+``mutated-*`` members, pointer flip, ledger untouched.
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from dev_clickhouse_spark.plans.warehouse import Warehouse
+
+
+def _mk_events(spark, day_rows):
+    """day_rows: {day_int: n_rows}; event_ts = 2024-01-<day> 12:00 + i sec."""
+    rows = []
+    for day, n in day_rows.items():
+        for i in range(n):
+            rows.append(
+                (
+                    f"ev-{day}-{i}",
+                    datetime.datetime(2024, 1, day, 12, 0, i),
+                    "suricata",
+                    f"sensor-{i % 3}",
+                    "alert",
+                    "high" if i % 2 else "low",
+                    f"10.0.0.{i % 5}",
+                    "10.1.0.1",
+                    1000 + i,
+                    443,
+                    "tcp",
+                    100 + i,
+                    3,
+                    f"flow-{i}",
+                    "sig",
+                    7,
+                    "cat",
+                    "allowed",
+                    None,
+                    ["t1"],
+                    "msg",
+                    "{}",
+                )
+            )
+    from dev_clickhouse_spark.schemas import BRONZE_SCHEMAS
+
+    return spark.createDataFrame(rows, BRONZE_SCHEMAS["suricata_events_raw"])
+
+
+@pytest.fixture()
+def wh(spark, tmp_path):
+    return Warehouse(spark, str(tmp_path / "wh"))
+
+
+def test_delete_where_manifest_rewrites_only_affected_members(spark, wh):
+    t = "suricata_events_raw"
+    wh.append(t, _mk_events(spark, {1: 6}), batch_id=1)
+    wh.append(t, _mk_events(spark, {2: 6}), batch_id=2)
+    before = wh.read(t).count()
+    res = wh.delete_where(t, "event_date = DATE'2024-01-02' AND severity = 'high'")
+    assert res["rows_deleted"] == 3
+    # only the batch containing 2024-01-02 rows was rewritten
+    assert res["members_rewritten"] == 1 and res["members_kept"] == 1
+    man = wh.load_manifest(t)
+    assert any(m.startswith("mutated-") for m in man["members"])
+    assert "ingest_batch=1" in man["members"]
+    assert wh.read(t).count() == before - 3
+    # the replay ledger is untouched: a replayed batch still skips
+    assert wh.batch_committed(t, 2)
+    wh.append(t, _mk_events(spark, {2: 6}), batch_id=2)  # replay → no-op
+    assert wh.read(t).count() == before - 3
+
+
+def test_update_set_applies_only_to_matching_rows(spark, wh):
+    t = "suricata_events_raw"
+    wh.append(t, _mk_events(spark, {1: 6}), batch_id=1)
+    res = wh.update_set(
+        t, {"severity": "'critical'", "dest_port": "dest_port + 1"},
+        "severity = 'high'",
+    )
+    assert res["rows_updated"] == 3
+    got = wh.read(t)
+    assert got.filter("severity = 'critical'").count() == 3
+    assert got.filter("severity = 'high'").count() == 0
+    # untouched rows keep their values
+    assert got.filter("severity = 'low' AND dest_port = 443").count() == 3
+    assert got.filter("dest_port = 444").count() == 3
+
+
+def test_update_unknown_column_refused(spark, wh):
+    t = "suricata_events_raw"
+    wh.append(t, _mk_events(spark, {1: 2}), batch_id=1)
+    with pytest.raises(ValueError, match="unknown columns"):
+        wh.update_set(t, {"nope": "1"}, "1=1")
+
+
+def test_delete_where_plain_layout(spark, wh):
+    t = "suricata_events_raw"
+    wh.append(t, _mk_events(spark, {1: 6}))
+    res = wh.delete_where(t, F.col("severity") == "high")
+    assert res["rows_deleted"] == 3
+    assert wh.read(t).filter("severity = 'high'").count() == 0
+    assert wh.read(t).count() == 3
+
+
+def test_delete_no_match_is_metadata_noop(spark, wh):
+    t = "suricata_events_raw"
+    wh.append(t, _mk_events(spark, {1: 4}), batch_id=1)
+    v0 = wh.load_manifest(t)["version"]
+    res = wh.delete_where(t, "severity = 'nonexistent'")
+    assert res["rows_deleted"] == 0 and res["members_rewritten"] == 0
+    assert wh.load_manifest(t)["version"] == v0  # no pointer flip
+
+
+def test_drop_partition_is_metadata_only(spark, wh):
+    t = "suricata_events_raw"
+    wh.append(t, _mk_events(spark, {1: 4, 2: 5}), batch_id=1)
+    wh.append(t, _mk_events(spark, {3: 2}), batch_id=2)
+    # capture inodes of a kept partition's files: a hardlink clone must NOT
+    # rewrite them (metadata-only guarantee)
+    member = "ingest_batch=1"
+    kept_dir = os.path.join(wh.path(t), member, "event_date=2024-01-01")
+    inodes_before = {
+        f: os.stat(os.path.join(kept_dir, f)).st_ino
+        for f in os.listdir(kept_dir)
+        if f.endswith(".parquet")
+    }
+    n = wh.drop_partition(t, "2024-01-02")
+    assert n == 1  # only batch 1 contained that date
+    got = wh.read(t)
+    assert got.filter("event_date = DATE'2024-01-02'").count() == 0
+    assert got.count() == 4 + 2
+    man = wh.load_manifest(t)
+    new_member = [m for m in man["members"] if m.startswith("mutated-")][0]
+    new_kept = os.path.join(wh.path(t), new_member, "event_date=2024-01-01")
+    inodes_after = {
+        f: os.stat(os.path.join(new_kept, f)).st_ino
+        for f in os.listdir(new_kept)
+        if f.endswith(".parquet")
+    }
+    assert inodes_after == inodes_before  # same files, hardlinked
+
+
+def test_drop_partition_entire_member_vanishes(spark, wh):
+    t = "suricata_events_raw"
+    wh.append(t, _mk_events(spark, {1: 3}), batch_id=1)
+    wh.append(t, _mk_events(spark, {2: 3}), batch_id=2)
+    assert wh.drop_partition(t, "2024-01-02") == 1
+    man = wh.load_manifest(t)
+    # batch 2 was ONLY the dropped date → member removed, not replaced
+    assert man["members"] == ["ingest_batch=1"]
+    assert wh.read(t).count() == 3
+    assert wh.batch_committed(t, 2)  # ledger still prevents replay
+
+
+def test_apply_ttl_drops_old_partitions_and_trims_boundary(spark, wh):
+    t = "suricata_events_raw"
+    wh.append(t, _mk_events(spark, {1: 4, 2: 4, 3: 4}), batch_id=1)
+    # cutoff mid-day on Jan 2: Jan 1 partition drops whole (fast path),
+    # Jan 2 is the boundary (rows at 12:00:00..03 → 2 before 12:00:02)
+    res = wh.apply_ttl(t, datetime.datetime(2024, 1, 2, 12, 0, 2))
+    assert res["partitions_dropped"] == 1
+    assert res["rows_deleted"] == 2  # boundary-day rows only
+    got = wh.read(t)
+    assert got.filter("event_date = DATE'2024-01-01'").count() == 0
+    assert got.filter("event_date = DATE'2024-01-02'").count() == 2
+    assert got.filter("event_date = DATE'2024-01-03'").count() == 4
+
+
+def test_compact_with_ttl_folds_expiry_into_merge(spark, wh):
+    t = "suricata_events_raw"
+    for b in range(3):
+        wh.append(t, _mk_events(spark, {b + 1: 3}), batch_id=b)
+    wh.compact(t, ttl_older_than=datetime.datetime(2024, 1, 2, 0, 0, 0))
+    got = wh.read(t)
+    assert got.filter("event_date = DATE'2024-01-01'").count() == 0
+    assert got.count() == 6
+    man = wh.load_manifest(t)
+    assert len(man["members"]) == 1  # merged
+
+
+def test_mutation_preserves_time_travel_with_retain_old(spark, wh):
+    t = "suricata_events_raw"
+    wh.append(t, _mk_events(spark, {1: 5}), batch_id=1)
+    v_before = wh.load_manifest(t)["version"]
+    wh.delete_where(t, "severity = 'high'", retain_old=True)
+    # pre-mutation snapshot still serves its exact member set
+    assert wh.read_at_version(t, v_before).count() == 5
+    assert wh.read(t).count() == 3
+
+
+def test_gc_sweeps_superseded_mutated_members(spark, wh):
+    t = "suricata_events_raw"
+    wh.append(t, _mk_events(spark, {1: 5}), batch_id=1)
+    wh.delete_where(t, "severity = 'high'", retain_old=True)
+    wh.delete_where(t, "severity = 'low'", retain_old=True)
+    # age out: prune retained versions by forcing flips past the keep window
+    with wh._manifest_lock(t):
+        man = wh.load_manifest(t)
+        man["version"] += Warehouse._MANIFEST_KEEP + 1
+        wh._write_manifest(t, man)
+    for e in os.listdir(wh.path(t)):
+        full = os.path.join(wh.path(t), e)
+        if os.path.isdir(full) and not e.startswith("_"):
+            os.utime(full, (0, 0))
+    swept = wh.gc(t, min_age_sec=0)
+    live = set(wh.load_manifest(t)["members"])
+    assert all(s not in live for s in swept)
+    assert any(s.startswith(("mutated-", "ingest_batch=")) for s in swept)
+    assert wh.read(t).count() == 0  # both severities deleted
