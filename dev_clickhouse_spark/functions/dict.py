@@ -1,0 +1,81 @@
+"""ClickHouse external-dictionary analog: ``dictGet`` as an expression.
+
+ClickHouse dictionaries pin a bounded dimension in every server's memory so
+``dictGet('dict', 'attr', key)`` is a hash lookup inside any expression —
+no join in the plan (the reference's stack is exactly the kind of consumer
+that layers dictionaries over small dims like nation/region).  The
+Spark-first equivalent for a BOUNDED dim is a literal ``MAP`` expression:
+built once from the dim, embedded in the plan, shipped to every executor
+with the task closure — Catalyst evaluates the lookup inside whole-stage
+codegen, and the scan side never shuffles.  For dims that scale with the
+data this is the WRONG tool (that's a broadcast/shuffle join, which the
+gold layer already uses); ``max_rows`` enforces the boundedness contract
+loudly instead of letting a 10M-row "dictionary" melt the driver.
+"""
+
+from __future__ import annotations
+
+from itertools import chain
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+class SparkDictionary:
+    """An in-plan dictionary built from a bounded dimension DataFrame.
+
+    >>> d = SparkDictionary(nation, "n_nationkey", ["n_name", "n_regionkey"])
+    >>> customers.select(d.get("n_name", F.col("c_nationkey")))
+
+    ``get`` returns a Column (a map-literal element_at), so it composes in
+    filters, projections, and aggregations exactly like ClickHouse's
+    ``dictGet`` — and ``getOrDefault`` mirrors ``dictGetOrDefault``.
+    """
+
+    #: dictionaries are for BOUNDED dims; beyond this, use a join
+    DEFAULT_MAX_ROWS = 100_000
+
+    def __init__(
+        self,
+        dim: DataFrame,
+        key_col: str,
+        attr_cols: list[str],
+        max_rows: int | None = None,
+    ):
+        limit = max_rows or self.DEFAULT_MAX_ROWS
+        # limit+1 bounds the collect itself: a runaway dim fetches one row
+        # past the contract, never the whole table
+        rows = dim.select(key_col, *attr_cols).limit(limit + 1).collect()
+        if len(rows) > limit:
+            raise ValueError(
+                f"dictionary source exceeds {limit} rows; a dim this size "
+                "should be a (broadcast) join, not an in-plan literal map"
+            )
+        self.key_col = key_col
+        self._maps: dict[str, Column] = {}
+        for attr in attr_cols:
+            pairs = [
+                (r[key_col], r[attr]) for r in rows if r[key_col] is not None
+            ]
+            if len({k for k, _ in pairs}) != len(pairs):
+                raise ValueError(
+                    f"dictionary key {key_col!r} is not unique in the source"
+                )
+            self._maps[attr] = F.create_map(
+                *[F.lit(x) for x in chain.from_iterable(pairs)]
+            )
+        self.n_keys = len(rows)
+
+    def get(self, attr: str, key) -> Column:
+        """``dictGet``: the attribute for ``key``, NULL when absent."""
+        key = F.col(key) if isinstance(key, str) else key
+        return F.element_at(self._maps[attr], key)
+
+    def get_or_default(self, attr: str, key, default) -> Column:
+        """``dictGetOrDefault``: absent keys yield ``default``."""
+        return F.coalesce(self.get(attr, key), F.lit(default))
+
+    def has(self, key) -> Column:
+        """``dictHas``: membership test against any attribute map."""
+        attr = next(iter(self._maps))
+        return self.get(attr, key).isNotNull()

@@ -345,6 +345,54 @@ def welch_ttest_price_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dict_get_customer_nations",
+    oracle="""
+SELECT r_name AS region_name, n_name AS nation_name,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       floor(sum(c_acctbal) * 100 + 0.5) / 100 AS total_acctbal
+FROM customer
+LEFT JOIN nation ON c_nationkey = n_nationkey
+LEFT JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+""",
+    tags=["clickhouse-parity", "dictionary"],
+)
+def dict_get_customer_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``dictGet`` parity (functions/dict.py): nation and region
+    names resolved through in-plan literal-map dictionaries — two chained
+    lookups (customer→nation name, nation→region key→region name) with NO
+    join in the plan; the customer scan aggregates directly.  The oracle is
+    the equivalent LEFT JOIN chain, so a wrong or missing dictionary entry
+    flips the hash.  nation/region are bounded at any sf (the dictionary
+    contract); the ``max_rows`` guard in SparkDictionary refuses unbounded
+    dims loudly."""
+    from ..functions.dict import SparkDictionary
+
+    cust = load_table(spark, sf_dir, "customer")
+    nation_d = SparkDictionary(
+        load_table(spark, sf_dir, "nation"),
+        "n_nationkey", ["n_name", "n_regionkey"],
+    )
+    region_d = SparkDictionary(
+        load_table(spark, sf_dir, "region"), "r_regionkey", ["r_name"]
+    )
+    return (
+        cust.select(
+            region_d.get(
+                "r_name", nation_d.get("n_regionkey", F.col("c_nationkey"))
+            ).alias("region_name"),
+            nation_d.get("n_name", F.col("c_nationkey")).alias("nation_name"),
+            "c_acctbal",
+        )
+        .groupBy("region_name", "nation_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            rnd(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
+    )
+
+
+@register(
     "cramers_v_type_bucket",
     oracle="""
 WITH obs AS (
