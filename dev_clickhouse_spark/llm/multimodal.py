@@ -770,15 +770,16 @@ def multimodal_jpeg_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 #: codec assignment for the coverage census: doc_id % 8 → (codec label,
-#: media_type, expected stub fallback).  The three stub=1 rows are the
-#: DECLARED decode boundary (real_decode docstring): progressive JPEG needs
-#: the SOF2 decoder, MP3/MP4 need torchaudio/ffmpeg.
+#: media_type, expected stub fallback).  The stub=1 rows are the DECLARED
+#: decode boundary (real_decode docstring): MP3/MP4 need torchaudio/ffmpeg.
+#: Progressive JPEG moved to stub=0 when the SOF2 decoder landed — exactly
+#: the drift this gate exists to surface (the round-7 census expected 1).
 CODEC_CENSUS = [
     ("bmp", "image", 0),
     ("png", "image", 0),
     ("gif", "image", 0),
     ("jpeg_baseline", "image", 0),
-    ("jpeg_progressive", "image", 1),
+    ("jpeg_progressive", "image", 0),  # real SOF2 decode since round 8
     ("wav", "audio", 0),
     ("mp3", "audio", 1),
     ("mp4", "video", 1),
@@ -816,9 +817,8 @@ def multimodal_codec_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The census is EMPIRICAL on the Spark side: each document synthesizes a
     genuine payload in its assigned codec (deterministic pixels/samples
-    from doc_id; the progressive-JPEG payload is a real baseline encoding
-    with its SOF0 marker rewritten to SOF2, which is exactly how a
-    progressive file presents to the marker walk) and ``real_decode`` is
+    from doc_id; the progressive-JPEG payload is the real 10-scan SOF2
+    encoding from ``encode_jpeg_progressive``) and ``real_decode`` is
     actually attempted — a blob counts as covered only if the decoder
     returns features, and as a stub fallback only on the declared
     ``NotImplementedError`` boundary.  The DuckDB oracle replays the
@@ -833,7 +833,7 @@ def multimodal_codec_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from .jpeg import encode_jpeg
+        from .jpeg import encode_jpeg, encode_jpeg_progressive
 
         def payload_for(doc_id: int, codec: str) -> bytes:
             v = (doc_id * 37) % 251
@@ -844,12 +844,10 @@ def multimodal_codec_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
                 return encode_png(px)
             if codec == "gif":
                 return encode_gif(px[None, :, :, :])
-            if codec in ("jpeg_baseline", "jpeg_progressive"):
-                enc = encode_jpeg(px[:, :, 0], quant=1)
-                if codec == "jpeg_progressive":
-                    i = enc.find(b"\xff\xc0")
-                    enc = enc[:i] + b"\xff\xc2" + enc[i + 2:]
-                return enc
+            if codec == "jpeg_baseline":
+                return encode_jpeg(px[:, :, 0], quant=1)
+            if codec == "jpeg_progressive":
+                return encode_jpeg_progressive(px[:, :, 0], quant=1)
             if codec == "wav":
                 samples = struct.pack("<4h", v, -v, v, -v)
                 return (
@@ -871,8 +869,12 @@ def multimodal_codec_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
                 try:
                     real_decode(raw, mtype)
                     decoded = 1
-                except NotImplementedError:
-                    _stub_features(raw)  # the documented fallback
+                except (NotImplementedError, ValueError):
+                    # NotImplementedError = the documented codec boundary;
+                    # ValueError = malformed/out-of-envelope stream — a
+                    # 100 TB census must COUNT undecodable blobs, never let
+                    # one bad file kill the job
+                    _stub_features(raw)
                     decoded = 0
                 rows.append((codec, decoded))
             yield pd.DataFrame(rows, columns=["codec", "decoded"])
