@@ -345,6 +345,179 @@ def welch_ttest_price_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "lttb_downsample_daily_orders",
+    oracle="""
+WITH RECURSIVE daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(19,4))) * 100 AS DOUBLE) AS v
+  FROM orders GROUP BY CAST(o_orderdate AS DATE)
+),
+pts AS (
+  SELECT CAST(datediff('day', DATE '1970-01-01', day) AS DOUBLE) AS t,
+         day, v, row_number() OVER (ORDER BY day) - 1 AS i,
+         count(*) OVER () AS n
+  FROM daily
+),
+mid AS (
+  SELECT *, ((i - 1) * 18) // (n - 2) AS b
+  FROM pts WHERE i >= 1 AND i <= n - 2
+),
+nxt AS (
+  SELECT b, CAST(count(*) AS DOUBLE) AS cnt,
+         sum(t) AS st, sum(v) AS sv
+  FROM mid GROUP BY b
+),
+lastp AS (SELECT t, v FROM pts WHERE i = n - 1),
+bstats AS (  -- for bucket b: the NEXT bucket's stats (b=17 → last point)
+  SELECT b - 1 AS b, cnt, st, sv FROM nxt WHERE b >= 1
+  UNION ALL
+  SELECT 17, 1.0, t, v FROM lastp
+),
+rec AS (
+  SELECT CAST(-1 AS BIGINT) AS b, t AS sel_t, v AS sel_v FROM pts WHERE i = 0
+  UNION ALL
+  SELECT rec.b + 1,
+         max_by(m.t, printf('%020.0f',
+             abs((rec.sel_t * nx.cnt - nx.st) * (m.v - rec.sel_v)
+               - (rec.sel_t - m.t) * (nx.sv - rec.sel_v * nx.cnt)))
+           || printf('%05d', 99999 - CAST(m.t AS BIGINT))),
+         max_by(m.v, printf('%020.0f',
+             abs((rec.sel_t * nx.cnt - nx.st) * (m.v - rec.sel_v)
+               - (rec.sel_t - m.t) * (nx.sv - rec.sel_v * nx.cnt)))
+           || printf('%05d', 99999 - CAST(m.t AS BIGINT)))
+  FROM rec
+  JOIN mid m ON m.b = rec.b + 1
+  JOIN bstats nx ON nx.b = rec.b + 1
+  WHERE rec.b < 17
+  GROUP BY rec.b
+)
+SELECT day, floor(v + 0.5) / 100 AS v
+FROM (
+  SELECT sel_t AS t FROM rec
+  UNION ALL
+  SELECT t FROM lastp
+) sel JOIN pts USING (t)
+""",
+    tags=["clickhouse-parity", "lttb"],
+)
+def lttb_downsample_daily_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``largestTriangleThreeBuckets(20)(t, v)`` parity: LTTB
+    downsampling of the daily order-total series to 20 points — first and
+    last point kept, 18 integer-partitioned middle buckets, each
+    contributing the point that maximizes the triangle area with the
+    PREVIOUSLY selected point and the NEXT bucket's mean (the last middle
+    bucket's "next" is the final point).
+
+    Deterministic variant, exact by construction: bucket assignment is the
+    integer division ``((i-1)·m) div (n-2)``; values are CENTS (integral
+    doubles from an exact DECIMAL sum), times are epoch days; the triangle
+    area is scaled by the next bucket's count so every term is an INTEGER
+    below 2^53 (|A| ≤ ~7e15 at sf0.1) — both engines compare identical
+    integers, and the argmax key appends ``99999−t`` so it is UNIQUE (no
+    tie to break).  The selection recurrence is sequential but GRID-sized:
+    data-sized exact-DECIMAL daily aggregate → per-bucket point arrays +
+    next-bucket sums (grid-sized shuffles) → ONE ``aggregate`` fold over
+    the 18 buckets.  Never a driver loop."""
+    m_buckets = 18
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(12,4)")) * 100)
+        .cast("double")
+        .alias("v")
+    )
+    w = Window.orderBy("day")
+    pts = daily.select(
+        F.datediff("day", F.lit("1970-01-01")).cast("double").alias("t"),
+        "day", "v",
+        (F.row_number().over(w) - 1).alias("i"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    mid = pts.filter(
+        (F.col("i") >= 1) & (F.col("i") <= F.col("n") - 2)
+    ).withColumn(
+        "b", F.floor((F.col("i") - 1) * m_buckets / (F.col("n") - 2))
+    )
+    nxt = mid.groupBy("b").agg(
+        F.count(F.lit(1)).cast("double").alias("cnt"),
+        F.sum("t").alias("st"),
+        F.sum("v").alias("sv"),
+    )
+    last = pts.filter(F.col("i") == F.col("n") - 1).select(
+        F.lit(m_buckets - 1).alias("nb"),  # last middle bucket's "next"
+        F.lit(1.0).alias("ncnt"),
+        F.col("t").alias("nst"), F.col("v").alias("nsv"),
+    )
+    # per-bucket struct: its points + the NEXT bucket's (or last point's)
+    # count/sums, so the fold needs no lookups
+    nxt_shift = nxt.select(
+        (F.col("b") - 1).alias("nb"), F.col("cnt").alias("ncnt"),
+        F.col("st").alias("nst"), F.col("sv").alias("nsv"),
+    ).filter(F.col("nb") >= 0).unionByName(last)
+    buckets = (
+        mid.groupBy("b")
+        .agg(F.collect_list(F.struct("t", "v")).alias("p"))
+        .join(nxt_shift, F.col("b") == F.col("nb"))
+        .select("b", "p", "ncnt", "nst", "nsv")
+    )
+    packed = buckets.groupBy().agg(
+        F.array_sort(
+            F.collect_list(F.struct("b", "p", "ncnt", "nst", "nsv"))
+        ).alias("bs")
+    ).join(
+        pts.filter(F.col("i") == 0).select(
+            F.col("t").alias("t0"), F.col("v").alias("v0")
+        )
+    )
+    # fold: acc = the selected points so far; each bucket argmaxes the
+    # scaled triangle area against the LAST selected point
+    # (element_at(acc, -1)), with the unique lexicographic key spelled
+    # identically to the DuckDB oracle
+    folded = packed.select(
+        F.expr(
+            """
+            aggregate(
+              bs,
+              array(struct(t0 AS t, v0 AS v)),
+              (acc, bk) -> array_append(acc, aggregate(
+                bk.p,
+                struct(CAST(NULL AS DOUBLE) AS t, CAST(NULL AS DOUBLE) AS v,
+                       '' AS k),
+                (best, q) -> IF(
+                  concat(
+                    format_string('%020.0f',
+                      abs((element_at(acc, -1).t * bk.ncnt - bk.nst)
+                            * (q.v - element_at(acc, -1).v)
+                        - (element_at(acc, -1).t - q.t)
+                            * (bk.nsv - element_at(acc, -1).v * bk.ncnt))),
+                    format_string('%05d', 99999 - CAST(q.t AS BIGINT))
+                  ) > best.k,
+                  struct(q.t AS t, q.v AS v,
+                    concat(
+                      format_string('%020.0f',
+                        abs((element_at(acc, -1).t * bk.ncnt - bk.nst)
+                              * (q.v - element_at(acc, -1).v)
+                          - (element_at(acc, -1).t - q.t)
+                              * (bk.nsv - element_at(acc, -1).v * bk.ncnt))),
+                      format_string('%05d', 99999 - CAST(q.t AS BIGINT))
+                    ) AS k),
+                  best),
+                r -> struct(r.t AS t, r.v AS v)))
+            )
+            """
+        ).alias("out")
+    )
+    sel = folded.select(F.explode("out").alias("e")).select(
+        F.col("e.t").alias("t")
+    ).unionByName(
+        pts.filter(F.col("i") == F.col("n") - 1).select("t")
+    )
+    return sel.join(pts.select("t", "v", "day"), ["t"]).select(
+        "day",
+        (F.floor(F.col("v") + F.lit(0.5)) / 100).alias("v"),
+    )
+
+
+@register(
     "dict_get_customer_nations",
     oracle="""
 SELECT r_name AS region_name, n_name AS nation_name,

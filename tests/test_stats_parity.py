@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 from dev_clickhouse_spark.queries.stats_parity import (
     ema_daily_order_totals,
     entropy_daily_event_types,
+    lttb_downsample_daily_orders,
     max_intersections_sessions,
 )
 
@@ -85,4 +86,71 @@ def test_ema_fold_matches_python_loop(spark, tmp_path):
     for d, x in zip(days[1:], totals[1:]):
         ema = 0.3 * x + 0.7 * ema
         expect[d.date().isoformat()] = math.floor(ema * 1e4 + 0.5) / 1e4
+    assert got == expect
+
+
+def _lttb_brute(ts, vs, m=18):
+    """Reference LTTB with the integer bucketing + scaled-area argmax the
+    query documents (v in cents, t epoch days, next-bucket mean as
+    count-scaled sums, ties to smallest t)."""
+    n = len(ts)
+    sel = [(ts[0], vs[0])]
+    buckets: dict[int, list[int]] = {}
+    for i in range(1, n - 1):
+        buckets.setdefault(((i - 1) * m) // (n - 2), []).append(i)
+    for b in range(m):
+        idx = buckets.get(b, [])
+        if not idx:
+            continue
+        nxt = buckets.get(b + 1)
+        if nxt:
+            cnt = float(len(nxt))
+            st = float(sum(ts[j] for j in nxt))
+            sv = float(sum(vs[j] for j in nxt))
+        else:
+            cnt, st, sv = 1.0, float(ts[-1]), float(vs[-1])
+        pt, pv = sel[-1]
+        best = max(
+            idx,
+            key=lambda j: (
+                abs((pt * cnt - st) * (vs[j] - pv) - (pt - ts[j]) * (sv - pv * cnt)),
+                -ts[j],
+            ),
+        )
+        sel.append((ts[best], vs[best]))
+    sel.append((ts[-1], vs[-1]))
+    return sel
+
+
+def test_lttb_matches_brute_force(spark, tmp_path):
+    import random
+
+    rng = random.Random(42)
+    base = datetime.datetime(2020, 1, 1)
+    days = [base + datetime.timedelta(days=i) for i in range(200)]
+    # one order per day with a 2dp price — daily total = that price
+    prices = [round(rng.uniform(10, 5000), 2) for _ in range(200)]
+    rows = [
+        (i, i, d, p, "O", "1-URGENT")
+        for i, (d, p) in enumerate(zip(days, prices))
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderdate timestamp,"
+        " o_totalprice double, o_orderstatus string, o_orderpriority string",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    got = sorted(
+        (r["day"].isoformat(), r["v"])
+        for r in lttb_downsample_daily_orders(spark, str(tmp_path)).collect()
+    )
+    epoch = datetime.date(1970, 1, 1)
+    ts = [float((d.date() - epoch).days) for d in days]
+    vs = [float(round(p * 100)) for p in prices]  # cents, integral
+    expect = sorted(
+        ((epoch + datetime.timedelta(days=int(t))).isoformat(),
+         math.floor(v + 0.5) / 100)
+        for t, v in _lttb_brute(ts, vs)
+    )
+    assert len(got) == 20
     assert got == expect
