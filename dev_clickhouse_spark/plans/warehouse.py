@@ -397,6 +397,18 @@ class Warehouse:
         else:
             target = os.path.join(self.path(table), f"ingest_batch={batch_id}")
             mode = "overwrite"
+            if table in _PARTITIONED_SORT and "event_date" in writer_df.columns:
+                # ONE part per (batch, date) — the MergeTree
+                # one-part-per-insert shape.  A micro-batch is bounded (a
+                # 10-min window at the reference envelope ≈ 200k events),
+                # so the per-date shuffle is tiny, while writing the
+                # upstream shuffle's 32+ partitions straight out produces
+                # 32 ~300-row files per table per batch — the small-file
+                # flood the ingest soak measured (1900+ live files between
+                # compactions, ~2.4k ev/s); coalesced appends write 3/batch.
+                writer_df = writer_df.repartition("event_date").sortWithinPartitions(
+                    *_PARTITIONED_SORT[table]
+                )
         if table in _PARTITIONED_SORT:
             writer_df.write.mode(mode).partitionBy("event_date").parquet(target)
         else:
@@ -443,12 +455,24 @@ class Warehouse:
         writer_df.write.mode("overwrite").parquet(self.path(table))
 
     def compact(
-        self, table: str, retain_old: bool = False, ttl_older_than=None
+        self,
+        table: str,
+        retain_old: bool = False,
+        ttl_older_than=None,
+        mode: str = "full",
+        max_generations: int = 4,
     ) -> int:
         """Small-file compaction — the engine's analog of MergeTree background
         merges (streaming foreachBatch appends one file set per micro-batch;
         ClickHouse merges parts the same way, SURVEY.md S3/S4).  Returns the
         number of data files after compaction.
+
+        ``mode="full"`` (default) rewrites the whole live set — the
+        OPTIMIZE TABLE FINAL analog; ``mode="tiered"`` folds only the batch
+        dirs appended since the last compaction into a new generation
+        (major-merging the generations once ``max_generations`` exist), so
+        the production maintenance cadence costs O(ingest window), not
+        O(table) — the actual MergeTree background-merge discipline.
 
         Batch-append (manifest) tables compact CONCURRENT-SAFELY: the live
         member set is snapshotted from the manifest, rewritten to one sorted
@@ -490,9 +514,15 @@ class Warehouse:
             if isinstance(cutoff, str):
                 cutoff = datetime.datetime.fromisoformat(cutoff)
             ttl_cond = F.col("event_ts") >= F.lit(cutoff)
+        if ttl_cond is not None:
+            # TTL must see every row, including ones inside old compacted
+            # generations a tiered pass would skip
+            mode = "full"
         man = self.load_manifest(table)
         if man is not None:
-            return self._compact_manifest(table, man, retain_old, ttl_cond)
+            return self._compact_manifest(
+                table, man, retain_old, ttl_cond, mode, max_generations
+            )
 
         # -- plain layout: staging + rename swap (single-writer) -----------
         # go through read(): on a migrated table it reads with the declared
@@ -527,14 +557,37 @@ class Warehouse:
             df.coalesce(1).write.mode("overwrite").parquet(target)
 
     def _compact_manifest(
-        self, table: str, man: dict, retain_old: bool, ttl_cond=None
+        self,
+        table: str,
+        man: dict,
+        retain_old: bool,
+        ttl_cond=None,
+        mode: str = "full",
+        max_generations: int = 4,
     ) -> int:
         import shutil
         import uuid
 
         snapshot = list(man["members"])
+        if mode == "tiered":
+            # ClickHouse-merge discipline: a background (minor) merge folds
+            # only the NEW parts — batch dirs since the last compaction —
+            # into one generation, so its cost is ∝ the ingest window, NOT
+            # the table (the full-rewrite default's cost grows with every
+            # cycle: the ingest soak measured 8.5 s → 12.8 s over 100
+            # batches).  Generations are capped: when ``max_generations``
+            # compacted members exist, the next pass folds them too (a
+            # major merge — LSM-style amortized O(table/k) per cycle).
+            # ``mode="full"`` remains the OPTIMIZE TABLE FINAL analog.
+            gens = [m for m in snapshot if m.startswith("compacted-")]
+            fresh = [m for m in snapshot if not m.startswith("compacted-")]
+            snapshot = fresh + (gens if len(gens) >= max_generations else [])
         if not snapshot:
-            return 0
+            live = man["members"]
+            return sum(
+                self._count_parquet(os.path.join(self.path(table), m))
+                for m in live
+            )
         new_member = f"compacted-{uuid.uuid4().hex[:8]}"
         merged = self._read_members(table, snapshot)
         if ttl_cond is not None:

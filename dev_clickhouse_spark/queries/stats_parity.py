@@ -566,6 +566,215 @@ def dict_get_customer_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "url_functions_stats",
+    oracle="""
+WITH urls AS (
+  SELECT doc_id, source,
+         'https://' ||
+         CASE CAST(doc_id % 4 AS INTEGER)
+           WHEN 0 THEN 'data.example.com' WHEN 1 THEN 'cdn.example.org'
+           WHEN 2 THEN 'api.test.net' ELSE 'www.sample.io' END
+         || '/p' || CAST(doc_id % 7 AS VARCHAR)
+         || '?page=' || CAST(doc_id % 5 AS VARCHAR) || '&ref=' || source
+           AS url
+  FROM documents
+),
+parts AS (
+  SELECT regexp_extract(url, '^[a-z]+://([^/?#:]+)', 1) AS host,
+         regexp_extract(regexp_extract(url, '^[a-z]+://([^/?#:]+)', 1),
+                        '\\.([^.]+)$', 1) AS tld,
+         regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1) AS path,
+         regexp_extract(url, '[?&]page=([^&#]*)', 1) AS page,
+         regexp_extract(url, '^([^?#]*)', 1) AS cut_url
+  FROM urls
+)
+SELECT host AS url_domain, tld AS url_tld,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(count(DISTINCT path) AS BIGINT) AS n_paths,
+       CAST(count(DISTINCT page) AS BIGINT) AS n_pages,
+       CAST(count(DISTINCT cut_url) AS BIGINT) AS n_cut_urls
+FROM parts
+GROUP BY host, tld
+""",
+    tags=["clickhouse-parity", "url-functions"],
+)
+def url_functions_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse URL-function parity (``domain``, ``topLevelDomain``,
+    ``path``, ``extractURLParameter``, ``cutQueryString`` —
+    functions/url.py): deterministic URLs synthesized from doc_id (the
+    testdata has no URL column; same precedent as the codec census), then
+    every function applied and aggregated.  Spark evaluates its native
+    ``parse_url`` inside whole-stage codegen; the oracle decomposes the
+    identical strings with regexes, so a semantic difference in any
+    function flips the hash."""
+    from ..functions.url import (
+        cut_query_string,
+        domain,
+        extract_url_parameter,
+        top_level_domain,
+        url_path,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    host = (
+        F.when(F.col("doc_id") % 4 == 0, "data.example.com")
+        .when(F.col("doc_id") % 4 == 1, "cdn.example.org")
+        .when(F.col("doc_id") % 4 == 2, "api.test.net")
+        .otherwise("www.sample.io")
+    )
+    url = F.concat(
+        F.lit("https://"), host,
+        F.lit("/p"), (F.col("doc_id") % 7).cast("string"),
+        F.lit("?page="), (F.col("doc_id") % 5).cast("string"),
+        F.lit("&ref="), F.col("source"),
+    )
+    u = docs.select(url.alias("url"))
+    return (
+        u.select(
+            domain("url").alias("url_domain"),
+            top_level_domain("url").alias("url_tld"),
+            url_path("url").alias("path"),
+            extract_url_parameter("url", "page").alias("page"),
+            cut_query_string("url").alias("cut_url"),
+        )
+        .groupBy("url_domain", "url_tld")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("path").alias("n_paths"),
+            F.countDistinct("page").alias("n_pages"),
+            F.countDistinct("cut_url").alias("n_cut_urls"),
+        )
+    )
+
+
+@register(
+    "array_hof_user_values",
+    oracle="""
+WITH cents AS (
+  SELECT user_id, CAST(floor("value" * 100 + 0.5) AS BIGINT) AS c
+  FROM events WHERE "value" IS NOT NULL
+),
+agg AS (
+  SELECT user_id,
+         CAST(count(*) AS BIGINT) AS cnt,
+         CAST(count(*) FILTER (WHERE c > 10000) AS BIGINT) AS n_over_100,
+         CAST(sum(c * 2) AS BIGINT) AS sum_doubled,
+         CAST(count(DISTINCT c) AS BIGINT) AS n_distinct
+  FROM cents GROUP BY user_id
+),
+gaps AS (
+  SELECT user_id, max(gap) AS mg
+  FROM (SELECT user_id,
+               c - lag(c) OVER (PARTITION BY user_id ORDER BY c) AS gap
+        FROM cents)
+  WHERE gap IS NOT NULL GROUP BY user_id
+)
+SELECT agg.user_id, cnt, n_over_100, sum_doubled, n_distinct,
+       CAST(coalesce(gaps.mg, 0) AS BIGINT) AS max_gap
+FROM agg LEFT JOIN gaps ON agg.user_id = gaps.user_id
+""",
+    tags=["clickhouse-parity", "array-hof"],
+)
+def array_hof_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse array-function parity (``arrayFilter``, ``arrayMap``,
+    ``arraySum``, ``arrayUniq``, ``arrayDifference``): per-user sorted
+    value arrays (integer cents) pushed through the Spark higher-order
+    functions ``filter`` / ``transform`` / ``aggregate`` / ``array_distinct``
+    / ``zip_with``-of-slices — the lambda family evaluates JVM-side, no
+    UDF.  All-integer outputs, so cross-engine comparison is exact; the
+    oracle computes the same facts with plain windows/aggregates (semantic
+    parity — DuckDB needn't mirror the HOF mechanics)."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    arrs = ev.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(
+                F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+            )
+        ).alias("a")
+    )
+    return arrs.select(
+        "user_id",
+        F.size("a").cast("long").alias("cnt"),
+        F.size(F.filter("a", lambda x: x > 10000)).cast("long")
+        .alias("n_over_100"),
+        F.aggregate(
+            F.transform("a", lambda x: x * 2),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("sum_doubled"),
+        F.size(F.array_distinct("a")).cast("long").alias("n_distinct"),
+        F.coalesce(
+            F.array_max(
+                F.zip_with(
+                    F.slice("a", 2, F.size("a") - 1),
+                    F.slice("a", 1, F.size("a") - 1),
+                    lambda hi, lo: hi - lo,
+                )
+            ),
+            F.lit(0),
+        ).cast("long").alias("max_gap"),
+    )
+
+
+@register(
+    "sequence_next_node_users",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn,
+         lead(event_type, 1) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS e1,
+         lead(event_type, 2) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS e2
+  FROM events
+),
+first_match AS (
+  SELECT user_id, min(rn) AS rn
+  FROM ordered WHERE event_type = 'view' AND e1 = 'click'
+  GROUP BY user_id
+)
+SELECT o.e2 AS next_node, CAST(count(*) AS BIGINT) AS n_users
+FROM ordered o JOIN first_match f
+  ON o.user_id = f.user_id AND o.rn = f.rn
+WHERE o.e2 IS NOT NULL
+GROUP BY o.e2
+""",
+    tags=["clickhouse-parity", "sequence-next-node"],
+)
+def sequence_next_node_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``sequenceNextNode`` parity: per user, the event that
+    IMMEDIATELY follows the FIRST view→click chain in (ts, event_id)
+    order, histogrammed — the flow-analysis shape ('where do users go
+    after converting?').  One user-keyed window shuffle: two LEADs flag
+    chain heads, min(rn) anchors the first, the next node is the second
+    LEAD at the anchor."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = ev.select(
+        "user_id", "event_type",
+        F.row_number().over(w).alias("rn"),
+        F.lead("event_type", 1).over(w).alias("e1"),
+        F.lead("event_type", 2).over(w).alias("e2"),
+    )
+    first = (
+        ordered.filter(
+            (F.col("event_type") == "view") & (F.col("e1") == "click")
+        )
+        .groupBy("user_id")
+        .agg(F.min("rn").alias("rn"))
+    )
+    return (
+        ordered.join(first, ["user_id", "rn"])
+        .filter(F.col("e2").isNotNull())
+        .groupBy(F.col("e2").alias("next_node"))
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+@register(
     "cramers_v_type_bucket",
     oracle="""
 WITH obs AS (

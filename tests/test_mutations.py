@@ -188,6 +188,51 @@ def test_compact_with_ttl_folds_expiry_into_merge(spark, wh):
     assert len(man["members"]) == 1  # merged
 
 
+def test_tiered_compaction_bounds_generations(spark, wh):
+    t = "suricata_events_raw"
+    total = 0
+    n_gens = []
+    for b in range(10):
+        wh.append(t, _mk_events(spark, {(b % 3) + 1: 4}), batch_id=b)
+        total += 4
+        if (b + 1) % 2 == 0:
+            wh.compact(t, mode="tiered", max_generations=3)
+            members = wh.load_manifest(t)["members"]
+            assert not any(m.startswith("ingest_batch=") for m in members)
+            n_gens.append(
+                sum(1 for m in members if m.startswith("compacted-"))
+            )
+    # generations accumulate 1, 2, 3 then a major merge folds them to 1
+    assert max(n_gens) <= 3
+    assert min(n_gens[2:]) == 1  # a major merge happened
+    assert wh.read(t).count() == total
+    # ledger intact through every tier flip
+    assert all(wh.batch_committed(t, b) for b in range(10))
+
+
+def test_tiered_noop_without_new_batches(spark, wh):
+    t = "suricata_events_raw"
+    wh.append(t, _mk_events(spark, {1: 4}), batch_id=0)
+    wh.compact(t, mode="tiered")
+    v = wh.load_manifest(t)["version"]
+    n = wh.compact(t, mode="tiered")  # nothing new → no rewrite
+    assert wh.load_manifest(t)["version"] == v
+    assert n >= 1
+    assert wh.read(t).count() == 4
+
+
+def test_batch_append_writes_one_part_per_date(spark, wh):
+    t = "suricata_events_raw"
+    wh.append(t, _mk_events(spark, {1: 50, 2: 50}), batch_id=0)
+    root = os.path.join(wh.path(t), "ingest_batch=0")
+    for d in ("2024-01-01", "2024-01-02"):
+        files = [
+            f for f in os.listdir(os.path.join(root, f"event_date={d}"))
+            if f.endswith(".parquet")
+        ]
+        assert len(files) == 1  # MergeTree one-part-per-insert shape
+
+
 def test_mutation_preserves_time_travel_with_retain_old(spark, wh):
     t = "suricata_events_raw"
     wh.append(t, _mk_events(spark, {1: 5}), batch_id=1)

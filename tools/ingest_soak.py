@@ -135,7 +135,10 @@ def main() -> None:
             pre["read_sec"] = round(time.time() - t0, 3)
             t0 = time.time()
             for t in tables:
-                wh.compact(t)
+                # production cadence = tiered (minor) merges: cost tracks
+                # the ingest window, not the table; every 4th cycle folds
+                # the generations (major) — the ClickHouse-merge discipline
+                wh.compact(t, mode="tiered")
                 wh.gc(t, min_age_sec=0.0)
             compact_sec = round(time.time() - t0, 3)
             post = {
