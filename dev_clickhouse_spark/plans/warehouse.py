@@ -967,6 +967,48 @@ class Warehouse:
                     swept.append(e)
         return swept
 
+    def parts(self, table: str) -> DataFrame:
+        """``system.parts`` analog: one row per live member (part) with its
+        file count, on-disk bytes, partition count, and whether it's an
+        ingest batch, a compacted generation, or a mutation rewrite — the
+        operational view ClickHouse admins query to watch merge health
+        (reference monitoring reads system.parts for part counts).  Pure
+        directory metadata — no data scan at any table size."""
+        rows = []
+        man = self.load_manifest(table)
+        members = (
+            man["members"] if man is not None
+            else ([""] if self.exists(table) else [])
+        )
+        for m in members:
+            root = os.path.join(self.path(table), m) if m else self.path(table)
+            n_files, n_bytes, dates = 0, 0, set()
+            for r, _dirs, files in os.walk(root):
+                rel = os.path.relpath(r, root)
+                for part in rel.split(os.sep):
+                    if part.startswith("event_date="):
+                        dates.add(part.split("=", 1)[1])
+                for f in files:
+                    if f.endswith(".parquet"):
+                        n_files += 1
+                        try:
+                            n_bytes += os.path.getsize(os.path.join(r, f))
+                        except OSError:
+                            pass
+            kind = (
+                "batch" if m.startswith("ingest_batch=")
+                else "compacted" if m.startswith("compacted-")
+                else "mutated" if m.startswith("mutated-")
+                else "plain"
+            )
+            rows.append((table, m or "(root)", kind, n_files, n_bytes,
+                         len(dates)))
+        schema = (
+            "table string, member string, kind string, n_files long,"
+            " bytes long, n_partitions long"
+        )
+        return self.spark.createDataFrame(rows, schema)
+
     @staticmethod
     def _count_parquet(path: str) -> int:
         n = 0

@@ -233,6 +233,22 @@ def test_batch_append_writes_one_part_per_date(spark, wh):
         assert len(files) == 1  # MergeTree one-part-per-insert shape
 
 
+def test_parts_reports_member_inventory(spark, wh):
+    t = "suricata_events_raw"
+    wh.append(t, _mk_events(spark, {1: 10, 2: 10}), batch_id=0)
+    wh.append(t, _mk_events(spark, {3: 10}), batch_id=1)
+    wh.compact(t, mode="tiered")
+    wh.append(t, _mk_events(spark, {4: 10}), batch_id=2)
+    got = {r["member"]: r for r in wh.parts(t).collect()}
+    kinds = sorted(r["kind"] for r in got.values())
+    assert kinds == ["batch", "compacted"]
+    comp = next(r for r in got.values() if r["kind"] == "compacted")
+    assert comp["n_partitions"] == 3 and comp["n_files"] == 3
+    assert comp["bytes"] > 0
+    batch = next(r for r in got.values() if r["kind"] == "batch")
+    assert batch["n_partitions"] == 1
+
+
 def test_mutation_preserves_time_travel_with_retain_old(spark, wh):
     t = "suricata_events_raw"
     wh.append(t, _mk_events(spark, {1: 5}), batch_id=1)

@@ -48,7 +48,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--batches", type=int, default=100)
-    ap.add_argument("--events-per-batch", type=int, default=10_000)
+    # ≈90 s of arrival at the reference's 333 ev/s envelope — a realistic
+    # micro-batch trigger.  The per-batch cost is ~4 s FIXED (one parse+
+    # checkpoint job + three concurrent append jobs + manifest commits,
+    # independent of event count — measured: 10k/batch and 30k/batch both
+    # take ~4-5 s), so a 10k-event trigger caps local throughput at
+    # ~2.5k ev/s no matter how fast the writes are; the trigger interval
+    # amortizes the same fixed cost on a real cluster.
+    ap.add_argument("--events-per-batch", type=int, default=30_000)
     ap.add_argument("--compact-every", type=int, default=20)
     ap.add_argument("--file-bound", type=int, default=200,
                     help="max live parquet files allowed right after a "
