@@ -64,7 +64,11 @@ class SparkDictionary:
             self._maps[attr] = F.create_map(
                 *[F.lit(x) for x in chain.from_iterable(pairs)]
             )
-        self.n_keys = len(rows)
+        keys = [r[key_col] for r in rows if r[key_col] is not None]
+        self._has = F.create_map(
+            *[F.lit(x) for k in keys for x in (k, True)]
+        )
+        self.n_keys = len(keys)
 
     def get(self, attr: str, key) -> Column:
         """``dictGet``: the attribute for ``key``, NULL when absent."""
@@ -76,6 +80,7 @@ class SparkDictionary:
         return F.coalesce(self.get(attr, key), F.lit(default))
 
     def has(self, key) -> Column:
-        """``dictHas``: membership test against any attribute map."""
-        attr = next(iter(self._maps))
-        return self.get(attr, key).isNotNull()
+        """``dictHas``: key membership — true even when every attribute of
+        the key is NULL (a value-map probe couldn't tell those apart)."""
+        key = F.col(key) if isinstance(key, str) else key
+        return F.coalesce(F.element_at(self._has, key), F.lit(False))

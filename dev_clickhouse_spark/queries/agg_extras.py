@@ -594,6 +594,105 @@ def misra_gries_sketch(df: DataFrame, key_col: str, m: int) -> DataFrame:
     )
 
 
+def misra_gries_weighted_sketch(
+    df: DataFrame, key_col: str, weight_col: str, m: int
+) -> DataFrame:
+    """Weighted Misra-Gries (the ``topKWeighted`` sketch): counters grow by
+    the item's WEIGHT; when full, the insertion and every counter give up
+    δ = min(new weight, smallest counter) (zeroed counters evicted,
+    the remainder of the new weight inserted if any survives).  Merging
+    sums per-key lower bounds exactly like the unweighted sketch; any key
+    whose total weight exceeds W_partition/(m+1) per partition is
+    guaranteed to survive that partition.  Shuffle ≤ m × partitions rows
+    at any key cardinality."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    def mg_partition(batches):
+        counters: dict = {}
+        for pdf in batches:
+            for u, w in zip(pdf[key_col], pdf[weight_col]):
+                w = int(w)
+                if w <= 0:
+                    continue
+                if u in counters:
+                    counters[u] += w
+                    continue
+                while w > 0:
+                    if len(counters) < m:
+                        counters[u] = w
+                        break
+                    delta = min(min(counters.values()), w)
+                    dead = []
+                    for k in counters:
+                        counters[k] -= delta
+                        if counters[k] == 0:
+                            dead.append(k)
+                    for k in dead:
+                        del counters[k]
+                    w -= delta
+        yield pd.DataFrame(
+            {key_col: list(counters), "lb": list(counters.values())}
+        )
+
+    return (
+        df.select(key_col, weight_col)
+        .mapInPandas(
+            mg_partition,
+            T.StructType([
+                T.StructField(key_col, T.LongType()),
+                T.StructField("lb", T.LongType()),
+            ]),
+        )
+        .groupBy(key_col)
+        .agg(F.sum("lb").alias("lb"))
+    )
+
+
+@register(
+    "topk_weighted_heavy_hitters",
+    oracle="""
+SELECT user_id, CAST(total_cents AS BIGINT) AS total_cents,
+       CAST(1 AS INTEGER) AS in_sketch
+FROM (SELECT user_id,
+             sum(CAST(floor("value" * 100 + 0.5) AS BIGINT)) AS total_cents
+      FROM events WHERE "value" IS NOT NULL
+      GROUP BY user_id
+      ORDER BY total_cents DESC, user_id LIMIT 5)
+""",
+    tags=["clickhouse-parity", "topk-weighted", "approx"],
+)
+def topk_weighted_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``topKWeighted(5)(user_id, weight)`` — heavy hitters by
+    WEIGHT (here integer cents of the event value), not by count.  Same
+    contract pattern as ``topk_heavy_hitters``: the sketch is
+    capacity-bounded (shuffle ≤ m × partitions rows at any cardinality),
+    and m = 4096 exceeds every test sf's distinct-user count so the
+    membership contract is deterministic — the exact top-5 by total weight
+    (the oracle side) must all appear in the merged sketch; eviction
+    mechanics under genuine skew are property-tested with m = 8."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    weighted = ev.select("user_id", cents.alias("w"))
+    sketch = misra_gries_weighted_sketch(weighted, "user_id", "w", m=4096)
+    exact_top = (
+        weighted.groupBy("user_id")
+        .agg(F.sum("w").alias("total_cents"))
+        .orderBy(F.desc("total_cents"), "user_id")
+        .limit(5)
+    )
+    return exact_top.join(
+        F.broadcast(sketch.select("user_id", F.lit(1).alias("in_sketch"))),
+        "user_id", "left",
+    ).select(
+        "user_id", "total_cents",
+        F.coalesce("in_sketch", F.lit(0)).alias("in_sketch"),
+    )
+
+
 @register(
     "topk_heavy_hitters",
     oracle="""

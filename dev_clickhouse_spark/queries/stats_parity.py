@@ -775,6 +775,66 @@ def sequence_next_node_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "format_readable_sizes",
+    oracle="""
+WITH s AS (
+  SELECT l_returnflag,
+         CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(19,4))) * 100
+              AS BIGINT) AS DOUBLE) AS b
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+       CASE
+         WHEN b < 1024 THEN printf('%.2f', b) || ' B'
+         WHEN b < 1048576 THEN printf('%.2f', b / 1024) || ' KiB'
+         WHEN b < 1073741824 THEN printf('%.2f', b / 1048576) || ' MiB'
+         ELSE printf('%.2f', b / 1073741824) || ' GiB'
+       END AS readable_size,
+       CASE
+         WHEN b < 1000 THEN printf('%.2f', b)
+         WHEN b < 1000000 THEN printf('%.2f', b / 1000) || ' thousand'
+         WHEN b < 1000000000 THEN printf('%.2f', b / 1000000) || ' million'
+         ELSE printf('%.2f', b / 1000000000) || ' billion'
+       END AS readable_quantity
+FROM s
+""",
+    tags=["clickhouse-parity", "format-readable"],
+)
+def format_readable_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``formatReadableSize`` / ``formatReadableQuantity``
+    parity over per-flag totals (exact DECIMAL sums → integral doubles, so
+    the binary-power divisions are exact mantissa shifts and both engines
+    format identical doubles; %.2f of those is bit-stable)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = li.groupBy("l_returnflag").agg(
+        (F.sum(F.col("l_extendedprice").cast("decimal(12,4)")) * 100)
+        .cast("bigint").cast("double").alias("b")
+    )
+    b = F.col("b")
+
+    def fmt(x):
+        return F.format_string("%.2f", x)
+
+    readable_size = (
+        F.when(b < 1024, F.concat(fmt(b), F.lit(" B")))
+        .when(b < 1048576, F.concat(fmt(b / 1024), F.lit(" KiB")))
+        .when(b < 1073741824, F.concat(fmt(b / 1048576), F.lit(" MiB")))
+        .otherwise(F.concat(fmt(b / 1073741824), F.lit(" GiB")))
+    )
+    readable_qty = (
+        F.when(b < 1000, fmt(b))
+        .when(b < 1000000, F.concat(fmt(b / 1000), F.lit(" thousand")))
+        .when(b < 1000000000, F.concat(fmt(b / 1000000), F.lit(" million")))
+        .otherwise(F.concat(fmt(b / 1000000000), F.lit(" billion")))
+    )
+    return s.select(
+        "l_returnflag",
+        readable_size.alias("readable_size"),
+        readable_qty.alias("readable_quantity"),
+    )
+
+
+@register(
     "cramers_v_type_bucket",
     oracle="""
 WITH obs AS (

@@ -106,6 +106,40 @@ def test_misra_gries_hot_key_survives_small_capacity(spark):
     assert len(sketch) <= 8 * 4               # capacity x partitions
 
 
+def test_misra_gries_weighted_hot_key_survives(spark):
+    """Weighted eviction mechanics under skew: with capacity m=8, a key
+    carrying 50% of the total WEIGHT must survive even though it appears
+    in only 1% of the rows (frequency-based MG would evict it); the merged
+    lower bound never exceeds the true weight; survivors respect the
+    capacity bound."""
+    from dev_clickhouse_spark.queries.agg_extras import (
+        misra_gries_weighted_sketch,
+    )
+
+    # hot: 8 rows x weight 1000 = 8000; cold: 100 keys x 8 rows x weight 10
+    rows = [(999, 1000) for _ in range(8)]
+    rows += [(i, 10) for i in range(100) for _ in range(8)]
+    df = spark.createDataFrame(rows, "user_id long, w long").repartition(4)
+    sketch = {
+        r.user_id: r.lb
+        for r in misra_gries_weighted_sketch(df, "user_id", "w", m=8).collect()
+    }
+    true_hot = 8 * 1000
+    assert 999 in sketch
+    assert sketch[999] <= true_hot            # lower bound, never over
+    assert sketch[999] >= true_hot - (true_hot + 8000) // 9  # W/(m+1) slack
+    assert len(sketch) <= 8 * 4               # capacity x partitions
+    # zero/negative weights are ignored, not counted
+    df2 = spark.createDataFrame(
+        [(1, 0), (1, -5), (1, 7)], "user_id long, w long"
+    ).coalesce(1)
+    s2 = {
+        r.user_id: r.lb
+        for r in misra_gries_weighted_sketch(df2, "user_id", "w", m=8).collect()
+    }
+    assert s2 == {1: 7}
+
+
 def test_group_array_ordering_cap_and_uniq(spark, tmp_path):
     """groupArray parity: the sequence is time-ordered regardless of input
     order, the groupArray(10) prefix caps at 10, and groupUniqArray is the
