@@ -1009,6 +1009,66 @@ class Warehouse:
         )
         return self.spark.createDataFrame(rows, schema)
 
+    def tables(self) -> DataFrame:
+        """``system.tables`` analog: one row per warehouse table with its
+        layout (manifest vs plain), live manifest version, member count,
+        replay-ledger size, file count and on-disk bytes — directory
+        metadata only, no data scan (reference admins join system.tables
+        to system.parts for merge health; same shape here)."""
+        rows = []
+        try:
+            names = sorted(
+                d for d in os.listdir(self.root)
+                if not d.startswith((".", "_"))
+                and os.path.isdir(os.path.join(self.root, d))
+            )
+        except OSError:
+            names = []
+        for t in names:
+            if not self.exists(t):
+                continue
+            man = self.load_manifest(t)
+            n_files, n_bytes = 0, 0
+            for r, _dirs, files in os.walk(self.path(t)):
+                for f in files:
+                    if f.endswith(".parquet"):
+                        n_files += 1
+                        try:
+                            n_bytes += os.path.getsize(os.path.join(r, f))
+                        except OSError:
+                            pass
+            rows.append((
+                t,
+                "manifest" if man is not None else "plain",
+                man["version"] if man is not None else 0,
+                len(man["members"]) if man is not None else 1,
+                len(man.get("committed_batches", [])) if man else 0,
+                n_files, n_bytes,
+            ))
+        schema = (
+            "table string, layout string, version long, n_members long,"
+            " n_committed_batches long, n_files long, bytes long"
+        )
+        return self.spark.createDataFrame(rows, schema)
+
+    def table_columns(self, table: str) -> DataFrame:
+        """``system.columns`` analog: one row per column with name, Spark
+        type, nullability, and position — from the declared schema override
+        when an ALTER has been applied, else the parquet footer of one live
+        file (a metadata read, not a scan)."""
+        schema = self.schema_override(table)
+        if schema is None:
+            schema = self.read(table).schema
+        rows = [
+            (table, f.name, f.dataType.simpleString(), f.nullable, i)
+            for i, f in enumerate(schema.fields)
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "table string, column string, type string, nullable boolean,"
+            " position long",
+        )
+
     @staticmethod
     def _count_parquet(path: str) -> int:
         n = 0

@@ -4,6 +4,7 @@ from . import (  # noqa: F401
     agg_extras,
     analytics,
     behavioral,
+    combinators,
     extended,
     gold_star,
     mutation_parity,
@@ -11,6 +12,8 @@ from . import (  # noqa: F401
     sql_api,
     state_rollup,
     stats_parity,
+    stats_tests,
+    string_geo,
     subquery_range,
     tpch_rest,
 )

@@ -278,3 +278,30 @@ def test_gc_sweeps_superseded_mutated_members(spark, wh):
     assert all(s not in live for s in swept)
     assert any(s.startswith(("mutated-", "ingest_batch=")) for s in swept)
     assert wh.read(t).count() == 0  # both severities deleted
+
+
+def test_tables_reports_warehouse_inventory(spark, wh):
+    t = "suricata_events_raw"
+    wh.append(t, _mk_events(spark, {1: 10}), batch_id=0)
+    wh.append(t, _mk_events(spark, {2: 10}), batch_id=1)
+    got = {r["table"]: r for r in wh.tables().collect()}
+    assert t in got
+    row = got[t]
+    assert row["layout"] == "manifest"
+    assert row["n_members"] == 2
+    assert row["n_committed_batches"] == 2
+    assert row["n_files"] >= 2 and row["bytes"] > 0
+    assert row["version"] == wh.load_manifest(t)["version"]
+
+
+def test_table_columns_reports_schema(spark, wh):
+    t = "suricata_events_raw"
+    wh.append(t, _mk_events(spark, {1: 3}), batch_id=0)
+    cols = {r["column"]: r for r in wh.table_columns(t).collect()}
+    data_cols = wh.read(t).columns
+    assert set(cols) == set(data_cols)
+    # positions are a permutation of 0..n-1 in declared order
+    assert sorted(r["position"] for r in cols.values()) == list(
+        range(len(data_cols))
+    )
+    assert all(r["type"] for r in cols.values())

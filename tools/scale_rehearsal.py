@@ -503,10 +503,39 @@ def main() -> None:
             return max(float(args.factor), 1.5 * rr)
         return float(args.factor)
 
-    superlinear = sorted(
-        q for q, v in queries.items()
-        if v["ratio"] is not None and v["ratio"] > _envelope(q)
-    )
+    def _flagged() -> list[str]:
+        return sorted(
+            q for q, v in queries.items()
+            if v["ratio"] is not None and v["ratio"] > _envelope(q)
+        )
+
+    superlinear = _flagged()
+    # Flag-then-REMEASURE (round 8): the ×10 run flagged three ~1 s-base
+    # queries at ratio 11-14 that re-measured linear — run-to-run spread on
+    # sub-second bases is ±30% even under the quiet protocol, and timing
+    # noise is ONE-SIDED (contention only ever adds wall time).  So before
+    # an entry reaches the artifact as superlinear, both its sides get one
+    # independent re-measure batch and the MIN of the two medians stands:
+    # the minimum estimates the uncontaminated cost, while a genuinely
+    # superlinear query stays flagged because every xN batch is slow.
+    remeasured: list[str] = []
+    if superlinear and not args.in_session:
+        print(f"re-measuring flagged entries before verdict: {superlinear}",
+              flush=True)
+        rb_t, _rb_n = _time_pack_isolated(superlinear, args.base_sf, args.reps)
+        rx_t, _rx_n = _time_pack_isolated(superlinear, args.workdir, args.reps)
+        for q in superlinear:
+            base_t[q] = min(base_t[q], rb_t[q])
+            big_t[q] = min(big_t[q], rx_t[q])
+            queries[q] = {
+                "base_sec": base_t[q],
+                "xn_sec": big_t[q],
+                "ratio": round(big_t[q] / base_t[q], 2)
+                if base_t[q] > 0 else None,
+                "remeasured": True,
+            }
+        remeasured = superlinear
+        superlinear = _flagged()
     quadratic_over = sorted(
         q for q, v in queries.items()
         if v["ratio"] is not None and v["ratio"] > args.factor
@@ -587,6 +616,7 @@ def main() -> None:
         "queries": queries,
         "invariants": invariants,
         "superlinear": superlinear,
+        "remeasured": remeasured,
         "expected_quadratic_over_envelope": quadratic_over,
         "local_exponents": local_exponents,
         "tail_superlinear": tail_superlinear,
