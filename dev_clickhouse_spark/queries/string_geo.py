@@ -523,3 +523,77 @@ def ngram_distance_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("dist") == 1.0, 1)).cast("bigint")
         .alias("n_disjoint"),
     )
+
+
+@register(
+    "transform_decode_event_scores",
+    oracle="""
+WITH u AS (
+  SELECT event_type,
+         CASE WHEN event_id % 2 = 0
+              THEN '/API/v' || CAST(user_id % 3 AS VARCHAR)
+                   || '/item/' || CAST(event_id AS VARCHAR)
+              ELSE '/home/' || event_type END AS url
+  FROM events
+),
+s AS (
+  SELECT CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 3
+         WHEN 'signup' THEN 10 WHEN 'purchase' THEN 25 ELSE 0 END AS score,
+         CASE WHEN strpos(lower(url), lower('/Api')) > 0 THEN 1 ELSE 0 END
+           AS api_hit,
+         len(regexp_extract_all(url, '[0-9]+')) AS n_number_runs
+  FROM u
+)
+SELECT CAST(sum(score) AS BIGINT) AS total_score,
+       CAST(sum(api_hit) AS BIGINT) AS n_api_hits,
+       CAST(sum(n_number_runs) AS BIGINT) AS total_number_runs,
+       CAST(count(*) FILTER (WHERE score = 0) AS BIGINT) AS n_unmapped
+FROM s
+""",
+    tags=["clickhouse-parity", "transform-decode"],
+)
+def transform_decode_event_scores(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ClickHouse ``transform(x, [from...], [to...], default)`` +
+    ``positionCaseInsensitive`` + ``countMatches`` parity in one
+    aggregate: event types decoded to scores through an in-plan literal
+    MAP (the dictionary-decode idiom — evaluated inside whole-stage
+    codegen, same mechanism as ``functions/dict.py``), a case-insensitive
+    substring position on a deterministically synthesized url (events
+    carry no url column; both engines build the identical string), and a
+    regex match count (Spark ``regexp_count`` ↔ DuckDB
+    ``len(regexp_extract_all)`` — both count non-overlapping matches left
+    to right).  All-integer outputs."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "url",
+        F.when(
+            F.col("event_id") % 2 == 0,
+            F.concat(
+                F.lit("/API/v"), (F.col("user_id") % 3).cast("string"),
+                F.lit("/item/"), F.col("event_id").cast("string"),
+            ),
+        ).otherwise(F.concat(F.lit("/home/"), F.col("event_type"))),
+    )
+    decode = F.create_map(
+        F.lit("view"), F.lit(1), F.lit("click"), F.lit(3),
+        F.lit("signup"), F.lit(10), F.lit("purchase"), F.lit(25),
+    )
+    score = F.coalesce(
+        F.element_at(decode, F.col("event_type")), F.lit(0)
+    )
+    api_hit = F.when(
+        F.instr(F.lower(F.col("url")), "/api") > 0, 1
+    ).otherwise(0)
+    n_runs = F.regexp_count(F.col("url"), F.lit("[0-9]+"))
+    s = ev.select(
+        score.alias("score"), api_hit.alias("api_hit"),
+        n_runs.alias("n_number_runs"),
+    )
+    return s.agg(
+        F.sum("score").cast("bigint").alias("total_score"),
+        F.sum("api_hit").cast("bigint").alias("n_api_hits"),
+        F.sum("n_number_runs").cast("bigint").alias("total_number_runs"),
+        F.count(F.when(F.col("score") == 0, 1)).cast("bigint")
+        .alias("n_unmapped"),
+    )
