@@ -20,13 +20,14 @@ Usage: python tools/recompute_scale_tails.py SCALE_X30.json
 from __future__ import annotations
 
 import json
-import math
 import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from tools.scale_rehearsal import ALPHA_MAX, KNOWN_SUPERLINEAR_TAIL  # noqa: E402
+from tools.scale_rehearsal import (  # noqa: E402
+    ALPHA_MAX, KNOWN_SUPERLINEAR_TAIL, local_alpha,
+)
 
 
 def recompute(path: str) -> dict:
@@ -55,9 +56,8 @@ def recompute(path: str) -> dict:
             pv = prev.get("queries", {}).get(q)
             if not pv or not pv.get("xn_sec") or not v.get("xn_sec"):
                 continue
-            alpha = round(
-                math.log(v["xn_sec"] / pv["xn_sec"])
-                / math.log(factor / prev["factor"]), 2,
+            alpha = local_alpha(
+                v["xn_sec"], pv["xn_sec"], factor, prev["factor"]
             )
             env = KNOWN_SUPERLINEAR_TAIL.get(q)
             entry = {
@@ -67,10 +67,7 @@ def recompute(path: str) -> dict:
                 **({"documented_cause": env["cause"]} if env else {}),
             }
             local_exponents[q] = entry
-            if (
-                alpha > entry["alpha_max"]
-                and max(v["xn_sec"], pv["xn_sec"]) >= 2.0
-            ):
+            if alpha > entry["alpha_max"]:
                 tail_superlinear.append(q)
         tail_superlinear.sort()
 
