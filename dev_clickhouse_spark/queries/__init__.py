@@ -9,6 +9,7 @@ from . import (  # noqa: F401
     gold_star,
     mutation_parity,
     relational,
+    scalar_parity,
     sql_api,
     state_rollup,
     stats_parity,

@@ -96,6 +96,49 @@ def with_totals_segment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "grouping_sets_with_ids",
+    oracle="""
+SELECT CAST(year(o_orderdate) AS INTEGER) AS year,
+       o_orderpriority, c_mktsegment,
+       CAST(GROUPING(year(o_orderdate)) AS INTEGER) AS g_year,
+       CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_prio,
+       CAST(GROUPING(c_mktsegment) AS INTEGER) AS g_seg,
+       CAST(count(*) AS BIGINT) AS cnt,
+       floor(sum(o_totalprice) * 100 + 0.5) / 100 AS total_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY GROUPING SETS ((year(o_orderdate), o_orderpriority),
+                        (c_mktsegment), ())
+""",
+    tags=["clickhouse-parity", "grouping-sets"],
+)
+def grouping_sets_with_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS with ``GROUPING()`` disambiguation — the
+    surface ROLLUP/CUBE/WITH TOTALS don't cover: a mixed list of
+    non-prefix sets ((year, priority), (segment), ()) in ONE Expand +
+    one hash aggregate, plus the per-column grouping flags that tell a
+    NULL produced by aggregation apart from a natural NULL in the data
+    (the only correct way to consume grouping-sets output downstream).
+    Spark-first: ``DataFrame.groupingSets`` + ``F.grouping`` — the
+    totals and the segment cut ride the same shuffle as the (year,
+    priority) groups, map-side partial aggregation on every set."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    j = orders.join(cust, F.col("o_custkey") == F.col("c_custkey")) \
+        .withColumn("year", F.year("o_orderdate").cast("int"))
+    return j.groupingSets(
+        [[F.col("year"), F.col("o_orderpriority")],
+         [F.col("c_mktsegment")], []],
+        F.col("year"), F.col("o_orderpriority"), F.col("c_mktsegment"),
+    ).agg(
+        F.grouping("year").cast("int").alias("g_year"),
+        F.grouping("o_orderpriority").cast("int").alias("g_prio"),
+        F.grouping("c_mktsegment").cast("int").alias("g_seg"),
+        F.count(F.lit(1)).alias("cnt"),
+        rnd(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+@register(
     "percentile_event_values",
     oracle="""
 SELECT event_type,

@@ -1,0 +1,218 @@
+"""ClickHouse scalar-function parity: codecs, date arithmetic, array scans.
+
+Round-8 additions for three stock-ClickHouse scalar families a reference
+user reaches for that had no counterpart yet (COVERAGE.md audit):
+
+- **Codec functions** — ``base64Encode``/``base64Decode`` (reference users
+  get them from stock ClickHouse; e.g. encoded payload columns in SIEM
+  events), ``hex``/``unhex``, ``bitCount``.
+- **Date arithmetic** — ``dateDiff('day', a, b)``, ``toMonday`` (the
+  Monday-start week the reference's `toStartOfWeek(ts, 1)` idiom uses,
+  matching `functions/ch_compat.py` day_of_week_mon1), ``formatDateTime``
+  (numeric format codes only — day-name codes are locale traps),
+  ``addDays``/``addMonths`` (end-of-month clamping semantics),
+  ``toRelativeDayNum`` (days since epoch).
+- **Array scan functions** — ``arrayCumSum`` (prefix sums; ClickHouse
+  returns the running array, not just the total), ``arrayReverse``,
+  ``arraySlice``, ``arrayStringConcat``.
+
+Scale design: every expression here is a JVM whole-stage-codegen built-in
+(``base64``/``hex``/``bit_count``/``datediff``/``date_trunc``/
+``date_format``/``transform``/``aggregate``) — map-only until one small
+final aggregate (codec, dates) or a user-keyed aggregate whose state is a
+10-element capped array (array scans).  No Python in any hot path; the
+prefix-sum is O(k²) per row on a k≤10 array, constant work per group at
+any corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from .registry import register
+
+
+def array_cumsum(arr) -> "F.Column":
+    """ClickHouse ``arrayCumSum``: the running-prefix-sum ARRAY (not just
+    the total) as a whole-stage-codegen expression —
+    ``transform(i → aggregate(slice(1..i+1)))``.  O(k²) in the array
+    length, so cap the input (the registry query slices to 10)."""
+    arr = F.col(arr) if isinstance(arr, str) else arr
+    return F.transform(
+        arr,
+        lambda x, i: F.aggregate(
+            F.slice(arr, F.lit(1), i + 1),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + v,
+        ),
+    )
+
+
+@register(
+    "codec_functions_by_brand",
+    oracle="""
+WITH c AS (
+  SELECT p_brand,
+         CASE WHEN from_base64(to_base64(p_name::BLOB))::VARCHAR = p_name
+              THEN 1 ELSE 0 END AS b64_ok,
+         to_hex(p_partkey) AS hx,
+         bit_count(p_partkey) AS bc
+  FROM part
+)
+SELECT p_brand,
+       CAST(count(*) AS BIGINT) AS n_parts,
+       CAST(sum(b64_ok) AS BIGINT) AS n_b64_roundtrip,
+       CAST(sum(bc) AS BIGINT) AS total_bit_count,
+       CAST(sum(length(hx)) AS BIGINT) AS total_hex_len,
+       max(hx) AS max_hex
+FROM c GROUP BY p_brand
+""",
+    tags=["clickhouse-parity", "codec-functions"],
+)
+def codec_functions_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``base64Encode``/``base64Decode``/``hex``/``bitCount``
+    parity (reference users get these from stock ClickHouse for encoded
+    SIEM payload columns): a base64 round-trip proven per row, integer
+    hex (Spark ``hex(BIGINT)`` and DuckDB ``to_hex`` both emit uppercase,
+    unpadded), and popcount — all whole-stage-codegen built-ins, map-only
+    before one per-brand aggregate."""
+    p = load_table(spark, sf_dir, "part")
+    b64_ok = F.when(
+        F.unbase64(F.base64(F.col("p_name").cast("binary")))
+        .cast("string") == F.col("p_name"),
+        1,
+    ).otherwise(0)
+    c = p.select(
+        "p_brand",
+        b64_ok.alias("b64_ok"),
+        F.hex(F.col("p_partkey")).alias("hx"),
+        F.bit_count(F.col("p_partkey")).cast("bigint").alias("bc"),
+    )
+    return c.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+        F.sum("b64_ok").cast("bigint").alias("n_b64_roundtrip"),
+        F.sum("bc").cast("bigint").alias("total_bit_count"),
+        F.sum(F.length("hx")).cast("bigint").alias("total_hex_len"),
+        F.max("hx").alias("max_hex"),
+    )
+
+
+@register(
+    "date_arithmetic_by_priority",
+    oracle="""
+WITH d AS (
+  SELECT o_orderpriority,
+         date_diff('day', DATE '1994-01-01', o_orderdate::DATE) AS dd,
+         date_trunc('week', o_orderdate::DATE)::DATE::VARCHAR AS monday,
+         strftime(o_orderdate, '%Y-%m-%d %H') AS fmt,
+         day((o_orderdate::DATE + INTERVAL 45 DAY)::DATE) AS d45,
+         day((o_orderdate::DATE + INTERVAL 3 MONTH)::DATE) AS m3,
+         date_diff('day', DATE '1970-01-01', o_orderdate::DATE)
+           AS rel_day
+  FROM orders
+)
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(dd) AS BIGINT) AS sum_day_diff,
+       CAST(count(DISTINCT monday) AS BIGINT) AS n_mondays,
+       min(fmt) AS min_fmt,
+       CAST(sum(d45) AS BIGINT) AS sum_day_add45,
+       CAST(sum(m3) AS BIGINT) AS sum_day_addm3,
+       CAST(sum(rel_day) AS BIGINT) AS sum_rel_day
+FROM d GROUP BY o_orderpriority
+""",
+    tags=["clickhouse-parity", "date-arithmetic"],
+)
+def date_arithmetic_by_priority(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ClickHouse date-arithmetic parity: ``dateDiff('day', …)``,
+    ``toMonday`` (Monday-start week — Spark and DuckDB both truncate
+    'week' to Monday), ``formatDateTime`` with numeric codes
+    (``%Y-%m-%d %H`` ↔ ``yyyy-MM-dd HH``; day-NAME codes are
+    locale-dependent and deliberately excluded), ``addDays(45)``,
+    ``addMonths(3)`` (both engines clamp end-of-month identically), and
+    ``toRelativeDayNum`` (days since epoch).  Session TZ is UTC in both
+    engines, so timestamp→date casts agree."""
+    o = load_table(spark, sf_dir, "orders")
+    od = F.col("o_orderdate").cast("date")
+    d = o.select(
+        "o_orderpriority",
+        F.datediff(od, F.lit("1994-01-01")).alias("dd"),
+        F.date_trunc("week", od).cast("date").cast("string")
+        .alias("monday"),
+        F.date_format("o_orderdate", "yyyy-MM-dd HH").alias("fmt"),
+        F.dayofmonth(F.date_add(od, 45)).alias("d45"),
+        F.dayofmonth(F.add_months(od, 3)).alias("m3"),
+        F.datediff(od, F.lit("1970-01-01")).alias("rel_day"),
+    )
+    return d.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum("dd").cast("bigint").alias("sum_day_diff"),
+        F.countDistinct("monday").cast("bigint").alias("n_mondays"),
+        F.min("fmt").alias("min_fmt"),
+        F.sum("d45").cast("bigint").alias("sum_day_add45"),
+        F.sum("m3").cast("bigint").alias("sum_day_addm3"),
+        F.sum("rel_day").cast("bigint").alias("sum_rel_day"),
+    )
+
+
+@register(
+    "array_scan_user_values",
+    oracle="""
+WITH a AS (
+  SELECT user_id,
+         (list_sort(list(CAST(floor(value * 100 + 0.5) AS BIGINT))))[1:10]
+           AS arr
+  FROM events GROUP BY user_id
+)
+SELECT user_id,
+       array_to_string(
+         list_transform(generate_series(1, len(arr)),
+                        i -> list_sum(arr[1:i])), ',') AS cumsum_str,
+       CAST(list_sum(arr) AS BIGINT) AS arr_total,
+       CAST(list_reverse(arr)[1] AS BIGINT) AS rev_first,
+       CAST(coalesce(list_sum(arr[3:6]), 0) AS BIGINT) AS mid_slice_sum,
+       array_to_string(arr, ',') AS arr_str
+FROM a
+""",
+    tags=["clickhouse-parity", "array-scan"],
+)
+def array_scan_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``arrayCumSum`` / ``arrayReverse`` / ``arraySlice`` /
+    ``arrayStringConcat`` parity over a per-user value array.  The array
+    is made deterministic by sorting (collect_list order is not) and
+    capped at 10 elements, so the O(k²) prefix-sum via
+    ``transform(i → aggregate(slice(1..i+1)))`` is constant work per user
+    at any corpus size — the running-array semantics ClickHouse returns,
+    not just the total.  ``arraySlice(arr, 3, 4)`` ↔ DuckDB ``arr[3:6]``
+    (both clamp short arrays; an empty slice sums to 0)."""
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.groupBy("user_id").agg(
+        F.slice(
+            F.sort_array(
+                F.collect_list(
+                    F.floor(F.col("value") * 100 + 0.5).cast("bigint")
+                )
+            ),
+            1, 10,
+        ).alias("arr")
+    )
+    cumsum = array_cumsum("arr")
+    mid = F.aggregate(
+        F.slice(F.col("arr"), 3, 4),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    return a.select(
+        "user_id",
+        F.array_join(cumsum, ",").alias("cumsum_str"),
+        F.aggregate(
+            F.col("arr"), F.lit(0).cast("bigint"), lambda acc, v: acc + v
+        ).alias("arr_total"),
+        F.element_at(F.reverse(F.col("arr")), 1).alias("rev_first"),
+        mid.alias("mid_slice_sum"),
+        F.array_join(F.col("arr"), ",").alias("arr_str"),
+    )

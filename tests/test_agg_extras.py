@@ -207,3 +207,45 @@ def test_bit_agg_and_uniq_up_to_values(spark, tmp_path):
     uniq = {r.event_type: r for r in uniq_up_to_users(spark, str(tmp_path)).collect()}
     assert (uniq["a"].uniq_up_to_5, uniq["a"].overflowed) == (6, 1)
     assert (uniq["b"].uniq_up_to_5, uniq["b"].overflowed) == (2, 0)
+
+
+def test_grouping_sets_flags_hand_case(spark, tmp_path):
+    """grouping() must tell an aggregation-produced NULL apart from a
+    natural NULL: a row whose c_mktsegment IS NULL in the data appears in
+    the (segment) set with g_seg=0, while the () grand-total row has all
+    three flags = 1."""
+    import datetime as dt
+
+    from dev_clickhouse_spark.queries.agg_extras import grouping_sets_with_ids
+
+    orders = spark.createDataFrame(
+        [(1, 1, dt.date(1995, 3, 1), "1-URGENT", 10.0),
+         (2, 1, dt.date(1995, 7, 1), "2-HIGH", 20.0),
+         (3, 2, dt.date(1996, 1, 1), "1-URGENT", 30.0)],
+        "o_orderkey long, o_custkey long, o_orderdate date, "
+        "o_orderpriority string, o_totalprice double",
+    )
+    cust = spark.createDataFrame(
+        [(1, "BUILDING"), (2, None)],
+        "c_custkey long, c_mktsegment string",
+    )
+    orders.write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    cust.write.mode("overwrite").parquet(str(tmp_path / "customer.parquet"))
+
+    rows = grouping_sets_with_ids(spark, str(tmp_path)).collect()
+    # grand total: all flags 1, counts every joined row
+    total = [r for r in rows if (r.g_year, r.g_prio, r.g_seg) == (1, 1, 1)]
+    assert len(total) == 1 and total[0].cnt == 3
+
+    # (year, priority) set: g_year=g_prio=0, g_seg=1
+    yp = {(r.year, r.o_orderpriority): r.cnt for r in rows
+          if (r.g_year, r.g_prio, r.g_seg) == (0, 0, 1)}
+    assert yp == {(1995, "1-URGENT"): 1, (1995, "2-HIGH"): 1,
+                  (1996, "1-URGENT"): 1}
+
+    # (segment) set: the NULL segment is a NATURAL null (g_seg=0), distinct
+    # from any aggregation null — this is the disambiguation the flags buy
+    seg = {r.c_mktsegment: r.cnt for r in rows
+           if (r.g_year, r.g_prio, r.g_seg) == (1, 1, 0)}
+    assert seg == {"BUILDING": 2, None: 1}
+    assert len(rows) == 1 + 3 + 2
