@@ -216,3 +216,89 @@ def array_scan_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         mid.alias("mid_slice_sum"),
         F.array_join(F.col("arr"), ",").alias("arr_str"),
     )
+
+
+@register(
+    "array_structure_user_values",
+    oracle="""
+WITH a AS (
+  SELECT user_id,
+         (list_sort(list(CAST(floor(value * 100 + 0.5) AS BIGINT))))[1:10]
+           AS arr
+  FROM events GROUP BY user_id
+)
+SELECT user_id,
+       array_to_string(
+         list_transform(generate_series(1, len(arr)),
+                        i -> CASE WHEN i = 1 THEN 0
+                             ELSE arr[i] - arr[i-1] END), ',') AS diff_str,
+       array_to_string(
+         list_transform(
+           list_filter(generate_series(1, len(arr)),
+                       i -> i = 1 OR arr[i] <> arr[i-1]),
+           i -> arr[i]), ',') AS compact_str,
+       CAST(len(list_filter(generate_series(1, len(arr)),
+                            i -> i = 1 OR arr[i] <> arr[i-1])) AS INTEGER)
+         AS n_compact,
+       array_to_string(generate_series(1, len(arr)), ',') AS enum_str,
+       array_to_string(
+         list_transform(generate_series(1, len(arr)),
+                        i -> arr[i] || '@' || i), ',') AS zip_str
+FROM a
+""",
+    tags=["clickhouse-parity", "array-structure"],
+)
+def array_structure_user_values(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ClickHouse ``arrayDifference`` / ``arrayCompact`` /
+    ``arrayEnumerate`` / ``arrayZip`` parity over the same deterministic
+    per-user array as ``array_scan_user_values`` (sorted, 10-capped —
+    sorting makes duplicates ADJACENT, so arrayCompact's
+    consecutive-collapse semantics are actually exercised).
+
+    - ``arrayDifference``: [0, a2−a1, …] — CH keeps length, leads with 0.
+    - ``arrayCompact``: drop elements equal to their predecessor (NOT a
+      distinct — only consecutive runs collapse).
+    - ``arrayEnumerate``: 1..len.
+    - ``arrayZip(arr, arrayEnumerate(arr))``: serialized as ``v@i``.
+
+    All four are index-lambda ``transform``/``filter`` expressions inside
+    whole-stage codegen on a ≤10-element array — constant work per user at
+    any corpus size, one aggregate shuffle total (the array build)."""
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.groupBy("user_id").agg(
+        F.slice(
+            F.sort_array(
+                F.collect_list(
+                    F.floor(F.col("value") * 100 + 0.5).cast("bigint")
+                )
+            ),
+            1, 10,
+        ).alias("arr")
+    )
+    arr = F.col("arr")
+    # lambda index i is 0-based; element_at is 1-based, so element_at(arr, i)
+    # IS the predecessor of the element at lambda position i
+    diff = F.transform(
+        arr,
+        lambda x, i: F.when(i == 0, F.lit(0).cast("bigint"))
+        .otherwise(x - F.element_at(arr, i)),
+    )
+    compact = F.filter(
+        arr, lambda x, i: (i == 0) | (x != F.element_at(arr, i))
+    )
+    enum = F.sequence(F.lit(1), F.size(arr))
+    zipped = F.transform(
+        arr,
+        lambda x, i: F.concat_ws("@", x.cast("string"),
+                                 (i + 1).cast("string")),
+    )
+    return a.select(
+        "user_id",
+        F.array_join(diff, ",").alias("diff_str"),
+        F.array_join(compact, ",").alias("compact_str"),
+        F.size(compact).cast("int").alias("n_compact"),
+        F.array_join(enum, ",").alias("enum_str"),
+        F.array_join(zipped, ",").alias("zip_str"),
+    )

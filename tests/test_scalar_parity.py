@@ -66,3 +66,26 @@ def test_array_slice_clamps_like_oracle(spark):
     )
     got = [r["m"] for r in df.select(mid.alias("m")).collect()]
     assert got == [0, 3 + 4 + 5 + 6]
+
+
+def test_array_structure_hand_cases(spark):
+    """arrayDifference leads with 0; arrayCompact collapses only
+    CONSECUTIVE duplicates (it is not distinct)."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [([5, 5, 7, 7, 7, 9, 5],)], "arr array<bigint>"
+    )
+    arr = F.col("arr")
+    diff = F.transform(
+        arr,
+        lambda x, i: F.when(i == 0, F.lit(0).cast("bigint"))
+        .otherwise(x - F.element_at(arr, i)),
+    )
+    compact = F.filter(
+        arr, lambda x, i: (i == 0) | (x != F.element_at(arr, i))
+    )
+    row = df.select(diff.alias("d"), compact.alias("c")).collect()[0]
+    assert row["d"] == [0, 0, 2, 0, 0, 2, -4]
+    # trailing 5 survives: it is not consecutive with the leading run
+    assert row["c"] == [5, 7, 9, 5]
