@@ -12,6 +12,7 @@
 from __future__ import annotations
 
 import hashlib
+import math
 
 import numpy as np
 import pandas as pd
@@ -242,6 +243,115 @@ def shard_of(key, shards: int):
     return (h.cast("long") % shards).cast("int")
 
 
+#: below this many centroids a flat n×k GEMM assignment is already cheap;
+#: the two-level coarse index only pays off past it.
+COARSE_MIN_K = 64
+
+
+def _sqdist_np(E: np.ndarray, C: np.ndarray) -> np.ndarray:
+    return (
+        (E * E).sum(axis=1)[:, None]
+        - 2.0 * (E @ C.T)
+        + (C * C).sum(axis=1)[None, :]
+    )
+
+
+def _coarse_index(C: np.ndarray, n_probe: int, iters: int = 5,
+                  cell_frac: float = 0.0):
+    """Two-level (coarse) quantizer over a centroid matrix, the standard
+    IVF answer to assignment cost at scale (FAISS's IVF-on-IVF / IMI
+    shape): cluster the k centroids into kc ≈ √k coarse cells with a
+    driver-side numpy Lloyd (deterministic lowest-index seeds — C is in
+    cid-label order, so this is reproducible), and search a vector by
+    ranking the kc coarse cells first, then scoring only the children of
+    the ``wc`` nearest cells.  Assignment work per vector drops from
+    O(k·dim) to O((kc + wc·k/kc)·dim) ≈ O(√k·dim) — with k sized ∝ n (the
+    probe-list memory bound), the total assignment cost falls from the n²
+    term the ×30→×50 rehearsal measured (α≈2.1 on
+    ``dedup_cosine_pairs_sharded``) to n^1.5.
+
+    Returns (Cc, children, wc): coarse matrix, per-cell child C-row-index
+    arrays (every cell non-empty), and the number of cells to probe — the
+    smallest w whose worst-case candidate union still holds ≥ n_probe
+    children (so the per-row top-p gather below never underflows), floored
+    at 4 for recall headroom and at ``cell_frac`` of the cells.  The
+    fraction is the recall/speed dial: assignment-slot recall against the
+    flat scan is data-dependent (clustered corpora rank cells decisively;
+    an unstructured cloud — the worst case, and what the synthetic
+    embeddings table approximates — needs more cells: measured 0.69 @
+    wc=kc/5, 0.99 @ wc=kc·0.6 on gaussian vectors at k=400).  Near-dup
+    PAIR recall degrades far less than slot recall, because two
+    near-duplicate vectors mis-rank the same boundary cells together.
+    Returns None when k < COARSE_MIN_K."""
+    k = C.shape[0]
+    if k < COARSE_MIN_K:
+        return None
+    kc = max(1, int(math.isqrt(k)))
+    Cc = C[:kc].copy()
+    for _ in range(iters):
+        a = _sqdist_np(C, Cc).argmin(axis=1)
+        for j in range(kc):
+            m = a == j
+            if m.any():
+                Cc[j] = C[m].mean(axis=0)
+    a = _sqdist_np(C, Cc).argmin(axis=1)
+    children = [np.nonzero(a == j)[0] for j in range(kc)]
+    children = [ch for ch in children if len(ch)]
+    Cc = np.array(
+        [C[ch].mean(axis=0) for ch in children], dtype=np.float64
+    )
+    sizes = np.sort(np.array([len(ch) for ch in children]))
+    cum = np.cumsum(sizes)
+    wc = int(np.searchsorted(cum, n_probe) + 1)
+    wc = min(
+        len(children),
+        max(4, wc, int(math.ceil(len(children) * cell_frac))),
+    )
+    return Cc, children, wc
+
+
+def _topp_assign(E: np.ndarray, C: np.ndarray, p: int, coarse) -> np.ndarray:
+    """Top-``p`` nearest C-rows per E-row with the (distance, cid)
+    tie-break, flat GEMM when ``coarse`` is None, else the two-level
+    search (exact within the candidate union of the ``wc`` nearest coarse
+    cells; near-boundary vectors may rank cells differently than the flat
+    scan — consumers of this path are recall-gated, never parity-gated).
+    Returns an (n, p) int array of C-row indices, distance-ascending."""
+    n = len(E)
+    if coarse is None:
+        d = _sqdist_np(E, C)
+        top = np.argpartition(d, p - 1, axis=1)[:, :p]
+        rows = np.arange(n)[:, None]
+        order = np.lexsort((top, d[rows, top]))
+        return top[rows, order]
+    Cc, children, wc = coarse
+    dc = _sqdist_np(E, Cc)
+    wc = min(wc, len(children))
+    topc = np.argpartition(dc, wc - 1, axis=1)[:, :wc]
+    # score candidates cell-by-cell (one BLAS call per touched cell over
+    # the rows that probe it), then a single per-row top-p pass
+    row_all, cid_all, d_all = [], [], []
+    flat_rows = np.repeat(np.arange(n), wc)
+    flat_cells = topc.reshape(-1)
+    for j in np.unique(flat_cells):
+        rows_j = flat_rows[flat_cells == j]
+        ch = children[j]
+        dj = _sqdist_np(E[rows_j], C[ch])
+        row_all.append(np.repeat(rows_j, len(ch)))
+        cid_all.append(np.tile(ch, len(rows_j)))
+        d_all.append(dj.reshape(-1))
+    row_a = np.concatenate(row_all)
+    cid_a = np.concatenate(cid_all)
+    d_a = np.concatenate(d_all)
+    order = np.lexsort((cid_a, d_a, row_a))
+    row_s, cid_s = row_a[order], cid_a[order]
+    first = np.searchsorted(row_s, np.arange(n), side="left")
+    # wc sizing guarantees ≥ p candidates per row (cells are disjoint, so
+    # no duplicate cids inflate the count)
+    sel = (first[:, None] + np.arange(p)).reshape(-1)
+    return cid_s[sel].reshape(n, p)
+
+
 def _gemm_ivf_probes(base: DataFrame, n_centroids: int, n_probe: int,
                      dim: int) -> DataFrame:
     """IVF centroid build + probe assignment as two Arrow GEMM passes.
@@ -268,13 +378,12 @@ def _gemm_ivf_probes(base: DataFrame, n_centroids: int, n_probe: int,
     seed_rows = base.orderBy("id").limit(n_centroids).select("e").collect()
     C0 = np.array([r.e for r in seed_rows], dtype=np.float64)
     k = C0.shape[0]
-
-    def _sqdist(E: np.ndarray, C: np.ndarray) -> np.ndarray:
-        return (
-            (E * E).sum(axis=1)[:, None]
-            - 2.0 * (E @ C.T)
-            + (C * C).sum(axis=1)[None, :]
-        )
+    # two-level coarse quantizer for BOTH assignment passes (built on the
+    # driver once, rides in the closures like the centroid matrices): past
+    # COARSE_MIN_K centroids the flat n×k GEMM is the path's only
+    # superlinear term (k ∝ n ⇒ n² — the ×30→×50 α≈2.1 SPILL_PROBE.json
+    # measured), and the coarse search cuts it to n·√k.
+    coarse0 = _coarse_index(C0, 1)
 
     def partial_sums(batches):
         sums = np.zeros_like(C0)
@@ -285,7 +394,8 @@ def _gemm_ivf_probes(base: DataFrame, n_centroids: int, n_probe: int,
                 continue
             seen = True
             E = np.array(pdf["e"].tolist(), dtype=np.float64)
-            a = _sqdist(E, C0).argmin(axis=1)  # ties → lowest cid
+            # ties → lowest cid (both branches of _topp_assign)
+            a = _topp_assign(E, C0, 1, coarse0)[:, 0]
             np.add.at(sums, a, E)
             np.add.at(counts, a, 1)
         if seen:
@@ -317,20 +427,22 @@ def _gemm_ivf_probes(base: DataFrame, n_centroids: int, n_probe: int,
     ) / np.array([[by_cid[c].cnt] for c in live], dtype=np.float64)
     cid_labels = np.array(live, dtype=np.int64) + 1  # 1-based like ivf_build
     k_live = len(live)
+    p = min(n_probe, k_live)
+    # probe pass gets a wider cell budget than the build pass (which only
+    # needs argmin-quality assignment for the mean refinement): a third of
+    # the coarse cells keeps slot recall ≳0.9 even on unstructured data
+    # while still cutting the dominant n×k term ~3× (and √k-fold on
+    # clustered corpora where the sizing floor, not the fraction, binds)
+    coarse1 = _coarse_index(C1, p, cell_frac=1 / 3)
 
     def probe(batches):
         for pdf in batches:
             if not len(pdf):
                 continue
             E = np.array(pdf["e"].tolist(), dtype=np.float64)
-            d = _sqdist(E, C1)
-            p = min(n_probe, k_live)
-            top = np.argpartition(d, p - 1, axis=1)[:, :p]
-            # stable (distance, cid) order inside the top set; column index
+            # stable (distance, cid) order inside the top set; C1-row
             # order == cid label order because `live` is sorted ascending
-            rows = np.arange(len(E))[:, None]
-            order = np.lexsort((top, d[rows, top]))
-            cids = top[rows, order]
+            cids = _topp_assign(E, C1, p, coarse1)
             out = pdf.loc[pdf.index.repeat(p)].reset_index(drop=True)
             out["cid"] = cid_labels[cids.reshape(-1)]
             yield out

@@ -14,6 +14,7 @@ from . import (  # noqa: F401
     state_rollup,
     stats_parity,
     stats_tests,
+    stats_tests3,
     string_geo,
     subquery_range,
     tpch_rest,

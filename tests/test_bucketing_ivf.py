@@ -225,3 +225,74 @@ def test_pq_adc_rerank_recall_and_code_size(spark):
     r_rr = len(exact & rerank) / len(exact)
     assert r_rr >= 0.6, (r_adc, r_rr)
     assert r_rr > r_adc  # the re-rank must actually help
+
+
+def test_coarse_assignment_matches_flat_on_separated_clusters():
+    """Two-level coarse assignment (_coarse_index/_topp_assign): on
+    well-separated clusters the two-level search must EQUAL the flat n x k
+    scan (cells are decisive), and on any data the machinery must be
+    deterministic, emit exactly p disjoint slots per row, and cover every
+    centroid exactly once across the children lists."""
+    import numpy as np
+
+    from dev_clickhouse_spark.llm.similarity import (
+        COARSE_MIN_K,
+        _coarse_index,
+        _topp_assign,
+    )
+
+    rng = np.random.RandomState(11)
+    # 100 well-separated cluster centers, centroids jittered around them
+    centers = rng.randn(100, 16) * 50.0
+    C = np.repeat(centers, 4, axis=0) + rng.randn(400, 16)
+    E = np.repeat(centers, 10, axis=0) + rng.randn(1000, 16)
+    assert C.shape[0] >= COARSE_MIN_K
+    coarse = _coarse_index(C, 4)
+    Cc, children, wc = coarse
+    covered = sorted(i for ch in children for i in ch)
+    assert covered == list(range(400))  # disjoint, complete
+    flat = _topp_assign(E, C, 4, None)
+    two = _topp_assign(E, C, 4, coarse)
+    agree = (flat == two).all(axis=1).mean()
+    assert agree >= 0.99, agree
+    # p slots per row, no duplicates
+    assert two.shape == (1000, 4)
+    assert all(len(set(row)) == 4 for row in two)
+    # determinism
+    two2 = _topp_assign(E, C, 4, _coarse_index(C, 4))
+    assert (two == two2).all()
+
+
+def test_sharded_pairs_recall_with_coarse_assignment(spark):
+    """End-to-end pair recall of the sharded path when the centroid count
+    is past COARSE_MIN_K (so the two-level assignment actually engages):
+    same contract as the flat-path test above — within-shard exact, no
+    invented pairs — with a 0.85 overall recall floor: this config (100
+    centroids over 200 unstructured vectors, cells of ~2) is the coarse
+    search's worst case and measures 0.898 (53/59; every miss
+    cross-shard); the flat path's own test keeps the 0.9 floor."""
+    from dev_clickhouse_spark.llm.similarity import (
+        cosine_threshold_pairs,
+        cosine_threshold_pairs_sharded,
+        shard_of,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    emb = load_table(spark, sf, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    exact_rows = cosine_threshold_pairs(emb, 0.4, dim).withColumn(
+        "same_shard", shard_of(F.col("vec_a"), 4) == shard_of(F.col("vec_b"), 4)
+    ).collect()
+    exact = {(r.vec_a, r.vec_b): (r.cosine, r.same_shard) for r in exact_rows}
+    shd = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in cosine_threshold_pairs_sharded(
+            emb, 0.4, dim, shards=4, n_centroids=100
+        ).collect()
+    }
+    assert set(shd) <= set(exact)
+    for key, c in shd.items():
+        assert abs(c - exact[key][0]) < 1e-9
+    within = {k for k, v in exact.items() if v[1]}
+    assert within <= set(shd)
+    assert len(shd) / len(exact) >= 0.85, (len(shd), len(exact))

@@ -487,6 +487,12 @@ def main() -> None:
         # ×50 (bimodal 25 s / 60 s run-to-run), while a count scaled with
         # the data pays ~2× task-wave overhead at ×30 on this fixed
         # 32-core box (minhash 21.3 s @96 vs 10.9 s @256 ceiling).
+        # NOTE (round 8, second session): the commit that wrote this
+        # comment documented the 256 ceiling but never landed the
+        # session.get_spark change — every artifact before the fix
+        # actually ran the 32-partition regime it describes as
+        # spill-borderline.  The ceiling is now real (session.py), and
+        # tools/spill_probe.py carries the measured A/B evidence.
         base_t, base_n = _time_pack_isolated(pack, args.base_sf, args.reps)
         big_t, big_n = _time_pack_isolated(pack, args.workdir, args.reps)
 
