@@ -44,6 +44,22 @@ def tune(spark: SparkSession) -> SparkSession:
     return spark
 
 
+def partitions_for_factor(factor: float, cpus: int | None = None) -> int:
+    """Shuffle-partition count for a corpus ``factor``× the sf0.1 base:
+    linear in data volume (constant per-task shuffle/sort state — the
+    spark-submit sizing rule), floored at the core count and capped at
+    1024.  The slope (cpus/4 partitions per unit factor) passes through
+    the measured A/B point: at ×30 the heaviest dedup workers ran 256
+    partitions 1.2-3.6× faster than the core-count 32 (SPILL_PROBE.json;
+    240 ≈ the 256 cell), while the core-count floor keeps the ×1 driver
+    operating point at its measured-best constant (see get_spark).
+    Runtime-safe: ``spark.conf.set("spark.sql.shuffle.partitions", n)``
+    mid-session works, so tools can size per-corpus without a rebuild."""
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    return min(1024, max(cpus, round(cpus * factor / 4)))
+
+
 def get_spark(
     app_name: str = "dev-clickhouse-spark",
     master: str | None = None,
@@ -54,28 +70,26 @@ def get_spark(
     Defaults follow the driver environment: ``local[$SPARK_GRAFT_CPUS]``;
     on a real cluster master/memory come from spark-submit.
 
-    Shuffle parallelism defaults to a 256-partition CEILING (never below
-    the core count) with AQE coalescing sizing each post-shuffle stage to
-    ~64 MB at runtime.  A bare core-count partition count keeps task waves
-    minimal but makes per-task shuffle/sort state grow linearly with the
-    data on a fixed box — round-8 scale rehearsals measured the heaviest
-    dedup verify going spill-borderline at ×50 under it (bimodal 25 s/60 s
-    run-to-run), while a count scaled with the data pays ~2× task-wave
-    overhead at ×30.  The ceiling-plus-AQE form beat both at every factor
-    (ngram ×50 28.3 s vs 60 s slow-mode; minhash ×30 10.9 s vs 21.3 s @96
-    fixed) and is neutral at sf0.1, where AQE coalesces right back down to
-    a handful of post-shuffle partitions.  This is the same sizing rule a
-    real cluster follows: provision partitions for the data volume and let
-    AQE shrink small stages, rather than pinning partitions to cores.
+    Shuffle parallelism defaults to the core count — the right constant
+    for the DRIVER's operating point (sf0.1, ~17 MB compressed), where a
+    blanket 256-partition ceiling was measured to cost a broad 30-50%
+    (bench e2e 42.6 → 58.5 s; ingest +130%, the per-micro-batch task-wave
+    overhead) even with AQE coalescing enabled, because AQE's
+    ``parallelismFirst`` keeps small shuffles split for parallelism rather
+    than collapsing them to advisory size.  At rehearsal scales the trade
+    inverts — SPILL_PROBE.json measured 256 partitions beating 32 on the
+    heaviest dedup workers at ×30/×50 (ngram 19.9 s vs 71.3 s at ×30) —
+    so partition count must follow DATA VOLUME, not a session constant:
+    callers that know the corpus multiple pass
+    :func:`partitions_for_factor` (scale_rehearsal's xN side does), which
+    is exactly the spark-submit sizing rule a real cluster uses (per-task
+    shuffle/sort state held constant as data grows, floored at the core
+    count, capped at 1024).
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    default_parts = max(int(cpus), 256)
     builder = (
         SparkSession.builder.appName(app_name)
-        .config(
-            "spark.sql.shuffle.partitions",
-            str(shuffle_partitions or default_parts),
-        )
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )

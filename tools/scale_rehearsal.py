@@ -478,23 +478,24 @@ def main() -> None:
         )
         big_t, big_n = _time_pack(spark, REGISTRY, pack, args.workdir, args.reps)
     else:
-        # Both sides run the session default: a 256 shuffle-partition
-        # CEILING with AQE coalescing sizing every post-shuffle stage to
-        # ~64 MB at runtime (see session.get_spark).  One protocol at
-        # every factor — no per-factor knob — after round 8 measured both
-        # alternatives failing in opposite directions: a fixed core-count
-        # partition count is spill-borderline for the heaviest verify at
-        # ×50 (bimodal 25 s / 60 s run-to-run), while a count scaled with
-        # the data pays ~2× task-wave overhead at ×30 on this fixed
-        # 32-core box (minhash 21.3 s @96 vs 10.9 s @256 ceiling).
-        # NOTE (round 8, second session): the commit that wrote this
-        # comment documented the 256 ceiling but never landed the
-        # session.get_spark change — every artifact before the fix
-        # actually ran the 32-partition regime it describes as
-        # spill-borderline.  The ceiling is now real (session.py), and
-        # tools/spill_probe.py carries the measured A/B evidence.
+        # Partition protocol: each side sizes shuffle partitions for ITS
+        # data volume via session.partitions_for_factor — the base side
+        # runs the core-count floor (the ×1 operating point's
+        # measured-best constant: a blanket 256 ceiling cost bench e2e
+        # 42.6 → 58.5 s), the ×N side runs cpus·N/4 capped at 1024, the
+        # line through SPILL_PROBE.json's A/B point (256 partitions beat
+        # 32 on the heaviest dedup workers at ×30/×50, ngram 19.9 s vs
+        # 71.3 s at ×30; zero spill and GC < 7% in every cell, so the
+        # old "spill-borderline" hypothesis is refuted — the cost is
+        # per-task sort/agg state growth, which volume-proportional
+        # partitioning holds constant, exactly as a real cluster does).
+        from dev_clickhouse_spark.session import partitions_for_factor
+
         base_t, base_n = _time_pack_isolated(pack, args.base_sf, args.reps)
-        big_t, big_n = _time_pack_isolated(pack, args.workdir, args.reps)
+        big_t, big_n = _time_pack_isolated(
+            pack, args.workdir, args.reps,
+            shuffle_partitions=partitions_for_factor(args.factor),
+        )
 
     queries = {
         q: {

@@ -47,18 +47,21 @@ TARGETS = [
     "dedup_keep_list",             # α_local 1.77
 ]
 
-# (factor, driver_memory, shuffle_partitions|None=session default).
-# 32 partitions is the regime the committed ×30/×50 artifacts ACTUALLY ran
-# under (the round-8 "uniform 256-ceiling protocol" commit documented the
-# session change but never landed it in session.get_spark — discovered and
-# fixed this round); None is the now-real 256-ceiling+AQE default.  The
-# 56g cell isolates the memory axis inside the old regime.
+# (factor, driver_memory, shuffle_partitions).  32 partitions is the regime
+# the committed ×30/×50 artifacts ACTUALLY ran under (a round-8 commit
+# documented a 256-ceiling session change but never landed it); 256 is the
+# alternative the recorded SPILL_PROBE.json ran as the then-session-default
+# "dfltp" cells — kept EXPLICIT now that the session default went back to
+# the core count and volume-proportional sizing moved to
+# session.partitions_for_factor (the probe's own A/B is the evidence that
+# rule is built on).  The 56g cell isolates the memory axis inside the old
+# regime.
 CELLS = [
     (30, "28g", 32),
-    (30, "28g", None),
+    (30, "28g", 256),
     (50, "28g", 32),
     (50, "56g", 32),
-    (50, "28g", None),
+    (50, "28g", 256),
 ]
 
 
@@ -174,7 +177,7 @@ def main() -> None:
     for name in targets:
         results[name] = {}
         for factor, mem, parts in CELLS:
-            cell = f"x{factor}_{mem}_{parts or 'dflt'}p"
+            cell = f"x{factor}_{mem}_{parts}p"
             env = dict(os.environ, SPARK_DRIVER_MEMORY=mem)
             cmd = [
                 sys.executable, os.path.abspath(__file__),
@@ -212,18 +215,18 @@ def main() -> None:
             return m["memory_spilled_bytes"] + m["disk_spilled_bytes"]
 
         mem_drop = (t("x50_28g_32p") - t("x50_56g_32p")) / t("x50_28g_32p")
-        part_drop = (t("x50_28g_32p") - t("x50_28g_dfltp")) / t("x50_28g_32p")
+        part_drop = (t("x50_28g_32p") - t("x50_28g_256p")) / t("x50_28g_32p")
         alpha_dflt = round(
-            math.log(t("x50_28g_dfltp") / t("x30_28g_dfltp"))
+            math.log(t("x50_28g_256p") / t("x30_28g_256p"))
             / math.log(50 / 30), 2)
         v = {
-            "alpha_local_x30_x50_default_protocol": alpha_dflt,
+            "alpha_local_x30_x50_256p": alpha_dflt,
             "time_drop_2x_memory_at_32p": round(mem_drop, 2),
             "time_drop_256_ceiling_vs_32p": round(part_drop, 2),
             "spill_bytes_per_rep_32p_28g": spill("x50_28g_32p"),
-            "spill_bytes_per_rep_dflt_28g": spill("x50_28g_dfltp"),
+            "spill_bytes_per_rep_256p_28g": spill("x50_28g_256p"),
             "gc_frac_32p_28g": cells["x50_28g_32p"]["gc_frac"],
-            "gc_frac_dflt_28g": cells["x50_28g_dfltp"]["gc_frac"],
+            "gc_frac_256p_28g": cells["x50_28g_256p"]["gc_frac"],
         }
         verdicts[name] = v
         print(f"  VERDICT {name}: {json.dumps(v)}", flush=True)
@@ -231,7 +234,7 @@ def main() -> None:
     out = {
         "metric": "x30_x50_tail_memory_attribution",
         "base_sf": args.base_sf,
-        "cells": [f"x{f}_{m}_{p or 'dflt'}p" for f, m, p in CELLS],
+        "cells": [f"x{f}_{m}_{p}p" for f, m, p in CELLS],
         "reps": args.reps,
         "protocol": "process-per-query, adaptive warm-up, median of reps; "
                     "REST stage-metric delta over the timed reps only",
