@@ -10,6 +10,7 @@ from . import (  # noqa: F401
     mutation_parity,
     relational,
     scalar_parity,
+    skip_scan,
     sql_api,
     state_rollup,
     stats_parity,
