@@ -244,8 +244,18 @@ def shard_of(key, shards: int):
 
 
 #: below this many centroids a flat n×k GEMM assignment is already cheap;
-#: the two-level coarse index only pays off past it.
-COARSE_MIN_K = 64
+#: the two-level coarse index only pays off past it.  The crossover is
+#: MEASURED, not aesthetic: per-batch A/B on 64-dim gaussian vectors
+#: (10k-row batches, the mapInPandas shape) has flat winning at k=156/468
+#: (0.50/2.52 s vs 0.70/4.58 s per 50k/150k rows), parity at k≈800, and
+#: coarse 2.2× faster at k=1950 (45.2 s vs 20.9 s per 250k rows) — BLAS
+#: throughput on the dense n×k GEMM beats the gather-heavy two-level
+#: search until the candidate cut (≈3× fewer scored pairs at wc=kc/3)
+#: overcomes the per-FLOP gap.  With k sized ∝ n (n_probe·n/1024), the
+#: flat regime below the crossover is the n² term SCALE_X50 flags on
+#: dedup_cosine_pairs_sharded — documented there; past k=1024 this index
+#: caps the assignment at n·√k ~ n^1.5.
+COARSE_MIN_K = 1024
 
 
 def _sqdist_np(E: np.ndarray, C: np.ndarray) -> np.ndarray:
@@ -257,7 +267,7 @@ def _sqdist_np(E: np.ndarray, C: np.ndarray) -> np.ndarray:
 
 
 def _coarse_index(C: np.ndarray, n_probe: int, iters: int = 5,
-                  cell_frac: float = 0.0):
+                  cell_frac: float = 0.0, min_k: int | None = None):
     """Two-level (coarse) quantizer over a centroid matrix, the standard
     IVF answer to assignment cost at scale (FAISS's IVF-on-IVF / IMI
     shape): cluster the k centroids into kc ≈ √k coarse cells with a
@@ -282,9 +292,11 @@ def _coarse_index(C: np.ndarray, n_probe: int, iters: int = 5,
     wc=kc/5, 0.99 @ wc=kc·0.6 on gaussian vectors at k=400).  Near-dup
     PAIR recall degrades far less than slot recall, because two
     near-duplicate vectors mis-rank the same boundary cells together.
-    Returns None when k < COARSE_MIN_K."""
+    Returns None when k < ``min_k`` (default COARSE_MIN_K — the measured
+    flat-GEMM crossover; tests pass a lower floor to exercise the
+    two-level machinery on small fixtures)."""
     k = C.shape[0]
-    if k < COARSE_MIN_K:
+    if k < (COARSE_MIN_K if min_k is None else min_k):
         return None
     kc = max(1, int(math.isqrt(k)))
     Cc = C[:kc].copy()
@@ -328,8 +340,14 @@ def _topp_assign(E: np.ndarray, C: np.ndarray, p: int, coarse) -> np.ndarray:
     dc = _sqdist_np(E, Cc)
     wc = min(wc, len(children))
     topc = np.argpartition(dc, wc - 1, axis=1)[:, :wc]
-    # score candidates cell-by-cell (one BLAS call per touched cell over
-    # the rows that probe it), then a single per-row top-p pass
+    # Score candidates cell-by-cell (one BLAS call per touched cell over
+    # the rows that probe it) and keep only each cell's LOCAL top-p per
+    # row before the merge — any global top-p member is inside its own
+    # cell's top-p (cells are disjoint), so this is exact over the same
+    # candidate set while shrinking the merge sort from
+    # n·wc·(k/kc) entries to ≤ n·wc·p (the first cut of this function
+    # merged every scored candidate and the lexsort dominated — measured
+    # 5-12× SLOWER than the flat GEMM it was meant to beat).
     row_all, cid_all, d_all = [], [], []
     flat_rows = np.repeat(np.arange(n), wc)
     flat_cells = topc.reshape(-1)
@@ -337,17 +355,27 @@ def _topp_assign(E: np.ndarray, C: np.ndarray, p: int, coarse) -> np.ndarray:
         rows_j = flat_rows[flat_cells == j]
         ch = children[j]
         dj = _sqdist_np(E[rows_j], C[ch])
-        row_all.append(np.repeat(rows_j, len(ch)))
-        cid_all.append(np.tile(ch, len(rows_j)))
-        d_all.append(dj.reshape(-1))
+        pj = min(p, len(ch))
+        if pj < len(ch):
+            loc = np.argpartition(dj, pj - 1, axis=1)[:, :pj]
+        else:
+            loc = np.broadcast_to(
+                np.arange(len(ch)), (len(rows_j), len(ch))
+            )
+        rr = np.arange(len(rows_j))[:, None]
+        row_all.append(np.repeat(rows_j, pj))
+        cid_all.append(ch[loc].reshape(-1))
+        d_all.append(dj[rr, loc].reshape(-1))
     row_a = np.concatenate(row_all)
     cid_a = np.concatenate(cid_all)
     d_a = np.concatenate(d_all)
     order = np.lexsort((cid_a, d_a, row_a))
     row_s, cid_s = row_a[order], cid_a[order]
     first = np.searchsorted(row_s, np.arange(n), side="left")
-    # wc sizing guarantees ≥ p candidates per row (cells are disjoint, so
-    # no duplicate cids inflate the count)
+    # wc sizing guarantees ≥ p candidates per row even after the local
+    # truncation: a cell clipped to p already contributes p, and unclipped
+    # cells contribute everything the sizing counted (cells are disjoint,
+    # so no duplicate cids inflate the count)
     sel = (first[:, None] + np.arange(p)).reshape(-1)
     return cid_s[sel].reshape(n, p)
 

@@ -2,6 +2,7 @@
 
 from . import (  # noqa: F401
     agg_extras,
+    agg_extras2,
     analytics,
     behavioral,
     combinators,
@@ -16,6 +17,7 @@ from . import (  # noqa: F401
     stats_parity,
     stats_tests,
     stats_tests3,
+    stats_tests4,
     string_geo,
     subquery_range,
     tpch_rest,

@@ -236,7 +236,6 @@ def test_coarse_assignment_matches_flat_on_separated_clusters():
     import numpy as np
 
     from dev_clickhouse_spark.llm.similarity import (
-        COARSE_MIN_K,
         _coarse_index,
         _topp_assign,
     )
@@ -246,8 +245,10 @@ def test_coarse_assignment_matches_flat_on_separated_clusters():
     centers = rng.randn(100, 16) * 50.0
     C = np.repeat(centers, 4, axis=0) + rng.randn(400, 16)
     E = np.repeat(centers, 10, axis=0) + rng.randn(1000, 16)
-    assert C.shape[0] >= COARSE_MIN_K
-    coarse = _coarse_index(C, 4)
+    # min_k=64 forces the two-level machinery on this small fixture (the
+    # production floor COARSE_MIN_K=1024 is the measured flat-GEMM
+    # crossover, far above any unit-test size)
+    coarse = _coarse_index(C, 4, min_k=64)
     Cc, children, wc = coarse
     covered = sorted(i for ch in children for i in ch)
     assert covered == list(range(400))  # disjoint, complete
@@ -259,23 +260,27 @@ def test_coarse_assignment_matches_flat_on_separated_clusters():
     assert two.shape == (1000, 4)
     assert all(len(set(row)) == 4 for row in two)
     # determinism
-    two2 = _topp_assign(E, C, 4, _coarse_index(C, 4))
+    two2 = _topp_assign(E, C, 4, _coarse_index(C, 4, min_k=64))
     assert (two == two2).all()
 
 
-def test_sharded_pairs_recall_with_coarse_assignment(spark):
-    """End-to-end pair recall of the sharded path when the centroid count
-    is past COARSE_MIN_K (so the two-level assignment actually engages):
-    same contract as the flat-path test above — within-shard exact, no
-    invented pairs — with a 0.85 overall recall floor: this config (100
-    centroids over 200 unstructured vectors, cells of ~2) is the coarse
-    search's worst case and measures 0.898 (53/59; every miss
+def test_sharded_pairs_recall_with_coarse_assignment(spark, monkeypatch):
+    """End-to-end pair recall of the sharded path with the two-level
+    assignment forced on (COARSE_MIN_K patched below this fixture's 100
+    centroids — the production floor 1024 is the measured flat-GEMM
+    crossover): same contract as the flat-path test above — within-shard
+    exact, no invented pairs — with a 0.85 overall recall floor: this
+    config (100 centroids over 200 unstructured vectors, cells of ~2) is
+    the coarse search's worst case and measures 0.898 (53/59; every miss
     cross-shard); the flat path's own test keeps the 0.9 floor."""
+    from dev_clickhouse_spark.llm import similarity as sim
     from dev_clickhouse_spark.llm.similarity import (
         cosine_threshold_pairs,
         cosine_threshold_pairs_sharded,
         shard_of,
     )
+
+    monkeypatch.setattr(sim, "COARSE_MIN_K", 64)
 
     sf = "/root/testdata/sf0.01"
     emb = load_table(spark, sf, "embeddings")
