@@ -155,3 +155,115 @@ def rollup_state_moments_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(sx / n, 4).alias("mean_value"),
         rnd(F.sqrt((sxx - sx * sx / n) / (n - 1)), 4).alias("std_value"),
     )
+
+
+@register(
+    "rollup_state_quantile_bf16",
+    oracle="""
+WITH q AS (
+  SELECT CAST(ts AS DATE) AS event_date, event_type,
+         CAST(floor("value" * 100 + 0.5) AS BIGINT) AS c
+  FROM events WHERE "value" IS NOT NULL
+),
+bucketed AS (
+  SELECT event_date, event_type,
+         length(bin(c)) - 1 AS e,
+         CAST(floor(c * 128.0 / power(2, length(bin(c)) - 1)) AS BIGINT) AS m
+  FROM q
+),
+day_states AS (
+  SELECT event_date, event_type, e, m, CAST(count(*) AS BIGINT) AS cnt
+  FROM bucketed GROUP BY event_date, event_type, e, m
+),
+merged AS (
+  SELECT event_type, e, m, CAST(sum(cnt) AS BIGINT) AS cnt
+  FROM day_states GROUP BY event_type, e, m
+),
+cum AS (
+  SELECT event_type, e, m, cnt,
+         sum(cnt) OVER (PARTITION BY event_type ORDER BY e, m) AS cum_c,
+         sum(cnt) OVER (PARTITION BY event_type) AS n
+  FROM merged
+)
+SELECT event_type, CAST(max(n) AS BIGINT) AS n_events,
+       floor(min(CASE WHEN cum_c > CAST(floor(0.5 * (n - 1)) AS BIGINT)
+                 THEN m * power(2, e) / 12800.0 END) * 1000000 + 0.5)
+         / 1000000 AS p50_bf16,
+       floor(min(CASE WHEN cum_c > CAST(floor(0.9 * (n - 1)) AS BIGINT)
+                 THEN m * power(2, e) / 12800.0 END) * 1000000 + 0.5)
+         / 1000000 AS p90_bf16
+FROM cum
+GROUP BY event_type
+ORDER BY event_type
+""",
+    tags=["state-merge", "clickhouse-parity", "quantiles"],
+)
+def rollup_state_quantile_bf16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``quantileBFloat16State`` + ``-Merge`` parity: a mergeable QUANTILE
+    state — the piece the HLL/power-sum rollups above cannot express
+    (quantiles don't decompose into sums).  ClickHouse's quantileBFloat16
+    buckets each value by its top 16 float bits (8-bit exponent + 7-bit
+    mantissa); the state is just per-bucket counts, so merge = count sum
+    (associative, constant-size: ≤ buckets spanned by the value range),
+    and any quantile reads off the merged bucket CDF with relative error
+    ≤ 2^-7 ≈ 0.8%.
+
+    Bucketing here is EXACT INTEGER math, no float/log boundary risk
+    cross-engine: cents c = floor(100v+0.5) ≥ 1, exponent e =
+    bit_length(c)−1 via ``length(bin(c))−1`` (both engines print the
+    same unpadded binary), mantissa m = floor(128c / 2^e) ∈ [128, 256)
+    (division by an exact power of two only rescales the double's
+    exponent — exact, so floor is deterministic).  Quantile pick =
+    first bucket whose cumulative count exceeds floor(q·(n−1)), the same
+    rank rule as ``quantile_exact_low_high_by_flag``; the representative
+    value m·2^e/128 converts back to value units (/100).
+
+    Scale: day states are one shuffle over NEW partitions only; merging
+    shuffles days × types × ≤a-few-hundred bucket rows — kilobytes where
+    the reference's daily refresh rescans the full history."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    c = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    q = ev.select(
+        F.to_date("ts").alias("event_date"), "event_type", c.alias("c")
+    )
+    e = (F.length(F.bin(F.col("c"))) - 1).alias("e")
+    bucketed = q.select(
+        "event_date", "event_type", e,
+        F.floor(
+            F.col("c") * 128.0 / F.pow(F.lit(2), F.length(F.bin(F.col("c"))) - 1)
+        ).cast("long").alias("m"),
+    )
+    day_states = bucketed.groupBy("event_date", "event_type", "e", "m").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    merged = day_states.groupBy("event_type", "e", "m").agg(
+        F.sum("cnt").cast("long").alias("cnt")
+    )
+    from pyspark.sql import Window
+
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("e", "m")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("event_type")
+    cum = merged.select(
+        "event_type", "e", "m", "cnt",
+        F.sum("cnt").over(wcum).alias("cum_c"),
+        F.sum("cnt").over(wall).alias("n"),
+    )
+    rep = F.col("m") * F.pow(F.lit(2), F.col("e")) / F.lit(12800.0)
+
+    def pick(level):
+        idx = F.floor(F.lit(level) * (F.col("n") - 1)).cast("long")
+        return F.min(F.when(F.col("cum_c") > idx, rep))
+
+    return (
+        cum.groupBy("event_type")
+        .agg(
+            F.max("n").cast("long").alias("n_events"),
+            rnd(pick(0.5), 6).alias("p50_bf16"),
+            rnd(pick(0.9), 6).alias("p90_bf16"),
+        )
+        .orderBy("event_type")
+    )

@@ -130,3 +130,56 @@ def test_streaming_state_mv_matches_batch_recompute(spark, tmp_path):
     before = mv.wh.read("mv_user_state").count()
     mv._process_batch(spark.createDataFrame(b1, EVENTS_STREAM), 1)
     assert mv.wh.read("mv_user_state").count() == before
+
+
+def test_quantile_bf16_error_contract_and_mergeability(spark):
+    """The bf16 bucket quantile must sit within 2^-7 relative error of the
+    exact quantile (plus the half-cent quantization), and the state must
+    be truly mergeable: bucket counts summed across day-states equal a
+    single-pass bucketing of all rows (same bucket ids, same counts)."""
+    import duckdb
+
+    from dev_clickhouse_spark.queries.state_rollup import (
+        rollup_state_quantile_bf16,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    got = {
+        r["event_type"]: (r["n_events"], r["p50_bf16"], r["p90_bf16"])
+        for r in rollup_state_quantile_bf16(spark, sf).collect()
+    }
+    exact = duckdb.sql(
+        f"""SELECT event_type,
+                   quantile_disc("value", 0.5), quantile_disc("value", 0.9)
+            FROM '{sf}/events.parquet' GROUP BY event_type"""
+    ).fetchall()
+    for et, q50, q90 in exact:
+        n, p50, p90 = got[et]
+        # bucket representative underestimates by < 1/128 relative; the
+        # discrete-rank conventions differ by at most one sample, so allow
+        # 2x the mantissa step
+        assert abs(p50 - q50) / q50 < 2 / 128, (et, p50, q50)
+        assert abs(p90 - q90) / q90 < 2 / 128, (et, p90, q90)
+
+    # mergeability: single-pass bucket counts == day-merged bucket counts
+    one = duckdb.sql(
+        f"""WITH q AS (SELECT CAST(floor("value"*100+0.5) AS BIGINT) AS c
+                       FROM '{sf}/events.parquet')
+            SELECT length(bin(c))-1 AS e,
+                   CAST(floor(c*128.0/power(2, length(bin(c))-1)) AS BIGINT) AS m,
+                   count(*) FROM q GROUP BY 1, 2 ORDER BY 1, 2"""
+    ).fetchall()
+    two = duckdb.sql(
+        f"""WITH q AS (SELECT CAST(ts AS DATE) AS d,
+                              CAST(floor("value"*100+0.5) AS BIGINT) AS c
+                       FROM '{sf}/events.parquet'),
+            day_states AS (
+              SELECT d, length(bin(c))-1 AS e,
+                     CAST(floor(c*128.0/power(2, length(bin(c))-1)) AS BIGINT) AS m,
+                     count(*) AS cnt
+              FROM q GROUP BY 1, 2, 3)
+            SELECT e, m, sum(cnt) FROM day_states GROUP BY 1, 2 ORDER BY 1, 2"""
+    ).fetchall()
+    assert [(e, m, int(c)) for e, m, c in one] == [
+        (e, m, int(c)) for e, m, c in two
+    ]

@@ -328,8 +328,23 @@ def _worker(
     (re-run untimed until the runtime stops dropping by >20%, max 4 — heavy
     multi-stage plans keep JIT-settling for several executions: ngram at
     ×50 measured 75.6 s cold → 29.7 s settled in one session), then median
-    of ``reps``.  Prints ONE JSON line."""
+    of ``reps``.  Prints ONE JSON line.
+
+    Timing action = a ``noop``-format write with the rowcount captured by
+    ``df.observe`` in the SAME job: every output column is fully computed
+    and materialized executor-side, nothing crosses into the Python
+    driver.  The previous ``collect()`` action conflated the engine with
+    CPython driver materialization — scd2 at ×50 measures 3.2 s of
+    compute (``count()`` split) and 20-65 s (bimodal, allocator-state-
+    dependent) of building 4M Row objects, which is what flagged scd2
+    α 1.81 / keep_list α 1.34 as "tail bends".  A real cluster's driver
+    never sees result rows at this volume (sinks are distributed writes),
+    and the correctness gate still collects — only the PERF protocol
+    changes."""
     os.environ.setdefault("SPARK_DRIVER_MEMORY", "28g")
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
     from dev_clickhouse_spark.queries import REGISTRY
     from dev_clickhouse_spark.session import get_spark
 
@@ -338,19 +353,30 @@ def _worker(
     )
     spark.sparkContext.setLogLevel("ERROR")
     fn = REGISTRY[name].fn
-    prev = None
-    for _ in range(4):
+
+    def run_once() -> tuple[float, int]:
+        # t0 BEFORE fn(): iterative queries (label propagation, Lloyd
+        # steps) run real actions inside the builder — timing only the
+        # final write would credit them a cached-scan 0.04 s
+        obs = Observation()
         t0 = time.time()
-        len(fn(spark, sf_dir).collect())
-        dt = time.time() - t0
+        df = fn(spark, sf_dir)
+        df.observe(obs, F.count(F.lit(1)).alias("n")).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        return time.time() - t0, int(obs.get["n"])
+
+    prev = None
+    n = 0
+    for _ in range(4):
+        dt, n = run_once()
         if prev is not None and dt >= prev * 0.8:
             break  # settled: no longer dropping >20% per run
         prev = dt
-    runs, n = [], 0
+    runs = []
     for _ in range(reps):
-        t0 = time.time()
-        n = len(fn(spark, sf_dir).collect())
-        runs.append(time.time() - t0)
+        dt, n = run_once()
+        runs.append(dt)
     print(json.dumps({
         "median_sec": round(sorted(runs)[len(runs) // 2], 3), "rows": n,
     }))
@@ -594,6 +620,7 @@ def main() -> None:
     # entries are skipped — at that magnitude a JIT hiccup moves α by >1.
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     prev = None
+    earliest = None
     for f in sorted(os.listdir(repo_root)):
         if f.startswith("SCALE_X") and f.endswith(".json"):
             try:
@@ -602,10 +629,11 @@ def main() -> None:
             except (OSError, ValueError):
                 continue
             m = cand.get("factor")
-            if isinstance(m, int) and m < args.factor and (
-                prev is None or m > prev["factor"]
-            ):
-                prev = cand
+            if isinstance(m, int) and m < args.factor:
+                if prev is None or m > prev["factor"]:
+                    prev = cand
+                if earliest is None or m < earliest["factor"]:
+                    earliest = cand
     local_exponents: dict[str, dict] = {}
     tail_superlinear: list[str] = []
     if prev is not None:
@@ -623,8 +651,28 @@ def main() -> None:
                 "alpha_max": env["alpha_max"] if env else ALPHA_MAX,
                 **({"documented_cause": env["cause"]} if env else {}),
             }
+            # Corroboration requirement (round 8): a consecutive-point α
+            # alone is one-noisy-read fragile — a lucky-LOW intermediate
+            # point makes the next segment read superlinear (measured:
+            # ngram ×30 18.2 s between a 7.6 s ×10 and a 39.8 s ×50 reads
+            # α(30→50)=1.53 while the full-decade α(10→50)=1.03 is
+            # linear).  A REAL tail bend inflates the full-range exponent
+            # too (a last-segment α2.3 after a linear decade still lifts
+            # the 10→50 endpoint α to ≈1.4), so flag only when BOTH the
+            # consecutive and the full-range exponents exceed the
+            # envelope; both are recorded either way.
+            ev = earliest.get("queries", {}).get(q) if earliest else None
+            if ev and ev.get("xn_sec") and earliest["factor"] < prev["factor"]:
+                entry["alpha_full"] = local_alpha(
+                    v["xn_sec"], ev["xn_sec"],
+                    args.factor, earliest["factor"],
+                )
+                entry["full_from_factor"] = earliest["factor"]
             local_exponents[q] = entry
-            if alpha > entry["alpha_max"]:
+            corroborated = entry.get("alpha_full") is None or (
+                entry["alpha_full"] > entry["alpha_max"]
+            )
+            if alpha > entry["alpha_max"] and corroborated:
                 tail_superlinear.append(q)
         tail_superlinear.sort()
     ngram_census = None
@@ -644,9 +692,17 @@ def main() -> None:
         "factor": args.factor,
         "pack": args.pack,
         "isolation": "in-session" if args.in_session else "process-per-query",
-        # both sides: 256-ceiling + AQE coalescing (session default) —
-        # one protocol at every factor
-        "shuffle_partition_ceiling": 256,
+        # base side = core-count partitions, ×N side =
+        # partitions_for_factor(N) — the volume-proportional sizing rule
+        # (session.py); timing action = noop write + observed rowcount
+        "protocol": {
+            "xn_shuffle_partitions": None if args.in_session else
+            __import__(
+                "dev_clickhouse_spark.session", fromlist=["x"]
+            ).partitions_for_factor(args.factor),
+            "timing_action": "collect" if args.in_session else
+            "noop_write_observe",
+        },
         "base_sf": args.base_sf,
         "synth_sec": synth_sec,
         "row_counts": counts,
