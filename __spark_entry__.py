@@ -175,39 +175,68 @@ _CHECKED_R7 = {
 }
 
 
-def _ordered():
-    """Registry in round-8 driver-check priority order, LRU-style.
+# Round-8 window (CORRECTNESS_r08.json key set): 49/50 hash-green + the
+# rows-only-by-design ``dedup_cosine_pairs_sharded`` (its oracle-gated
+# soundness twin ``dedup_cosine_sharded_soundness`` is green in the same
+# window, closing VERDICT r7 #2).
+_CHECKED_R8 = {
+    "array_auc_purchase_value", "array_hof_user_values",
+    "array_scan_user_values", "array_set_ops_user_types",
+    "array_structure_user_values", "avg_weighted_price_by_flag",
+    "bitmap_users_across_event_types", "categorical_iv_segment_balance",
+    "codec_functions_by_brand", "contingency_coeff_priority_status",
+    "corr_matrix_lineitem", "cramers_v_type_bucket",
+    "date_arithmetic_by_priority", "dedup_cosine_pairs_sharded",
+    "dedup_cosine_sharded_soundness", "delta_sum_timestamp_user_values",
+    "dict_get_customer_nations", "ema_daily_order_totals",
+    "entropy_daily_event_types", "format_readable_sizes",
+    "great_circle_nation_pairs", "grouping_sets_with_ids",
+    "interval_length_sum_by_type", "ks_test_quantity_by_flag",
+    "lttb_downsample_daily_orders", "mann_whitney_quantity_by_flag",
+    "max_intersections_sessions", "min_max_map_user_event_values",
+    "mode_user_bucket_by_type", "moving_sum_arrays_per_user",
+    "multimodal_codec_coverage", "mutation_delete_update_stats",
+    "ngram_distance_by_brand", "paste_join_price_ranks",
+    "quantile_exact_low_high_by_flag", "rank_corr_quantity_discount",
+    "rollup_state_quantile_bf16", "sample_clause_events_agg",
+    "sequence_next_node_users", "simple_linreg_by_flag",
+    "skip_index_pruned_scan", "sparkbar_daily_events_by_type",
+    "stats_skew_kurtosis_by_flag", "string_search_distance_by_brand",
+    "student_ttest_price_by_flag", "sum_resample_price_by_quantity",
+    "theils_u_type_bucket", "topk_weighted_heavy_hitters",
+    "transform_decode_event_scores", "uniq_theta_intersect_user_days",
+}
 
-    Leads with ``dedup_cosine_pairs_sharded`` — the ONE registry entry
-    with no driver row in any round (rows-only by design; VERDICT r7 #2
-    asks for its row to lead this window; its new oracle-gated soundness
-    twin ``dedup_cosine_sharded_soundness`` sorts in with this round's
-    additions).  Then anything added this round (never checked), then the
-    stalest greens (last driver row r4/r5 — they missed the r6 AND r7
-    windows), then the r6 window, then the just-checked r7 window, then
-    the remaining rows-only ops.  tools/check_correctness.py still
-    oracle-checks everything each round regardless of the driver's
-    window."""
+
+def _ordered():
+    """Registry in round-9 driver-check priority order, LRU-style.
+
+    Leads with the three r8-era additions that missed the bounded r8
+    window (``url_functions_stats``, ``welch_ttest_price_by_flag``,
+    ``with_totals_segment_priority`` — the only oracle entries with no
+    driver row in any round), then anything added this round (never
+    checked), then the stalest greens (last driver row r4/r5), then r6,
+    then r7, then the just-checked r8 window, then the remaining
+    rows-only ops.  tools/check_correctness.py still oracle-checks
+    everything each round regardless of the driver's window."""
     from dev_clickhouse_spark.queries import REGISTRY
 
-    recent = _CHECKED_R6 | _CHECKED_R7
-    ever = _CHECKED_R3 | _CHECKED_R4 | _CHECKED_R5 | recent
+    recent = _CHECKED_R7 | _CHECKED_R8
+    ever = _CHECKED_R3 | _CHECKED_R4 | _CHECKED_R5 | _CHECKED_R6 | recent
 
     def klass(item):
         name, spec = item
-        if name == "dedup_cosine_pairs_sharded":
-            return (0, name)      # only never-driver-checked entry (r7 #2)
         if spec.oracle is None:
-            return (6, name)
+            return (7, name)
+        if name not in ever:
+            return (0, name)      # never driver-checked (r8 overflow + new)
         if name not in recent:
-            if name not in ever:
-                return (1, name)  # brand new this round — never checked
-            if name not in _CHECKED_R5:
-                return (2, name)  # stalest: last driver row is r4
-            return (3, name)      # checked r5, missed r6+r7
-        if name not in _CHECKED_R7:
-            return (4, name)      # checked r6, rotated out of r7
-        return (5, name)          # green in r7 — freshest, rotates out
+            if name not in _CHECKED_R6:
+                return (1, name)  # stalest: last driver row r4/r5
+            return (2, name)      # checked r6, missed r7+r8
+        if name not in _CHECKED_R8:
+            return (3, name)      # checked r7, rotated out of r8
+        return (6, name)          # green in r8 — freshest, rotates out
 
     return sorted(REGISTRY.items(), key=klass)
 
