@@ -9,6 +9,7 @@ from . import (  # noqa: F401
     extended,
     gold_star,
     mutation_parity,
+    projection_parity,
     relational,
     scalar_parity,
     skip_scan,

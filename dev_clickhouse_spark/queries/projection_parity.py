@@ -1,0 +1,199 @@
+"""Driver-gated evidence rows for table PROJECTIONS (round 9).
+
+ClickHouse tables carry projections as stock DDL (``ALTER TABLE .. ADD
+PROJECTION``, auto-selected at query time when the GROUP BY is a subset
+of the projection dims); the reference runs stock ClickHouse 24.3
+(reference docker-compose.yml:22), so this is engine-identity surface.
+plans/projection.py is the Spark-first translation: mergeable
+partial-state rows in a derived manifest table, folded incrementally
+per base-manifest member, re-aggregated (``-Merge``) at query time.
+
+Both queries answer through the AUTOMATIC selection path and RAISE if
+the projection was not actually chosen or the scan touched base files —
+so the driver row itself gates the rewrite machinery, and the DuckDB
+oracle (a plain declarative aggregate over the original parquet) gates
+the numbers: a stale fold, a double-fold after replay, a bad state
+merge, or a broken derivation all flip the row/hash gate.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..plans.projection import Measure, Metric, ProjectionSet, ProjectionSpec
+from ..plans.warehouse import Warehouse
+from .registry import register
+
+
+def _scratch_events_warehouse(
+    spark: SparkSession, sf_dir: str, tag: str, n_batches: int
+) -> tuple[Warehouse, str]:
+    """events split into ``n_batches`` disjoint hash batches in a fresh
+    manifest warehouse (the streaming-append layout projections fold)."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "event_date", F.to_date("ts")
+    )
+    scratch = os.path.join(
+        tempfile.gettempdir(),
+        f"dcs_{tag}_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10],
+    )
+    shutil.rmtree(scratch, ignore_errors=True)
+    wh = Warehouse(spark, scratch)
+    t = "projevents"
+    part = F.col("event_id") % n_batches  # oracle-reproducible split
+    for b in range(n_batches):
+        wh.append(t, ev.filter(part == b), batch_id=b)
+    return wh, t
+
+
+_SPEC = ProjectionSpec(
+    name="by_date_type",
+    dims=("event_date", "event_type"),
+    measures=(
+        Measure("count"),
+        Measure("sum", "value"),
+        Measure("min", "value"),
+        Measure("max", "value"),
+        Measure("moments", "value"),
+    ),
+)
+
+#: identical quantized power-sum arithmetic as plans/projection.py, so
+#: the doubles agree bitwise before the final rounding (the
+#: stats_moments_by_returnflag convention).
+_ORACLE_BY_TYPE = """
+WITH qz AS (
+  SELECT event_type,
+         "value" AS v,
+         CAST(floor("value" * 100 + 0.5) AS BIGINT) AS q
+  FROM events
+),
+s AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS cnt,
+         CAST(count(v) AS DOUBLE) AS n,
+         CAST(sum(q) AS DOUBLE) AS sx,
+         CAST(sum(q * q) AS DOUBLE) AS sxx,
+         CAST(sum(CAST(v AS DECIMAL(27,4))) AS DOUBLE) AS sv,
+         min(v) AS min_value,
+         max(v) AS max_value
+  FROM qz GROUP BY event_type
+)
+SELECT event_type, cnt,
+       floor(sv * 100 + 0.5) / 100 AS sum_value,
+       floor(sx / n / 100 * 10000 + 0.5) / 10000 AS avg_value,
+       floor(sqrt((sxx - sx * sx / n) / (n - 1)) / 100 * 10000 + 0.5) / 10000
+         AS std_value,
+       min_value, max_value
+FROM s
+"""
+
+_METRICS = [
+    Metric("count", None, "cnt"),
+    Metric("sum", "value", "sum_value", 2),
+    Metric("avg", "value", "avg_value", 4),
+    Metric("stddev_samp", "value", "std_value", 4),
+    Metric("min", "value", "min_value"),
+    Metric("max", "value", "max_value"),
+]
+
+
+@register(
+    "projection_auto_rewrite_rollup",
+    oracle=_ORACLE_BY_TYPE,
+    tags=["clickhouse-parity", "projection"],
+)
+def projection_auto_rewrite_rollup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ADD PROJECTION + automatic selection: three appended members fold
+    into (event_date, event_type) partial states; a GROUP BY event_type
+    with count/sum/avg/stddev/min/max is answered ENTIRELY from merged
+    states (asserted: the chosen plan reads only ``__proj__`` files).
+    The oracle recomputes the same aggregates declaratively over the
+    raw parquet — any fold/merge/derivation defect flips the hash."""
+    wh, t = _scratch_events_warehouse(spark, sf_dir, "proj_rewrite", 3)
+    ps = ProjectionSet(wh, t, [_SPEC])
+    df, rep = ps.answer(["event_type"], _METRICS, require_projection=True)
+    if rep.used != _SPEC.name:
+        raise RuntimeError(f"projection not selected: {rep!r}")
+    files = df.inputFiles()
+    if not files or not all("__proj__" in f for f in files):
+        raise RuntimeError("rewrite leaked a base-table scan")
+    return df
+
+
+_ORACLE_FOLD = """
+WITH src AS (
+  SELECT event_type, CAST(ts AS DATE) AS event_date, "value" AS v
+  FROM events
+  UNION ALL
+  SELECT event_type, CAST(ts AS DATE) AS event_date, "value" AS v
+  FROM events WHERE event_id % 4 = 0
+),
+qz AS (
+  SELECT event_type, event_date, v,
+         CAST(floor(v * 100 + 0.5) AS BIGINT) AS q
+  FROM src
+),
+s AS (
+  SELECT event_type, event_date,
+         CAST(count(*) AS BIGINT) AS cnt,
+         CAST(count(v) AS DOUBLE) AS n,
+         CAST(sum(q) AS DOUBLE) AS sx,
+         CAST(sum(q * q) AS DOUBLE) AS sxx,
+         CAST(sum(CAST(v AS DECIMAL(27,4))) AS DOUBLE) AS sv,
+         min(v) AS min_value,
+         max(v) AS max_value
+  FROM qz GROUP BY event_type, event_date
+)
+SELECT event_type, event_date, cnt,
+       floor(sv * 100 + 0.5) / 100 AS sum_value,
+       floor(sx / n / 100 * 10000 + 0.5) / 10000 AS avg_value,
+       CASE WHEN n > 1 THEN
+         floor(sqrt((sxx - sx * sx / n) / (n - 1)) / 100 * 10000 + 0.5) / 10000
+       END AS std_value,
+       min_value, max_value
+FROM s
+"""
+
+
+@register(
+    "projection_incremental_fold",
+    oracle=_ORACLE_FOLD,
+    tags=["clickhouse-parity", "projection"],
+)
+def projection_incremental_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Insert-time projection maintenance: fold four members, APPEND a
+    fifth (the ``event_id % 4 = 0`` rows re-tagged with shifted ids so
+    the oracle can reproduce them), and answer again — ensure() must
+    fold exactly the one new member (asserted), and the merged states
+    must equal the declarative aggregate over ALL five members' rows.
+    A replay-duplication bug (re-folding already-folded members) or a
+    staleness bug (serving four-member states for five-member data)
+    flips the hash."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "event_date", F.to_date("ts")
+    )
+    wh, t = _scratch_events_warehouse(spark, sf_dir, "proj_fold", 4)
+    ps = ProjectionSet(wh, t, [_SPEC])
+    first = ps.ensure()
+    if first.folded_now != 4 or first.rebuilt:
+        raise RuntimeError(f"unexpected initial fold: {first!r}")
+    extra = ev.filter(F.col("event_id") % 4 == 0).withColumn(
+        "event_id", F.col("event_id") + F.lit(10_000_000)
+    )
+    wh.append(t, extra, batch_id=4)
+    df, rep = ps.answer(
+        ["event_type", "event_date"], _METRICS, require_projection=True
+    )
+    if rep.folded_now != 1 or rep.rebuilt:
+        raise RuntimeError(f"incremental fold broke: {rep!r}")
+    return df

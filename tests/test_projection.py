@@ -1,0 +1,153 @@
+"""Projection maintenance + selection guarantees that the oracle rows
+can't see: files actually read, fallback choice, compaction rebuild,
+crash-replay idempotence, HLL state merge identity."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from dev_clickhouse_spark.io import load_table
+from dev_clickhouse_spark.plans.projection import (
+    Measure,
+    Metric,
+    ProjectionSet,
+    ProjectionSpec,
+)
+from dev_clickhouse_spark.plans.warehouse import Warehouse
+
+SF = "/root/testdata/sf0.001"
+
+SPEC = ProjectionSpec(
+    name="by_date_type",
+    dims=("event_date", "event_type"),
+    measures=(
+        Measure("count"),
+        Measure("sum", "value"),
+        Measure("min", "value"),
+        Measure("max", "value"),
+        Measure("moments", "value"),
+        Measure("uniq", "user_id"),
+    ),
+)
+
+METRICS = [
+    Metric("count", None, "cnt"),
+    Metric("sum", "value", "sum_value", 2),
+    Metric("avg", "value", "avg_value", 4),
+    Metric("var_samp", "value", "var_value", 4),
+    Metric("stddev_samp", "value", "std_value", 4),
+    Metric("min", "value", "min_value"),
+    Metric("max", "value", "max_value"),
+]
+
+
+@pytest.fixture()
+def wh(spark, tmp_path):
+    w = Warehouse(spark, str(tmp_path / "wh"))
+    ev = load_table(spark, SF, "events").withColumn(
+        "event_date", F.to_date("ts")
+    )
+    part = F.col("event_id") % 3
+    for b in range(3):
+        w.append("ev", ev.filter(part == b), batch_id=b)
+    return w
+
+
+def _sorted_rows(df, keys=("event_type",)):
+    return [tuple(r) for r in df.orderBy(*keys).collect()]
+
+
+def test_projection_answers_from_projection_files_only(spark, wh):
+    ps = ProjectionSet(wh, "ev", [SPEC])
+    df, rep = ps.answer(["event_type"], METRICS)
+    assert rep.used == SPEC.name and rep.folded_now == 3
+    files = df.inputFiles()
+    assert files and all("__proj__" in f for f in files)
+    # identical numbers to the base scan (bit-identical derivations)
+    base = ps._base_scan(["event_type"], METRICS)
+    assert _sorted_rows(df) == _sorted_rows(base)
+
+
+def test_second_answer_folds_nothing(spark, wh):
+    ps = ProjectionSet(wh, "ev", [SPEC])
+    ps.answer(["event_type"], METRICS)
+    _, rep = ps.answer(["event_type"], METRICS)
+    assert rep.folded_now == 0 and not rep.rebuilt
+
+
+def test_append_folds_exactly_the_new_member(spark, wh):
+    ps = ProjectionSet(wh, "ev", [SPEC])
+    ps.answer(["event_type"], METRICS)
+    ev = load_table(spark, SF, "events").withColumn(
+        "event_date", F.to_date("ts")
+    )
+    wh.append("ev", ev.filter(F.col("event_id") % 3 == 0), batch_id=9)
+    df, rep = ps.answer(["event_type"], METRICS)
+    assert rep.folded_now == 1 and not rep.rebuilt
+    base = ps._base_scan(["event_type"], METRICS)
+    assert _sorted_rows(df) == _sorted_rows(base)
+
+
+def test_fallback_when_group_key_not_in_dims(spark, wh):
+    ps = ProjectionSet(wh, "ev", [SPEC])
+    df, rep = ps.answer(["user_id"], [Metric("count", None, "cnt")])
+    assert rep.used is None
+    assert df.count() > 0
+    with pytest.raises(LookupError):
+        ps.answer(
+            ["user_id"], [Metric("count", None, "cnt")],
+            require_projection=True,
+        )
+
+
+def test_fallback_when_metric_not_derivable(spark, wh):
+    lean = ProjectionSpec(
+        name="lean", dims=("event_type",), measures=(Measure("count"),)
+    )
+    ps = ProjectionSet(wh, "ev", [lean])
+    _, rep = ps.answer(["event_type"], [Metric("sum", "value", "s", 2)])
+    assert rep.used is None
+
+
+def test_compaction_triggers_rebuild_not_double_count(spark, wh):
+    ps = ProjectionSet(wh, "ev", [SPEC])
+    before, _ = ps.answer(["event_type"], METRICS)
+    before_rows = _sorted_rows(before)
+    wh.compact("ev")
+    after, rep = ps.answer(["event_type"], METRICS)
+    assert rep.rebuilt
+    assert _sorted_rows(after) == before_rows
+
+
+def test_crash_replay_does_not_double_fold(spark, wh):
+    """Crash between the state append and the sidecar update: the next
+    ensure() re-runs the same fold with the same batch id — the manifest
+    replay ledger must swallow it instead of doubling every state."""
+    ps = ProjectionSet(wh, "ev", [SPEC])
+    ps.answer(["event_type"], METRICS)
+    base_rows = _sorted_rows(ps._base_scan(["event_type"], METRICS))
+    # simulate the crash: roll the sidecar back one fold
+    side = ps._load_sidecar(SPEC)
+    ev = load_table(spark, SF, "events").withColumn(
+        "event_date", F.to_date("ts")
+    )
+    wh.append("ev", ev.filter(F.col("event_id") % 3 == 0), batch_id=9)
+    df1, rep1 = ps.answer(["event_type"], METRICS)  # folds member 9
+    assert rep1.folded_now == 1
+    ps._save_sidecar(SPEC, side)  # sidecar lost the fold, append committed
+    df2, rep2 = ps.answer(["event_type"], METRICS)
+    assert rep2.folded_now == 1  # re-attempted ...
+    assert _sorted_rows(df2) == _sorted_rows(df1)  # ... but not re-applied
+
+
+def test_uniq_state_merge_equals_single_pass(spark, wh):
+    ps = ProjectionSet(wh, "ev", [SPEC])
+    m = [Metric("uniq_approx", "user_id", "u")]
+    merged, rep = ps.answer(["event_type"], m)
+    assert rep.used == SPEC.name
+    single = ps._base_scan(["event_type"], m)
+    assert _sorted_rows(merged) == _sorted_rows(single)
