@@ -30,6 +30,7 @@ from ..llm import (  # noqa: F401
     sampling,
     signals,
     similarity,
+    substring,
     text,
 )
 from .registry import REGISTRY, QuerySpec, register  # noqa: F401
