@@ -7,6 +7,7 @@ from . import (  # noqa: F401
     behavioral,
     combinators,
     extended,
+    func_parity9,
     gold_star,
     mutation_parity,
     projection_parity,
