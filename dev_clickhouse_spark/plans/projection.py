@@ -362,3 +362,109 @@ class ProjectionSet:
         rep = self.ensure(spec.name)
         rep.used = spec.name
         return self._merge(spec, group_cols, metrics), rep
+
+
+class SortProjection:
+    """The second ClickHouse projection kind: a re-SORTED copy of the
+    base table (``ADD PROJECTION p (SELECT * ORDER BY other_key)``),
+    selected when a query filters on a key the base ordering can't
+    prune.
+
+    Spark-first: each fold range-partitions the NEW base members on the
+    sort key and writes them sorted, then the engine's skip index
+    (plans/skip_index.py) puts per-file minmax sidecars on the sorted
+    files — so a point/range predicate on the sort key prunes to the
+    few files whose range overlaps, per fold.  Maintenance follows the
+    aggregate-projection fold model (incremental per member, rebuild on
+    membership rewrite); the fold shuffle is one range exchange of the
+    new batch only, never of the table."""
+
+    def __init__(
+        self,
+        wh: Warehouse,
+        base: str,
+        name: str,
+        sort_cols: tuple[str, ...],
+        files_per_fold: int = 8,
+    ):
+        from .skip_index import SkipIndex
+
+        self.wh = wh
+        self.base = base
+        self.name = name
+        self.sort_cols = tuple(sort_cols)
+        self.files_per_fold = files_per_fold
+        self._table = f"{base}__proj__{name}"
+        self._idx = SkipIndex(wh, self._table, minmax_cols=self.sort_cols)
+
+    def _sidecar_path(self) -> str:
+        return os.path.join(
+            self.wh.path(self.base), "_projections", f"{self.name}.sort.json"
+        )
+
+    def ensure(self) -> ProjectionReport:
+        rep = ProjectionReport()
+        man = self.wh.load_manifest(self.base)
+        if man is None:
+            raise ValueError(
+                f"projections need the manifest layout; {self.base!r} has none"
+            )
+        live = list(man["members"])
+        try:
+            with open(self._sidecar_path()) as fh:
+                side = json.load(fh)
+        except OSError:
+            side = None
+        folded = list(side["folded_members"]) if side else []
+        fold_seq = side["fold_seq"] if side else 0
+        if side is not None and not set(folded) <= set(live):
+            shutil.rmtree(self.wh.path(self._table), ignore_errors=True)
+            folded, fold_seq = [], 0
+            rep.rebuilt = True
+        new = [m for m in live if m not in folded]
+        if new:
+            df = self.wh._read_members(self.base, new)
+            out = df.repartitionByRange(
+                self.files_per_fold, *self.sort_cols
+            ).sortWithinPartitions(*self.sort_cols)
+            self.wh.append(self._table, out, batch_id=fold_seq)
+            p = self._sidecar_path()
+            os.makedirs(os.path.dirname(p), exist_ok=True)
+            tmp = p + ".tmp"
+            with open(tmp, "w") as fh:
+                json.dump(
+                    {
+                        "sort_cols": list(self.sort_cols),
+                        "folded_members": folded + new,
+                        "fold_seq": fold_seq + 1,
+                    },
+                    fh,
+                    indent=1,
+                )
+            os.replace(tmp, p)
+            rep.folded_now = len(new)
+        self._idx.ensure()
+        return rep
+
+    def scan(
+        self, predicates: list[tuple], require_projection: bool = False
+    ) -> tuple[DataFrame, ProjectionReport]:
+        """Pruned scan through the sorted copy when a predicate touches
+        the sort key; otherwise the base table with the same residual
+        filter (identical rows either way)."""
+        pred_cols = {p[1] for p in predicates if p[0] in ("between", "eq")}
+        if pred_cols & set(self.sort_cols):
+            rep = self.ensure()
+            rep.used = self.name
+            df = self._idx.read(predicates)
+            self.last_stats = self._idx.last_stats
+            return df, rep
+        if require_projection:
+            raise LookupError(
+                f"no predicate on sort key {self.sort_cols} of "
+                f"projection {self.name!r}"
+            )
+        base = self.wh.read(self.base)
+        return base.filter(self._idx._residual(predicates, base)), (
+            ProjectionReport()
+        )

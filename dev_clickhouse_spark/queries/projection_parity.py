@@ -130,6 +130,58 @@ def projection_auto_rewrite_rollup(
     return df
 
 
+@register(
+    "sort_projection_pruned_scan",
+    oracle="""
+WITH b AS (SELECT (max(user_id) // 5) AS step FROM events)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS cnt,
+       floor(CAST(sum(CAST("value" AS DECIMAL(27,4))) AS DOUBLE)
+             * 100 + 0.5) / 100 AS sum_value
+FROM events, b
+WHERE user_id BETWEEN b.step * 2 AND b.step * 3 - 1
+  AND event_type = 'purchase'
+GROUP BY event_type
+""",
+    tags=["clickhouse-parity", "projection"],
+)
+def sort_projection_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER BY projection + automatic selection: the base members are
+    hash-split (user_id ranges smeared across every file, so the base
+    table cannot prune a user_id predicate); the sort projection
+    range-partitions each fold on user_id and carries per-file minmax
+    sidecars, so the range query scans only the overlapping files.
+    Asserted here: the projection served the scan AND files were
+    actually skipped; the oracle gates row-level equality, so a pruning
+    bug that drops a matching file flips the hash."""
+    from ..plans.projection import SortProjection
+
+    wh, t = _scratch_events_warehouse(spark, sf_dir, "proj_sort", 3)
+    hi = wh.read(t).agg(F.max("user_id")).first()[0]
+    step = hi // 5
+    sp = SortProjection(wh, t, "by_user", ("user_id",), files_per_fold=8)
+    df, rep = sp.scan(
+        [
+            ("between", "user_id", step * 2, step * 3 - 1),
+            ("eq", "event_type", "purchase"),
+        ],
+        require_projection=True,
+    )
+    if rep.used != "by_user":
+        raise RuntimeError(f"sort projection not selected: {rep!r}")
+    st = sp.last_stats
+    if st["files_scanned"] >= st["files_total"]:
+        raise RuntimeError(f"no files pruned: {st!r}")
+    from ..functions.ch_compat import round_half_up as rnd
+
+    return df.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        rnd(
+            F.sum(F.col("value").cast("decimal(27,4)")).cast("double"), 2
+        ).alias("sum_value"),
+    )
+
+
 _ORACLE_FOLD = """
 WITH src AS (
   SELECT event_type, CAST(ts AS DATE) AS event_date, "value" AS v

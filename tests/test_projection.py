@@ -151,3 +151,53 @@ def test_uniq_state_merge_equals_single_pass(spark, wh):
     assert rep.used == SPEC.name
     single = ps._base_scan(["event_type"], m)
     assert _sorted_rows(merged) == _sorted_rows(single)
+
+
+def test_sort_projection_prunes_and_matches_base(spark, wh):
+    from dev_clickhouse_spark.plans.projection import SortProjection
+
+    sp = SortProjection(wh, "ev", "by_user", ("user_id",), files_per_fold=6)
+    hi = wh.read("ev").agg(F.max("user_id")).first()[0]
+    preds = [("between", "user_id", 1, hi // 4)]
+    df, rep = sp.scan(preds, require_projection=True)
+    assert rep.used == "by_user" and rep.folded_now == 3
+    st = sp.last_stats
+    assert st["files_scanned"] < st["files_total"]
+    expect = wh.read("ev").filter(
+        F.col("user_id").between(1, hi // 4)
+    )
+    assert df.count() == expect.count()
+    assert sorted(r.event_id for r in df.collect()) == sorted(
+        r.event_id for r in expect.collect()
+    )
+
+
+def test_sort_projection_falls_back_off_key(spark, wh):
+    from dev_clickhouse_spark.plans.projection import SortProjection
+
+    sp = SortProjection(wh, "ev", "by_user", ("user_id",))
+    df, rep = sp.scan([("eq", "event_type", "click")])
+    assert rep.used is None
+    assert df.count() == wh.read("ev").filter(
+        F.col("event_type") == "click"
+    ).count()
+
+
+def test_sort_projection_incremental_fold_and_rebuild(spark, wh):
+    from dev_clickhouse_spark.plans.projection import SortProjection
+
+    sp = SortProjection(wh, "ev", "by_user", ("user_id",))
+    sp.ensure()
+    ev = load_table(spark, SF, "events").withColumn(
+        "event_date", F.to_date("ts")
+    )
+    wh.append("ev", ev.filter(F.col("event_id") % 3 == 1), batch_id=9)
+    rep = sp.ensure()
+    assert rep.folded_now == 1 and not rep.rebuilt
+    wh.compact("ev")
+    rep2 = sp.ensure()
+    assert rep2.rebuilt
+    hi = wh.read("ev").agg(F.max("user_id")).first()[0]
+    df, _ = sp.scan([("between", "user_id", 1, hi // 3)])
+    expect = wh.read("ev").filter(F.col("user_id").between(1, hi // 3))
+    assert df.count() == expect.count()
