@@ -193,14 +193,19 @@ class ProjectionSet:
                 f"projections need the manifest layout; {self.base!r} has none"
             )
         live = list(man["members"])
+        dv_epoch = self.wh.dv_epoch(self.base)
         for spec in self.specs:
             if spec_name is not None and spec.name != spec_name:
                 continue
             side = self._load_sidecar(spec)
             folded = list(side["folded_members"]) if side else []
             fold_seq = side["fold_seq"] if side else 0
-            if side is not None and not set(folded) <= set(live):
-                # rewrite happened under us: conservative full rebuild
+            if side is not None and (
+                not set(folded) <= set(live)
+                or side.get("dv_epoch", "") != dv_epoch
+            ):
+                # membership rewrite OR a lightweight delete changed row
+                # content under the folded states: conservative rebuild
                 shutil.rmtree(
                     self.wh.path(self._proj_table(spec)), ignore_errors=True
                 )
@@ -218,6 +223,7 @@ class ProjectionSet:
                     "dims": list(spec.dims),
                     "folded_members": folded + new,
                     "fold_seq": fold_seq + 1,
+                    "dv_epoch": dv_epoch,
                 },
             )
             rep.folded_now += len(new)
@@ -417,7 +423,11 @@ class SortProjection:
             side = None
         folded = list(side["folded_members"]) if side else []
         fold_seq = side["fold_seq"] if side else 0
-        if side is not None and not set(folded) <= set(live):
+        dv_epoch = self.wh.dv_epoch(self.base)
+        if side is not None and (
+            not set(folded) <= set(live)
+            or side.get("dv_epoch", "") != dv_epoch
+        ):
             shutil.rmtree(self.wh.path(self._table), ignore_errors=True)
             folded, fold_seq = [], 0
             rep.rebuilt = True
@@ -437,6 +447,7 @@ class SortProjection:
                         "sort_cols": list(self.sort_cols),
                         "folded_members": folded + new,
                         "fold_seq": fold_seq + 1,
+                        "dv_epoch": dv_epoch,
                     },
                     fh,
                     indent=1,

@@ -11,12 +11,23 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..schemas import BRONZE_SCHEMAS, CORPUS_SCHEMAS, GOLD_SCHEMAS
+
+
+def _strip_scheme(p: str) -> str:
+    """Local filesystem path of a Spark ``_metadata.file_path`` URI."""
+    if p.startswith("file://"):
+        return p[7:]
+    if p.startswith("file:"):
+        return p[5:]
+    return p
 
 
 def conform_to_schema(df: DataFrame, schema: T.StructType) -> DataFrame:
@@ -320,33 +331,154 @@ class Warehouse:
             )
         return self._read_members(table, man["members"])
 
-    def _read_members(self, table: str, members: list[str]) -> DataFrame:
+    def _read_members(
+        self, table: str, members: list[str], keep_dv_tag: bool = False
+    ) -> DataFrame:
         """Scan exactly the manifest's live member dirs.  Each member is its
         own parquet root (event_date partition dirs inside), so a pointer
         flip mid-query cannot mix generations.  Compaction keeps the member
         count at 1 + (batches since last compact), so the union stays a
         handful of scans, not thousands — and each scan still prunes
-        event_date partitions and pushes filters independently."""
+        event_date partitions and pushes filters independently.
+
+        When the table carries deletion vectors (lightweight DELETE),
+        every scan is tagged with the parquet ``_metadata`` (file, row
+        position) BEFORE the union — the hidden column only resolves on a
+        raw scan — and the DV anti-join masks deleted rows; with
+        ``keep_dv_tag`` the position columns stay visible (the
+        delete-writer needs them)."""
         override = self.schema_override(table)
+        dv_files = self._dv_files(table)
+        tag = bool(dv_files) or keep_dv_tag
         dfs = []
         for m in members:
             p = os.path.join(self.path(table), m)
             if override is None:
-                dfs.append(self.spark.read.parquet(p))
+                df = self.spark.read.parquet(p)
             else:
                 # declared-schema read: mixed pre/post-ALTER members must not
                 # adopt one file's footer and hide the added column
-                dfs.append(
-                    self.spark.read.schema(self.schema_for(table)).parquet(p)
+                df = self.spark.read.schema(self.schema_for(table)).parquet(p)
+            if tag:
+                df = df.select(
+                    F.col("_metadata.file_path").alias("__dv_file"),
+                    F.col("_metadata.row_index").alias("__dv_pos"),
+                    *[F.col(c) for c in df.columns],
                 )
+            dfs.append(df)
         if not dfs:
             return self.spark.createDataFrame([], self.schema_for(table))
         out = dfs[0]
         for df in dfs[1:]:
             out = out.unionByName(df, allowMissingColumns=True)
+        if dv_files:
+            dv = self.spark.read.parquet(
+                *[os.path.join(self._dv_dir(table), f) for f in dv_files]
+            )
+            out = out.join(dv, ["__dv_file", "__dv_pos"], "left_anti")
+        if tag and not keep_dv_tag:
+            out = out.drop("__dv_file", "__dv_pos")
         if override is not None:
-            out = conform_to_schema(out, self.schema_for(table))
+            target = self.schema_for(table)
+            if tag and keep_dv_tag:
+                # the delete-writer needs the position tag to survive the
+                # declared-schema projection
+                target = T.StructType(
+                    [
+                        T.StructField("__dv_file", T.StringType()),
+                        T.StructField("__dv_pos", T.LongType()),
+                        *target.fields,
+                    ]
+                )
+            out = conform_to_schema(out, target)
         return out
+
+    # -- lightweight DELETE (deletion vectors) ------------------------------
+
+    def _dv_dir(self, table: str) -> str:
+        return os.path.join(self.path(table), "_deletes")
+
+    def _dv_files(self, table: str) -> list[str]:
+        try:
+            return sorted(
+                e for e in os.listdir(self._dv_dir(table))
+                if e.startswith("dv-")
+            )
+        except OSError:
+            return []
+
+    def dv_epoch(self, table: str) -> str:
+        """Stable stamp of the table's deletion-vector state — derived
+        structures (projections) rebuild when it moves, because DVs change
+        row content without changing manifest membership."""
+        return ",".join(self._dv_files(table))
+
+    def delete_where_lightweight(self, table: str, condition) -> dict:
+        """ClickHouse ``DELETE FROM … WHERE`` (lightweight delete) analog:
+        instead of rewriting members like ``delete_where`` (the ALTER
+        DELETE mutation), persist a POSITIONAL deletion vector — the
+        (file, row_index) set of matched rows — and mask it on every
+        read.  Delete cost is one predicate scan + a tiny DV write, no
+        data rewrite; ``compact()`` materializes the mask into the new
+        member and garbage-collects spent DVs (exactly ClickHouse's
+        ``_row_exists`` mask folded by background merges, and the
+        Iceberg/Delta deletion-vector design at lake scale).
+
+        Matches against rows ALREADY masked by earlier DVs are excluded,
+        so re-issuing a delete is idempotent (0 new rows).  DVs overlay
+        the CURRENT table state: like ClickHouse lightweight deletes they
+        apply to every read, including ``read_at_version`` snapshots."""
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        man = self.load_manifest(table)
+        if man is None:
+            raise ValueError(
+                "lightweight delete needs the manifest layout; "
+                f"{table!r} has none (append with batch_id to create one)"
+            )
+        tagged = self._read_members(table, man["members"], keep_dv_tag=True)
+        hits = tagged.filter(cond).select("__dv_file", "__dv_pos")
+        staging = os.path.join(
+            self.path(table), f".dv-staging-{uuid.uuid4().hex[:8]}"
+        )
+        hits.coalesce(1).write.mode("overwrite").parquet(staging)
+        n = self._count_rows_parquet(staging)
+        if n == 0:
+            shutil.rmtree(staging, ignore_errors=True)
+            return {"rows_deleted": 0, "dv_files": len(self._dv_files(table))}
+        os.makedirs(self._dv_dir(table), exist_ok=True)
+        seq = len(self._dv_files(table))
+        final = os.path.join(
+            self._dv_dir(table), f"dv-{seq:06d}-{uuid.uuid4().hex[:8]}"
+        )
+        os.rename(staging, final)
+        return {"rows_deleted": n, "dv_files": len(self._dv_files(table))}
+
+    def gc_deletes(self, table: str) -> int:
+        """Drop deletion-vector files whose referenced data files no longer
+        exist (they were compacted/mutated away, materializing the mask).
+        A DV that still references ANY live file stays whole — its dead
+        references are harmless no-ops in the anti-join.  Returns the
+        number of DV files removed."""
+        removed = 0
+        for f in self._dv_files(table):
+            p = os.path.join(self._dv_dir(table), f)
+            refs = [
+                r[0]
+                for r in self.spark.read.parquet(p)
+                .select("__dv_file")
+                .distinct()
+                .collect()
+            ]
+            if not any(os.path.exists(_strip_scheme(r)) for r in refs):
+                shutil.rmtree(p, ignore_errors=True)
+                removed += 1
+        return removed
+
+    def _count_rows_parquet(self, path: str) -> int:
+        try:
+            return self.spark.read.parquet(path).count()
+        except Exception:
+            return 0
 
     def read_window(self, table: str, start_ts, end_ts) -> DataFrame:
         """Windowed scan with explicit partition pruning: the ts predicate
@@ -610,6 +742,10 @@ class Warehouse:
                 shutil.rmtree(
                     os.path.join(self.path(table), m), ignore_errors=True
                 )
+        # the rewrite materialized any deletion-vector mask for the folded
+        # members (the merged read applies DVs); DVs that now reference no
+        # live file are spent
+        self.gc_deletes(table)
         live = self.load_manifest(table)["members"]
         return sum(
             self._count_parquet(os.path.join(self.path(table), m))

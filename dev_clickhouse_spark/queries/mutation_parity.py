@@ -69,3 +69,56 @@ def mutation_delete_update_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             rnd(F.sum("value"), 2).alias("sum_value"),
         )
     )
+
+@register(
+    "lightweight_delete_mask_read",
+    oracle="""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS cnt,
+       floor(CAST(sum(CAST("value" AS DECIMAL(27,4))) AS DOUBLE)
+             * 100 + 0.5) / 100 AS sum_value
+FROM events
+WHERE NOT (event_type = 'error') AND NOT ("value" > 250.0)
+GROUP BY event_type
+""",
+    tags=["clickhouse-parity", "mutations", "deletion-vectors"],
+)
+def lightweight_delete_mask_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse lightweight ``DELETE FROM … WHERE`` parity: two deletes
+    write POSITIONAL deletion vectors instead of rewriting members
+    (asserted: the manifest version does not move, so zero data files
+    were touched), reads mask the deleted rows, and a re-issued delete
+    is a no-op (asserted).  The oracle replays both predicates as a
+    plain WHERE over the original parquet — a mask that hides the wrong
+    row, double-applies, or leaks through the member union flips the
+    hash."""
+    ev = load_table(spark, sf_dir, "events")
+    scratch = os.path.join(
+        tempfile.gettempdir(),
+        "dcs_lwdelete_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10],
+    )
+    shutil.rmtree(scratch, ignore_errors=True)
+    wh = Warehouse(spark, scratch)
+    t = "lwd_events"
+    for b in range(3):
+        wh.append(t, ev.filter(F.col("event_id") % 3 == b), batch_id=b)
+    v0 = wh.load_manifest(t)["version"]
+    wh.delete_where_lightweight(t, "event_type = 'error'")
+    again = wh.delete_where_lightweight(t, "event_type = 'error'")
+    if again["rows_deleted"] != 0:
+        raise RuntimeError(f"re-delete was not idempotent: {again!r}")
+    wh.delete_where_lightweight(t, "value > 250.0")
+    if wh.load_manifest(t)["version"] != v0:
+        raise RuntimeError("lightweight delete rewrote members")
+    if len(wh._dv_files(t)) != 2:
+        raise RuntimeError("expected exactly two deletion vectors")
+    return (
+        wh.read(t)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            rnd(
+                F.sum(F.col("value").cast("decimal(27,4)")).cast("double"), 2
+            ).alias("sum_value"),
+        )
+    )
