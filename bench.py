@@ -54,6 +54,9 @@ BENCH_QUERIES = [
     "dedup_cosine_pairs_sharded",        # round 7: sharded+IVF production path
     "dedup_ngram_jaccard_pairs",         # round 7: counted-postings verify
     "rollup_state_distinct_users",       # round 7: -State/-Merge HLL rollup
+    "dedup_substring_spans",             # round 9: span-level dedup (postings)
+    "projection_auto_rewrite_rollup",    # round 9: fold + -Merge rewrite path
+    "lightweight_delete_mask_read",      # round 9: DV write + masked read
 ]
 
 N_INGEST_EVENTS = 10_000
