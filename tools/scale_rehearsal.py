@@ -100,11 +100,11 @@ def synthesize(spark, base_sf: str, out_dir: str, factor: int,
 
     from dev_clickhouse_spark.io import TEST_TABLES, load_table
 
-    if factor > len(LETTERS):
+    if factor > len(LETTERS) * len(LETTERS):
         raise ValueError(
             f"factor {factor} exceeds the text-perturbation period "
-            f"({len(LETTERS)}): replica texts would alias and corrupt the "
-            "dedup invariants"
+            f"({len(LETTERS) ** 2}): replica texts would alias and corrupt "
+            "the dedup invariants"
         )
     os.makedirs(out_dir, exist_ok=True)
     # per-family offset base: one power of 10 above the family's max key so
@@ -139,11 +139,19 @@ def synthesize(spark, base_sf: str, out_dir: str, factor: int,
             if base is not None:
                 out = out.withColumn(c, F.col(c) + F.col("_r") * F.lit(base))
         if table == "documents":
+            # replica < 52: the original Caesar rotation (byte-identical to
+            # the data behind the committed ×10/×30/×50 artifacts); replica
+            # >= 52: the SAME rotation plus a per-52-block word suffix —
+            # every token differs across blocks, so replica texts share no
+            # shingles and the period becomes 52² without touching the
+            # existing curve's generator
             shifted = F.col("text")
             for r in range(1, factor):
-                shifted = F.when(
-                    F.col("_r") == r, F.translate("text", LETTERS, _caesar(r))
-                ).otherwise(shifted)
+                e = F.translate("text", LETTERS, _caesar(r % len(LETTERS)))
+                if r >= len(LETTERS):
+                    tag = "z" + LETTERS[r // len(LETTERS)]
+                    e = F.regexp_replace(e, r"(\S+)", "$1" + tag)
+                shifted = F.when(F.col("_r") == r, e).otherwise(shifted)
             out = out.withColumn("text", shifted)
         if table == "embeddings":
             # per-replica ±1 sign pattern (replica 0 = identity): exact
