@@ -86,6 +86,21 @@ class Warehouse:
         #: mtime-keyed cache of parsed schema overrides — read()/read_window()
         #: consult the override several times per call and run ~30×/tick
         self._override_cache: dict[str, tuple[float, T.StructType]] = {}
+        #: per-instance ``PARTITION BY event_date ORDER BY (...)``
+        #: declarations (CREATE TABLE analog) — extends the module-level
+        #: _PARTITIONED_SORT registry for ad-hoc tables
+        self._declared_sort: dict[str, list[str]] = {}
+
+    def set_partitioning(self, table: str, sort_key: list[str]) -> None:
+        """Declare ``table`` date-partitioned with an in-partition sort key —
+        the ``PARTITION BY toDate(ts) ORDER BY (...)`` clause of a ClickHouse
+        CREATE TABLE (reference clickhouse/init/01_create_tables.sql).  Must
+        be called before the first append; the two layouts don't mix."""
+        self._declared_sort[table] = list(sort_key)
+
+    def _sort_key(self, table: str) -> list[str] | None:
+        """Sort key for a date-partitioned table, else None."""
+        return self._declared_sort.get(table) or _PARTITIONED_SORT.get(table)
 
     def path(self, table: str) -> str:
         return os.path.join(self.root, table)
@@ -260,7 +275,7 @@ class Warehouse:
 
     def schema_for(self, table: str) -> T.StructType:
         schema = self.schema_override(table) or _ALL_SCHEMAS[table]
-        if table in _PARTITIONED_SORT and not any(
+        if self._sort_key(table) is not None and not any(
             f.name == "event_date" for f in schema.fields
         ):
             return T.StructType(
@@ -353,6 +368,10 @@ class Warehouse:
         dfs = []
         for m in members:
             p = os.path.join(self.path(table), m)
+            if self._count_parquet(p) == 0:
+                # zero-row member (empty-batch append / bootstrap): no
+                # files to infer a schema from, and nothing to scan
+                continue
             if override is None:
                 df = self.spark.read.parquet(p)
             else:
@@ -529,7 +548,7 @@ class Warehouse:
         else:
             target = os.path.join(self.path(table), f"ingest_batch={batch_id}")
             mode = "overwrite"
-            if table in _PARTITIONED_SORT and "event_date" in writer_df.columns:
+            if self._sort_key(table) is not None and "event_date" in writer_df.columns:
                 # ONE part per (batch, date) — the MergeTree
                 # one-part-per-insert shape.  A micro-batch is bounded (a
                 # 10-min window at the reference envelope ≈ 200k events),
@@ -539,9 +558,9 @@ class Warehouse:
                 # flood the ingest soak measured (1900+ live files between
                 # compactions, ~2.4k ev/s); coalesced appends write 3/batch.
                 writer_df = writer_df.repartition("event_date").sortWithinPartitions(
-                    *_PARTITIONED_SORT[table]
+                    *self._sort_key(table)
                 )
-        if table in _PARTITIONED_SORT:
+        if self._sort_key(table) is not None:
             writer_df.write.mode(mode).partitionBy("event_date").parquet(target)
         else:
             writer_df.write.mode(mode).parquet(target)
@@ -680,9 +699,9 @@ class Warehouse:
         """One sorted file per event_date (hash-repartition on event_date:
         every date lands in exactly one task, dates run in parallel)."""
         par = self.spark.sparkContext.defaultParallelism
-        if table in _PARTITIONED_SORT and "event_date" in df.columns:
+        if self._sort_key(table) is not None and "event_date" in df.columns:
             out = df.repartition(par, "event_date").sortWithinPartitions(
-                *_PARTITIONED_SORT[table]
+                *self._sort_key(table)
             )
             out.write.mode("overwrite").partitionBy("event_date").parquet(target)
         else:
@@ -998,6 +1017,71 @@ class Warehouse:
                 )
         return len(replaced)
 
+    def attach_partition(
+        self, src_table: str, dst_table: str, date, replace: bool = False
+    ) -> int:
+        """``ALTER TABLE dst ATTACH/REPLACE PARTITION date FROM src``
+        analog: hardlink-clone the source partition's data files into a
+        new manifest member of the destination and flip the pointer —
+        metadata-only (O(files), zero rows moved), exactly why the
+        ClickHouse operation is instant at any size.  ``replace=True``
+        drops the destination's existing partition first (REPLACE
+        PARTITION); the source is never modified.
+
+        Refused when the source carries deletion vectors: DVs reference
+        the SOURCE file paths, so hardlinked clones would resurrect
+        masked rows — compact the source first to materialize its mask.
+        Returns the number of data files attached."""
+        part = f"event_date={date}"
+        if self._dv_files(src_table):
+            raise ValueError(
+                f"source {src_table!r} has live deletion vectors; "
+                "compact() it first so the mask is materialized"
+            )
+        src_man = self.load_manifest(src_table)
+        if src_man is not None:
+            src_roots = [
+                os.path.join(self.path(src_table), m)
+                for m in src_man["members"]
+            ]
+        else:
+            src_roots = [self.path(src_table)]
+        if self.load_manifest(dst_table) is None:
+            raise ValueError(
+                f"attach needs a manifest-layout destination; {dst_table!r} "
+                "has none (append with batch_id to create one)"
+            )
+        if replace:
+            self.drop_partition(dst_table, date)
+        new_member = f"attached-{uuid.uuid4().hex[:8]}"
+        dst = os.path.join(self.path(dst_table), new_member, part)
+        linked = 0
+        for root in src_roots:
+            p = os.path.join(root, part)
+            if not os.path.isdir(p):
+                continue
+            os.makedirs(dst, exist_ok=True)
+            for f in sorted(os.listdir(p)):
+                if f.startswith(".") or not f.endswith(".parquet"):
+                    continue
+                os.link(
+                    os.path.join(p, f),
+                    os.path.join(dst, f"{linked:05d}-{f}"),
+                )
+                linked += 1
+        if linked == 0:
+            shutil.rmtree(
+                os.path.join(self.path(dst_table), new_member),
+                ignore_errors=True,
+            )
+            return 0
+        with self._manifest_lock(dst_table):
+            cur = self.load_manifest(dst_table)
+            cur["members"] = cur["members"] + [new_member]
+            cur["version"] += 1
+            self._write_manifest(dst_table, cur)
+        return linked
+
     def apply_ttl(
         self, table: str, older_than, ttl_col: str = "event_ts"
     ) -> dict:
@@ -1018,7 +1102,7 @@ class Warehouse:
             cutoff = datetime.datetime.fromisoformat(cutoff)
         cutoff_date = cutoff.date()
         dropped = 0
-        if table in _PARTITIONED_SORT or self._has_date_dirs(table):
+        if self._sort_key(table) is not None or self._has_date_dirs(table):
             for d in self._partition_dates(table):
                 if d < cutoff_date:
                     dropped += self.drop_partition(table, d)
@@ -1213,8 +1297,9 @@ class Warehouse:
         return n
 
     def _prep(self, table: str, df: DataFrame) -> DataFrame:
-        if table in _PARTITIONED_SORT:
+        sort_key = self._sort_key(table)
+        if sort_key is not None:
             if "event_date" not in df.columns:
                 df = df.withColumn("event_date", F.to_date("event_ts"))
-            df = df.sortWithinPartitions(*_PARTITIONED_SORT[table])
+            df = df.sortWithinPartitions(*sort_key)
         return df

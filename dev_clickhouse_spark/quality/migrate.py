@@ -30,7 +30,7 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import types as T
 
-from ..plans.warehouse import _PARTITIONED_SORT, Warehouse, conform_to_schema
+from ..plans.warehouse import Warehouse, conform_to_schema
 
 #: safe numeric widenings (target rank must be >= source rank within family)
 _INT_RANK = {"tinyint": 1, "smallint": 2, "int": 3, "bigint": 4}
@@ -141,7 +141,7 @@ class SchemaMigrator:
         import uuid
 
         wh = self.wh
-        if table in _PARTITIONED_SORT and not any(
+        if wh._sort_key(table) is not None and not any(
             f.name == "event_date" for f in target.fields
         ):
             target = T.StructType(
