@@ -288,22 +288,40 @@ class SkipIndex:
         stats = surv.pop("__stats__")
         self.last_stats = stats
         spark = self.wh.spark
+        dv_files = self.wh._dv_files(self.table)
         parts = []
         for member, files in surv.items():
             mpath = os.path.join(self.wh.path(self.table), member)
             reader = spark.read.option("basePath", mpath)
             if files == ["*"]:
-                parts.append(reader.parquet(mpath))
+                part = reader.parquet(mpath)
             else:
-                parts.append(
-                    reader.parquet(*[os.path.join(mpath, f) for f in files])
+                part = reader.parquet(*[os.path.join(mpath, f) for f in files])
+            if dv_files:
+                # lightweight deletes mask rows by (file, position); the
+                # pruned scan must honor them exactly like Warehouse.read
+                part = part.select(
+                    F.col("_metadata.file_path").alias("__dv_file"),
+                    F.col("_metadata.row_index").alias("__dv_pos"),
+                    *[F.col(c) for c in part.columns],
                 )
+            parts.append(part)
         if not parts:
             df = self.wh.read(self.table).limit(0)
         else:
             df = parts[0]
             for p in parts[1:]:
                 df = df.unionByName(p, allowMissingColumns=True)
+            if dv_files:
+                dv = spark.read.parquet(
+                    *[
+                        os.path.join(self.wh._dv_dir(self.table), f)
+                        for f in dv_files
+                    ]
+                )
+                df = df.join(dv, ["__dv_file", "__dv_pos"], "left_anti").drop(
+                    "__dv_file", "__dv_pos"
+                )
         if "ingest_batch" in df.columns:
             df = df.drop("ingest_batch")
         return df.filter(self._residual(predicates, df))

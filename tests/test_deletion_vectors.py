@@ -131,3 +131,17 @@ def test_delete_invalidates_aggregate_projection(spark, wh):
     n_after = {r.event_type: r.cnt for r in after.collect()}
     assert "click" not in n_after
     assert n_after["view"] == n_before["view"]
+
+
+def test_skip_index_pruned_read_honors_dvs(spark, wh):
+    from dev_clickhouse_spark.plans.skip_index import SkipIndex
+
+    lo, hi = wh.read("ev").agg(F.min("user_id"), F.max("user_id")).first()
+    idx = SkipIndex(wh, "ev", minmax_cols=("user_id",))
+    idx.ensure()
+    preds = [("between", "user_id", lo, hi)]
+    before = idx.read(preds).count()
+    r = wh.delete_where_lightweight("ev", "event_type = 'click'")
+    after = idx.read(preds)
+    assert after.count() == before - r["rows_deleted"]
+    assert after.filter("event_type = 'click'").count() == 0
