@@ -107,46 +107,101 @@ class SqlServingEndpoint:
         timeout_sec: float = 60.0,
     ):
         self.serving = spark.newSession()
-        # bi_reader visibility is the CATALOG, not the filesystem: without
-        # this, ``SELECT * FROM parquet.`/any/path``` (runSQLOnFiles,
-        # default true) would read arbitrary parquet/text paths straight
-        # past the gold-views-only contract.
-        self.serving.conf.set("spark.sql.runSQLOnFiles", "false")
-        for name, src in views.items():
-            # a (path, StructType) value reads with the DECLARED schema —
-            # required for tables with an applied schema migration, where
-            # an inferred read over mixed pre/post-ALTER files could adopt
-            # one file's footer and hide the added column
-            if isinstance(src, tuple):
-                path, schema = src
-                df = self.serving.read.schema(schema).parquet(path)
-            else:
-                df = self.serving.read.parquet(src)
-            df.createOrReplaceTempView(name)
+        self._views = dict(views)
+        #: ClickHouse ROW POLICY analog: {table: {role: [using_sql, ...]}}.
+        #: Policies are PERMISSIVE grants (CH semantics): once a table has
+        #: any policy, a role sees the OR of its own conditions — and a
+        #: role with none sees NO rows; tables without policies stay open.
+        self._policies: dict[str, dict[str, list[str]]] = {}
+        self._role_sessions: dict[str, SparkSession] = {}
+        self._register_views(self.serving, role=None)
         self.view_names = sorted(views)
         self.max_rows = max_rows
         self.timeout_sec = timeout_sec
         self._server: ThreadingHTTPServer | None = None
         self._thread: threading.Thread | None = None
 
+    def _register_views(self, sess: SparkSession, role: str | None) -> None:
+        # bi_reader visibility is the CATALOG, not the filesystem: without
+        # this, ``SELECT * FROM parquet.`/any/path``` (runSQLOnFiles,
+        # default true) would read arbitrary parquet/text paths straight
+        # past the gold-views-only contract.
+        sess.conf.set("spark.sql.runSQLOnFiles", "false")
+        from pyspark.sql import functions as F
+
+        for name, src in self._views.items():
+            # a (path, StructType) value reads with the DECLARED schema —
+            # required for tables with an applied schema migration, where
+            # an inferred read over mixed pre/post-ALTER files could adopt
+            # one file's footer and hide the added column
+            if isinstance(src, tuple):
+                path, schema = src
+                df = sess.read.schema(schema).parquet(path)
+            else:
+                df = sess.read.parquet(src)
+            table_policies = self._policies.get(name)
+            if role is not None and table_policies is not None:
+                conds = table_policies.get(role, [])
+                if conds:
+                    df = df.filter(
+                        F.expr(" OR ".join(f"({c})" for c in conds))
+                    )
+                else:
+                    df = df.filter(F.lit(False))
+            df.createOrReplaceTempView(name)
+
+    # -- row policies (CREATE ROW POLICY … USING … TO role) -----------------
+
+    def add_row_policy(self, table: str, role: str, using_sql: str) -> None:
+        """``CREATE ROW POLICY ON table FOR SELECT USING using_sql TO
+        role``: every query executed with ``role=`` sees only rows
+        matching the OR of that role's policies on each policy-bearing
+        table.  Admin calls (``role=None``) bypass policies entirely."""
+        if table not in self._views:
+            raise ValueError(f"no such serving view: {table!r}")
+        self._policies.setdefault(table, {}).setdefault(role, []).append(
+            using_sql
+        )
+        self._role_sessions.clear()  # rebuilt lazily with the new policy
+
+    def _session_for(self, role: str | None) -> SparkSession:
+        if role is None:
+            return self.serving
+        sess = self._role_sessions.get(role)
+        if sess is None:
+            # one isolated temp-view namespace per role: concurrent
+            # requests under different roles never race on view swaps
+            sess = self.serving.newSession()
+            self._register_views(sess, role=role)
+            self._role_sessions[role] = sess
+        return sess
+
     # -- query layer (usable without HTTP) ---------------------------------
 
-    def execute(self, sql: str, job_group: str | None = None) -> list[dict]:
+    def execute(
+        self,
+        sql: str,
+        job_group: str | None = None,
+        role: str | None = None,
+    ) -> list[dict]:
         """Run one read-only statement, return rows as dicts (row cap
         applied).  Raises ``PermissionError`` for anything but a query.
+        With ``role``, row policies registered via :meth:`add_row_policy`
+        filter every policy-bearing view the statement touches.
 
         ``job_group`` tags the Spark jobs so a caller (the HTTP timeout
         handler) can :meth:`cancel` them — thread-local under pinned-thread
         mode, so concurrent requests don't clobber each other."""
         self._check_read_only(sql)
+        sess = self._session_for(role)
         if job_group is not None:
             try:  # absent under Spark Connect — timeout stays best-effort
-                self.serving.sparkContext.setJobGroup(
+                sess.sparkContext.setJobGroup(
                     job_group, sql[:200], interruptOnCancel=True
                 )
             except Exception:
                 pass
-        df = self.serving.sql(sql)
+        df = sess.sql(sql)
         rows = df.limit(self.max_rows).collect()
         return [r.asDict(recursive=True) for r in rows]
 
@@ -221,7 +276,7 @@ class SqlServingEndpoint:
                 self.end_headers()
                 self.wfile.write(body)
 
-            def _serve(self, sql: str) -> None:
+            def _serve(self, sql: str, role: str | None = None) -> None:
                 if not sql:
                     self._respond(400, {"error": "missing q parameter"})
                     return
@@ -230,7 +285,9 @@ class SqlServingEndpoint:
 
                 def run():
                     try:
-                        result["rows"] = endpoint.execute(sql, job_group=gid)
+                        result["rows"] = endpoint.execute(
+                            sql, job_group=gid, role=role
+                        )
                     except PermissionError as e:
                         result["denied"] = str(e)
                     except Exception as e:  # analysis/execution errors
@@ -269,12 +326,17 @@ class SqlServingEndpoint:
                 if parsed.path != "/query":
                     self._respond(404, {"error": "use /query?q=<SQL>"})
                     return
-                q = urllib.parse.parse_qs(parsed.query).get("q", [""])[0]
-                self._serve(q)
+                qs = urllib.parse.parse_qs(parsed.query)
+                q = qs.get("q", [""])[0]
+                role = qs.get("role", [None])[0]
+                self._serve(q, role=role)
 
             def do_POST(self):
                 n = int(self.headers.get("Content-Length", "0"))
-                self._serve(self.rfile.read(n).decode("utf-8"))
+                self._serve(
+                    self.rfile.read(n).decode("utf-8"),
+                    role=self.headers.get("X-Role"),
+                )
 
         self._server = ThreadingHTTPServer(("127.0.0.1", port), Handler)
         self._thread = threading.Thread(

@@ -277,3 +277,45 @@ def test_discovery_endpoints(endpoint):
     with _rq.urlopen(f"http://127.0.0.1:{port}/healthz", timeout=30) as r:
         assert r.status == 200
         assert json.loads(r.read()) == {"ok": True, "tables": 1}
+
+
+def test_row_policy_filters_per_role(endpoint):
+    """ROW POLICY analog: a role sees the OR of its policies; a role with
+    no policy on a policy-bearing table sees nothing; admin (no role)
+    bypasses."""
+    ep, port = endpoint
+    ep.add_row_policy("gold_revenue", "eu_analyst", "region = 'EU'")
+    try:
+        rows = ep.execute(
+            "SELECT region, revenue FROM gold_revenue ORDER BY revenue",
+            role="eu_analyst",
+        )
+        assert {r["region"] for r in rows} == {"EU"}
+        assert len(rows) == 2
+        # a second permissive policy widens the same role (OR semantics)
+        ep.add_row_policy(
+            "gold_revenue", "eu_analyst", "region = 'US' AND revenue > 7"
+        )
+        rows = ep.execute(
+            "SELECT region FROM gold_revenue", role="eu_analyst"
+        )
+        assert sorted(r["region"] for r in rows) == ["EU", "EU", "US"]
+        # unknown role on a policy-bearing table: zero rows, not an error
+        assert ep.execute(
+            "SELECT * FROM gold_revenue", role="intern"
+        ) == []
+        # admin path bypasses
+        assert len(ep.execute("SELECT * FROM gold_revenue")) == 3
+        # HTTP carries the role as a query parameter
+        q = urllib.parse.urlencode(
+            {"q": "SELECT count(*) AS n FROM gold_revenue",
+             "role": "eu_analyst"}
+        )
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/query?{q}", timeout=90
+        ) as resp:
+            body = json.loads(resp.read())
+        assert body["rows"] == [{"n": 3}]
+    finally:
+        ep._policies.clear()
+        ep._role_sessions.clear()
