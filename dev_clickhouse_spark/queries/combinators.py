@@ -207,7 +207,8 @@ grid AS (
   LEFT JOIN b ON b.l_returnflag = f.l_returnflag AND b.bucket = g.bucket
 )
 SELECT l_returnflag,
-       list(cents ORDER BY bucket) AS sums_per_bucket
+       string_agg(CAST(cents AS VARCHAR), ',' ORDER BY bucket)
+         AS sums_per_bucket
 FROM grid GROUP BY l_returnflag
 """,
     tags=["clickhouse-parity", "resample-combinator"],
@@ -246,8 +247,13 @@ def sum_resample_price_by_quantity(
             F.element_at("m", i.cast("long")), F.lit(0).cast("long")
         ),
     )
+    # serialized with array_join: the driver's comparator hashes scalar
+    # cells, and an array-typed pandas cell is unhashable in its canon sort
     return per_flag.select(
-        "l_returnflag", arr.alias("sums_per_bucket")
+        "l_returnflag",
+        F.array_join(
+            F.transform(arr, lambda e: e.cast("string")), ","
+        ).alias("sums_per_bucket"),
     )
 
 
