@@ -228,6 +228,10 @@ def _ordered():
         name, spec = item
         if spec.oracle is None:
             return (7, name)
+        if name == "sum_resample_price_by_quantity":
+            # r8 row ERRORED (array cell broke the comparator canon);
+            # serialized to CSV this round — must re-lead the window
+            return (0, name)
         if name not in ever:
             return (0, name)      # never driver-checked (r8 overflow + new)
         if name not in recent:
