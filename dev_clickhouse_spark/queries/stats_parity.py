@@ -899,3 +899,78 @@ def cramers_v_type_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cramers_v"),
     )
+
+
+@register(
+    "bitmap_segment_overlap",
+    oracle="""
+WITH d AS (
+  SELECT DISTINCT event_type, user_id FROM events WHERE user_id IS NOT NULL
+),
+card AS (
+  SELECT event_type, count(*) AS n FROM d GROUP BY event_type
+),
+inter AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         count(*) AS and_card
+  FROM d a JOIN d b ON a.user_id = b.user_id
+  WHERE a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT i.type_a, i.type_b, i.and_card,
+       ca.n + cb.n - i.and_card AS or_card,
+       ca.n + cb.n - 2 * i.and_card AS xor_card,
+       ca.n - i.and_card AS andnot_card,
+       floor(i.and_card * 1000000.0 / (ca.n + cb.n - i.and_card) + 0.5)
+         / 1000000 AS jaccard
+FROM inter i
+JOIN card ca ON ca.event_type = i.type_a
+JOIN card cb ON cb.event_type = i.type_b
+""",
+    tags=["clickhouse-parity", "bitmap"],
+)
+def bitmap_segment_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse bitmap-aggregate parity — the audience-overlap workflow
+    built on ``groupBitmapState(user_id)`` per segment plus
+    ``bitmapAndCardinality`` / ``bitmapOrCardinality`` /
+    ``bitmapXorCardinality`` / ``bitmapAndnotCardinality`` between
+    segment pairs.  Spark-first, no materialized bitmaps: one distinct
+    over (segment, user) — a single shuffle whose output is at most
+    |segments|x|users| rows — then a user-keyed self-join counts every
+    pairwise intersection in one pass, and the or/xor/andnot
+    cardinalities derive from |A|, |B| and |A∩B| by inclusion-exclusion
+    (broadcast-joined per-segment cardinalities).  At 100 TB the
+    self-join's expansion is bounded by segments-per-user (|types| here),
+    not by row count, so the plan stays two shuffles end to end."""
+    ev = load_table(spark, sf_dir, "events")
+    d = (
+        ev.filter(F.col("user_id").isNotNull())
+        .select("event_type", "user_id")
+        .distinct()
+    )
+    card = d.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    a, b = d.alias("a"), d.alias("b")
+    inter = (
+        a.join(b, "user_id")
+        .filter(F.col("a.event_type") < F.col("b.event_type"))
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("and_card"))
+    )
+    ca = card.select(
+        F.col("event_type").alias("type_a"), F.col("n").alias("na")
+    )
+    cb = card.select(
+        F.col("event_type").alias("type_b"), F.col("n").alias("nb")
+    )
+    out = inter.join(F.broadcast(ca), "type_a").join(F.broadcast(cb), "type_b")
+    or_card = F.col("na") + F.col("nb") - F.col("and_card")
+    return out.select(
+        "type_a", "type_b", "and_card",
+        or_card.alias("or_card"),
+        (F.col("na") + F.col("nb") - 2 * F.col("and_card")).alias("xor_card"),
+        (F.col("na") - F.col("and_card")).alias("andnot_card"),
+        rnd(F.col("and_card") / or_card, 6).alias("jaccard"),
+    )

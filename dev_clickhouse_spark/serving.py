@@ -39,6 +39,60 @@ _QUERY_STARTERS = ("select", "with", "values", "table", "explain")
 
 _JOB_GROUP_SEQ = itertools.count()
 
+#: ClickHouse-HTTP output formats the endpoint renders (the subset a BI /
+#: export consumer actually requests over the reference's port-8123 link)
+_FORMATS = (
+    "JSON", "JSONEachRow", "CSV", "CSVWithNames", "TSV", "TSVWithNames",
+)
+_FORMAT_RE = re.compile(r"\bFORMAT\s+(\w+)\s*$", re.IGNORECASE)
+
+
+class QuotaExceeded(Exception):
+    """Raised when a role's query quota window is exhausted (HTTP 429)."""
+
+
+def _csv_cell(v, sep: str) -> str:
+    if v is None:
+        return "\\N"
+    s = str(v)
+    if sep == "," and any(ch in s for ch in ",\"\n"):
+        return '"' + s.replace('"', '""') + '"'
+    if sep == "\t":
+        return s.replace("\\", "\\\\").replace("\t", "\\t").replace(
+            "\n", "\\n"
+        )
+    return s
+
+
+def _render(fmt: str, columns: list[str], rows: list[list]) -> tuple[bytes, str]:
+    """Render rows in a ClickHouse output format → (body, content-type)."""
+    if fmt == "JSON":
+        body = json.dumps(
+            {
+                "meta": [{"name": c} for c in columns],
+                "data": [dict(zip(columns, r)) for r in rows],
+                "rows": len(rows),
+            },
+            default=str,
+        )
+        return body.encode("utf-8"), "application/json"
+    if fmt == "JSONEachRow":
+        body = "".join(
+            json.dumps(dict(zip(columns, r)), default=str) + "\n"
+            for r in rows
+        )
+        return body.encode("utf-8"), "application/x-ndjson"
+    sep = "," if fmt.startswith("CSV") else "\t"
+    lines = []
+    if fmt.endswith("WithNames"):
+        lines.append(sep.join(_csv_cell(c, sep) for c in columns))
+    for r in rows:
+        lines.append(sep.join(_csv_cell(v, sep) for v in r))
+    body = "\n".join(lines) + ("\n" if lines else "")
+    return body.encode("utf-8"), "text/csv" if sep == "," else (
+        "text/tab-separated-values"
+    )
+
 
 def _mask_quoted(sql: str, mask_backticks: bool) -> str:
     """Blank out the contents of quoted regions and comments so lexical
@@ -114,6 +168,10 @@ class SqlServingEndpoint:
         #: role with none sees NO rows; tables without policies stay open.
         self._policies: dict[str, dict[str, list[str]]] = {}
         self._role_sessions: dict[str, SparkSession] = {}
+        #: role → (max_queries, window_sec); hit timestamps per role
+        self._quotas: dict[str, tuple[int, float]] = {}
+        self._quota_hits: dict[str, list[float]] = {}
+        self._quota_lock = threading.Lock()
         self._register_views(self.serving, role=None)
         self.view_names = sorted(views)
         self.max_rows = max_rows
@@ -164,6 +222,36 @@ class SqlServingEndpoint:
         )
         self._role_sessions.clear()  # rebuilt lazily with the new policy
 
+    # -- quotas (CREATE QUOTA … FOR INTERVAL n SECOND MAX QUERIES k) --------
+
+    def set_quota(
+        self, role: str, max_queries: int, window_sec: float = 3600.0
+    ) -> None:
+        """``CREATE QUOTA … FOR INTERVAL window MAX QUERIES k TO role``:
+        at most ``max_queries`` accepted statements per sliding window;
+        excess requests fail with :class:`QuotaExceeded` (HTTP 429).
+        Admin calls (``role=None``) are never metered."""
+        with self._quota_lock:
+            self._quotas[role] = (int(max_queries), float(window_sec))
+            self._quota_hits.setdefault(role, [])
+
+    def _charge_quota(self, role: str | None) -> None:
+        if role is None or role not in self._quotas:
+            return
+        import time
+
+        limit, window = self._quotas[role]
+        now = time.monotonic()
+        with self._quota_lock:
+            hits = self._quota_hits[role]
+            hits[:] = [t for t in hits if now - t < window]
+            if len(hits) >= limit:
+                raise QuotaExceeded(
+                    f"quota exceeded for role {role!r}: "
+                    f"{limit} queries / {window:g}s"
+                )
+            hits.append(now)
+
     def _session_for(self, role: str | None) -> SparkSession:
         if role is None:
             return self.serving
@@ -192,7 +280,39 @@ class SqlServingEndpoint:
         ``job_group`` tags the Spark jobs so a caller (the HTTP timeout
         handler) can :meth:`cancel` them — thread-local under pinned-thread
         mode, so concurrent requests don't clobber each other."""
+        columns, rows = self.execute_columns(sql, job_group, role)
+        return [dict(zip(columns, r)) for r in rows]
+
+    @staticmethod
+    def split_format(sql: str) -> tuple[str, str | None]:
+        """Strip a trailing ClickHouse ``FORMAT <name>`` clause (matched on
+        the quote-masked text so a string literal ending in 'FORMAT CSV'
+        stays untouched) → (bare_sql, format_or_None)."""
+        stripped = sql.strip()
+        while stripped.endswith(";"):
+            stripped = stripped[:-1].rstrip()
+        m = _FORMAT_RE.search(_mask_quoted(stripped, mask_backticks=True))
+        if not m:
+            return stripped, None
+        fmt = next(
+            (f for f in _FORMATS if f.lower() == m.group(1).lower()), None
+        )
+        if fmt is None:
+            raise ValueError(f"unsupported output format {m.group(1)!r}")
+        # the mask is length-preserving, so match offsets map 1:1
+        return stripped[: m.start()].rstrip(), fmt
+
+    def execute_columns(
+        self,
+        sql: str,
+        job_group: str | None = None,
+        role: str | None = None,
+    ) -> tuple[list[str], list[list]]:
+        """Like :meth:`execute` but returns (column_names, row_lists) —
+        the ordered shape the CSV/TSV renderers need.  Charges the role's
+        quota (:class:`QuotaExceeded` when exhausted)."""
         self._check_read_only(sql)
+        self._charge_quota(role)
         sess = self._session_for(role)
         if job_group is not None:
             try:  # absent under Spark Connect — timeout stays best-effort
@@ -203,7 +323,12 @@ class SqlServingEndpoint:
                 pass
         df = sess.sql(sql)
         rows = df.limit(self.max_rows).collect()
-        return [r.asDict(recursive=True) for r in rows]
+        cols = list(df.columns)
+        # asDict(recursive) keeps nested structs JSON-shaped (plain dicts)
+        return cols, [
+            [d[c] for c in cols]
+            for d in (r.asDict(recursive=True) for r in rows)
+        ]
 
     def cancel(self, job_group: str) -> None:
         """Cancel all Spark jobs tagged with ``job_group`` (no-op when the
@@ -276,20 +401,56 @@ class SqlServingEndpoint:
                 self.end_headers()
                 self.wfile.write(body)
 
-            def _serve(self, sql: str, role: str | None = None) -> None:
+            def _raw(self, code: int, body: bytes, ctype: str) -> None:
+                self.send_response(code)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def _serve(
+                self,
+                sql: str,
+                role: str | None = None,
+                default_format: str | None = None,
+            ) -> None:
                 if not sql:
                     self._respond(400, {"error": "missing q parameter"})
+                    return
+                try:
+                    # in-SQL `FORMAT X` wins over ?default_format= (the
+                    # ClickHouse HTTP precedence)
+                    sql, fmt = endpoint.split_format(sql)
+                    if fmt is None and default_format is not None:
+                        fmt = next(
+                            (
+                                f for f in _FORMATS
+                                if f.lower() == default_format.lower()
+                            ),
+                            None,
+                        )
+                        if fmt is None:
+                            raise ValueError(
+                                f"unsupported output format "
+                                f"{default_format!r}"
+                            )
+                except ValueError as e:
+                    self._respond(400, {"error": str(e)})
                     return
                 result: dict = {}
                 gid = f"bi-serve-{next(_JOB_GROUP_SEQ)}"
 
                 def run():
                     try:
-                        result["rows"] = endpoint.execute(
-                            sql, job_group=gid, role=role
+                        result["cols"], result["rows"] = (
+                            endpoint.execute_columns(
+                                sql, job_group=gid, role=role
+                            )
                         )
                     except PermissionError as e:
                         result["denied"] = str(e)
+                    except QuotaExceeded as e:
+                        result["quota"] = str(e)
                     except Exception as e:  # analysis/execution errors
                         result["error"] = str(e)[:2000]
 
@@ -303,12 +464,18 @@ class SqlServingEndpoint:
                     self._respond(504, {"error": "query timeout"})
                 elif "denied" in result:
                     self._respond(403, {"error": result["denied"]})
+                elif "quota" in result:
+                    self._respond(429, {"error": result["quota"]})
                 elif "error" in result:
                     self._respond(400, {"error": result["error"]})
+                elif fmt is not None:
+                    body, ctype = _render(fmt, result["cols"], result["rows"])
+                    self._raw(200, body, ctype)
                 else:
-                    self._respond(
-                        200, {"rows": result["rows"], "n": len(result["rows"])}
-                    )
+                    rows = [
+                        dict(zip(result["cols"], r)) for r in result["rows"]
+                    ]
+                    self._respond(200, {"rows": rows, "n": len(rows)})
 
             def do_GET(self):
                 parsed = urllib.parse.urlparse(self.path)
@@ -329,13 +496,17 @@ class SqlServingEndpoint:
                 qs = urllib.parse.parse_qs(parsed.query)
                 q = qs.get("q", [""])[0]
                 role = qs.get("role", [None])[0]
-                self._serve(q, role=role)
+                self._serve(
+                    q, role=role,
+                    default_format=qs.get("default_format", [None])[0],
+                )
 
             def do_POST(self):
                 n = int(self.headers.get("Content-Length", "0"))
                 self._serve(
                     self.rfile.read(n).decode("utf-8"),
                     role=self.headers.get("X-Role"),
+                    default_format=self.headers.get("X-Format"),
                 )
 
         self._server = ThreadingHTTPServer(("127.0.0.1", port), Handler)

@@ -319,3 +319,82 @@ def test_row_policy_filters_per_role(endpoint):
     finally:
         ep._policies.clear()
         ep._role_sessions.clear()
+
+
+def _get_raw(port: int, params: dict):
+    q = urllib.parse.urlencode(params)
+    req = urllib.request.Request(f"http://127.0.0.1:{port}/query?{q}")
+    try:
+        with urllib.request.urlopen(req, timeout=90) as resp:
+            return resp.status, resp.headers.get("Content-Type"), resp.read()
+    except urllib.error.HTTPError as e:
+        return e.code, e.headers.get("Content-Type"), e.read()
+
+
+def test_output_formats(endpoint):
+    """ClickHouse HTTP FORMAT clause: CSV/TSV/JSONEachRow renderings, the
+    WithNames header variants, and in-SQL FORMAT beating ?default_format."""
+    _ep, port = endpoint
+    base = ("SELECT region, sum(revenue) AS rev FROM gold_revenue "
+            "GROUP BY region ORDER BY region")
+    st, ct, body = _get_raw(port, {"q": base + " FORMAT CSVWithNames"})
+    assert st == 200 and ct.startswith("text/csv")
+    assert body.decode() == "region,rev\nEU,15.0\nUS,7.5\n"
+    st, ct, body = _get_raw(port, {"q": base + " FORMAT TSVWithNames"})
+    assert st == 200 and ct.startswith("text/tab-separated-values")
+    assert body.decode() == "region\trev\nEU\t15.0\nUS\t7.5\n"
+    st, ct, body = _get_raw(port, {"q": base + " FORMAT JSONEachRow"})
+    assert st == 200 and ct.startswith("application/x-ndjson")
+    lines = [json.loads(x) for x in body.decode().splitlines()]
+    assert lines == [{"region": "EU", "rev": 15.0},
+                     {"region": "US", "rev": 7.5}]
+    # FORMAT JSON: the ClickHouse meta/data/rows envelope
+    st, _ct, body = _get_raw(port, {"q": base + " FORMAT JSON"})
+    doc = json.loads(body)
+    assert [m["name"] for m in doc["meta"]] == ["region", "rev"]
+    assert doc["rows"] == 2
+    # ?default_format applies when no in-SQL FORMAT...
+    st, ct, _b = _get_raw(port, {"q": base, "default_format": "CSV"})
+    assert st == 200 and ct.startswith("text/csv")
+    # ...and the in-SQL clause wins over it
+    st, ct, _b = _get_raw(
+        port, {"q": base + " FORMAT TSV", "default_format": "CSV"}
+    )
+    assert st == 200 and ct.startswith("text/tab-separated-values")
+    # a literal ending in 'FORMAT CSV' is data, not a clause
+    st, _ct, body = _get_raw(
+        port, {"q": "SELECT 'no FORMAT CSV' AS s"}
+    )
+    assert st == 200 and json.loads(body)["rows"] == [{"s": "no FORMAT CSV"}]
+    # unknown format → 400, not a served query
+    st, _ct, _b = _get_raw(port, {"q": base + " FORMAT Parquet"})
+    assert st == 400
+
+
+def test_quota_per_role(endpoint):
+    """CREATE QUOTA analog: the role's sliding window admits max_queries,
+    the next request 429s, and admin calls are never metered."""
+    ep, port = endpoint
+    ep.set_quota("capped", max_queries=2, window_sec=3600)
+    try:
+        q = {"q": "SELECT 1 AS x", "role": "capped"}
+        assert _get_raw(port, q)[0] == 200
+        assert _get_raw(port, q)[0] == 200
+        st, _ct, body = _get_raw(port, q)
+        assert st == 429 and b"quota exceeded" in body
+        # other roles and admin stay unmetered
+        assert _get_raw(port, {"q": "SELECT 1 AS x"})[0] == 200
+        assert _get_raw(port, {"q": "SELECT 1 AS x", "role": "open"})[0] == 200
+        # denied statements never consume quota: the charge happens after
+        # the read-only check admits the statement
+        ep.set_quota("capped2", max_queries=1, window_sec=3600)
+        st, _c, _b = _get_raw(
+            port, {"q": "DROP TABLE gold_revenue", "role": "capped2"}
+        )
+        assert st == 403
+        assert _get_raw(
+            port, {"q": "SELECT 1 AS x", "role": "capped2"}
+        )[0] == 200
+    finally:
+        ep._quotas.clear()
+        ep._quota_hits.clear()
