@@ -581,3 +581,47 @@ def limit_by_recent_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("ts", TS_FMT).alias("ts_s"),
         )
     )
+
+
+@register(
+    "any_left_join_customer_order",
+    oracle="""
+WITH first_order AS (
+  SELECT o_custkey,
+         min(o_orderkey) AS o_orderkey
+  FROM orders GROUP BY o_custkey
+)
+SELECT c.c_custkey, c.c_mktsegment,
+       f.o_orderkey AS any_orderkey,
+       CAST(CAST(o.o_totalprice AS DECIMAL(19,4)) * 100 AS BIGINT)
+         AS any_total_cents
+FROM customer c
+LEFT JOIN first_order f ON f.o_custkey = c.c_custkey
+LEFT JOIN orders o ON o.o_orderkey = f.o_orderkey
+""",
+    tags=["clickhouse-parity", "any-join", "J-strictness"],
+)
+def any_left_join_customer_order(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ClickHouse ``LEFT ANY JOIN`` strictness parity: each left row pairs
+    with AT MOST ONE right row.  Stock ClickHouse picks an arbitrary
+    match; pinned deterministic here (lowest ``o_orderkey``) so the
+    result is stable and oracle-checkable.  Spark-first: the right side
+    collapses to one row per key with ``min_by`` BEFORE the join — a
+    map-side-combinable aggregate — so the join itself is 1:≤1 and can
+    never expand; at 100 TB that pre-aggregation is the difference
+    between a bounded join and a fan-out on hot customers."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    one = orders.groupBy("o_custkey").agg(
+        F.min("o_orderkey").alias("any_orderkey"),
+        (
+            F.min_by(
+                F.col("o_totalprice").cast("decimal(19,4)"), "o_orderkey"
+            ) * 100
+        ).cast("bigint").alias("any_total_cents"),
+    )
+    return cust.join(
+        one, cust.c_custkey == one.o_custkey, "left"
+    ).select("c_custkey", "c_mktsegment", "any_orderkey", "any_total_cents")
