@@ -14,7 +14,7 @@ import os
 import shutil
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -612,6 +612,7 @@ class Warehouse:
         ttl_older_than=None,
         mode: str = "full",
         max_generations: int = 4,
+        transform=None,
     ) -> int:
         """Small-file compaction — the engine's analog of MergeTree background
         merges (streaming foreachBatch appends one file set per micro-batch;
@@ -669,10 +670,14 @@ class Warehouse:
             # TTL must see every row, including ones inside old compacted
             # generations a tiered pass would skip
             mode = "full"
+        if transform is not None:
+            # a row-set rewrite (e.g. DEDUPLICATE) must see every row
+            mode = "full"
         man = self.load_manifest(table)
         if man is not None:
             return self._compact_manifest(
-                table, man, retain_old, ttl_cond, mode, max_generations
+                table, man, retain_old, ttl_cond, mode, max_generations,
+                transform,
             )
 
         # -- plain layout: staging + rename swap (single-writer) -----------
@@ -682,6 +687,8 @@ class Warehouse:
         df = self.read(table)
         if ttl_cond is not None:
             df = df.filter(ttl_cond)
+        if transform is not None:
+            df = transform(df)
         staging = self.path(f".{table}.compact-{uuid.uuid4().hex[:8]}")
         self._write_compacted(table, df, staging)
         final = self.path(table)
@@ -694,6 +701,47 @@ class Warehouse:
             raise
         shutil.rmtree(backup)
         return self._count_parquet(final)
+
+    def optimize_deduplicate(
+        self, table: str, by: list[str] | None = None,
+        retain_old: bool = False,
+    ) -> dict:
+        """``OPTIMIZE TABLE … FINAL DEDUPLICATE [BY col, …]`` analog: a
+        full merge that removes duplicate rows.  Without ``by``, rows
+        identical in EVERY column collapse to one (a set — no pick
+        needed).  With ``by``, exactly one row per distinct by-tuple
+        survives; stock ClickHouse keeps an arbitrary one, pinned
+        deterministic here (first under a sort over the remaining
+        columns) so repeated runs and tests converge.  Runs as the same
+        snapshot-rewrite-flip as ``compact`` — appends landing mid-merge
+        survive the pointer flip.  Returns ``{"rows_before",
+        "rows_after", "rows_removed"}``."""
+        before = self.read(table).count()
+        if by is None:
+            transform = lambda df: df.dropDuplicates()  # noqa: E731
+        else:
+            by_cols = list(by)
+
+            def transform(df: DataFrame) -> DataFrame:
+                others = [c for c in df.columns if c not in by_cols]
+                w = Window.partitionBy(*by_cols).orderBy(
+                    *[F.col(c).asc_nulls_last() for c in others]
+                ) if others else Window.partitionBy(*by_cols).orderBy(
+                    F.lit(1)
+                )
+                return (
+                    df.withColumn("__rn", F.row_number().over(w))
+                    .filter(F.col("__rn") == 1)
+                    .drop("__rn")
+                )
+
+        self.compact(table, retain_old=retain_old, transform=transform)
+        after = self.read(table).count()
+        return {
+            "rows_before": before,
+            "rows_after": after,
+            "rows_removed": before - after,
+        }
 
     def _write_compacted(self, table: str, df: DataFrame, target: str) -> None:
         """One sorted file per event_date (hash-repartition on event_date:
@@ -715,6 +763,7 @@ class Warehouse:
         ttl_cond=None,
         mode: str = "full",
         max_generations: int = 4,
+        transform=None,
     ) -> int:
         import shutil
         import uuid
@@ -743,6 +792,8 @@ class Warehouse:
         merged = self._read_members(table, snapshot)
         if ttl_cond is not None:
             merged = merged.filter(ttl_cond)
+        if transform is not None:
+            merged = transform(merged)
         self._write_compacted(
             table,
             merged,
