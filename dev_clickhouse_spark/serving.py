@@ -25,6 +25,7 @@ reference's own BI link uses.
 
 from __future__ import annotations
 
+import collections
 import itertools
 import json
 import re
@@ -45,6 +46,13 @@ _FORMATS = (
     "JSON", "JSONEachRow", "CSV", "CSVWithNames", "TSV", "TSVWithNames",
 )
 _FORMAT_RE = re.compile(r"\bFORMAT\s+(\w+)\s*$", re.IGNORECASE)
+#: trailing `SETTINGS k = v, …` clause (ClickHouse grammar places it after
+#: the query body, before FORMAT); values are numbers/idents/'strings'
+_SETTINGS_RE = re.compile(
+    r"\bSETTINGS\s+\w+\s*=\s*[^,]+(?:\s*,\s*\w+\s*=\s*[^,]+)*\s*$",
+    re.IGNORECASE,
+)
+_SETTING_PAIR_RE = re.compile(r"(\w+)\s*=\s*('[^']*'|[^\s,]+)")
 
 
 class QuotaExceeded(Exception):
@@ -172,6 +180,9 @@ class SqlServingEndpoint:
         self._quotas: dict[str, tuple[int, float]] = {}
         self._quota_hits: dict[str, list[float]] = {}
         self._quota_lock = threading.Lock()
+        #: ``system.query_log`` analog — bounded ring of executed
+        #: statements (statement, role, status, rows, duration)
+        self._query_log: collections.deque = collections.deque(maxlen=1000)
         self._register_views(self.serving, role=None)
         self.view_names = sorted(views)
         self.max_rows = max_rows
@@ -252,6 +263,31 @@ class SqlServingEndpoint:
                 )
             hits.append(now)
 
+    # -- system.query_log analog --------------------------------------------
+
+    def _log_query(
+        self, sql: str, role: str | None, status: str, rows: int,
+        elapsed: float,
+    ) -> None:
+        import time
+
+        self._query_log.append(
+            {
+                "event_time": time.time(),
+                "query": sql[:500],
+                "role": role,
+                "status": status,
+                "result_rows": rows,
+                "duration_ms": round(elapsed * 1000, 1),
+            }
+        )
+
+    def query_log(self, limit: int = 100) -> list[dict]:
+        """Most-recent-first slice of the ``system.query_log`` analog."""
+        out = list(self._query_log)[-limit:]
+        out.reverse()
+        return out
+
     def _session_for(self, role: str | None) -> SparkSession:
         if role is None:
             return self.serving
@@ -302,6 +338,32 @@ class SqlServingEndpoint:
         # the mask is length-preserving, so match offsets map 1:1
         return stripped[: m.start()].rstrip(), fmt
 
+    @staticmethod
+    def split_settings(sql: str) -> tuple[str, dict[str, str]]:
+        """Strip a trailing ClickHouse ``SETTINGS k = v, …`` clause (the
+        tail position the grammar gives it, matched on the quote-masked
+        text) → (bare_sql, {name: value}).  BI clients routinely append
+        ``SETTINGS max_result_rows = n`` or engine-tuning knobs; Spark's
+        parser would reject the clause, so the endpoint consumes it —
+        ``max_result_rows`` tightens the row cap, everything else is
+        accepted and ignored (the ClickHouse server behavior for settings
+        that don't apply)."""
+        stripped = sql.strip()
+        while stripped.endswith(";"):
+            stripped = stripped[:-1].rstrip()
+        masked = _mask_quoted(stripped, mask_backticks=True)
+        m = _SETTINGS_RE.search(masked)
+        if not m:
+            return stripped, {}
+        clause = stripped[m.start():]
+        body = clause.split(None, 1)[1] if len(clause.split(None, 1)) > 1 \
+            else ""
+        settings = {
+            k.lower(): v.strip("'")
+            for k, v in _SETTING_PAIR_RE.findall(body)
+        }
+        return stripped[: m.start()].rstrip(), settings
+
     def execute_columns(
         self,
         sql: str,
@@ -310,25 +372,49 @@ class SqlServingEndpoint:
     ) -> tuple[list[str], list[list]]:
         """Like :meth:`execute` but returns (column_names, row_lists) —
         the ordered shape the CSV/TSV renderers need.  Charges the role's
-        quota (:class:`QuotaExceeded` when exhausted)."""
-        self._check_read_only(sql)
-        self._charge_quota(role)
-        sess = self._session_for(role)
-        if job_group is not None:
-            try:  # absent under Spark Connect — timeout stays best-effort
-                sess.sparkContext.setJobGroup(
-                    job_group, sql[:200], interruptOnCancel=True
-                )
-            except Exception:
-                pass
-        df = sess.sql(sql)
-        rows = df.limit(self.max_rows).collect()
-        cols = list(df.columns)
-        # asDict(recursive) keeps nested structs JSON-shaped (plain dicts)
-        return cols, [
-            [d[c] for c in cols]
-            for d in (r.asDict(recursive=True) for r in rows)
-        ]
+        quota (:class:`QuotaExceeded` when exhausted), consumes a trailing
+        ``SETTINGS`` clause, and records the statement in the
+        ``system.query_log`` analog."""
+        import time
+
+        t0 = time.monotonic()
+        status, n_out = "error", 0
+        try:
+            sql, settings = self.split_settings(sql)
+            try:
+                self._check_read_only(sql)
+            except PermissionError:
+                status = "denied"
+                raise
+            try:
+                self._charge_quota(role)
+            except QuotaExceeded:
+                status = "quota"
+                raise
+            cap = self.max_rows
+            if "max_result_rows" in settings:
+                cap = min(cap, int(settings["max_result_rows"]))
+            sess = self._session_for(role)
+            if job_group is not None:
+                try:  # absent under Spark Connect — timeout best-effort
+                    sess.sparkContext.setJobGroup(
+                        job_group, sql[:200], interruptOnCancel=True
+                    )
+                except Exception:
+                    pass
+            df = sess.sql(sql)
+            rows = df.limit(cap).collect()
+            cols = list(df.columns)
+            status, n_out = "ok", len(rows)
+            # asDict(recursive) keeps nested structs JSON-shaped (dicts)
+            return cols, [
+                [d[c] for c in cols]
+                for d in (r.asDict(recursive=True) for r in rows)
+            ]
+        finally:
+            self._log_query(
+                sql, role, status, n_out, time.monotonic() - t0
+            )
 
     def cancel(self, job_group: str) -> None:
         """Cancel all Spark jobs tagged with ``job_group`` (no-op when the
@@ -489,6 +575,11 @@ class SqlServingEndpoint:
                     self._respond(
                         200, {"ok": True, "tables": len(endpoint.view_names)}
                     )
+                    return
+                if parsed.path == "/system/query_log":
+                    qs0 = urllib.parse.parse_qs(parsed.query)
+                    n = int(qs0.get("limit", ["100"])[0])
+                    self._respond(200, {"entries": endpoint.query_log(n)})
                     return
                 if parsed.path != "/query":
                     self._respond(404, {"error": "use /query?q=<SQL>"})

@@ -398,3 +398,43 @@ def test_quota_per_role(endpoint):
     finally:
         ep._quotas.clear()
         ep._quota_hits.clear()
+
+
+def test_settings_clause_consumed_and_row_cap_honored(endpoint):
+    """A trailing ClickHouse SETTINGS clause is consumed (Spark's parser
+    never sees it); max_result_rows tightens the row cap, unknown knobs
+    are accepted and ignored."""
+    ep, port = endpoint
+    rows = ep.execute(
+        "SELECT region FROM gold_revenue ORDER BY region "
+        "SETTINGS max_result_rows = 2, max_threads = 8"
+    )
+    assert len(rows) == 2
+    # works over HTTP together with FORMAT (grammar order: SETTINGS, FORMAT)
+    st, _ct, body = _get_raw(
+        port,
+        {"q": "SELECT region FROM gold_revenue ORDER BY region "
+              "SETTINGS max_result_rows = 1 FORMAT CSV"},
+    )
+    assert st == 200 and body.decode() == "EU\n"
+    # a literal containing 'SETTINGS x = 1' is data, not a clause
+    rows = ep.execute("SELECT 'keep SETTINGS x = 1' AS s")
+    assert rows == [{"s": "keep SETTINGS x = 1"}]
+
+
+def test_query_log_records_statements(endpoint):
+    """system.query_log analog: ok/denied statements recorded with role,
+    status, rows and duration; served over /system/query_log."""
+    ep, port = endpoint
+    ep.execute("SELECT count(*) AS n FROM gold_revenue", role=None)
+    with pytest.raises(PermissionError):
+        ep.execute("DROP TABLE gold_revenue")
+    log = ep.query_log(10)
+    assert log[0]["status"] == "denied"
+    assert log[1]["status"] == "ok" and log[1]["result_rows"] == 1
+    assert log[1]["duration_ms"] >= 0
+    with urllib.request.urlopen(
+        f"http://127.0.0.1:{port}/system/query_log?limit=5", timeout=30
+    ) as resp:
+        doc = json.loads(resp.read())
+    assert doc["entries"][0]["status"] == "denied"
