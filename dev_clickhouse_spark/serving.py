@@ -53,6 +53,12 @@ _SETTINGS_RE = re.compile(
     re.IGNORECASE,
 )
 _SETTING_PAIR_RE = re.compile(r"(\w+)\s*=\s*('[^']*'|[^\s,]+)")
+#: `{name:Type}` query-parameter placeholders (ClickHouse HTTP `param_*`)
+_PARAM_RE = re.compile(r"\{(\w+)\s*:\s*([A-Za-z0-9()]+)\}")
+_INT_TYPES = {"int8", "int16", "int32", "int64",
+              "uint8", "uint16", "uint32", "uint64"}
+_FLOAT_TYPES = {"float32", "float64"}
+_DATE_RE = re.compile(r"^\d{4}-\d{2}-\d{2}([ T]\d{2}:\d{2}:\d{2})?$")
 
 
 class QuotaExceeded(Exception):
@@ -339,6 +345,51 @@ class SqlServingEndpoint:
         return stripped[: m.start()].rstrip(), fmt
 
     @staticmethod
+    def substitute_params(sql: str, params: dict[str, str]) -> str:
+        """ClickHouse HTTP query parameters: replace ``{name:Type}``
+        placeholders with the ``param_name`` values, validated and
+        rendered BY TYPE — integers/floats must parse (a value of
+        ``1; DROP …`` can never reach the statement), strings/dates
+        become single-quoted literals with quotes doubled, Identifier
+        becomes a backtick-quoted name.  Placeholders inside string
+        literals or comments are data and stay untouched (matched on the
+        quote-masked text).  Missing parameters raise ``ValueError``."""
+        masked = _mask_quoted(sql, mask_backticks=True)
+        out, last = [], 0
+        for m in _PARAM_RE.finditer(masked):
+            name, ptype = m.group(1), m.group(2)
+            if name not in params:
+                raise ValueError(f"missing query parameter {name!r}")
+            raw = params[name]
+            t = ptype.lower()
+            if t in _INT_TYPES:
+                lit = str(int(raw))
+            elif t in _FLOAT_TYPES:
+                lit = repr(float(raw))
+            elif t in ("date", "datetime", "datetime64"):
+                if not _DATE_RE.match(raw.strip()):
+                    raise ValueError(
+                        f"parameter {name!r} is not a valid {ptype}"
+                    )
+                lit = "'" + raw.strip() + "'"
+            elif t == "identifier":
+                if not re.fullmatch(r"\w+", raw):
+                    raise ValueError(
+                        f"parameter {name!r} is not a valid identifier"
+                    )
+                lit = f"`{raw}`"
+            elif t in ("string", "fixedstring"):
+                lit = "'" + raw.replace("\\", "\\\\").replace("'", "\\'") \
+                    + "'"
+            else:
+                raise ValueError(f"unsupported parameter type {ptype!r}")
+            out.append(sql[last:m.start()])
+            out.append(lit)
+            last = m.end()
+        out.append(sql[last:])
+        return "".join(out)
+
+    @staticmethod
     def split_settings(sql: str) -> tuple[str, dict[str, str]]:
         """Strip a trailing ClickHouse ``SETTINGS k = v, …`` clause (the
         tail position the grammar gives it, matched on the quote-masked
@@ -499,11 +550,14 @@ class SqlServingEndpoint:
                 sql: str,
                 role: str | None = None,
                 default_format: str | None = None,
+                params: dict[str, str] | None = None,
             ) -> None:
                 if not sql:
                     self._respond(400, {"error": "missing q parameter"})
                     return
                 try:
+                    if params:
+                        sql = endpoint.substitute_params(sql, params)
                     # in-SQL `FORMAT X` wins over ?default_format= (the
                     # ClickHouse HTTP precedence)
                     sql, fmt = endpoint.split_format(sql)
@@ -590,6 +644,10 @@ class SqlServingEndpoint:
                 self._serve(
                     q, role=role,
                     default_format=qs.get("default_format", [None])[0],
+                    params={
+                        k[len("param_"):]: v[0]
+                        for k, v in qs.items() if k.startswith("param_")
+                    },
                 )
 
             def do_POST(self):

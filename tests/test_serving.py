@@ -438,3 +438,46 @@ def test_query_log_records_statements(endpoint):
     ) as resp:
         doc = json.loads(resp.read())
     assert doc["entries"][0]["status"] == "denied"
+
+
+def test_query_parameters_typed_substitution(endpoint):
+    """ClickHouse HTTP query parameters: {name:Type} placeholders filled
+    from param_* with type validation — injection through a numeric
+    parameter is impossible, strings are quoted, placeholders inside
+    literals stay data."""
+    ep, port = endpoint
+    st, _ct, body = _get_raw(
+        port,
+        {"q": "SELECT region, revenue FROM gold_revenue "
+              "WHERE revenue > {minrev:Float64} AND region = {r:String} "
+              "ORDER BY revenue",
+         "param_minrev": "6", "param_r": "EU"},
+    )
+    assert st == 200
+    assert json.loads(body)["rows"] == [{"region": "EU", "revenue": 10.0}]
+    # numeric params must parse: an injection payload 400s before parse
+    st, _ct, body = _get_raw(
+        port,
+        {"q": "SELECT * FROM gold_revenue WHERE revenue > {v:Int64}",
+         "param_v": "0; DROP TABLE gold_revenue"},
+    )
+    assert st == 400
+    # string quoting: embedded quote cannot escape the literal
+    st, _ct, body = _get_raw(
+        port,
+        {"q": "SELECT count(*) AS n FROM gold_revenue "
+              "WHERE region = {r:String}",
+         "param_r": "EU' OR '1'='1"},
+    )
+    assert st == 200 and json.loads(body)["rows"] == [{"n": 0}]
+    # a placeholder-shaped substring inside a literal is data
+    st, _ct, body = _get_raw(
+        port, {"q": "SELECT '{notparam:Int64}' AS s"}
+    )
+    assert st == 200
+    assert json.loads(body)["rows"] == [{"s": "{notparam:Int64}"}]
+    # missing parameter -> 400
+    st, _ct, _b = _get_raw(
+        port, {"q": "SELECT {missing:Int64} AS x"}
+    )
+    assert st == 400
