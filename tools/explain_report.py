@@ -59,6 +59,12 @@ HEADLINE = [
     "group_array_user_events",        # round 7: groupArray(N) bounded prefix
     "bit_agg_by_event_type",          # round 7: single-long bit states
     "uniq_up_to_users",               # round 7: capped exact-distinct
+    "dedup_substring_spans",          # round 9: gram postings -> span merge
+    "projection_auto_rewrite_rollup",  # round 9: projection-served rollup
+    "sort_projection_pruned_scan",    # round 9: re-sorted copy, minmax prune
+    "lightweight_delete_mask_read",   # round 9: DV anti-join masked scan
+    "bitmap_segment_overlap",         # round 9: distinct + user self-join
+    "any_left_join_customer_order",   # round 9: min_by pre-agg, 1:<=1 join
 ]
 
 
