@@ -1115,10 +1115,14 @@ class Warehouse:
             for f in sorted(os.listdir(p)):
                 if f.startswith(".") or not f.endswith(".parquet"):
                     continue
-                os.link(
-                    os.path.join(p, f),
-                    os.path.join(dst, f"{linked:05d}-{f}"),
-                )
+                src_f = os.path.join(p, f)
+                dst_f = os.path.join(dst, f"{linked:05d}-{f}")
+                try:
+                    os.link(src_f, dst_f)
+                except OSError:
+                    # cross-filesystem attach (EXDEV): degrade to a copy —
+                    # still O(partition), never O(table)
+                    shutil.copy2(src_f, dst_f)
                 linked += 1
         if linked == 0:
             shutil.rmtree(
