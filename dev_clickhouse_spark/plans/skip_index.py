@@ -284,6 +284,19 @@ class SkipIndex:
         to ``wh.read(table).filter(<predicates>)``, just touching fewer
         files.  The ``ingest_batch`` implementation column is hidden, as
         in ``Warehouse.read``."""
+        if self.wh._patch_files(self.table):
+            # lightweight UPDATEs overlay new column values the per-file
+            # minmax/bloom sidecars don't know about — a patched row could
+            # enter the predicate range inside a pruned-away file.  Fall
+            # back to the full masked scan until compact() materializes
+            # the patches (ensure() then rebuilds the sidecars).
+            df = self.wh.read(self.table)
+            self.last_stats = {
+                "files_total": None, "files_scanned": None,
+                "members_total": None, "members_scanned": None,
+                "fallback": "patches_present",
+            }
+            return df.filter(self._residual(predicates, df))
         surv = self.prune(predicates)
         stats = surv.pop("__stats__")
         self.last_stats = stats

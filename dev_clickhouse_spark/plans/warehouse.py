@@ -364,7 +364,8 @@ class Warehouse:
         delete-writer needs them)."""
         override = self.schema_override(table)
         dv_files = self._dv_files(table)
-        tag = bool(dv_files) or keep_dv_tag
+        patch_files = self._patch_files(table)
+        tag = bool(dv_files) or bool(patch_files) or keep_dv_tag
         dfs = []
         for m in members:
             p = os.path.join(self.path(table), m)
@@ -390,6 +391,44 @@ class Warehouse:
         out = dfs[0]
         for df in dfs[1:]:
             out = out.unionByName(df, allowMissingColumns=True)
+        if patch_files:
+            # lightweight UPDATE (patch parts): replace each patched row
+            # address with its LATEST patch row — the patch keeps the
+            # original (file, position), so later DVs and further patches
+            # still address it.  Patches are FILTERED to files under the
+            # scanned members (a file belongs to exactly one member), so a
+            # subset scan — tiered compaction folding only fresh members,
+            # a snapshot of an older manifest — never injects rows whose
+            # originals live outside the scan.
+            pat = self.spark.read.parquet(
+                *[
+                    os.path.join(self._patch_dir(table), f)
+                    for f in patch_files
+                ]
+            )
+            in_scan = F.lit(False)
+            for m in members:
+                # scheme-agnostic ('file:/x' vs 'file:///x'): match on the
+                # absolute member path; the trailing '/' stops a member
+                # name prefixing another ('attached-ab' vs 'attached-abc')
+                frag = os.path.abspath(
+                    os.path.join(self.path(table), m)
+                ) + "/"
+                in_scan = in_scan | F.col("__dv_file").contains(frag)
+            pat = pat.filter(in_scan)
+            w = Window.partitionBy("__dv_file", "__dv_pos").orderBy(
+                F.col("__patch_seq").desc()
+            )
+            latest = (
+                pat.withColumn("__prn", F.row_number().over(w))
+                .filter(F.col("__prn") == 1)
+                .drop("__prn", "__patch_seq")
+            )
+            out = out.join(
+                latest.select("__dv_file", "__dv_pos"),
+                ["__dv_file", "__dv_pos"],
+                "left_anti",
+            ).unionByName(latest, allowMissingColumns=True)
         if dv_files:
             dv = self.spark.read.parquet(
                 *[os.path.join(self._dv_dir(table), f) for f in dv_files]
@@ -426,11 +465,82 @@ class Warehouse:
         except OSError:
             return []
 
+    # -- lightweight UPDATE (patch parts) -----------------------------------
+
+    def _patch_dir(self, table: str) -> str:
+        return os.path.join(self.path(table), "_patches")
+
+    def _patch_files(self, table: str) -> list[str]:
+        try:
+            return sorted(
+                e for e in os.listdir(self._patch_dir(table))
+                if e.startswith("patch-")
+            )
+        except OSError:
+            return []
+
     def dv_epoch(self, table: str) -> str:
-        """Stable stamp of the table's deletion-vector state — derived
-        structures (projections) rebuild when it moves, because DVs change
-        row content without changing manifest membership."""
-        return ",".join(self._dv_files(table))
+        """Stable stamp of the table's deletion-vector AND patch state —
+        derived structures (projections, skip indexes) rebuild when it
+        moves, because both change row content without changing manifest
+        membership."""
+        return ",".join(self._dv_files(table) + self._patch_files(table))
+
+    def update_where_lightweight(
+        self, table: str, assignments: dict[str, object], condition
+    ) -> dict:
+        """ClickHouse lightweight ``UPDATE … SET … WHERE`` (patch parts)
+        analog: instead of rewriting members like ``update_set`` (the
+        ALTER UPDATE mutation), persist a PATCH file — the full updated
+        rows keyed by their original (file, row position) — applied on
+        every read by replacing the addressed rows.  Update cost is one
+        predicate scan + a patch write proportional to the MATCHED rows,
+        no data rewrite; the commit is one atomic rename (a crash before
+        it leaves the table untouched).  ``compact()`` materializes
+        patches into the new member and ``gc_deletes`` collects spent
+        patch files.
+
+        The match runs against the CURRENT visible state (earlier patches
+        applied, DV-masked rows excluded), so re-issuing an update whose
+        predicate no longer matches is idempotent, stacked updates
+        compose (latest patch per row wins), and a later DELETE of
+        patched rows masks them through the preserved original address."""
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        man = self.load_manifest(table)
+        if man is None:
+            raise ValueError(
+                "lightweight update needs the manifest layout; "
+                f"{table!r} has none (append with batch_id to create one)"
+            )
+        tagged = self._read_members(table, man["members"], keep_dv_tag=True)
+        data_cols = [
+            c for c in tagged.columns if c not in ("__dv_file", "__dv_pos")
+        ]
+        hits = tagged.filter(cond)
+        for col, e in assignments.items():
+            if col not in data_cols:
+                raise ValueError(f"no such column {col!r} in {table!r}")
+            hits = hits.withColumn(
+                col, F.expr(e) if isinstance(e, str) else e
+            )
+        seq = len(self._patch_files(table))
+        hits = hits.withColumn("__patch_seq", F.lit(seq))
+        staging = os.path.join(
+            self.path(table), f".patch-staging-{uuid.uuid4().hex[:8]}"
+        )
+        hits.coalesce(1).write.mode("overwrite").parquet(staging)
+        n = self._count_rows_parquet(staging)
+        if n == 0:
+            shutil.rmtree(staging, ignore_errors=True)
+            return {"rows_updated": 0,
+                    "patch_files": len(self._patch_files(table))}
+        os.makedirs(self._patch_dir(table), exist_ok=True)
+        final = os.path.join(
+            self._patch_dir(table), f"patch-{seq:06d}-{uuid.uuid4().hex[:8]}"
+        )
+        os.rename(staging, final)
+        return {"rows_updated": n,
+                "patch_files": len(self._patch_files(table))}
 
     def delete_where_lightweight(self, table: str, condition) -> dict:
         """ClickHouse ``DELETE FROM … WHERE`` (lightweight delete) analog:
@@ -473,14 +583,20 @@ class Warehouse:
         return {"rows_deleted": n, "dv_files": len(self._dv_files(table))}
 
     def gc_deletes(self, table: str) -> int:
-        """Drop deletion-vector files whose referenced data files no longer
-        exist (they were compacted/mutated away, materializing the mask).
-        A DV that still references ANY live file stays whole — its dead
-        references are harmless no-ops in the anti-join.  Returns the
-        number of DV files removed."""
+        """Drop deletion-vector AND patch files whose referenced data files
+        no longer exist (they were compacted/mutated away, materializing
+        the mask/patch).  A file that still references ANY live data file
+        stays whole — its dead references are harmless no-ops in the
+        joins.  Returns the number of overlay files removed."""
         removed = 0
-        for f in self._dv_files(table):
-            p = os.path.join(self._dv_dir(table), f)
+        targets = [
+            os.path.join(self._dv_dir(table), f)
+            for f in self._dv_files(table)
+        ] + [
+            os.path.join(self._patch_dir(table), f)
+            for f in self._patch_files(table)
+        ]
+        for p in targets:
             refs = [
                 r[0]
                 for r in self.spark.read.parquet(p)
@@ -1084,10 +1200,11 @@ class Warehouse:
         masked rows — compact the source first to materialize its mask.
         Returns the number of data files attached."""
         part = f"event_date={date}"
-        if self._dv_files(src_table):
+        if self._dv_files(src_table) or self._patch_files(src_table):
             raise ValueError(
-                f"source {src_table!r} has live deletion vectors; "
-                "compact() it first so the mask is materialized"
+                f"source {src_table!r} has live deletion vectors or "
+                "patches; compact() it first so the overlay is "
+                "materialized"
             )
         src_man = self.load_manifest(src_table)
         if src_man is not None:

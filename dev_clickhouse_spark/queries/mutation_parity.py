@@ -122,3 +122,85 @@ def lightweight_delete_mask_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sum_value"),
         )
     )
+
+
+@register(
+    "lightweight_update_patch_read",
+    oracle="""
+WITH mutated AS (
+  SELECT event_id,
+         CASE WHEN event_type = 'click' THEN 'tap' ELSE event_type END
+           AS event_type,
+         CASE
+           WHEN event_type = 'purchase' THEN "value" * 3
+           WHEN event_type = 'click' THEN "value" + 100
+           ELSE "value"
+         END AS val
+  FROM events
+  WHERE NOT (event_type = 'error')
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS cnt,
+       floor(CAST(sum(CAST(val AS DECIMAL(27,4))) AS DOUBLE)
+             * 100 + 0.5) / 100 AS sum_value
+FROM mutated GROUP BY event_type
+""",
+    tags=["clickhouse-parity", "mutations", "patch-parts"],
+)
+def lightweight_update_patch_read(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ClickHouse lightweight ``UPDATE … SET … WHERE`` (patch parts)
+    parity: stacked updates write PATCH files applied on read instead of
+    rewriting members (asserted: the manifest version does not move), a
+    re-issued update whose predicate no longer matches is a no-op
+    (asserted), later patches win over earlier ones on the same rows,
+    and a lightweight DELETE composes with the patched view.  The oracle
+    replays the whole sequence declaratively over the original parquet —
+    a patch that hits the wrong rows, loses the stacking order, or leaks
+    a deleted row flips the hash.
+
+    Sequence (both engines): purchases ×2; clicks renamed 'tap' with
+    value+100; purchases ×1.5 AGAIN (stacks on the ×2 → net ×3); errors
+    lightweight-deleted."""
+    ev = load_table(spark, sf_dir, "events")
+    scratch = os.path.join(
+        tempfile.gettempdir(),
+        "dcs_lwupdate_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10],
+    )
+    shutil.rmtree(scratch, ignore_errors=True)
+    wh = Warehouse(spark, scratch)
+    t = "lwu_events"
+    for b in range(3):
+        wh.append(t, ev.filter(F.col("event_id") % 3 == b), batch_id=b)
+    v0 = wh.load_manifest(t)["version"]
+    wh.update_where_lightweight(
+        t, {"value": "value * 2"}, "event_type = 'purchase'"
+    )
+    wh.update_where_lightweight(
+        t, {"event_type": F.lit("tap"), "value": "value + 100"},
+        "event_type = 'click'",
+    )
+    again = wh.update_where_lightweight(
+        t, {"value": "value + 1"}, "event_type = 'click'"
+    )
+    if again["rows_updated"] != 0:
+        raise RuntimeError(f"re-update was not idempotent: {again!r}")
+    wh.update_where_lightweight(
+        t, {"value": "value * 1.5"}, "event_type = 'purchase'"
+    )
+    wh.delete_where_lightweight(t, "event_type = 'error'")
+    if wh.load_manifest(t)["version"] != v0:
+        raise RuntimeError("lightweight update rewrote members")
+    if len(wh._patch_files(t)) != 3:
+        raise RuntimeError("expected exactly three patch files")
+    return (
+        wh.read(t)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            rnd(
+                F.sum(F.col("value").cast("decimal(27,4)")).cast("double"), 2
+            ).alias("sum_value"),
+        )
+    )
