@@ -57,6 +57,7 @@ BENCH_QUERIES = [
     "dedup_substring_spans",             # round 9: span-level dedup (postings)
     "projection_auto_rewrite_rollup",    # round 9: fold + -Merge rewrite path
     "lightweight_delete_mask_read",      # round 9: DV write + masked read
+    "lightweight_update_patch_read",     # round 9: patch write + patched read
 ]
 
 N_INGEST_EVENTS = 10_000
