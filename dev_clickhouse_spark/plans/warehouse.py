@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import uuid
 
@@ -1269,6 +1270,118 @@ class Warehouse:
             cur["version"] += 1
             self._write_manifest(dst_table, cur)
         return linked
+
+    def backup_table(self, table: str, dest: str) -> dict:
+        """``BACKUP TABLE … TO Disk(…)`` analog: a CONSISTENT snapshot of
+        the current manifest state — live members, deletion vectors,
+        patches, schema override and the replay ledger — hardlink-cloned
+        (copy across filesystems).  Taken under the manifest lock so a
+        concurrent append/compaction pointer flip cannot tear it;
+        O(files) + O(overlay bytes), zero data rows rewritten.  Restore
+        with :meth:`restore_table`, which remaps the overlay file
+        addresses to the restored location."""
+        if os.path.exists(dest) and os.listdir(dest):
+            raise ValueError(f"backup destination {dest!r} is not empty")
+        os.makedirs(dest, exist_ok=True)
+
+        def clone_tree(src: str, dst: str) -> int:
+            n = 0
+            for dirpath, _dirs, files in os.walk(src):
+                rel = os.path.relpath(dirpath, src)
+                od = os.path.join(dst, rel) if rel != "." else dst
+                os.makedirs(od, exist_ok=True)
+                for f in files:
+                    sf, df_ = os.path.join(dirpath, f), os.path.join(od, f)
+                    try:
+                        os.link(sf, df_)
+                    except OSError:
+                        shutil.copy2(sf, df_)
+                    n += 1
+            return n
+
+        with self._manifest_lock(table):
+            man = self.load_manifest(table)
+            if man is None:
+                raise ValueError(
+                    f"backup needs the manifest layout; {table!r} has none"
+                )
+            files = 0
+            for m in man["members"]:
+                files += clone_tree(
+                    os.path.join(self.path(table), m), os.path.join(dest, m)
+                )
+            for sub in ("_deletes", "_patches"):
+                p = os.path.join(self.path(table), sub)
+                if os.path.isdir(p):
+                    files += clone_tree(p, os.path.join(dest, sub))
+            meta = {
+                "source_table_path": os.path.abspath(self.path(table)),
+                "members": man["members"],
+                "committed_batches": man.get("committed_batches", []),
+            }
+            ov = self.schema_override(table)
+            if ov is not None:
+                meta["schema_override"] = ov.jsonValue()
+        with open(os.path.join(dest, "backup.json"), "w") as fh:
+            json.dump(meta, fh, indent=1)
+        return {"files": files, "members": len(meta["members"])}
+
+    def restore_table(self, src: str, table: str) -> dict:
+        """``RESTORE TABLE`` analog: install a :meth:`backup_table`
+        snapshot as ``table``.  Data files hardlink/copy back; deletion
+        vectors and patches have their stored (file, position) addresses
+        REWRITTEN from the backed-up table's path to the restored one —
+        without this the overlays would reference dead paths and
+        silently mask nothing.  Refuses to overwrite an existing
+        table."""
+        if self.exists(table):
+            raise ValueError(f"table {table!r} already exists")
+        with open(os.path.join(src, "backup.json")) as fh:
+            meta = json.load(fh)
+        new_root = os.path.abspath(self.path(table))
+        for m in meta["members"]:
+            sp = os.path.join(src, m)
+            dp = os.path.join(new_root, m)
+            for dirpath, _dirs, files in os.walk(sp):
+                rel = os.path.relpath(dirpath, sp)
+                od = os.path.join(dp, rel) if rel != "." else dp
+                os.makedirs(od, exist_ok=True)
+                for f in files:
+                    sf, df_ = os.path.join(dirpath, f), os.path.join(od, f)
+                    try:
+                        os.link(sf, df_)
+                    except OSError:
+                        shutil.copy2(sf, df_)
+        old_root = meta["source_table_path"]
+        for sub in ("_deletes", "_patches"):
+            sp = os.path.join(src, sub)
+            if not os.path.isdir(sp):
+                continue
+            for entry in sorted(os.listdir(sp)):
+                df_ = self.spark.read.parquet(os.path.join(sp, entry))
+                remapped = df_.withColumn(
+                    "__dv_file",
+                    F.regexp_replace(
+                        "__dv_file", re.escape(old_root), new_root
+                    ),
+                )
+                remapped.coalesce(1).write.mode("overwrite").parquet(
+                    os.path.join(new_root, sub, entry)
+                )
+        if "schema_override" in meta:
+            self.save_schema_override(
+                table, T.StructType.fromJson(meta["schema_override"])
+            )
+        with self._manifest_lock(table):
+            self._write_manifest(
+                table,
+                {
+                    "version": 1,
+                    "members": meta["members"],
+                    "committed_batches": meta["committed_batches"],
+                },
+            )
+        return {"members": len(meta["members"])}
 
     def apply_ttl(
         self, table: str, older_than, ttl_col: str = "event_ts"
