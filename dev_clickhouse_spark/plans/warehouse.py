@@ -1520,10 +1520,34 @@ class Warehouse:
                 "batch" if m.startswith("ingest_batch=")
                 else "compacted" if m.startswith("compacted-")
                 else "mutated" if m.startswith("mutated-")
+                else "attached" if m.startswith("attached-")
                 else "plain"
             )
             rows.append((table, m or "(root)", kind, n_files, n_bytes,
                          len(dates)))
+        # overlay rows: live deletion vectors and patches are part state an
+        # operator must see (they mask/replace rows until a merge folds
+        # them), exactly ClickHouse's _row_exists masks and patch parts
+        for sub, kind in (("_deletes", "deletion_vector"),
+                          ("_patches", "patch")):
+            d = os.path.join(self.path(table), sub)
+            if not os.path.isdir(d):
+                continue
+            for entry in sorted(os.listdir(d)):
+                if entry.startswith("."):
+                    continue
+                n_files, n_bytes = 0, 0
+                for r, _dirs, files in os.walk(os.path.join(d, entry)):
+                    for f in files:
+                        if f.endswith(".parquet"):
+                            n_files += 1
+                            try:
+                                n_bytes += os.path.getsize(
+                                    os.path.join(r, f)
+                                )
+                            except OSError:
+                                pass
+                rows.append((table, entry, kind, n_files, n_bytes, 0))
         schema = (
             "table string, member string, kind string, n_files long,"
             " bytes long, n_partitions long"

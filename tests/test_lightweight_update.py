@@ -164,3 +164,18 @@ def test_update_invalidates_projection_and_skip_index(spark, wh):
     got = idx.read([("between", "user_id", lo, hi)])
     assert idx.last_stats.get("fallback") == "patches_present"
     assert got.filter("event_type = 'mutated'").count() == counts["mutated"]
+
+
+def test_parts_reports_overlays(spark, wh):
+    """system.parts analog: live DVs and patches appear as part rows
+    (the state an operator must see) and vanish once a merge folds them."""
+    wh.update_where_lightweight(
+        "ev", {"event_type": F.lit("tap")}, "event_type = 'click'"
+    )
+    wh.delete_where_lightweight("ev", "event_type = 'error'")
+    kinds = [r["kind"] for r in wh.parts("ev").collect()]
+    assert kinds.count("patch") == 1
+    assert kinds.count("deletion_vector") == 1
+    wh.compact("ev")
+    kinds = {r["kind"] for r in wh.parts("ev").collect()}
+    assert "patch" not in kinds and "deletion_vector" not in kinds
