@@ -496,12 +496,67 @@ class Warehouse:
         except OSError:
             return []
 
+    def _next_patch_seq(self, table: str) -> int:
+        """1 + the max sequence parsed from live patch file names — NOT
+        the file count: a partial GC (tiered compaction, DROP PARTITION)
+        can remove an older patch while a newer one survives, and a
+        count-derived seq would then collide with the survivor, making
+        the latest-wins tie-break in ``_read_members`` nondeterministic."""
+        mx = -1
+        for f in self._patch_files(table):
+            m = re.match(r"patch-(\d+)", f)
+            if m:
+                mx = max(mx, int(m.group(1)))
+        return mx + 1
+
     def dv_epoch(self, table: str) -> str:
         """Stable stamp of the table's deletion-vector AND patch state —
         derived structures (projections, skip indexes) rebuild when it
         moves, because both change row content without changing manifest
         membership."""
         return ",".join(self._dv_files(table) + self._patch_files(table))
+
+    def overlay_files(self, table: str) -> list[str]:
+        """All live overlay (deletion-vector + patch) file names — the
+        granular form of :meth:`dv_epoch`, for derived structures that
+        invalidate per member instead of wholesale."""
+        return sorted(self._dv_files(table) + self._patch_files(table))
+
+    def overlay_member_refs(
+        self, table: str, overlay_names: list[str]
+    ) -> set[str]:
+        """Member dirs addressed by the named overlay files.  DVs and
+        patches key rows by the data file's absolute path; a file belongs
+        to exactly one member, so the member set is the path's first
+        component under the table root.  One Spark job over all named
+        overlays (``__dv_file`` column projection), distinct file paths
+        collected — bounded by the table's file count, not its rows."""
+        paths = []
+        for n in overlay_names:
+            d = (
+                self._patch_dir(table)
+                if n.startswith("patch-")
+                else self._dv_dir(table)
+            )
+            paths.append(os.path.join(d, n))
+        if not paths:
+            return set()
+        refs = (
+            self.spark.read.schema("__dv_file string")
+            .parquet(*paths)
+            .distinct()
+            .collect()
+        )
+        root = os.path.abspath(self.path(table))
+        out: set[str] = set()
+        for (r,) in refs:
+            rel = os.path.relpath(
+                os.path.abspath(_strip_scheme(r)), root
+            )
+            head = rel.split(os.sep)[0]
+            if head not in ("..", "."):
+                out.add(head)
+        return out
 
     def update_where_lightweight(
         self, table: str, assignments: dict[str, object], condition
@@ -533,14 +588,24 @@ class Warehouse:
         data_cols = [
             c for c in tagged.columns if c not in ("__dv_file", "__dv_pos")
         ]
-        hits = tagged.filter(cond)
+        sets = {}
         for col, e in assignments.items():
             if col not in data_cols:
                 raise ValueError(f"no such column {col!r} in {table!r}")
-            hits = hits.withColumn(
-                col, F.expr(e) if isinstance(e, str) else e
-            )
-        seq = len(self._patch_files(table))
+            sets[col] = F.expr(e) if isinstance(e, str) else e
+        # ALL assignment RHS evaluate against the PRE-update row in one
+        # select (ClickHouse ALTER UPDATE semantics, and _mutate's):
+        # {a: 'b', b: 'a'} swaps — a sequential withColumn chain would
+        # feed a's new value into b's expression instead
+        hits = tagged.filter(cond).select(
+            *[
+                sets[c].cast(tagged.schema[c].dataType).alias(c)
+                if c in sets
+                else F.col(c)
+                for c in tagged.columns
+            ]
+        )
+        seq = self._next_patch_seq(table)
         hits = hits.withColumn("__patch_seq", F.lit(seq))
         staging = os.path.join(
             self.path(table), f".patch-staging-{uuid.uuid4().hex[:8]}"
@@ -613,14 +678,29 @@ class Warehouse:
             os.path.join(self._patch_dir(table), f)
             for f in self._patch_files(table)
         ]
-        for p in targets:
-            refs = [
-                r[0]
-                for r in self.spark.read.parquet(p)
-                .select("__dv_file")
-                .distinct()
-                .collect()
-            ]
+        if not targets:
+            return 0
+        # ONE job over every overlay file (a long-uncompacted table can
+        # hold hundreds; one driver round-trip each was the old cost):
+        # distinct (source parquet, referenced data file) pairs, grouped
+        # back to overlay dirs driver-side — bounded by the table's file
+        # count, not its rows
+        pairs = (
+            self.spark.read.schema("__dv_file string")
+            .parquet(*targets)
+            .select(
+                F.input_file_name().alias("__src"), F.col("__dv_file")
+            )
+            .distinct()
+            .collect()
+        )
+        by_abs = {os.path.abspath(p): p for p in targets}
+        refs_by_overlay: dict[str, set[str]] = {p: set() for p in targets}
+        for src, ref in pairs:
+            d = os.path.abspath(os.path.dirname(_strip_scheme(src)))
+            if d in by_abs:
+                refs_by_overlay[by_abs[d]].add(ref)
+        for p, refs in refs_by_overlay.items():
             if not any(os.path.exists(_strip_scheme(r)) for r in refs):
                 shutil.rmtree(p, ignore_errors=True)
                 removed += 1
@@ -1109,6 +1189,68 @@ class Warehouse:
             "members_kept": len(snapshot) - len(rewritten),
         }
 
+    def _remap_overlays_for_drop(
+        self, table: str, part: str, replaced: dict[str, str | None]
+    ) -> list[str]:
+        """Rewrite live deletion vectors / patches for a DROP PARTITION
+        member swap.  Overlay rows address (file, position) of the OLD
+        member paths; the hardlink clones preserve every relative path,
+        so the remap is a member-prefix substitution — without it the
+        clone resurrects DV-deleted rows and reverts patched rows in the
+        SURVIVING partitions, and the next gc_deletes then collects the
+        orphaned overlays permanently.  Rows addressing the dropped
+        partition itself are removed (their originals are gone; a stale
+        patch row would otherwise be re-injected by the patch union).
+
+        Remapped overlays are written as NEW entries (same embedded seq,
+        fresh suffix) BEFORE the manifest flip; the caller deletes the
+        old entries AFTER the flip.  Every crash window is consistent:
+        pre-flip readers scan old paths (old entries apply, new ones
+        no-op outside the scan), post-flip readers scan new paths (new
+        entries apply, old ones no-op), duplicate rows for unreplaced
+        members are identical in both entries."""
+        pairs = [
+            (
+                os.path.abspath(os.path.join(self.path(table), old)) + "/",
+                os.path.abspath(os.path.join(self.path(table), new)) + "/",
+            )
+            for old, new in replaced.items()
+            if new is not None
+        ]
+        old_paths: list[str] = []
+        for kind, names in (
+            ("dv", self._dv_files(table)),
+            ("patch", self._patch_files(table)),
+        ):
+            d = self._dv_dir(table) if kind == "dv" else self._patch_dir(table)
+            for name in names:
+                src = os.path.join(d, name)
+                old_paths.append(src)
+                df = self.spark.read.parquet(src)
+                col = F.col("__dv_file")
+                for old_p, new_p in pairs:
+                    col = F.regexp_replace(col, re.escape(old_p), new_p)
+                out = df.withColumn("__dv_file", col).filter(
+                    ~F.col("__dv_file").contains(f"/{part}/")
+                )
+                staging = os.path.join(
+                    self.path(table),
+                    f".overlay-remap-{uuid.uuid4().hex[:8]}",
+                )
+                self._writer(out.coalesce(1)).mode("overwrite").parquet(
+                    staging
+                )
+                if self._count_rows_parquet(staging) == 0:
+                    shutil.rmtree(staging, ignore_errors=True)
+                    continue
+                m = re.match(rf"{kind}-(\d+)", name)
+                seq = int(m.group(1)) if m else 0
+                final = os.path.join(
+                    d, f"{kind}-{seq:06d}-{uuid.uuid4().hex[:8]}"
+                )
+                os.rename(staging, final)
+        return old_paths
+
     def drop_partition(self, table: str, date, retain_old: bool = False) -> int:
         """``ALTER TABLE … DROP PARTITION`` analog — remove one
         ``event_date`` partition WITHOUT scanning or rewriting rows.  Each
@@ -1183,6 +1325,7 @@ class Warehouse:
                 replaced[m] = new_member
         if not replaced:
             return 0
+        old_overlays = self._remap_overlays_for_drop(table, part, replaced)
         with self._manifest_lock(table):
             cur = self.load_manifest(table)
             members = []
@@ -1194,12 +1337,36 @@ class Warehouse:
             cur["members"] = members
             cur["version"] += 1
             self._write_manifest(table, cur)
+        for p in old_overlays:
+            shutil.rmtree(p, ignore_errors=True)
         if not retain_old:
             for m in replaced:
                 shutil.rmtree(
                     os.path.join(self.path(table), m), ignore_errors=True
                 )
         return len(replaced)
+
+    def drop_member(self, table: str, member: str) -> bool:
+        """Remove one manifest member (pointer flip + dir delete) —
+        the primitive behind member-scoped invalidation of derived
+        tables (a projection dropping exactly the fold batches whose
+        base members a lightweight mutation touched).  Idempotent: a
+        member already gone (a crashed earlier attempt) returns False
+        without a version bump.  The replay ledger is left untouched —
+        callers mint monotonically increasing batch ids, so a dropped
+        batch id is never reused."""
+        changed = False
+        with self._manifest_lock(table):
+            man = self.load_manifest(table)
+            if man is not None and member in man["members"]:
+                man["members"] = [m for m in man["members"] if m != member]
+                man["version"] += 1
+                self._write_manifest(table, man)
+                changed = True
+        shutil.rmtree(
+            os.path.join(self.path(table), member), ignore_errors=True
+        )
+        return changed
 
     def attach_partition(
         self, src_table: str, dst_table: str, date, replace: bool = False

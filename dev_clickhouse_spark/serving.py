@@ -167,15 +167,33 @@ class SqlServingEndpoint:
     shared persistent catalog, which this engine does not use).
     """
 
+    #: cap on per-role isolated sessions (LRU-evicted beyond) — without a
+    #: bound, arbitrary client-supplied role strings grow the dict forever
+    _MAX_ROLE_SESSIONS = 32
+
     def __init__(
         self,
         spark: SparkSession,
         views: dict[str, str],
         max_rows: int = 50_000,
         timeout_sec: float = 60.0,
+        role_keys: dict[str, str] | None = None,
+        admin_key: str | None = None,
     ):
+        """``role_keys`` binds roles to shared-secret credentials: when
+        set, the HTTP layer accepts a role claim ONLY with the matching
+        ``X-Role-Key`` header / ``role_key`` query param, rejects unknown
+        roles, and DENIES requests presenting no role at all (default-deny
+        — a policy-protected deployment must not hand admin visibility to
+        whoever omits the header) unless ``admin_key`` is configured and
+        presented via ``X-Admin-Key`` / ``admin_key``.  When ``role_keys``
+        is None (default), the role is TRUST-THE-CALLER identification
+        only — suitable strictly behind an authenticating proxy, exactly
+        like an unsecured ClickHouse HTTP port."""
         self.serving = spark.newSession()
         self._views = dict(views)
+        self._role_keys = dict(role_keys) if role_keys is not None else None
+        self._admin_key = admin_key
         #: ClickHouse ROW POLICY analog: {table: {role: [using_sql, ...]}}.
         #: Policies are PERMISSIVE grants (CH semantics): once a table has
         #: any policy, a role sees the OR of its own conditions — and a
@@ -294,6 +312,30 @@ class SqlServingEndpoint:
         out.reverse()
         return out
 
+    def authenticate(self, role: str | None, key: str | None) -> None:
+        """HTTP-layer credential check (no-op unless ``role_keys`` was
+        configured).  Raises PermissionError → 403 for an unknown role, a
+        wrong/missing key, or a role-less request without the admin
+        key."""
+        import hmac
+
+        if self._role_keys is None:
+            return
+        if role is None:
+            if self._admin_key is not None and key is not None and (
+                hmac.compare_digest(key, self._admin_key)
+            ):
+                return
+            raise PermissionError(
+                "this endpoint requires a role credential "
+                "(X-Role / X-Role-Key)"
+            )
+        expected = self._role_keys.get(role)
+        if expected is None or key is None or not hmac.compare_digest(
+            key, expected
+        ):
+            raise PermissionError(f"bad credential for role {role!r}")
+
     def _session_for(self, role: str | None) -> SparkSession:
         if role is None:
             return self.serving
@@ -303,6 +345,14 @@ class SqlServingEndpoint:
             # requests under different roles never race on view swaps
             sess = self.serving.newSession()
             self._register_views(sess, role=role)
+            self._role_sessions[role] = sess
+            while len(self._role_sessions) > self._MAX_ROLE_SESSIONS:
+                # LRU-bound: evict the stalest role's session (it rebuilds
+                # lazily on its next request)
+                self._role_sessions.pop(next(iter(self._role_sessions)))
+        else:
+            # refresh recency (plain dict preserves insertion order)
+            self._role_sessions.pop(role)
             self._role_sessions[role] = sess
         return sess
 
@@ -551,7 +601,13 @@ class SqlServingEndpoint:
                 role: str | None = None,
                 default_format: str | None = None,
                 params: dict[str, str] | None = None,
+                role_key: str | None = None,
             ) -> None:
+                try:
+                    endpoint.authenticate(role, role_key)
+                except PermissionError as e:
+                    self._respond(403, {"error": str(e)})
+                    return
                 if not sql:
                     self._respond(400, {"error": "missing q parameter"})
                     return
@@ -641,6 +697,9 @@ class SqlServingEndpoint:
                 qs = urllib.parse.parse_qs(parsed.query)
                 q = qs.get("q", [""])[0]
                 role = qs.get("role", [None])[0]
+                key = qs.get("role_key", [None])[0]
+                if key is None:
+                    key = qs.get("admin_key", [None])[0]
                 self._serve(
                     q, role=role,
                     default_format=qs.get("default_format", [None])[0],
@@ -648,14 +707,19 @@ class SqlServingEndpoint:
                         k[len("param_"):]: v[0]
                         for k, v in qs.items() if k.startswith("param_")
                     },
+                    role_key=key,
                 )
 
             def do_POST(self):
                 n = int(self.headers.get("Content-Length", "0"))
+                key = self.headers.get("X-Role-Key")
+                if key is None:
+                    key = self.headers.get("X-Admin-Key")
                 self._serve(
                     self.rfile.read(n).decode("utf-8"),
                     role=self.headers.get("X-Role"),
                     default_format=self.headers.get("X-Format"),
+                    role_key=key,
                 )
 
         self._server = ThreadingHTTPServer(("127.0.0.1", port), Handler)

@@ -305,3 +305,94 @@ def test_table_columns_reports_schema(spark, wh):
         range(len(data_cols))
     )
     assert all(r["type"] for r in cols.values())
+
+
+def test_drop_partition_preserves_lightweight_deletes(spark, wh):
+    """ADVICE r9 (high): DROP PARTITION hardlink-clones members under new
+    names; live deletion vectors address the OLD paths, so without a
+    remap the masked rows of the SURVIVING partitions resurrect (and the
+    next gc_deletes collects the orphaned DV permanently)."""
+    t = "suricata_events_raw"
+    wh.append(t, _mk_events(spark, {1: 6, 2: 6}), batch_id=1)
+    r = wh.delete_where_lightweight(
+        t, "event_date = DATE'2024-01-01' AND severity = 'high'"
+    )
+    assert r["rows_deleted"] == 3
+    wh.drop_partition(t, "2024-01-02")
+    got = wh.read(t)
+    assert got.filter("event_date = DATE'2024-01-02'").count() == 0
+    # the day-1 deletes must still mask after the member swap
+    assert got.filter("severity = 'high'").count() == 0
+    assert got.count() == 3
+    # and the remapped DV survives a GC pass (it references live files)
+    wh.gc_deletes(t)
+    assert got.filter("severity = 'high'").count() == 0
+    assert wh.read(t).count() == 3
+
+
+def test_drop_partition_preserves_patches_and_kills_dropped_ones(spark, wh):
+    """Patched rows of surviving partitions keep their patch; patch rows
+    addressing the dropped partition must NOT be re-injected by the
+    patch union after their originals vanish."""
+    t = "suricata_events_raw"
+    wh.append(t, _mk_events(spark, {1: 6, 2: 6}), batch_id=1)
+    r = wh.update_where_lightweight(
+        t, {"alert_action": "'patched'"}, "severity = 'high'"
+    )
+    assert r["rows_updated"] == 6  # 3 per day
+    wh.drop_partition(t, "2024-01-01")
+    got = wh.read(t)
+    assert got.count() == 6  # day-1 rows (incl. its patched ones) gone
+    assert got.filter("event_date = DATE'2024-01-01'").count() == 0
+    assert got.filter("alert_action = 'patched'").count() == 3
+    wh.gc_deletes(t)
+    assert wh.read(t).filter("alert_action = 'patched'").count() == 3
+
+
+def test_drop_partition_overlay_noop_when_no_overlays(spark, wh):
+    t = "suricata_events_raw"
+    wh.append(t, _mk_events(spark, {1: 4, 2: 4}), batch_id=1)
+    assert wh.drop_partition(t, "2024-01-02") == 1
+    assert wh._dv_files(t) == [] and wh._patch_files(t) == []
+    assert wh.read(t).count() == 4
+
+
+def test_patch_seq_survives_partial_gc(spark, wh):
+    """ADVICE r9 (medium): __patch_seq derived from the file COUNT reuses
+    a live sequence after a partial GC removes an older patch while a
+    newer one survives — two patches with equal seq make latest-wins
+    nondeterministic.  Seq must come from the max embedded sequence."""
+    import shutil as _sh
+
+    t = "suricata_events_raw"
+    wh.append(t, _mk_events(spark, {1: 4}), batch_id=1)
+    wh.update_where_lightweight(t, {"alert_action": "'p0'"}, "dest_port = 443")
+    wh.update_where_lightweight(t, {"alert_action": "'p1'"}, "dest_port = 443")
+    files = wh._patch_files(t)
+    assert [f.split("-")[1] for f in files] == ["000000", "000001"]
+    # simulate a partial GC: the older patch dies, the newer survives
+    _sh.rmtree(os.path.join(wh._patch_dir(t), files[0]))
+    wh.update_where_lightweight(t, {"alert_action": "'p2'"}, "dest_port = 443")
+    seqs = sorted(int(f.split("-")[1]) for f in wh._patch_files(t))
+    assert seqs == [1, 2]  # no collision with the survivor
+    got = wh.read(t).filter("dest_port = 443").select("alert_action").collect()
+    assert {r.alert_action for r in got} == {"p2"}  # latest wins, deterministic
+
+
+def test_lightweight_update_assignments_see_pre_update_row(spark, wh):
+    """ADVICE r9 (low): all assignment RHS evaluate against the ORIGINAL
+    row (ClickHouse ALTER UPDATE and _mutate semantics) — a swap must
+    swap, not chain."""
+    t = "suricata_events_raw"
+    wh.append(t, _mk_events(spark, {1: 2}), batch_id=1)
+    before = {
+        r.event_id: (r.src_ip, r.dest_ip) for r in wh.read(t).collect()
+    }
+    wh.update_where_lightweight(
+        t, {"src_ip": "dest_ip", "dest_ip": "src_ip"}, "1=1"
+    )
+    after = {
+        r.event_id: (r.src_ip, r.dest_ip) for r in wh.read(t).collect()
+    }
+    for k, (s, d) in before.items():
+        assert after[k] == (d, s)

@@ -481,3 +481,67 @@ def test_query_parameters_typed_substitution(endpoint):
         port, {"q": "SELECT {missing:Int64} AS x"}
     )
     assert st == 400
+
+
+def test_role_keys_enforce_credentials(spark, tmp_path):
+    """ADVICE r9 (medium): with ``role_keys`` configured the endpoint is
+    default-deny — a role claim needs its shared secret, an unknown role
+    or missing key is 403, and omitting the role entirely no longer
+    grants admin visibility past row policies."""
+    root = tmp_path / "gold_auth"
+    spark.createDataFrame(
+        [("EU", 10.0), ("US", 7.5)], "region string, revenue double"
+    ).write.parquet(str(root / "rev"))
+    ep = SqlServingEndpoint(
+        spark, {"rev": str(root / "rev")},
+        role_keys={"eu_analyst": "s3cret"},
+        admin_key="adm1n",
+    )
+    ep.add_row_policy("rev", "eu_analyst", "region = 'EU'")
+    port = ep.start()
+    try:
+        def call(qs_extra=""):
+            q = urllib.parse.urlencode({"q": "SELECT region FROM rev"})
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/query?{q}{qs_extra}"
+            )
+            try:
+                with urllib.request.urlopen(req, timeout=90) as resp:
+                    return resp.status, json.loads(resp.read())
+            except urllib.error.HTTPError as e:
+                return e.code, json.loads(e.read())
+
+        # no role, no admin key → default-deny
+        status, _ = call()
+        assert status == 403
+        # wrong key → 403
+        status, _ = call("&role=eu_analyst&role_key=wrong")
+        assert status == 403
+        # unknown role → 403 (also bounds the per-role session cache)
+        status, _ = call("&role=nobody&role_key=s3cret")
+        assert status == 403
+        # right key → policy-filtered rows
+        status, body = call("&role=eu_analyst&role_key=s3cret")
+        assert status == 200
+        assert {r["region"] for r in body["rows"]} == {"EU"}
+        # admin key → unfiltered
+        status, body = call("&admin_key=adm1n")
+        assert status == 200
+        assert {r["region"] for r in body["rows"]} == {"EU", "US"}
+    finally:
+        ep.stop()
+
+
+def test_role_sessions_lru_bounded(spark, tmp_path):
+    root = tmp_path / "gold_lru"
+    spark.createDataFrame(
+        [(1,)], "id long"
+    ).write.parquet(str(root / "t"))
+    ep = SqlServingEndpoint(spark, {"t": str(root / "t")})
+    cap = ep._MAX_ROLE_SESSIONS
+    for i in range(cap + 5):
+        ep._session_for(f"role-{i}")
+    assert len(ep._role_sessions) == cap
+    # the stalest roles were evicted, the freshest survive
+    assert f"role-{cap + 4}" in ep._role_sessions
+    assert "role-0" not in ep._role_sessions
