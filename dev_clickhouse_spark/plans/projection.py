@@ -19,12 +19,16 @@ Spark-first translation on the manifest Warehouse:
   queries/state_rollup.py: counts, exact quantized power sums, min/max,
   HLL sketches);
 - maintenance is manifest-driven and INCREMENTAL: a sidecar under the
-  base table records which manifest members are folded in; ``ensure()``
-  aggregates only the members appended since the last fold (the
-  ClickHouse insert-time projection-part build).  A membership REWRITE
-  (compaction / mutation / TTL) triggers a full rebuild — the analog of
-  merges rewriting projection parts alongside base parts, kept
-  conservative here because mutations and TTL change row content;
+  base table records which manifest members each fold batch covers;
+  ``ensure()`` aggregates only the members appended since the last fold
+  (the ClickHouse insert-time projection-part build), one fold batch per
+  member.  A membership REWRITE (compaction / mutation / TTL) triggers a
+  full rebuild — the analog of merges rewriting projection parts
+  alongside base parts.  A lightweight DELETE/UPDATE invalidates
+  MEMBER-SCOPED: overlays address (file, position) and a file belongs to
+  exactly one member, so only the fold batches whose members the new
+  overlay entries touch are dropped and re-folded through the masked
+  read — at 100 TB a one-row delete re-folds one member, not the table;
 - selection is automatic: ``answer()`` takes the query's group keys and
   metrics, picks the first fresh projection whose dims cover the keys
   and whose states derive every metric, and re-aggregates the partial
@@ -138,7 +142,61 @@ class Metric:
 class ProjectionReport:
     used: str | None = None  # projection name, or None = base scan
     folded_now: int = 0  # members folded by the ensure() this answer ran
-    rebuilt: bool = False
+    rebuilt: bool = False  # full conservative rebuild (membership rewrite)
+    refolded: int = 0  # members re-folded by member-scoped invalidation
+
+
+def _plan_folds(
+    wh: Warehouse,
+    base: str,
+    proj_table: str,
+    side: dict | None,
+    live: list[str],
+    overlay_now: list[str],
+    affected_cache: dict,
+) -> tuple[list[dict], int, bool, int]:
+    """Shared fold-planning for aggregate and sort projections: decide
+    between a FULL rebuild (legacy sidecar, membership rewrite, overlay
+    removal, or a compacted projection table — the fold↔member map is
+    gone) and MEMBER-SCOPED invalidation (drop exactly the fold batches
+    whose base members new DV/patch entries address; everyone else's
+    state stays).  DVs and patches address (file, position) and a file
+    belongs to exactly one member, so the affected set is computed from
+    the new overlay entries alone — at 100 TB a one-row DELETE re-folds
+    one member, not the table.
+
+    Returns (folds, fold_seq, rebuilt, refolded_members); ``rebuilt``
+    means the caller must rmtree the projection table before folding."""
+    if side is None:
+        return [], 0, False, 0
+    folds = side.get("folds")
+    seen = side.get("overlay_files")
+    fold_seq = side.get("fold_seq", 0)
+    if folds is None or seen is None:
+        return [], 0, True, 0  # legacy sidecar: one-time migration rebuild
+    folded = {m for f in folds for m in f["members"]}
+    proj_man = wh.load_manifest(proj_table)
+    proj_members = proj_man["members"] if proj_man else []
+    if (
+        not folded <= set(live)
+        or not set(seen) <= set(overlay_now)
+        or any(not m.startswith("ingest_batch=") for m in proj_members)
+    ):
+        return [], 0, True, 0
+    new_ov = [o for o in overlay_now if o not in set(seen)]
+    refolded = 0
+    if new_ov:
+        key = frozenset(new_ov)
+        if key not in affected_cache:
+            affected_cache[key] = wh.overlay_member_refs(base, new_ov)
+        affected = affected_cache[key] & folded
+        if affected:
+            for f in list(folds):
+                if set(f["members"]) & affected:
+                    wh.drop_member(proj_table, f"ingest_batch={f['seq']}")
+                    folds.remove(f)
+                    refolded += len(f["members"])
+    return folds, fold_seq, False, refolded
 
 
 class ProjectionSet:
@@ -185,7 +243,13 @@ class ProjectionSet:
         New members since the last fold are aggregated and APPENDED as
         partial-state rows (insert-time projection build); a membership
         rewrite (compaction/mutation/TTL changed or removed a folded
-        member) rebuilds from the current live set."""
+        member) rebuilds from the current live set.  A lightweight
+        DELETE/UPDATE invalidates MEMBER-SCOPED: only the fold batches
+        whose members the new overlay entries address are dropped and
+        re-folded through the masked read — a one-row delete in an
+        N-member table re-folds one member, not N (the r9 wholesale
+        rebuild was a full-table re-aggregation per projection at
+        100 TB)."""
         rep = ProjectionReport()
         man = self.wh.load_manifest(self.base)
         if man is None:
@@ -193,40 +257,49 @@ class ProjectionSet:
                 f"projections need the manifest layout; {self.base!r} has none"
             )
         live = list(man["members"])
-        dv_epoch = self.wh.dv_epoch(self.base)
+        overlay_now = self.wh.overlay_files(self.base)
+        affected_cache: dict = {}
         for spec in self.specs:
             if spec_name is not None and spec.name != spec_name:
                 continue
             side = self._load_sidecar(spec)
-            folded = list(side["folded_members"]) if side else []
-            fold_seq = side["fold_seq"] if side else 0
-            if side is not None and (
-                not set(folded) <= set(live)
-                or side.get("dv_epoch", "") != dv_epoch
-            ):
-                # membership rewrite OR a lightweight delete changed row
-                # content under the folded states: conservative rebuild
+            folds, fold_seq, rebuilt, refolded = _plan_folds(
+                self.wh, self.base, self._proj_table(spec), side, live,
+                overlay_now, affected_cache,
+            )
+            if rebuilt:
                 shutil.rmtree(
                     self.wh.path(self._proj_table(spec)), ignore_errors=True
                 )
-                folded, fold_seq = [], 0
                 rep.rebuilt = True
+            rep.refolded += refolded
+            folded = {m for f in folds for m in f["members"]}
             new = [m for m in live if m not in folded]
-            if not new:
-                continue
-            df = self.wh._read_members(self.base, new)
-            states = df.groupBy(*spec.dims).agg(*spec.state_exprs())
-            self.wh.append(self._proj_table(spec), states, batch_id=fold_seq)
-            self._save_sidecar(
-                spec,
-                {
-                    "dims": list(spec.dims),
-                    "folded_members": folded + new,
-                    "fold_seq": fold_seq + 1,
-                    "dv_epoch": dv_epoch,
-                },
-            )
-            rep.folded_now += len(new)
+            # one fold batch PER member: invalidation granularity stays
+            # exactly one member even after a bulk first build, and a
+            # crashed multi-member fold resumes at the ledger (members
+            # fold in stable manifest order, so retried seqs line up)
+            for m in new:
+                df = self.wh._read_members(self.base, [m])
+                states = df.groupBy(*spec.dims).agg(*spec.state_exprs())
+                self.wh.append(
+                    self._proj_table(spec), states, batch_id=fold_seq
+                )
+                folds = folds + [{"seq": fold_seq, "members": [m]}]
+                fold_seq += 1
+                rep.folded_now += 1
+            if new or side is None or refolded or rebuilt or (
+                side.get("overlay_files") != overlay_now
+            ):
+                self._save_sidecar(
+                    spec,
+                    {
+                        "dims": list(spec.dims),
+                        "folds": folds,
+                        "fold_seq": fold_seq,
+                        "overlay_files": overlay_now,
+                    },
+                )
         return rep
 
     # -- selection + merge --------------------------------------------------
@@ -421,23 +494,28 @@ class SortProjection:
                 side = json.load(fh)
         except OSError:
             side = None
-        folded = list(side["folded_members"]) if side else []
-        fold_seq = side["fold_seq"] if side else 0
-        dv_epoch = self.wh.dv_epoch(self.base)
-        if side is not None and (
-            not set(folded) <= set(live)
-            or side.get("dv_epoch", "") != dv_epoch
-        ):
+        overlay_now = self.wh.overlay_files(self.base)
+        folds, fold_seq, rebuilt, refolded = _plan_folds(
+            self.wh, self.base, self._table, side, live, overlay_now, {},
+        )
+        if rebuilt:
             shutil.rmtree(self.wh.path(self._table), ignore_errors=True)
-            folded, fold_seq = [], 0
             rep.rebuilt = True
+        rep.refolded = refolded
+        folded = {m for f in folds for m in f["members"]}
         new = [m for m in live if m not in folded]
-        if new:
-            df = self.wh._read_members(self.base, new)
+        for m in new:  # one fold batch per member (see ProjectionSet)
+            df = self.wh._read_members(self.base, [m])
             out = df.repartitionByRange(
                 self.files_per_fold, *self.sort_cols
             ).sortWithinPartitions(*self.sort_cols)
             self.wh.append(self._table, out, batch_id=fold_seq)
+            folds = folds + [{"seq": fold_seq, "members": [m]}]
+            fold_seq += 1
+            rep.folded_now += 1
+        if new or side is None or refolded or rebuilt or (
+            side.get("overlay_files") != overlay_now
+        ):
             p = self._sidecar_path()
             os.makedirs(os.path.dirname(p), exist_ok=True)
             tmp = p + ".tmp"
@@ -445,15 +523,14 @@ class SortProjection:
                 json.dump(
                     {
                         "sort_cols": list(self.sort_cols),
-                        "folded_members": folded + new,
-                        "fold_seq": fold_seq + 1,
-                        "dv_epoch": dv_epoch,
+                        "folds": folds,
+                        "fold_seq": fold_seq,
+                        "overlay_files": overlay_now,
                     },
                     fh,
                     indent=1,
                 )
             os.replace(tmp, p)
-            rep.folded_now = len(new)
         self._idx.ensure()
         return rep
 

@@ -127,7 +127,9 @@ def test_delete_invalidates_aggregate_projection(spark, wh):
     n_before = {r.event_type: r.cnt for r in before.collect()}
     wh.delete_where_lightweight("ev", "event_type = 'click'")
     after, rep = ps.answer(["event_type"], metrics)
-    assert rep.rebuilt  # DV epoch moved → states rebuilt
+    # member-scoped invalidation: clicks live in every member here, so
+    # all 3 re-fold — but through refold, never a wholesale rebuild
+    assert not rep.rebuilt and rep.refolded == 3 and rep.folded_now == 3
     n_after = {r.event_type: r.cnt for r in after.collect()}
     assert "click" not in n_after
     assert n_after["view"] == n_before["view"]

@@ -153,7 +153,8 @@ def test_update_invalidates_projection_and_skip_index(spark, wh):
         "ev", {"event_type": F.lit("mutated")}, "event_type = 'click'"
     )
     after, rep = ps.answer(["event_type"], metrics)
-    assert rep.rebuilt  # epoch moved
+    # clicks live in every member: all 3 re-fold member-scoped
+    assert not rep.rebuilt and rep.refolded == 3
     counts = {r.event_type: r.cnt for r in after.collect()}
     assert "click" not in counts and counts["mutated"] > 0
     # skip index: pruned read falls back to the full masked scan

@@ -201,3 +201,101 @@ def test_sort_projection_incremental_fold_and_rebuild(spark, wh):
     df, _ = sp.scan([("between", "user_id", 1, hi // 3)])
     expect = wh.read("ev").filter(F.col("user_id").between(1, hi // 3))
     assert df.count() == expect.count()
+
+
+def _dates_of(wh):
+    return sorted(
+        r[0] for r in wh.read("ev").select("event_date").distinct().collect()
+    )
+
+
+def test_lightweight_delete_refolds_only_affected_member(spark, wh):
+    """r9 verdict #1: a delete addressing rows of ONE member must drop and
+    re-fold exactly that member's fold batch; every other member's
+    partial states (fold batches) survive untouched."""
+    ps = ProjectionSet(wh, "ev", [SPEC])
+    ps.answer(["event_type"], METRICS)
+    proj = "ev__proj__" + SPEC.name
+    man0 = wh.load_manifest(proj)
+    assert len(man0["members"]) == 3  # one fold batch per base member
+    # one row, addressed to exactly one member (event_id % 3 == 1 → batch 1)
+    victim = wh.read("ev").filter(F.col("event_id") % 3 == 1).first()
+    r = wh.delete_where_lightweight(
+        "ev", F.col("event_id") == victim.event_id
+    )
+    assert r["rows_deleted"] == 1
+    df, rep = ps.answer(["event_type"], METRICS)
+    assert not rep.rebuilt
+    assert rep.refolded == 1 and rep.folded_now == 1
+    man1 = wh.load_manifest(proj)
+    # fold batches 0 and 2 survive byte-identical; batch 1 was replaced
+    assert "ingest_batch=0" in man1["members"]
+    assert "ingest_batch=2" in man1["members"]
+    assert "ingest_batch=1" not in man1["members"]
+    assert "ingest_batch=3" in man1["members"]  # the refold, new seq
+    # answers still match the masked base scan exactly
+    base = ps._base_scan(["event_type"], METRICS)
+    assert _sorted_rows(df) == _sorted_rows(base)
+
+
+def test_second_delete_same_member_refolds_one_again(spark, wh):
+    ps = ProjectionSet(wh, "ev", [SPEC])
+    ps.answer(["event_type"], METRICS)
+    vic = wh.read("ev").filter(F.col("event_id") % 3 == 2).limit(2).collect()
+    wh.delete_where_lightweight("ev", F.col("event_id") == vic[0].event_id)
+    _, rep1 = ps.answer(["event_type"], METRICS)
+    assert rep1.refolded == 1
+    wh.delete_where_lightweight("ev", F.col("event_id") == vic[1].event_id)
+    df, rep2 = ps.answer(["event_type"], METRICS)
+    assert rep2.refolded == 1 and not rep2.rebuilt
+    assert _sorted_rows(df) == _sorted_rows(
+        ps._base_scan(["event_type"], METRICS)
+    )
+
+
+def test_lightweight_update_refolds_only_affected_member(spark, wh):
+    ps = ProjectionSet(wh, "ev", [SPEC])
+    ps.answer(["event_type"], METRICS)
+    victim = wh.read("ev").filter(F.col("event_id") % 3 == 0).first()
+    wh.update_where_lightweight(
+        "ev", {"value": "value + 1000.0"},
+        F.col("event_id") == victim.event_id,
+    )
+    df, rep = ps.answer(["event_type"], METRICS)
+    assert not rep.rebuilt and rep.refolded == 1
+    assert _sorted_rows(df) == _sorted_rows(
+        ps._base_scan(["event_type"], METRICS)
+    )
+
+
+def test_sort_projection_refolds_member_scoped(spark, wh):
+    from dev_clickhouse_spark.plans.projection import SortProjection
+
+    sp = SortProjection(wh, "ev", "by_user", ("user_id",), files_per_fold=4)
+    sp.ensure()
+    victim = wh.read("ev").filter(F.col("event_id") % 3 == 1).first()
+    wh.delete_where_lightweight("ev", F.col("event_id") == victim.event_id)
+    rep = sp.ensure()
+    assert not rep.rebuilt and rep.refolded == 1 and rep.folded_now == 1
+    lo, hi = wh.read("ev").agg(
+        F.min("user_id"), F.max("user_id")
+    ).first()
+    df, _ = sp.scan([("between", "user_id", lo, hi)])
+    assert df.filter(F.col("event_id") == victim.event_id).count() == 0
+    assert df.count() == wh.read("ev").count()
+
+
+def test_compaction_still_full_rebuilds_after_refolds(spark, wh):
+    """Membership rewrite after member-scoped refolds: the conservative
+    full rebuild must still fire and converge."""
+    ps = ProjectionSet(wh, "ev", [SPEC])
+    ps.answer(["event_type"], METRICS)
+    victim = wh.read("ev").first()
+    wh.delete_where_lightweight("ev", F.col("event_id") == victim.event_id)
+    ps.answer(["event_type"], METRICS)
+    wh.compact("ev")
+    df, rep = ps.answer(["event_type"], METRICS)
+    assert rep.rebuilt
+    assert _sorted_rows(df) == _sorted_rows(
+        ps._base_scan(["event_type"], METRICS)
+    )
