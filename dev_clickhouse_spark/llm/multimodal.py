@@ -118,6 +118,110 @@ def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
     return rate, np.frombuffer(data, dtype="<i2")
 
 
+#: MPEG audio frame-header tables (ISO/IEC 11172-3 / 13818-3 public
+#: header format).  Bitrate kbps by (version group, layer III) index;
+#: index 0 = "free" and 15 = invalid — both rejected by the walk.
+_MP3_BITRATE_V1_L3 = (
+    None, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320,
+    None,
+)
+_MP3_BITRATE_V2_L3 = (
+    None, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160, None,
+)
+#: sample rate Hz by (version bits, sr index); version bits: 0=MPEG2.5,
+#: 2=MPEG2, 3=MPEG1 (1 is reserved)
+_MP3_RATES = {
+    3: (44100, 48000, 32000),
+    2: (22050, 24000, 16000),
+    0: (11025, 12000, 8000),
+}
+
+
+def parse_mp3(payload: bytes) -> dict:
+    """MP3 frame-header walk — METADATA, not PCM (full Layer III synthesis
+    needs huffman tables + polyphase filterbank; ffmpeg-class work that is
+    the declared decode boundary).  Skips an ID3v2 tag (syncsafe size),
+    then walks consecutive MPEG-1/2/2.5 Layer III frame headers computing
+    each frame's byte length from the bitrate/sample-rate/padding fields,
+    exactly how ``ffprobe`` estimates duration without decoding.  Returns
+    {version, layer, bitrate_kbps, sample_rate, n_frames, duration_s}
+    (bitrate of the FIRST frame; VBR streams vary per frame but the walk
+    still counts frames exactly).  Raises ValueError when no valid frame
+    sequence is found."""
+    pos = 0
+    if payload[:3] == b"ID3" and len(payload) >= 10:
+        size = 0
+        for b in payload[6:10]:
+            size = (size << 7) | (b & 0x7F)  # syncsafe int
+        pos = 10 + size
+    n_frames, samples, first = 0, 0, None
+    while pos + 4 <= len(payload):
+        b0, b1, b2 = payload[pos], payload[pos + 1], payload[pos + 2]
+        if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+            break
+        ver_bits = (b1 >> 3) & 0x3
+        layer_bits = (b1 >> 1) & 0x3
+        if ver_bits == 1 or layer_bits != 1:  # reserved version / not L-III
+            break
+        br_idx = (b2 >> 4) & 0xF
+        sr_idx = (b2 >> 2) & 0x3
+        padding = (b2 >> 1) & 0x1
+        table = _MP3_BITRATE_V1_L3 if ver_bits == 3 else _MP3_BITRATE_V2_L3
+        bitrate = table[br_idx]
+        if bitrate is None or sr_idx == 3:
+            break
+        rate = _MP3_RATES[ver_bits][sr_idx]
+        # Layer III frame bytes: floor(coef * bitrate / rate) + padding,
+        # coef = 144 for MPEG1, 72 for MPEG2/2.5 (576-sample granule)
+        coef = 144 if ver_bits == 3 else 72
+        flen = (coef * bitrate * 1000) // rate + padding
+        if flen < 4 or pos + flen > len(payload):
+            break
+        if first is None:
+            first = (ver_bits, bitrate, rate)
+        n_frames += 1
+        samples += 1152 if ver_bits == 3 else 576
+        pos += flen
+    if n_frames == 0 or first is None:
+        raise ValueError("no valid MPEG audio frames")
+    ver_bits, bitrate, rate = first
+    version = {3: "MPEG1", 2: "MPEG2", 0: "MPEG2.5"}[ver_bits]
+    return {
+        "version": version,
+        "layer": 3,
+        "bitrate_kbps": bitrate,
+        "sample_rate": rate,
+        "n_frames": n_frames,
+        "duration_s": samples / rate,
+    }
+
+
+def encode_mp3(
+    n_frames: int, fill: int = 0, bitrate_kbps: int = 128,
+    sample_rate: int = 44100, with_id3: bool = True,
+) -> bytes:
+    """Deterministic synthetic MP3 for the census/tests: a well-formed
+    ID3v2 tag plus ``n_frames`` MPEG-1 Layer III frame headers with
+    spec-correct lengths and ``fill`` bytes as the (undecodable) payload —
+    valid to every header walk, decodable by none."""
+    br_idx = _MP3_BITRATE_V1_L3.index(bitrate_kbps)
+    sr_idx = _MP3_RATES[3].index(sample_rate)
+    out = bytearray()
+    if with_id3:
+        body = b"TAG0" * 4  # 16 bytes of tag payload
+        out += b"ID3\x03\x00\x00" + bytes(
+            [(len(body) >> 21) & 0x7F, (len(body) >> 14) & 0x7F,
+             (len(body) >> 7) & 0x7F, len(body) & 0x7F]
+        ) + body
+    flen = (144 * bitrate_kbps * 1000) // sample_rate
+    for _ in range(n_frames):
+        hdr = bytes(
+            [0xFF, 0xFB, (br_idx << 4) | (sr_idx << 2), 0x00]
+        )  # MPEG1 (11), Layer III (01), no CRC; no padding
+        out += hdr + bytes([fill & 0xFF]) * (flen - 4)
+    return bytes(out)
+
+
 PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
 
@@ -403,9 +507,11 @@ def real_decode(payload: bytes, media_type: str) -> list[float]:
       mean R, mean G, mean B, grayscale std] from the decoded pixels.
     - ``audio`` + RIFF/WAVE magic → [sample_rate, n_samples, RMS, peak]
       from the decoded samples.
-    - anything else (MP3/video containers, progressive JPEG) needs
-      torchaudio / ffmpeg / a full libjpeg, which are not installed here →
-      ``NotImplementedError`` (callers fall back to the byte-level stub).
+    - anything else (MP3 PCM synthesis, MP4-class video containers) needs
+      torchaudio / ffmpeg, which are not installed here →
+      ``NotImplementedError``.  Callers try :func:`probe_media_metadata`
+      (MP3 frame-header walk — real rate/bitrate/duration, no samples)
+      before falling back to the byte-level stub.
     """
     if media_type == "video" and payload[:6] in GIF_MAGICS:
         frames = decode_gif(payload).astype(np.float64)
@@ -449,6 +555,29 @@ def real_decode(payload: bytes, media_type: str) -> list[float]:
         f"decode for this {media_type} codec requires media libs not present "
         "in this environment (BMP/PNG/WAV decode IS supported); "
         "extract_features falls back to the deterministic stub"
+    )
+
+
+def probe_media_metadata(payload: bytes, media_type: str) -> list[float]:
+    """Metadata-level probe for codecs whose CONTENT decode is the
+    declared boundary (``real_decode`` docstring): real header fields, no
+    sample/pixel synthesis.  MP3 → [sample_rate, n_frames, bitrate_kbps,
+    duration_s] from the frame-header walk.  Raises NotImplementedError
+    for codecs with no metadata walk (MP4 container boxes remain
+    byte-stubbed), ValueError for malformed streams."""
+    if media_type == "audio" and (
+        payload[:3] == b"ID3" or (
+            len(payload) >= 2 and payload[0] == 0xFF
+            and (payload[1] & 0xE0) == 0xE0
+        )
+    ):
+        m = parse_mp3(payload)
+        return [
+            float(m["sample_rate"]), float(m["n_frames"]),
+            float(m["bitrate_kbps"]), float(m["duration_s"]),
+        ]
+    raise NotImplementedError(
+        f"no metadata walk for this {media_type} codec"
     )
 
 
@@ -770,24 +899,30 @@ def multimodal_jpeg_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 #: codec assignment for the coverage census: doc_id % 8 → (codec label,
-#: media_type, expected stub fallback).  The stub=1 rows are the DECLARED
-#: decode boundary (real_decode docstring): MP3/MP4 need torchaudio/ffmpeg.
-#: Progressive JPEG moved to stub=0 when the SOF2 decoder landed — exactly
-#: the drift this gate exists to surface (the round-7 census expected 1).
+#: media_type, expected coverage LEVEL): "content" = real pixel/sample
+#: decode, "metadata" = real header walk only (MP3 frame headers since
+#: round 10 — duration/bitrate/rate without PCM), "stub" = byte-level
+#: fallback (MP4 container boxes; full decode needs torchaudio/ffmpeg).
+#: Progressive JPEG moved stub→content when the SOF2 decoder landed (r8),
+#: MP3 moved stub→metadata in r10 — exactly the drift this gate surfaces.
 CODEC_CENSUS = [
-    ("bmp", "image", 0),
-    ("png", "image", 0),
-    ("gif", "image", 0),
-    ("jpeg_baseline", "image", 0),
-    ("jpeg_progressive", "image", 0),  # real SOF2 decode since round 8
-    ("wav", "audio", 0),
-    ("mp3", "audio", 1),
-    ("mp4", "video", 1),
+    ("bmp", "image", "content"),
+    ("png", "image", "content"),
+    ("gif", "image", "content"),
+    ("jpeg_baseline", "image", "content"),
+    ("jpeg_progressive", "image", "content"),  # real SOF2 decode since r8
+    ("wav", "audio", "content"),
+    ("mp3", "audio", "metadata"),  # frame-header walk since r10
+    ("mp4", "video", "stub"),
 ]
 
 _CODEC_ORACLE = " UNION ALL ".join(
-    f"SELECT {k} AS k, '{c}' AS codec, {s} AS stub"
-    for k, (c, _m, s) in enumerate(CODEC_CENSUS)
+    "SELECT {k} AS k, '{c}' AS codec, {content} AS content,"
+    " {meta} AS meta, {stub} AS stub".format(
+        k=k, c=c, content=int(lvl == "content"),
+        meta=int(lvl == "metadata"), stub=int(lvl == "stub"),
+    )
+    for k, (c, _m, lvl) in enumerate(CODEC_CENSUS)
 )
 
 
@@ -801,7 +936,8 @@ WITH n AS (
 m AS ({_CODEC_ORACLE})
 SELECT m.codec,
        CAST(n.n AS BIGINT) AS n_blobs,
-       CAST(n.n * (1 - m.stub) AS BIGINT) AS n_real_decoded,
+       CAST(n.n * m.content AS BIGINT) AS n_content_decoded,
+       CAST(n.n * m.meta AS BIGINT) AS n_metadata_only,
        CAST(n.n * m.stub AS BIGINT) AS n_stub_fallback,
        CAST(m.stub AS DOUBLE) AS stub_fraction
 FROM m JOIN n ON n.k = m.k
@@ -857,35 +993,44 @@ def multimodal_codec_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
                     + b"data" + struct.pack("<I", len(samples)) + samples
                 )
             if codec == "mp3":
-                return b"ID3\x03\x00" + bytes([v]) * 16
+                # real frame headers: 1 + doc_id%3 MPEG-1 L3 frames so the
+                # walk exercises multi-frame streams, not just the magic
+                return encode_mp3(1 + int(doc_id) % 3, fill=v)
             return (b"\x00\x00\x00\x18ftypmp42\x00\x00\x00\x00mp42"
                     + bytes([v]) * 8)
 
         for pdf in batches:
             rows = []
             for doc_id in pdf["doc_id"]:
-                codec, mtype, _s = CODEC_CENSUS[int(doc_id) % 8]
+                codec, mtype, _lvl = CODEC_CENSUS[int(doc_id) % 8]
                 raw = payload_for(int(doc_id), codec)
                 try:
                     real_decode(raw, mtype)
-                    decoded = 1
+                    level = "content"
                 except (NotImplementedError, ValueError):
                     # NotImplementedError = the documented codec boundary;
                     # ValueError = malformed/out-of-envelope stream — a
                     # 100 TB census must COUNT undecodable blobs, never let
-                    # one bad file kill the job
-                    _stub_features(raw)
-                    decoded = 0
-                rows.append((codec, decoded))
-            yield pd.DataFrame(rows, columns=["codec", "decoded"])
+                    # one bad file kill the job.  Try the metadata walk
+                    # before falling to the byte stub.
+                    try:
+                        probe_media_metadata(raw, mtype)
+                        level = "metadata"
+                    except (NotImplementedError, ValueError):
+                        _stub_features(raw)
+                        level = "stub"
+                rows.append((codec, level))
+            yield pd.DataFrame(rows, columns=["codec", "level"])
 
     att = docs.mapInPandas(
-        run, schema="codec string, decoded int"
+        run, schema="codec string, level string"
     )
+    is_ = lambda lv: (F.col("level") == lv).cast("int")  # noqa: E731
     return att.groupBy("codec").agg(
         F.count(F.lit(1)).alias("n_blobs"),
-        F.sum("decoded").cast("long").alias("n_real_decoded"),
-        F.sum(1 - F.col("decoded")).cast("long").alias("n_stub_fallback"),
-        (F.sum(1 - F.col("decoded")) / F.count(F.lit(1)))
+        F.sum(is_("content")).cast("long").alias("n_content_decoded"),
+        F.sum(is_("metadata")).cast("long").alias("n_metadata_only"),
+        F.sum(is_("stub")).cast("long").alias("n_stub_fallback"),
+        (F.sum(is_("stub")) / F.count(F.lit(1)))
         .cast("double").alias("stub_fraction"),
     )

@@ -1025,3 +1025,42 @@ def test_ngram_counted_path_identical_to_string_path(spark):
         ).collect()
     }
     assert new2 == old2 and (100, 101) in new2
+
+
+def test_mp3_frame_header_walk():
+    """r9 verdict #7: MP3 moves byte-stub → metadata-real via a frame
+    header walk (version/layer/bitrate/rate/frame count/duration)."""
+    from dev_clickhouse_spark.llm.multimodal import (
+        encode_mp3,
+        parse_mp3,
+        probe_media_metadata,
+    )
+
+    raw = encode_mp3(5, fill=7, bitrate_kbps=128, sample_rate=44100)
+    m = parse_mp3(raw)
+    assert m["version"] == "MPEG1" and m["layer"] == 3
+    assert m["bitrate_kbps"] == 128 and m["sample_rate"] == 44100
+    assert m["n_frames"] == 5
+    assert abs(m["duration_s"] - 5 * 1152 / 44100) < 1e-9
+    # other bitrates/rates round-trip through the spec length formula
+    for br in (32, 96, 320):
+        for sr in (32000, 48000):
+            got = parse_mp3(encode_mp3(2, bitrate_kbps=br, sample_rate=sr))
+            assert (got["bitrate_kbps"], got["sample_rate"], got["n_frames"]) \
+                == (br, sr, 2)
+    # without ID3 tag the bare sync walk still parses
+    bare = encode_mp3(3, with_id3=False)
+    assert parse_mp3(bare)["n_frames"] == 3
+    # the probe surface returns [rate, frames, kbps, duration]
+    sr_, nf, kbps, dur = probe_media_metadata(raw, "audio")
+    assert (sr_, nf, kbps) == (44100.0, 5.0, 128.0)
+    assert dur > 0
+    # garbage and ID3-only payloads are rejected, not misparsed
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        parse_mp3(b"ID3\x03\x00\x00\x00\x00\x00\x10" + b"\x00" * 16)
+    with _pt.raises(ValueError):
+        parse_mp3(b"\xffnot-a-frame")
+    # truncated last frame is not counted
+    assert parse_mp3(raw[: len(raw) - 10])["n_frames"] == 4
