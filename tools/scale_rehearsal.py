@@ -196,6 +196,22 @@ INVARIANT_QUERIES = [
     "scd2_user_type_versions",
 ]
 
+#: round 10 (VERDICT r9 #2): the storage-overlay and substring families —
+#: exactly the queries whose read path is an overlay join (DV anti-join,
+#: latest-patch window, projection-state merge) that must stay
+#: broadcast/linear-shaped as data grows.  Each row RAISES internally when
+#: its overlay invariant breaks (manifest version moved, projection not
+#: served, no files pruned), so a scale point is also an invariant check.
+OVERLAY_QUERIES = [
+    "lightweight_delete_mask_read",
+    "lightweight_update_patch_read",
+    "projection_auto_rewrite_rollup",
+    "projection_incremental_fold",
+    "sort_projection_pruned_scan",
+    "dedup_substring_spans",
+    "dedup_substring_cut_stats",
+]
+
 
 #: default ceiling on the consecutive-point local exponent
 #: α = log(tN/tM)/log(N/M); linear scaling is 1.0, and quiet-run
@@ -451,11 +467,14 @@ def main() -> None:
                     help="record the df-capped candidate-expansion volume "
                     "at base and xN (evidence that expansion stays LINEAR "
                     "— n_lists_capped and expansion_rows_ratio)")
-    ap.add_argument("--pack", choices=["full", "invariants"], default="full",
+    ap.add_argument("--pack", choices=["full", "invariants", "overlay"],
+                    default="full",
                     help="'invariants' times only the dedup/ANN/sequence "
                     "invariant family (the ×50 synthesis-cap point, VERDICT "
                     "r6 item #6 — the full pack's curve is already measured "
-                    "at ×10/×30)")
+                    "at ×10/×30); 'overlay' times the storage-overlay + "
+                    "substring families (VERDICT r9 #2) into "
+                    "SCALE_OVERLAY_X{N}.json")
     args = ap.parse_args()
     if args.worker_query:
         _worker(args.worker_query, args.worker_sf, args.reps,
@@ -463,7 +482,8 @@ def main() -> None:
         return
     out_path = args.out or os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        f"SCALE_X{args.factor}.json",
+        f"SCALE_OVERLAY_X{args.factor}.json" if args.pack == "overlay"
+        else f"SCALE_X{args.factor}.json",
     )
 
     # ×N data + ~4·|pack| query executions in one session need driver
@@ -485,7 +505,9 @@ def main() -> None:
         # TPC-H inflation (lineitem alone is 30M rows at x50)
         synth_tables = (
             ["documents", "embeddings", "events"]
-            if args.pack == "invariants" else None
+            if args.pack == "invariants"
+            else ["documents", "events"] if args.pack == "overlay"
+            else None
         )
         counts = synthesize(spark, args.base_sf, args.workdir, args.factor,
                             tables=synth_tables)
@@ -501,11 +523,12 @@ def main() -> None:
         }
     synth_sec = round(time.time() - t0, 1)
 
-    wanted = (
-        INVARIANT_QUERIES + ["dedup_cosine_pairs_sharded"]
-        if args.pack == "invariants"
-        else BENCH_QUERIES + INVARIANT_QUERIES
-    )
+    if args.pack == "invariants":
+        wanted = INVARIANT_QUERIES + ["dedup_cosine_pairs_sharded"]
+    elif args.pack == "overlay":
+        wanted = list(OVERLAY_QUERIES)
+    else:
+        wanted = BENCH_QUERIES + INVARIANT_QUERIES
     pack = list(dict.fromkeys(q for q in wanted if q in REGISTRY))
     # stamp quiet-ness at measurement start (AFTER synthesis — synthesis
     # itself loads the box but is not timed against the envelope): the
@@ -556,6 +579,11 @@ def main() -> None:
     # its 0.4/dim-64 operating point, which grows ~N² in any real corpus —
     # its rows_ratio is reported but not gated on linear growth
     quadratic_output = {"dedup_embedding_cosine_pairs"}
+    # overlay pack: every query records its row invariant too (the
+    # mutation/projection rows emit a CONSTANT-cardinality aggregate —
+    # rows_ratio 1.0 is itself the invariant; the substring rows grow with
+    # the duplicated-span population, ~linear for the replica synth)
+    inv_names = pack if args.pack == "overlay" else INVARIANT_QUERIES
     invariants = {
         q: {
             "base_rows": base_n[q],
@@ -563,7 +591,7 @@ def main() -> None:
             "rows_ratio": round(big_n[q] / base_n[q], 2) if base_n[q] else None,
             **({"expected_quadratic": True} if q in quadratic_output else {}),
         }
-        for q in INVARIANT_QUERIES
+        for q in inv_names
         if q in REGISTRY
     }
     # Queries whose OUTPUT is declared quadratic get a LOOSER bound, not a
@@ -627,26 +655,45 @@ def main() -> None:
     # (cause cited); anything else flags above ALPHA_MAX.  Sub-2-second
     # entries are skipped — at that magnitude a JIT hiccup moves α by >1.
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    prev = None
-    earliest = None
+    # PER-QUERY prev/earliest lookup across ALL committed scale artifacts
+    # (round 10): the overlay pack writes its own SCALE_OVERLAY_X*.json
+    # series, and a query's curve must chain through whichever artifacts
+    # actually contain it — one global prev artifact would silently skip
+    # α for any query absent from the largest-smaller-factor file.
+    candidates: list[dict] = []
     for f in sorted(os.listdir(repo_root)):
-        if f.startswith("SCALE_X") and f.endswith(".json"):
+        if f.startswith("SCALE") and f.endswith(".json"):
             try:
                 with open(os.path.join(repo_root, f)) as fh:
                     cand = json.load(fh)
             except (OSError, ValueError):
                 continue
             m = cand.get("factor")
-            if isinstance(m, int) and m < args.factor:
-                if prev is None or m > prev["factor"]:
-                    prev = cand
-                if earliest is None or m < earliest["factor"]:
-                    earliest = cand
+            if (
+                cand.get("metric") == "scale_rehearsal"
+                and isinstance(m, int) and m < args.factor
+            ):
+                candidates.append(cand)
+
+    def _points_for(q: str):
+        """(prev, earliest) artifacts among candidates that carry q."""
+        have = [
+            c for c in candidates
+            if c.get("queries", {}).get(q, {}).get("xn_sec")
+        ]
+        if not have:
+            return None, None
+        return (
+            max(have, key=lambda c: c["factor"]),
+            min(have, key=lambda c: c["factor"]),
+        )
+
     local_exponents: dict[str, dict] = {}
     tail_superlinear: list[str] = []
-    if prev is not None:
+    if candidates:
         for q, v in queries.items():
-            pv = prev.get("queries", {}).get(q)
+            prev, earliest = _points_for(q)
+            pv = prev.get("queries", {}).get(q) if prev else None
             if not pv or not pv.get("xn_sec") or not v["xn_sec"]:
                 continue
             alpha = local_alpha(
