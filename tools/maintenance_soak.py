@@ -1,0 +1,342 @@
+#!/usr/bin/env python
+"""Concurrent-maintenance soak (VERDICT r9 #4).
+
+SOAK_INGEST covers append + tiered compaction + gc on cadence.  Round 9
+added lightweight DELETE/UPDATE (DV/patch overlays), ATTACH PARTITION,
+DROP PARTITION, and BACKUP/RESTORE — none exercised against a LIVE
+stream.  This soak runs the same exactly-once streaming append loop with
+the full maintenance mix interleaved:
+
+- every ``--mutate-every`` batches: a lightweight DELETE of one
+  event_id-hash slice + a lightweight UPDATE of another (fresh slices per
+  cycle, so every cycle writes a real overlay);
+- every ``--compact-every`` batches: compaction + gc + gc_deletes;
+  every second cycle a FULL compaction materializes all overlays
+  (overlay count must reset to 0), the others run the tiered cadence
+  (overlays referencing untouched generations must survive and keep
+  masking);
+- mid-stream: ATTACH PARTITION from a static sideload table (a second
+  event_date enters the live table), later DROP PARTITION of that date
+  WHILE overlays are live (the r10 remap path — surviving partitions'
+  masks and patches must keep applying);
+- mid-stream: BACKUP the live table (under the manifest lock, overlays
+  included), with a content checksum captured at the backup point; at the
+  END — after further appends, mutations, the drop, and compactions hit
+  the source — RESTORE into a SECOND warehouse and assert the restored
+  table's checksum equals the at-backup checksum (row-level equivalence
+  at the backup's manifest version, overlay addresses remapped).
+
+Verdict: PASS iff (a) the restore checksum matches, (b) the overlay file
+count is bounded and resets at every full compaction, (c) deleted rows
+stay deleted and patched rows stay patched across every maintenance op,
+(d) the attached partition's rows appear and then vanish at the drop,
+and (e) steady-state throughput ≥ the 333 ev/s reference floor.
+
+Artifact: SOAK_MAINTENANCE.json.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+from concurrent.futures import ThreadPoolExecutor
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batches", type=int, default=60)
+    ap.add_argument("--events-per-batch", type=int, default=10_000)
+    ap.add_argument("--mutate-every", type=int, default=6)
+    ap.add_argument("--compact-every", type=int, default=15)
+    ap.add_argument("--overlay-bound", type=int, default=12,
+                    help="max live overlay (DV+patch) files at any point")
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+    out_path = args.out or os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "SOAK_MAINTENANCE.json",
+    )
+
+    from pyspark.sql import functions as F
+
+    from bench import synth_payloads
+    from dev_clickhouse_spark.plans.warehouse import Warehouse
+    from dev_clickhouse_spark.session import get_spark
+    from dev_clickhouse_spark.sources.json_events import (
+        extract_all,
+        with_parsed,
+    )
+    from tools.quietcheck import quiet_stamp, settle
+
+    spark = get_spark(app_name="maintenance_soak")
+    spark.sparkContext.setLogLevel("ERROR")
+    settle()
+    quiet = quiet_stamp()
+    if not quiet["quiet"]:
+        print(f"WARNING: non-quiet run ({quiet}) — timings are advisory",
+              flush=True)
+
+    root = tempfile.mkdtemp(prefix="maintsoak_wh_")
+    restore_root = tempfile.mkdtemp(prefix="maintsoak_restore_")
+    backup_dir = os.path.join(root, "_backup_out")
+    wh = Warehouse(spark, root)
+    restore_wh = Warehouse(spark, restore_root)
+
+    pool = synth_payloads(args.events_per_batch)
+    raw0 = spark.createDataFrame(
+        [(p,) for p in pool], "raw string"
+    ).localCheckpoint(eager=True)
+
+    probe = "suricata_events_raw"
+
+    def checksum(df) -> tuple[int, str]:
+        """Order-independent content digest: (row count, sum of per-row
+        xxhash64 over all columns as strings)."""
+        cols = sorted(df.columns)
+        h = df.select(
+            F.xxhash64(
+                *[
+                    F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+                    for c in cols
+                ]
+            ).alias("h")
+        )
+        row = h.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("h").cast("decimal(38,0)")).alias("s"),
+        ).first()
+        return int(row.n), str(row.s)
+
+    def overlay_count(table: str = probe) -> int:
+        return len(wh._dv_files(table)) + len(wh._patch_files(table))
+
+    # static sideload table in the SAME warehouse (attach_partition is a
+    # same-warehouse hardlink op): one later event_date, no overlays
+    sideload = "sideload_suricata"
+    side_df = extract_all(with_parsed(raw0.limit(9_000)))[probe]
+    side_df = side_df.filter(F.col("event_ts").isNotNull()).withColumn(
+        "event_ts", F.col("event_ts") + F.expr("INTERVAL 1 DAY")
+    ).withColumn(
+        "event_id", F.concat(F.lit("side-"), F.col("event_id"))
+    ).drop("event_date")
+    wh.set_partitioning(sideload, ["event_ts", "event_id"])
+    wh.append(sideload, side_df, batch_id=0)
+    side_date = wh.read(sideload).select(
+        F.to_date("event_ts")
+    ).first()[0]
+    side_rows = wh.read(sideload).count()
+
+    events: list[dict] = []
+    batch_secs: list[float] = []
+    checks: dict[str, bool] = {}
+    deleted_ids: list[str] = []
+    backup_state: dict = {}
+    overlay_max = 0
+    tables: list[str] = []
+
+    def log(kind: str, **kw) -> None:
+        events.append({"kind": kind, **kw})
+        print(f"  {kind}@{kw.get('after_batch')}: "
+              f"{ {k: v for k, v in kw.items() if k != 'after_batch'} }",
+              flush=True)
+
+    attach_at = args.batches // 3
+    backup_at = args.batches // 2
+    drop_at = 2 * args.batches // 3
+    patch_cycles: list[int] = []
+
+    for b in range(args.batches):
+        t0 = time.time()
+        parsed = with_parsed(raw0).localCheckpoint(eager=True)
+        # per-batch-unique event ids (a real stream never repeats ids):
+        # without this, a later batch re-appends a row CONTENT-identical to
+        # a lightweight-deleted one and the survival assertions can't
+        # distinguish resurrection from legitimate re-arrival
+        extracted = {
+            t: df.filter(df.event_ts.isNotNull()).withColumn(
+                "event_id", F.concat(F.lit(f"b{b}-"), F.col("event_id"))
+            )
+            for t, df in extract_all(parsed).items()
+        }
+        tables = list(extracted)
+        with ThreadPoolExecutor(max_workers=len(extracted)) as ex:
+            list(ex.map(
+                lambda item: wh.append(item[0], item[1], batch_id=b),
+                extracted.items(),
+            ))
+        batch_secs.append(time.time() - t0)
+
+        if (b + 1) % args.mutate_every == 0:
+            cyc = (b + 1) // args.mutate_every
+            del_pred = (
+                f"pmod(xxhash64(event_id), 211) = {cyc} "
+                "AND event_id NOT LIKE 'side-%'"
+            )
+            upd_pred = (
+                f"pmod(xxhash64(event_id), 223) = {cyc} "
+                "AND event_id NOT LIKE 'side-%'"
+            )
+            victims = [
+                r[0] for r in wh.read(probe).filter(del_pred)
+                .select("event_id").distinct().limit(3).collect()
+            ]
+            t0 = time.time()
+            d = wh.delete_where_lightweight(probe, del_pred)
+            u = wh.update_where_lightweight(
+                probe, {"message": f"'soaked-{cyc}'"}, upd_pred
+            )
+            if u["rows_updated"]:
+                patch_cycles.append(cyc)
+            deleted_ids += victims
+            oc = overlay_count()
+            overlay_max = max(overlay_max, oc)
+            log("mutate", after_batch=b + 1,
+                rows_deleted=d["rows_deleted"],
+                rows_updated=u["rows_updated"],
+                overlay_files=oc,
+                sec=round(time.time() - t0, 3))
+
+        if b + 1 == attach_at:
+            pre = wh.read(probe).count()
+            t0 = time.time()
+            n_files = wh.attach_partition(sideload, probe, side_date)
+            post = wh.read(probe).count()
+            checks["attach_rows_appeared"] = post == pre + side_rows
+            log("attach_partition", after_batch=b + 1, files=n_files,
+                rows_added=post - pre, expected=side_rows,
+                sec=round(time.time() - t0, 3))
+
+        if b + 1 == backup_at:
+            t0 = time.time()
+            info = wh.backup_table(probe, backup_dir)
+            n, s = checksum(wh.read(probe))
+            backup_state = {
+                "after_batch": b + 1,
+                "files": info["files"],
+                "members": info["members"],
+                "rows_at_backup": n,
+                "checksum_at_backup": s,
+                "overlay_files_at_backup": overlay_count(),
+                "sec": round(time.time() - t0, 3),
+            }
+            log("backup", **backup_state)
+
+        if b + 1 == drop_at:
+            pre = wh.read(probe).count()
+            n_del_before = len(deleted_ids)
+            ov_live = overlay_count()
+            checks["overlays_live_at_drop"] = ov_live > 0
+            t0 = time.time()
+            n_members = wh.drop_partition(probe, side_date)
+            post_df = wh.read(probe)
+            post = post_df.count()
+            still_masked = post_df.filter(
+                F.col("event_id").isin(deleted_ids)
+            ).count() == 0 if deleted_ids else True
+            checks["drop_removed_attached_rows"] = post == pre - side_rows
+            checks["deletes_survive_drop"] = still_masked
+            log("drop_partition", after_batch=b + 1, members=n_members,
+                rows_removed=pre - post, expected=side_rows,
+                deletes_still_masked=still_masked,
+                n_deleted_ids=n_del_before,
+                overlay_files_live=ov_live,
+                sec=round(time.time() - t0, 3))
+
+        if (b + 1) % args.compact_every == 0:
+            cycle_i = (b + 1) // args.compact_every
+            full = cycle_i % 2 == 0
+            pre_rows = wh.read(probe).count()
+            t0 = time.time()
+            for t in tables:
+                wh.compact(t, mode="full" if full else "tiered")
+                wh.gc(t, min_age_sec=0.0)
+                wh.gc_deletes(t)
+            post_rows = wh.read(probe).count()
+            oc = overlay_count()
+            overlay_max = max(overlay_max, oc)
+            window = batch_secs[-args.compact_every:]
+            med = sorted(window)[len(window) // 2]
+            log("compact", after_batch=b + 1,
+                mode="full" if full else "tiered",
+                sec=round(time.time() - t0, 3),
+                rows_stable=pre_rows == post_rows,
+                overlay_files_after=oc,
+                full_reset_ok=(not full) or oc == 0,
+                window_events_per_sec=round(args.events_per_batch / med, 1))
+
+    # -- end-state assertions ------------------------------------------------
+    final = wh.read(probe)
+    checks["deletes_survive_to_end"] = (
+        final.filter(F.col("event_id").isin(deleted_ids)).count() == 0
+        if deleted_ids else True
+    )
+    last_patch = max(patch_cycles) if patch_cycles else None
+    checks["patches_survive_to_end"] = (
+        final.filter(f"message = 'soaked-{last_patch}'").count() > 0
+        if last_patch is not None else True
+    )
+    t0 = time.time()
+    restore_wh.restore_table(backup_dir, probe)
+    rn, rs = checksum(restore_wh.read(probe))
+    restore_sec = round(time.time() - t0, 3)
+    checks["restore_checksum_matches"] = (
+        rn == backup_state["rows_at_backup"]
+        and rs == backup_state["checksum_at_backup"]
+    )
+    checks["overlay_bounded"] = overlay_max <= args.overlay_bound
+    checks["compact_rows_stable"] = all(
+        e["rows_stable"] for e in events if e["kind"] == "compact"
+    )
+    checks["full_compacts_reset_overlays"] = all(
+        e["full_reset_ok"] for e in events if e["kind"] == "compact"
+    )
+    steady = [
+        e["window_events_per_sec"] for e in events if e["kind"] == "compact"
+    ][-1]
+    checks["throughput_over_floor"] = steady >= 333
+
+    failed = sorted(k for k, v in checks.items() if not v)
+    artifact = {
+        "metric": "concurrent_maintenance_soak",
+        "batches": args.batches,
+        "events_per_batch": args.events_per_batch,
+        "mutate_every": args.mutate_every,
+        "compact_every": args.compact_every,
+        "probe_table": probe,
+        "timeline": events,
+        "backup": backup_state,
+        "restore": {"rows": rn, "checksum": rs, "sec": restore_sec},
+        "n_deleted_ids_tracked": len(deleted_ids),
+        "overlay_files_max": overlay_max,
+        "steady_state_events_per_sec": steady,
+        "checks": checks,
+        "quiet": quiet,
+        "verdict": (
+            "PASS: restore equals the at-backup state after "
+            f"{args.batches - backup_at} further batches + mutations + "
+            "drop + compactions; overlays bounded "
+            f"(max {overlay_max} <= {args.overlay_bound}, reset at every "
+            "full compaction); deletes/patches survive every maintenance "
+            f"op; steady-state {steady} ev/s >= 333 floor"
+            if not failed else "ATTENTION: failed checks: " + ", ".join(failed)
+        ),
+    }
+    with open(out_path, "w") as fh:
+        json.dump(artifact, fh, indent=1, sort_keys=True, default=str)
+        fh.write("\n")
+    print(json.dumps({"verdict": artifact["verdict"]}))
+    print(f"wrote {out_path}")
+    shutil.rmtree(root, ignore_errors=True)
+    shutil.rmtree(restore_root, ignore_errors=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
