@@ -208,39 +208,71 @@ _CHECKED_R8 = {
 }
 
 
-def _ordered():
-    """Registry in round-9 driver-check priority order, LRU-style.
+# Round-9 window (CORRECTNESS_r09.json key set, 50/50 green — including
+# the re-led ``sum_resample_price_by_quantity`` after its array column was
+# serialized for the comparator).
+_CHECKED_R9 = {
+    "agg_if_combinators", "ann_lsh_recall_at_5",
+    "any_left_join_customer_order", "approx_percentile_error_contract",
+    "argmin_first_event_per_user", "asof_join_last_purchase",
+    "bitmap_segment_overlap", "bounding_ratio_by_event_type",
+    "chunk_documents", "cube_segment_priority", "daily_event_type_ratio",
+    "decontaminate_against_benchmark", "dedup_incremental_new_vs_corpus",
+    "dedup_substring_cut_stats", "dedup_substring_spans",
+    "dedupe_last_write_wins", "dim_time_complete",
+    "distinct_on_latest_event", "distinct_or_default_aggregates",
+    "lightweight_delete_mask_read", "lightweight_update_patch_read",
+    "map_functions_user_event_counts", "projection_auto_rewrite_rollup",
+    "projection_incremental_fold", "q12_priority_by_quantity_band",
+    "q1_pricing_summary", "q3_shipping_priority", "q5_nation_revenue",
+    "q7_volume_shipping", "range_join_version_intervals",
+    "ratio_to_total_by_segment", "rolling_hash_fingerprints",
+    "salted_join_segment_revenue", "sample_hash_split",
+    "sample_stratified_per_source", "sequence_count_users",
+    "sequence_match_users", "sort_projection_pruned_scan",
+    "sql_revenue_by_region", "sum_resample_price_by_quantity",
+    "text_quality_scores", "text_token_stats", "tfidf_top_keywords",
+    "top_parts_by_revenue", "training_export_shards", "ts_parse_roundtrip",
+    "url_functions_stats", "welch_ttest_price_by_flag",
+    "window_frame_functions_daily", "with_totals_segment_priority",
+}
 
-    Leads with the three r8-era additions that missed the bounded r8
-    window (``url_functions_stats``, ``welch_ttest_price_by_flag``,
-    ``with_totals_segment_priority`` — the only oracle entries with no
-    driver row in any round), then anything added this round (never
-    checked), then the stalest greens (last driver row r4/r5), then r6,
-    then r7, then the just-checked r8 window, then the remaining
-    rows-only ops.  tools/check_correctness.py still oracle-checks
-    everything each round regardless of the driver's window."""
+
+def _ordered():
+    """Registry in round-10 driver-check priority order, LRU-style.
+
+    The staleness census at r10 start: every oracle query has a green
+    driver row, none older than round 6 (37 queries — the q10/retention/
+    pivot-era families VERDICT r9 #8 names).  So the window leads with
+    (0) queries whose OUTPUT SCHEMA changed this round — the codec
+    census grew a metadata level — plus anything newly added (never
+    checked), then (1) the r6-era stalest greens, then r7, r8, and the
+    freshest r9 rows last.  Max driver-row staleness after this window:
+    4 rounds.  tools/check_correctness.py still oracle-checks everything
+    each round regardless of the driver's window."""
     from dev_clickhouse_spark.queries import REGISTRY
 
-    recent = _CHECKED_R7 | _CHECKED_R8
-    ever = _CHECKED_R3 | _CHECKED_R4 | _CHECKED_R5 | _CHECKED_R6 | recent
+    ever = (
+        _CHECKED_R3 | _CHECKED_R4 | _CHECKED_R5 | _CHECKED_R6
+        | _CHECKED_R7 | _CHECKED_R8 | _CHECKED_R9
+    )
 
     def klass(item):
         name, spec = item
         if spec.oracle is None:
             return (7, name)
-        if name == "sum_resample_price_by_quantity":
-            # r8 row ERRORED (array cell broke the comparator canon);
-            # serialized to CSV this round — must re-lead the window
+        if name == "multimodal_codec_coverage":
+            # r10 schema change (content/metadata/stub levels) — re-lead
             return (0, name)
         if name not in ever:
-            return (0, name)      # never driver-checked (r8 overflow + new)
-        if name not in recent:
-            if name not in _CHECKED_R6:
-                return (1, name)  # stalest: last driver row r4/r5
-            return (2, name)      # checked r6, missed r7+r8
-        if name not in _CHECKED_R8:
-            return (3, name)      # checked r7, rotated out of r8
-        return (6, name)          # green in r8 — freshest, rotates out
+            return (0, name)      # never driver-checked (new this round)
+        if name not in _CHECKED_R7 | _CHECKED_R8 | _CHECKED_R9:
+            return (1, name)      # stalest: last driver row r6
+        if name not in _CHECKED_R8 | _CHECKED_R9:
+            return (2, name)      # last checked r7
+        if name not in _CHECKED_R9:
+            return (3, name)      # last checked r8
+        return (6, name)          # green in r9 — freshest, rotates out
 
     return sorted(REGISTRY.items(), key=klass)
 
