@@ -22,13 +22,17 @@ Spark-first translation on the manifest Warehouse:
   base table records which manifest members each fold batch covers;
   ``ensure()`` aggregates only the members appended since the last fold
   (the ClickHouse insert-time projection-part build), one fold batch per
-  member.  A membership REWRITE (compaction / mutation / TTL) triggers a
-  full rebuild — the analog of merges rewriting projection parts
-  alongside base parts.  A lightweight DELETE/UPDATE invalidates
-  MEMBER-SCOPED: overlays address (file, position) and a file belongs to
-  exactly one member, so only the fold batches whose members the new
-  overlay entries touch are dropped and re-folded through the masked
-  read — at 100 TB a one-row delete re-folds one member, not the table;
+  member.  BOTH invalidation triggers are member-scoped (round 10): a
+  membership REWRITE (compaction / mutation / TTL / DROP PARTITION)
+  drops exactly the fold batches whose members left the manifest and
+  folds their replacements — ClickHouse merges rewrite the projection
+  parts OF THE MERGED PARTS, and this is that analog, so a tiered
+  compaction refolds one generation, not the table; a lightweight
+  DELETE/UPDATE drops exactly the fold batches whose members the new
+  DV/patch entries address (overlays key (file, position); a file
+  belongs to one member) — at 100 TB a one-row delete re-folds one
+  member.  The wholesale rebuild survives only for legacy sidecars and
+  a compacted projection table;
 - selection is automatic: ``answer()`` takes the query's group keys and
   metrics, picks the first fresh projection whose dims cover the keys
   and whose states derive every metric, and re-aggregates the partial
@@ -155,34 +159,53 @@ def _plan_folds(
     overlay_now: list[str],
     affected_cache: dict,
 ) -> tuple[list[dict], int, bool, int]:
-    """Shared fold-planning for aggregate and sort projections: decide
-    between a FULL rebuild (legacy sidecar, membership rewrite, overlay
-    removal, or a compacted projection table — the fold↔member map is
-    gone) and MEMBER-SCOPED invalidation (drop exactly the fold batches
-    whose base members new DV/patch entries address; everyone else's
-    state stays).  DVs and patches address (file, position) and a file
-    belongs to exactly one member, so the affected set is computed from
-    the new overlay entries alone — at 100 TB a one-row DELETE re-folds
-    one member, not the table.
+    """Shared fold-planning for aggregate and sort projections — both
+    maintenance triggers are MEMBER-SCOPED:
 
-    Returns (folds, fold_seq, rebuilt, refolded_members); ``rebuilt``
-    means the caller must rmtree the projection table before folding."""
+    - membership rewrite (compaction / mutation / TTL / DROP PARTITION):
+      drop exactly the fold batches whose members left the manifest; the
+      replacement members fold as new.  A tiered compaction therefore
+      refolds only the generation it minted — ClickHouse merges rewrite
+      the projection parts OF THE MERGED PARTS, and this is that: before
+      round 10 EVERY compaction wholesale-rebuilt every projection.
+    - lightweight DELETE/UPDATE: drop exactly the fold batches whose
+      members the new DV/patch entries address (overlays key (file,
+      position); a file belongs to one member) — a one-row delete
+      re-folds one member, not the table.
+
+    Overlay files that VANISH (gc after a merge materialized them) are
+    pruned from the seen set: within the API lifecycle an overlay is only
+    collected when every member it referenced was rewritten, and those
+    members' fold batches are dropped by the membership rule above.
+
+    The full rebuild survives only for a legacy (pre-r10) sidecar and for
+    a compacted projection table (the fold↔member map lives in the proj
+    manifest's ingest_batch dirs).  Returns (folds, fold_seq, rebuilt,
+    refolded_members, changed); ``rebuilt`` means the caller must rmtree
+    the projection table before folding; ``changed`` means fold batches
+    were dropped and the sidecar must persist even with nothing new to
+    fold."""
     if side is None:
-        return [], 0, False, 0
+        return [], 0, False, 0, False
     folds = side.get("folds")
     seen = side.get("overlay_files")
     fold_seq = side.get("fold_seq", 0)
     if folds is None or seen is None:
-        return [], 0, True, 0  # legacy sidecar: one-time migration rebuild
-    folded = {m for f in folds for m in f["members"]}
+        # legacy sidecar: one-time migration rebuild
+        return [], 0, True, 0, True
     proj_man = wh.load_manifest(proj_table)
     proj_members = proj_man["members"] if proj_man else []
-    if (
-        not folded <= set(live)
-        or not set(seen) <= set(overlay_now)
-        or any(not m.startswith("ingest_batch=") for m in proj_members)
-    ):
-        return [], 0, True, 0
+    if any(not m.startswith("ingest_batch=") for m in proj_members):
+        return [], 0, True, 0, True
+    live_set = set(live)
+    folded = {m for f in folds for m in f["members"]}
+    removed = folded - live_set
+    if removed:
+        for f in list(folds):
+            if set(f["members"]) & removed:
+                wh.drop_member(proj_table, f"ingest_batch={f['seq']}")
+                folds.remove(f)
+        folded = {m for f in folds for m in f["members"]}
     new_ov = [o for o in overlay_now if o not in set(seen)]
     refolded = 0
     if new_ov:
@@ -196,7 +219,7 @@ def _plan_folds(
                     wh.drop_member(proj_table, f"ingest_batch={f['seq']}")
                     folds.remove(f)
                     refolded += len(f["members"])
-    return folds, fold_seq, False, refolded
+    return folds, fold_seq, False, refolded, bool(removed) or refolded > 0
 
 
 class ProjectionSet:
@@ -263,7 +286,7 @@ class ProjectionSet:
             if spec_name is not None and spec.name != spec_name:
                 continue
             side = self._load_sidecar(spec)
-            folds, fold_seq, rebuilt, refolded = _plan_folds(
+            folds, fold_seq, rebuilt, refolded, changed = _plan_folds(
                 self.wh, self.base, self._proj_table(spec), side, live,
                 overlay_now, affected_cache,
             )
@@ -288,7 +311,7 @@ class ProjectionSet:
                 folds = folds + [{"seq": fold_seq, "members": [m]}]
                 fold_seq += 1
                 rep.folded_now += 1
-            if new or side is None or refolded or rebuilt or (
+            if new or side is None or changed or rebuilt or (
                 side.get("overlay_files") != overlay_now
             ):
                 self._save_sidecar(
@@ -495,7 +518,7 @@ class SortProjection:
         except OSError:
             side = None
         overlay_now = self.wh.overlay_files(self.base)
-        folds, fold_seq, rebuilt, refolded = _plan_folds(
+        folds, fold_seq, rebuilt, refolded, changed = _plan_folds(
             self.wh, self.base, self._table, side, live, overlay_now, {},
         )
         if rebuilt:
@@ -513,7 +536,7 @@ class SortProjection:
             folds = folds + [{"seq": fold_seq, "members": [m]}]
             fold_seq += 1
             rep.folded_now += 1
-        if new or side is None or refolded or rebuilt or (
+        if new or side is None or changed or rebuilt or (
             side.get("overlay_files") != overlay_now
         ):
             p = self._sidecar_path()

@@ -113,14 +113,48 @@ def test_fallback_when_metric_not_derivable(spark, wh):
     assert rep.used is None
 
 
-def test_compaction_triggers_rebuild_not_double_count(spark, wh):
+def test_compaction_refolds_member_scoped_not_double_count(spark, wh):
+    """A full compaction replaces every member with one generation: the
+    old fold batches drop, exactly the new generation folds — no
+    wholesale rebuild path, no double counting."""
     ps = ProjectionSet(wh, "ev", [SPEC])
     before, _ = ps.answer(["event_type"], METRICS)
     before_rows = _sorted_rows(before)
     wh.compact("ev")
     after, rep = ps.answer(["event_type"], METRICS)
-    assert rep.rebuilt
+    assert not rep.rebuilt and rep.folded_now == 1
     assert _sorted_rows(after) == before_rows
+
+
+def test_tiered_compaction_refolds_only_new_generation(spark, wh):
+    """The production cadence: a tiered (minor) merge folds only the
+    fresh batch members into a generation — the projection must refold
+    exactly that generation and keep every untouched member's state
+    (before r10 EVERY compaction wholesale-rebuilt every projection)."""
+    ps = ProjectionSet(wh, "ev", [SPEC])
+    ps.answer(["event_type"], METRICS)  # folds the 3 initial members
+    wh.compact("ev")  # generation 1
+    ps.ensure()
+    ev = load_table(spark, SF, "events").withColumn(
+        "event_date", F.to_date("ts")
+    )
+    wh.append("ev", ev.filter(F.col("event_id") % 3 == 0), batch_id=9)
+    wh.append("ev", ev.filter(F.col("event_id") % 3 == 1), batch_id=10)
+    ps.ensure()  # folds the two fresh batches
+    proj = "ev__proj__" + SPEC.name
+    man0 = set(wh.load_manifest(proj)["members"])
+    gen_fold = min(
+        int(m.split("=")[1]) for m in man0
+    )  # the generation's fold batch (folded first)
+    wh.compact("ev", mode="tiered")  # folds ONLY batches 9+10 into gen 2
+    df, rep = ps.answer(["event_type"], METRICS)
+    assert not rep.rebuilt and rep.folded_now == 1  # just the new gen
+    man1 = set(wh.load_manifest(proj)["members"])
+    # the generation-1 fold batch survived untouched
+    assert f"ingest_batch={gen_fold}" in man1
+    assert _sorted_rows(df) == _sorted_rows(
+        ps._base_scan(["event_type"], METRICS)
+    )
 
 
 def test_crash_replay_does_not_double_fold(spark, wh):
@@ -196,7 +230,9 @@ def test_sort_projection_incremental_fold_and_rebuild(spark, wh):
     assert rep.folded_now == 1 and not rep.rebuilt
     wh.compact("ev")
     rep2 = sp.ensure()
-    assert rep2.rebuilt
+    # r10: a full compaction replaces all members with one generation —
+    # member-scoped drop + refold of exactly that generation
+    assert not rep2.rebuilt and rep2.folded_now == 1
     hi = wh.read("ev").agg(F.max("user_id")).first()[0]
     df, _ = sp.scan([("between", "user_id", 1, hi // 3)])
     expect = wh.read("ev").filter(F.col("user_id").between(1, hi // 3))
@@ -285,9 +321,10 @@ def test_sort_projection_refolds_member_scoped(spark, wh):
     assert df.count() == wh.read("ev").count()
 
 
-def test_compaction_still_full_rebuilds_after_refolds(spark, wh):
-    """Membership rewrite after member-scoped refolds: the conservative
-    full rebuild must still fire and converge."""
+def test_compaction_after_refolds_converges(spark, wh):
+    """Membership rewrite after overlay refolds: the compaction (which
+    materializes the DV and gc's it) drops all old fold batches and
+    folds the generation — answers must converge to the masked scan."""
     ps = ProjectionSet(wh, "ev", [SPEC])
     ps.answer(["event_type"], METRICS)
     victim = wh.read("ev").first()
@@ -295,7 +332,36 @@ def test_compaction_still_full_rebuilds_after_refolds(spark, wh):
     ps.answer(["event_type"], METRICS)
     wh.compact("ev")
     df, rep = ps.answer(["event_type"], METRICS)
-    assert rep.rebuilt
+    assert not rep.rebuilt and rep.folded_now == 1
     assert _sorted_rows(df) == _sorted_rows(
         ps._base_scan(["event_type"], METRICS)
     )
+
+
+def test_legacy_sidecar_triggers_one_time_rebuild(spark, wh):
+    """A pre-r10 sidecar (folded_members/dv_epoch format) rebuilds once,
+    then continues member-scoped."""
+    import json as _json
+    import os as _os
+
+    ps = ProjectionSet(wh, "ev", [SPEC])
+    ps.answer(["event_type"], METRICS)
+    p = ps._sidecar_path(SPEC)
+    with open(p) as fh:
+        side = _json.load(fh)
+    legacy = {
+        "dims": side["dims"],
+        "folded_members": [m for f in side["folds"] for m in f["members"]],
+        "fold_seq": side["fold_seq"],
+        "dv_epoch": "",
+    }
+    with open(p, "w") as fh:
+        _json.dump(legacy, fh)
+    _os.utime(p)
+    df, rep = ps.answer(["event_type"], METRICS)
+    assert rep.rebuilt and rep.folded_now == 3
+    assert _sorted_rows(df) == _sorted_rows(
+        ps._base_scan(["event_type"], METRICS)
+    )
+    _, rep2 = ps.answer(["event_type"], METRICS)
+    assert not rep2.rebuilt and rep2.folded_now == 0
