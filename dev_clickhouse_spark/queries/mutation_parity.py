@@ -204,3 +204,73 @@ def lightweight_update_patch_read(
             ).alias("sum_value"),
         )
     )
+
+
+@register(
+    "drop_partition_overlay_read",
+    oracle="""
+WITH cutoff AS (SELECT min(CAST(ts AS DATE)) AS d FROM events),
+mutated AS (
+  SELECT event_type,
+         CASE WHEN event_type = 'click' THEN "value" + 100
+              ELSE "value" END AS val,
+         CAST(ts AS DATE) AS ed
+  FROM events
+  WHERE event_type <> 'error'
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS cnt,
+       floor(CAST(sum(CAST(val AS DECIMAL(27,4))) AS DOUBLE)
+             * 100 + 0.5) / 100 AS sum_value
+FROM mutated, cutoff
+WHERE ed <> cutoff.d
+GROUP BY event_type
+""",
+    tags=["clickhouse-parity", "mutations", "drop-partition"],
+)
+def drop_partition_overlay_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``ALTER TABLE … DROP PARTITION`` composed with LIVE lightweight
+    mutations (ADVICE r9 high): errors lightweight-DELETEd, clicks
+    lightweight-UPDATEd (+100), then the earliest event_date partition
+    dropped WHILE both overlays are live.  The drop hardlink-clones the
+    surviving members under new names and REMAPS the overlay addresses
+    (plans/warehouse.py::_remap_overlays_for_drop) — before round 10 the
+    clone orphaned the overlays, silently resurrecting deleted rows and
+    reverting patches in the surviving partitions.  Asserted here: the
+    overlays survive the drop (remapped, still referencing live files)
+    and no deleted row reappears; the oracle replays delete + patch +
+    partition filter declaratively, so a resurrected or reverted row
+    flips the hash."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "event_date", F.to_date("ts")
+    )
+    scratch = os.path.join(
+        tempfile.gettempdir(),
+        "dcs_dpoverlay_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10],
+    )
+    shutil.rmtree(scratch, ignore_errors=True)
+    wh = Warehouse(spark, scratch)
+    t = "dpo_events"
+    wh.set_partitioning(t, ["ts", "event_id"])
+    for b in range(3):
+        wh.append(t, ev.filter(F.col("event_id") % 3 == b), batch_id=b)
+    wh.delete_where_lightweight(t, "event_type = 'error'")
+    wh.update_where_lightweight(
+        t, {"value": "value + 100"}, "event_type = 'click'"
+    )
+    cutoff = wh.read(t).agg(F.min("event_date")).first()[0]
+    if wh.drop_partition(t, cutoff) == 0:
+        raise RuntimeError("drop_partition affected no member")
+    if not wh._dv_files(t) or not wh._patch_files(t):
+        raise RuntimeError(
+            "overlays should survive the drop (remapped to cloned members)"
+        )
+    got = wh.read(t)
+    if got.filter("event_type = 'error'").count() != 0:
+        raise RuntimeError("lightweight delete resurrected by DROP PARTITION")
+    return got.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        rnd(
+            F.sum(F.col("value").cast("decimal(27,4)")).cast("double"), 2
+        ).alias("sum_value"),
+    )
