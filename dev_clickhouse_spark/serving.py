@@ -319,11 +319,15 @@ class SqlServingEndpoint:
         key."""
         import hmac
 
+        def eq(a: str, b: str) -> bool:
+            # bytes form: compare_digest rejects non-ascii str
+            return hmac.compare_digest(a.encode("utf-8"), b.encode("utf-8"))
+
         if self._role_keys is None:
             return
         if role is None:
-            if self._admin_key is not None and key is not None and (
-                hmac.compare_digest(key, self._admin_key)
+            if self._admin_key is not None and key is not None and eq(
+                key, self._admin_key
             ):
                 return
             raise PermissionError(
@@ -331,9 +335,7 @@ class SqlServingEndpoint:
                 "(X-Role / X-Role-Key)"
             )
         expected = self._role_keys.get(role)
-        if expected is None or key is None or not hmac.compare_digest(
-            key, expected
-        ):
+        if expected is None or key is None or not eq(key, expected):
             raise PermissionError(f"bad credential for role {role!r}")
 
     def _session_for(self, role: str | None) -> SparkSession:
