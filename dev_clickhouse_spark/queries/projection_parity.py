@@ -249,3 +249,83 @@ def projection_incremental_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     if rep.folded_now != 1 or rep.rebuilt:
         raise RuntimeError(f"incremental fold broke: {rep!r}")
     return df
+
+
+_ORACLE_REFOLD = """
+WITH src AS (
+  SELECT event_type, CAST(ts AS DATE) AS event_date, "value" AS v
+  FROM events
+  WHERE NOT (event_id % 4 = 2 AND event_type = 'error')
+),
+qz AS (
+  SELECT event_type, event_date, v,
+         CAST(floor(v * 100 + 0.5) AS BIGINT) AS q
+  FROM src
+),
+s AS (
+  SELECT event_type, event_date,
+         CAST(count(*) AS BIGINT) AS cnt,
+         CAST(count(v) AS DOUBLE) AS n,
+         CAST(sum(q) AS DOUBLE) AS sx,
+         CAST(sum(q * q) AS DOUBLE) AS sxx,
+         CAST(sum(CAST(v AS DECIMAL(27,4))) AS DOUBLE) AS sv,
+         min(v) AS min_value,
+         max(v) AS max_value
+  FROM qz GROUP BY event_type, event_date
+)
+SELECT event_type, event_date, cnt,
+       floor(sv * 100 + 0.5) / 100 AS sum_value,
+       floor(sx / n / 100 * 10000 + 0.5) / 10000 AS avg_value,
+       CASE WHEN n > 1 THEN
+         floor(sqrt((sxx - sx * sx / n) / (n - 1)) / 100 * 10000 + 0.5) / 10000
+       END AS std_value,
+       min_value, max_value
+FROM s
+"""
+
+
+@register(
+    "projection_refold_after_delete",
+    oracle=_ORACLE_REFOLD,
+    tags=["clickhouse-parity", "projection", "deletion-vectors"],
+)
+def projection_refold_after_delete(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Member-scoped projection invalidation under a lightweight DELETE
+    (VERDICT r9 #1, the round-10 headline): four members fold, a
+    lightweight DELETE whose predicate lives entirely in ONE member
+    (members are hash-split on ``event_id % 4``; the predicate pins
+    ``event_id % 4 = 2``) writes a deletion vector, and the next answer
+    must (a) re-fold EXACTLY the one member the DV addresses — not
+    rebuild, not re-fold the table (asserted via ``rep.refolded`` /
+    ``rep.folded_now``), (b) leave the base manifest version unmoved
+    (zero data files rewritten), and (c) still serve ENTIRELY from
+    projection files.  The oracle replays the delete declaratively over
+    the raw parquet — stale states (the r9 wholesale-rebuild bug class),
+    a DV-blind fold, or an over-scoped drop all flip the hash or raise."""
+    wh, t = _scratch_events_warehouse(spark, sf_dir, "proj_refold", 4)
+    ps = ProjectionSet(wh, t, [_SPEC])
+    first = ps.ensure()
+    if first.folded_now != 4 or first.rebuilt:
+        raise RuntimeError(f"unexpected initial fold: {first!r}")
+    v0 = wh.load_manifest(t)["version"]
+    res = wh.delete_where_lightweight(
+        t, "event_id % 4 = 2 AND event_type = 'error'"
+    )
+    if res["rows_deleted"] == 0:
+        raise RuntimeError("delete matched nothing; predicate is dead")
+    if wh.load_manifest(t)["version"] != v0:
+        raise RuntimeError("lightweight delete rewrote members")
+    df, rep = ps.answer(
+        ["event_type", "event_date"], _METRICS, require_projection=True
+    )
+    if rep.rebuilt or rep.refolded != 1 or rep.folded_now != 1:
+        raise RuntimeError(
+            f"invalidation not member-scoped (want refold of exactly the "
+            f"one DV-addressed member): {rep!r}"
+        )
+    files = df.inputFiles()
+    if not files or not all("__proj__" in f for f in files):
+        raise RuntimeError("rewrite leaked a base-table scan")
+    return df
