@@ -13,6 +13,7 @@ import json
 import os
 import re
 import shutil
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -558,6 +559,74 @@ class Warehouse:
                 out.add(head)
         return out
 
+    # -- mutation log (system.mutations analog) ------------------------------
+
+    def _mutlog_path(self, table: str) -> str:
+        return os.path.join(self.path(table), "_mutations.jsonl")
+
+    def _log_mutation(self, table: str, kind: str, command: str, **extra):
+        """Append one entry to the table's mutation log — the record
+        ``system.mutations`` serves in ClickHouse.  Single-writer
+        append-only jsonl next to the manifest; a reader never sees a
+        torn entry larger than one OS pipe buffer (entries are tiny)."""
+        if not os.path.isdir(self.path(table)):
+            return  # nonexistent table: don't mint a phantom dir
+        entry = {
+            "mutation_id": None,  # assigned below from the current count
+            "kind": kind,
+            "command": command,
+            "created_at": time.time(),
+            **extra,
+        }
+        path = self._mutlog_path(table)
+        n = 0
+        if os.path.exists(path):
+            with open(path) as fh:
+                n = sum(1 for line in fh if line.strip())
+        entry["mutation_id"] = n
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "a") as fh:
+            fh.write(json.dumps(entry) + "\n")
+
+    def mutations(self, table: str) -> DataFrame:
+        """``system.mutations`` analog: one row per mutation command ever
+        issued against the table — ALTER DELETE/UPDATE part rewrites and
+        lightweight DELETE/UPDATE overlays — with the command text,
+        creation time, rows affected, and whether the mutation is
+        MATERIALIZED into data files (part rewrites are materialized by
+        construction; a lightweight mutation materializes when a merge
+        folds its overlay and GC collects it, exactly ClickHouse's
+        ``is_done``).  Metadata only: the log and a directory listing,
+        no data scan at any table size."""
+        live = set(self.overlay_files(table))
+        rows = []
+        try:
+            with open(self._mutlog_path(table)) as fh:
+                for line in fh:
+                    if not line.strip():
+                        continue
+                    e = json.loads(line)
+                    ov = e.get("overlay_file")
+                    rows.append((
+                        table,
+                        int(e["mutation_id"]),
+                        e["kind"],
+                        e["command"],
+                        float(e["created_at"]),
+                        int(e.get("rows_affected", 0)),
+                        ov,
+                        int(e.get("members_rewritten", 0)),
+                        ov is None or ov not in live,
+                    ))
+        except OSError:
+            pass
+        return self.spark.createDataFrame(
+            rows,
+            "table string, mutation_id long, kind string, command string,"
+            " created_at double, rows_affected long, overlay_file string,"
+            " members_rewritten long, is_materialized boolean",
+        )
+
     def update_where_lightweight(
         self, table: str, assignments: dict[str, object], condition
     ) -> dict:
@@ -612,8 +681,15 @@ class Warehouse:
         )
         self._writer(hits.coalesce(1)).mode("overwrite").parquet(staging)
         n = self._count_rows_parquet(staging)
+        cmd = "UPDATE %s WHERE %s" % (
+            ", ".join(f"{c} = {e}" for c, e in assignments.items()),
+            condition,
+        )
         if n == 0:
             shutil.rmtree(staging, ignore_errors=True)
+            self._log_mutation(
+                table, "UPDATE_LIGHTWEIGHT", cmd, rows_affected=0
+            )
             return {"rows_updated": 0,
                     "patch_files": len(self._patch_files(table))}
         os.makedirs(self._patch_dir(table), exist_ok=True)
@@ -621,6 +697,10 @@ class Warehouse:
             self._patch_dir(table), f"patch-{seq:06d}-{uuid.uuid4().hex[:8]}"
         )
         os.rename(staging, final)
+        self._log_mutation(
+            table, "UPDATE_LIGHTWEIGHT", cmd,
+            rows_affected=n, overlay_file=os.path.basename(final),
+        )
         return {"rows_updated": n,
                 "patch_files": len(self._patch_files(table))}
 
@@ -653,8 +733,12 @@ class Warehouse:
         )
         self._writer(hits.coalesce(1)).mode("overwrite").parquet(staging)
         n = self._count_rows_parquet(staging)
+        cmd = f"DELETE WHERE {condition}"
         if n == 0:
             shutil.rmtree(staging, ignore_errors=True)
+            self._log_mutation(
+                table, "DELETE_LIGHTWEIGHT", cmd, rows_affected=0
+            )
             return {"rows_deleted": 0, "dv_files": len(self._dv_files(table))}
         os.makedirs(self._dv_dir(table), exist_ok=True)
         seq = len(self._dv_files(table))
@@ -662,6 +746,10 @@ class Warehouse:
             self._dv_dir(table), f"dv-{seq:06d}-{uuid.uuid4().hex[:8]}"
         )
         os.rename(staging, final)
+        self._log_mutation(
+            table, "DELETE_LIGHTWEIGHT", cmd,
+            rows_affected=n, overlay_file=os.path.basename(final),
+        )
         return {"rows_deleted": n, "dv_files": len(self._dv_files(table))}
 
     def gc_deletes(self, table: str) -> int:
@@ -1059,7 +1147,13 @@ class Warehouse:
         stats skip untouched members cheaply).  Returns
         ``{"rows_deleted", "members_rewritten", "members_kept"}``."""
         cond = F.expr(condition) if isinstance(condition, str) else condition
-        return self._mutate(table, cond, None, retain_old)
+        res = self._mutate(table, cond, None, retain_old)
+        self._log_mutation(
+            table, "ALTER_DELETE", f"ALTER DELETE WHERE {condition}",
+            rows_affected=res.get("rows_deleted", 0),
+            members_rewritten=res.get("members_rewritten", 0),
+        )
+        return res
 
     def update_set(
         self,
@@ -1074,7 +1168,17 @@ class Warehouse:
         through unchanged.  Returns ``{"rows_updated", "members_rewritten",
         "members_kept"}``."""
         cond = F.expr(condition) if isinstance(condition, str) else condition
-        return self._mutate(table, cond, assignments, retain_old)
+        res = self._mutate(table, cond, assignments, retain_old)
+        self._log_mutation(
+            table, "ALTER_UPDATE",
+            "ALTER UPDATE %s WHERE %s" % (
+                ", ".join(f"{c} = {e}" for c, e in assignments.items()),
+                condition,
+            ),
+            rows_affected=res.get("rows_updated", 0),
+            members_rewritten=res.get("members_rewritten", 0),
+        )
+        return res
 
     def _mutate(
         self,

@@ -396,3 +396,42 @@ def test_lightweight_update_assignments_see_pre_update_row(spark, wh):
     }
     for k, (s, d) in before.items():
         assert after[k] == (d, s)
+
+
+def test_mutations_log_reports_all_kinds_and_materialization(spark, wh):
+    """system.mutations analog: every mutation command gets a log row with
+    its text, rows affected, and is_materialized — part rewrites are
+    materialized by construction, lightweight overlays only once a merge
+    folds them and GC collects the overlay file."""
+    t = "suricata_events_raw"
+    wh.append(t, _mk_events(spark, {1: 6}), batch_id=1)
+    wh.append(t, _mk_events(spark, {2: 6}), batch_id=2)
+    wh.delete_where(t, "event_date = DATE'2024-01-02' AND severity = 'high'")
+    wh.delete_where_lightweight(t, "severity = 'high'")
+    wh.update_where_lightweight(
+        t, {"alert_action": "'blocked'"}, "severity = 'low'"
+    )
+    rows = {r["mutation_id"]: r for r in wh.mutations(t).collect()}
+    assert len(rows) == 3
+    assert rows[0]["kind"] == "ALTER_DELETE"
+    assert rows[0]["rows_affected"] == 3
+    assert rows[0]["members_rewritten"] == 1
+    assert rows[0]["is_materialized"]  # part rewrite: done by construction
+    assert "severity = 'high'" in rows[1]["command"]
+    assert rows[1]["kind"] == "DELETE_LIGHTWEIGHT"
+    assert rows[1]["rows_affected"] == 3  # day-1 highs (day-2 already gone)
+    assert not rows[1]["is_materialized"]  # DV still live
+    assert rows[2]["kind"] == "UPDATE_LIGHTWEIGHT"
+    assert "alert_action = 'blocked'" in rows[2]["command"]
+    assert rows[2]["rows_affected"] == 6
+    assert not rows[2]["is_materialized"]
+    # a no-op re-delete logs rows_affected=0 and is immediately "done"
+    wh.delete_where_lightweight(t, "severity = 'high'")
+    rows = {r["mutation_id"]: r for r in wh.mutations(t).collect()}
+    assert rows[3]["rows_affected"] == 0 and rows[3]["is_materialized"]
+    # merge + GC materializes the overlays: every row flips to done
+    wh.compact(t)
+    wh.gc_deletes(t)
+    assert all(r["is_materialized"] for r in wh.mutations(t).collect())
+    # log survives, data unaffected: 12 - 3 deleted - 3 lightweight = 6
+    assert wh.read(t).count() == 6
