@@ -9,6 +9,7 @@ from . import (  # noqa: F401
     extended,
     func_parity9,
     gold_star,
+    iterative,
     mutation_parity,
     projection_parity,
     relational,

@@ -214,3 +214,67 @@ def contingency_coeff_priority_status(
             "contingency_c"
         ),
     )
+
+
+@register(
+    "anova_price_by_returnflag",
+    oracle="""
+WITH g AS (
+  SELECT l_returnflag AS grp,
+         CAST(count(*) AS BIGINT) AS n_g,
+         sum(l_extendedprice) AS s_g,
+         sum(l_extendedprice * l_extendedprice) AS ss_g
+  FROM lineitem GROUP BY 1
+),
+tot AS (
+  SELECT sum(n_g) AS n, sum(s_g) AS s, sum(ss_g) AS ss,
+         count(*) AS k
+  FROM g
+),
+parts AS (
+  SELECT CAST(t.k AS BIGINT) AS k, CAST(t.n AS BIGINT) AS n,
+         sum(g.s_g * g.s_g / g.n_g) - t.s * t.s / t.n AS ssb,
+         t.ss - sum(g.s_g * g.s_g / g.n_g) AS ssw
+  FROM g, tot t GROUP BY t.k, t.n, t.s, t.ss
+)
+SELECT CAST(k - 1 AS BIGINT) AS df_between,
+       CAST(n - k AS BIGINT) AS df_within,
+       floor((ssb / (k - 1)) / (ssw / (n - k)) * 1000000 + 0.5) / 1000000
+         AS f_stat
+FROM parts
+""",
+    tags=["clickhouse-parity", "stats-tests"],
+)
+def anova_price_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``analysisOfVariance(x, group_id)`` parity (one-way
+    ANOVA): F-statistic of l_extendedprice across the l_returnflag
+    groups, from the sufficient statistics (count, sum, sum-of-squares)
+    — ONE data-sized group-by, grid-sized arithmetic after.  SSB =
+    Σ s_g²/n_g − s²/n and SSW = ss − Σ s_g²/n_g are computed from the
+    same double sums in both engines; 6dp rounding absorbs summation-
+    order ulp noise (the variance-identity condition number is benign
+    here — prices are all-positive and far from cancellation).  The
+    p-value needs an F-distribution CDF neither engine exposes in SQL,
+    so the gate pins (F, df1, df2) — the p-value's full input."""
+    li = load_table(spark, sf_dir, "lineitem")
+    g = li.groupBy(F.col("l_returnflag").alias("grp")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_g"),
+        F.sum("l_extendedprice").alias("s_g"),
+        F.sum(F.col("l_extendedprice") * F.col("l_extendedprice")).alias("ss_g"),
+    )
+    tot = g.groupBy().agg(
+        F.sum("n_g").alias("n"),
+        F.sum("s_g").alias("s"),
+        F.sum("ss_g").alias("ss"),
+        F.count(F.lit(1)).alias("k"),
+        F.sum(F.col("s_g") * F.col("s_g") / F.col("n_g")).alias("between_raw"),
+    )
+    ssb = F.col("between_raw") - F.col("s") * F.col("s") / F.col("n")
+    ssw = F.col("ss") - F.col("between_raw")
+    return tot.select(
+        (F.col("k") - 1).cast("long").alias("df_between"),
+        (F.col("n") - F.col("k")).cast("long").alias("df_within"),
+        rnd(
+            (ssb / (F.col("k") - 1)) / (ssw / (F.col("n") - F.col("k"))), 6
+        ).alias("f_stat"),
+    )
