@@ -53,6 +53,15 @@ _SETTINGS_RE = re.compile(
     re.IGNORECASE,
 )
 _SETTING_PAIR_RE = re.compile(r"(\w+)\s*=\s*('[^']*'|[^\s,]+)")
+#: functions whose result depends on when/where the query runs — ClickHouse
+#: refuses to cache a query containing one unless
+#: query_cache_nondeterministic_function_handling says otherwise
+_NONDETERMINISTIC_RE = re.compile(
+    r"\b(now|today|yesterday|rand|randn|random|uuid|shuffle|"
+    r"current_timestamp|current_date|current_timezone|unix_timestamp|"
+    r"monotonically_increasing_id|input_file_name)\b",
+    re.IGNORECASE,
+)
 #: `{name:Type}` query-parameter placeholders (ClickHouse HTTP `param_*`)
 _PARAM_RE = re.compile(r"\{(\w+)\s*:\s*([A-Za-z0-9()]+)\}")
 _INT_TYPES = {"int8", "int16", "int32", "int64",
@@ -179,6 +188,7 @@ class SqlServingEndpoint:
         timeout_sec: float = 60.0,
         role_keys: dict[str, str] | None = None,
         admin_key: str | None = None,
+        query_cache_max_entries: int = 128,
     ):
         """``role_keys`` binds roles to shared-secret credentials: when
         set, the HTTP layer accepts a role claim ONLY with the matching
@@ -207,6 +217,19 @@ class SqlServingEndpoint:
         #: ``system.query_log`` analog — bounded ring of executed
         #: statements (statement, role, status, rows, duration)
         self._query_log: collections.deque = collections.deque(maxlen=1000)
+        #: ClickHouse query cache analog (``SETTINGS use_query_cache = 1``):
+        #: OPT-IN per statement, keyed by (role, normalized sql, row cap) —
+        #: per-role keying mirrors query_cache_share_between_users = 0, and
+        #: is load-bearing here because row policies differ per role.  LRU
+        #: beyond ``query_cache_max_entries``; entries carry their own TTL
+        #: (``query_cache_ttl`` setting, default 60 s like ClickHouse).
+        self._query_cache: collections.OrderedDict[tuple, dict] = (
+            collections.OrderedDict()
+        )
+        self._query_cache_max = int(query_cache_max_entries)
+        self._query_cache_lock = threading.Lock()
+        self._query_cache_hits = 0
+        self._query_cache_misses = 0
         self._register_views(self.serving, role=None)
         self.view_names = sorted(views)
         self.max_rows = max_rows
@@ -256,6 +279,7 @@ class SqlServingEndpoint:
             using_sql
         )
         self._role_sessions.clear()  # rebuilt lazily with the new policy
+        self.drop_query_cache()  # cached results predate the policy
 
     # -- quotas (CREATE QUOTA … FOR INTERVAL n SECOND MAX QUERIES k) --------
 
@@ -311,6 +335,85 @@ class SqlServingEndpoint:
         out = list(self._query_log)[-limit:]
         out.reverse()
         return out
+
+    # -- query cache (SETTINGS use_query_cache = 1) --------------------------
+
+    @staticmethod
+    def _cache_key(role: str | None, sql: str, cap: int) -> tuple:
+        # normalize whitespace OUTSIDE quoted literals so formatting-only
+        # variants of the same statement share an entry (ClickHouse keys
+        # on the AST; whitespace folding is the text-level analog that
+        # cannot merge semantically different queries)
+        masked = _mask_quoted(sql, mask_backticks=True)
+        out, last = [], 0
+        for m in re.finditer(r"\s+", masked):
+            out.append(sql[last:m.start()])
+            out.append(" ")
+            last = m.end()
+        out.append(sql[last:])
+        return (role, "".join(out).strip(), cap)
+
+    def drop_query_cache(self) -> None:
+        """``SYSTEM DROP QUERY CACHE``."""
+        with self._query_cache_lock:
+            self._query_cache.clear()
+
+    def query_cache_entries(self) -> list[dict]:
+        """``system.query_cache`` analog: one row per live entry with its
+        key text, role, result size, expiry and hit count."""
+        import time
+
+        now = time.monotonic()
+        with self._query_cache_lock:
+            return [
+                {
+                    "query": k[1][:500],
+                    "role": k[0],
+                    "result_rows": len(e["rows"]),
+                    "stale": now >= e["expires_at"],
+                    "hits": e["hits"],
+                }
+                for k, e in self._query_cache.items()
+            ]
+
+    def query_cache_stats(self) -> dict:
+        with self._query_cache_lock:
+            return {
+                "entries": len(self._query_cache),
+                "hits": self._query_cache_hits,
+                "misses": self._query_cache_misses,
+            }
+
+    def _cache_get(self, key: tuple):
+        import time
+
+        with self._query_cache_lock:
+            e = self._query_cache.get(key)
+            if e is None or time.monotonic() >= e["expires_at"]:
+                if e is not None:
+                    del self._query_cache[key]
+                self._query_cache_misses += 1
+                return None
+            e["hits"] += 1
+            self._query_cache_hits += 1
+            self._query_cache.move_to_end(key)
+            return e
+
+    def _cache_put(
+        self, key: tuple, cols: list[str], rows: list[list], ttl: float
+    ) -> None:
+        import time
+
+        with self._query_cache_lock:
+            self._query_cache[key] = {
+                "cols": cols,
+                "rows": rows,
+                "expires_at": time.monotonic() + ttl,
+                "hits": 0,
+            }
+            self._query_cache.move_to_end(key)
+            while len(self._query_cache) > self._query_cache_max:
+                self._query_cache.popitem(last=False)
 
     def authenticate(self, role: str | None, key: str | None) -> None:
         """HTTP-layer credential check (no-op unless ``role_keys`` was
@@ -497,6 +600,36 @@ class SqlServingEndpoint:
             cap = self.max_rows
             if "max_result_rows" in settings:
                 cap = min(cap, int(settings["max_result_rows"]))
+            # ClickHouse query cache: opt-in via SETTINGS use_query_cache=1;
+            # nondeterministic functions refuse caching unless the handling
+            # setting says 'save' (cache anyway) or 'ignore' (run uncached)
+            use_cache = str(
+                settings.get("use_query_cache", "0")
+            ).lower() in ("1", "true")
+            cache_key = None
+            if use_cache:
+                nd = settings.get(
+                    "query_cache_nondeterministic_function_handling",
+                    "throw",
+                ).lower()
+                if _NONDETERMINISTIC_RE.search(
+                    _mask_quoted(sql, mask_backticks=True)
+                ):
+                    if nd == "throw":
+                        raise ValueError(
+                            "query result cache refused: statement calls a "
+                            "nondeterministic function (set query_cache_"
+                            "nondeterministic_function_handling = 'save' "
+                            "or 'ignore')"
+                        )
+                    if nd == "ignore":
+                        use_cache = False
+            if use_cache:
+                cache_key = self._cache_key(role, sql, cap)
+                hit = self._cache_get(cache_key)
+                if hit is not None:
+                    status, n_out = "cached", len(hit["rows"])
+                    return list(hit["cols"]), [list(r) for r in hit["rows"]]
             sess = self._session_for(role)
             if job_group is not None:
                 try:  # absent under Spark Connect — timeout best-effort
@@ -510,10 +643,14 @@ class SqlServingEndpoint:
             cols = list(df.columns)
             status, n_out = "ok", len(rows)
             # asDict(recursive) keeps nested structs JSON-shaped (dicts)
-            return cols, [
+            out_rows = [
                 [d[c] for c in cols]
                 for d in (r.asDict(recursive=True) for r in rows)
             ]
+            if cache_key is not None:
+                ttl = float(settings.get("query_cache_ttl", 60.0))
+                self._cache_put(cache_key, cols, out_rows, ttl)
+            return cols, out_rows
         finally:
             self._log_query(
                 sql, role, status, n_out, time.monotonic() - t0

@@ -545,3 +545,107 @@ def test_role_sessions_lru_bounded(spark, tmp_path):
     # the stalest roles were evicted, the freshest survive
     assert f"role-{cap + 4}" in ep._role_sessions
     assert "role-0" not in ep._role_sessions
+
+
+def test_query_cache_hit_miss_ttl_and_drop(endpoint):
+    """ClickHouse query cache analog: SETTINGS use_query_cache=1 stores the
+    result; an identical re-run (any whitespace variant) is served from the
+    cache (query_log status 'cached'); TTL expiry and SYSTEM DROP QUERY
+    CACHE evict."""
+    ep, _port = endpoint
+    ep.drop_query_cache()
+    base = ep.query_cache_stats()
+    sql = ("SELECT region, sum(revenue) AS rev FROM gold_revenue "
+           "GROUP BY region ORDER BY region SETTINGS use_query_cache = 1")
+    cols1, rows1 = ep.execute_columns(sql)
+    st = ep.query_cache_stats()
+    assert st["entries"] == 1
+    assert st["misses"] == base["misses"] + 1
+    # whitespace-variant of the same statement hits the same entry
+    cols2, rows2 = ep.execute_columns(sql.replace("GROUP BY", "GROUP   BY"))
+    assert (cols2, rows2) == (cols1, rows1)
+    assert ep.query_cache_stats()["hits"] == base["hits"] + 1
+    assert ep.query_log(1)[0]["status"] == "cached"
+    entries = ep.query_cache_entries()
+    assert len(entries) == 1 and entries[0]["hits"] == 1
+    # without the setting, the same text runs uncached
+    ep.execute_columns(sql.rsplit("SETTINGS", 1)[0])
+    assert ep.query_cache_stats()["hits"] == base["hits"] + 1
+    # TTL expiry: a zero-TTL entry is stale immediately
+    ep.drop_query_cache()
+    ep.execute_columns(sql + ", query_cache_ttl = 0")
+    assert ep.query_cache_entries()[0]["stale"]
+    _c, _r = ep.execute_columns(sql + ", query_cache_ttl = 0")
+    assert ep.query_log(1)[0]["status"] == "ok"  # expired -> re-executed
+    ep.drop_query_cache()
+    assert ep.query_cache_stats()["entries"] == 0
+
+
+def test_query_cache_is_per_role_and_policy_invalidated(endpoint):
+    """Entries are keyed per role (query_cache_share_between_users=0): a
+    policy-restricted role never sees the admin entry, and adding a policy
+    drops the whole cache."""
+    ep, _port = endpoint
+    ep.drop_query_cache()
+    sql = ("SELECT count(*) AS n FROM gold_revenue "
+           "SETTINGS use_query_cache = 1")
+    _cols, admin_rows = ep.execute_columns(sql)
+    ep.add_row_policy("gold_revenue", "cache_probe", "region = 'US'")
+    # policy change dropped the cache entirely
+    assert ep.query_cache_stats()["entries"] == 0
+    _cols, admin_rows = ep.execute_columns(sql)
+    _cols, role_rows = ep.execute_columns(sql, role="cache_probe")
+    assert admin_rows[0][0] == 3 and role_rows[0][0] == 1
+    assert ep.query_cache_stats()["entries"] == 2
+    # each keyed independently: both re-runs are cache hits with their own
+    # role's rows
+    _c, again = ep.execute_columns(sql, role="cache_probe")
+    assert again == role_rows
+
+
+def test_query_cache_nondeterministic_handling(endpoint):
+    """Default 'throw' refuses to cache a now()/rand() statement; 'ignore'
+    runs it uncached; 'save' caches it anyway (ClickHouse setting
+    query_cache_nondeterministic_function_handling)."""
+    ep, _port = endpoint
+    ep.drop_query_cache()
+    nd = "SELECT region, current_date() AS d FROM gold_revenue LIMIT 1"
+    with pytest.raises(ValueError, match="nondeterministic"):
+        ep.execute_columns(nd + " SETTINGS use_query_cache = 1")
+    ep.execute_columns(
+        nd + " SETTINGS use_query_cache = 1, "
+        "query_cache_nondeterministic_function_handling = 'ignore'"
+    )
+    assert ep.query_cache_stats()["entries"] == 0
+    ep.execute_columns(
+        nd + " SETTINGS use_query_cache = 1, "
+        "query_cache_nondeterministic_function_handling = 'save'"
+    )
+    assert ep.query_cache_stats()["entries"] == 1
+    # a literal containing 'now' is NOT nondeterministic (masked scan)
+    ep.execute_columns(
+        "SELECT 'now()' AS s FROM gold_revenue LIMIT 1 "
+        "SETTINGS use_query_cache = 1"
+    )
+    ep.drop_query_cache()
+
+
+def test_query_cache_lru_eviction(spark, tmp_path):
+    root = tmp_path / "g"
+    spark.range(5).write.parquet(str(root))
+    ep = SqlServingEndpoint(
+        spark, {"g": str(root)}, query_cache_max_entries=2
+    )
+    for i in range(4):
+        ep.execute_columns(
+            f"SELECT count(*) AS n FROM g WHERE id >= {i} "
+            "SETTINGS use_query_cache = 1"
+        )
+    st = ep.query_cache_stats()
+    assert st["entries"] == 2
+    # oldest evicted: re-running the first statement is a miss
+    ep.execute_columns(
+        "SELECT count(*) AS n FROM g WHERE id >= 0 "
+        "SETTINGS use_query_cache = 1"
+    )
+    assert ep.query_cache_stats()["hits"] == 0
