@@ -1,0 +1,346 @@
+"""Semantic clustering over the embedding corpus (k-means, Lloyd's).
+
+Training-data pipelines cluster document embeddings to stratify corpora,
+balance domain mixes, and run *semantic* dedup (SemDeDup, Abbas et al.
+2023: dedup within k-means clusters instead of all-pairs).  This module
+is the engine half: deterministic Lloyd iterations expressed as
+DataFrame ops, small enough state driver-side to stay honest at 100 TB.
+
+Scale shape per round (N vectors, k clusters, d dims):
+
+- assignment: ONE broadcast of the k×d centroid table against the corpus
+  (`crossJoin(broadcast(...))` → JVM-side ``zip_with``/``aggregate``
+  distance fold → ``min(struct(d, cl))`` per vector).  No shuffle of the
+  embedding column itself beyond its initial partitioning; the k-factor
+  row blowup never leaves the map side because the min-by folds it
+  partially per partition.
+- update: ``posexplode`` of the assigned vectors → groupBy (cluster,
+  pos) mean — a k·d-sized aggregate, collected to the driver (512 rows
+  at k=8, d=64) exactly like every production k-means broadcasts its
+  centroids between rounds.
+
+Determinism contract (the cross-engine gate needs bit-equal results):
+components are quantized to integer micro-units BEFORE any arithmetic,
+distances are exact BIGINT sums, argmin ties break on the lower cluster
+id, and centroid updates round half-up on an exact integer-by-integer
+division — so both engines walk identical centroid sequences.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..queries.registry import register
+
+K_CLUSTERS = 8
+N_ROUNDS = 2
+QUANT = 1_000_000
+
+
+def _quantize(col):
+    return F.transform(
+        col,
+        lambda v: F.floor(v.cast("double") * QUANT + F.lit(0.5)).cast("long"),
+    )
+
+
+def _assign(df: DataFrame, cent: DataFrame) -> DataFrame:
+    """(vec_id, q) × broadcast centroids → (vec_id, q, cl, d)."""
+    j = df.crossJoin(F.broadcast(cent))
+    d = F.aggregate(
+        F.zip_with("q", "cq", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    ).alias("d")
+    scored = j.select("vec_id", "q", "cl", d)
+    best = scored.groupBy("vec_id").agg(
+        F.min(F.struct("d", "cl")).alias("best"),
+        F.first("q").alias("q"),
+    )
+    return best.select(
+        "vec_id", "q",
+        F.col("best.cl").alias("cl"), F.col("best.d").alias("d"),
+    )
+
+
+def kmeans_rounds(
+    spark: SparkSession, df: DataFrame, k: int, n_rounds: int
+) -> DataFrame:
+    """Run ``n_rounds`` deterministic Lloyd rounds over (vec_id, q:
+    array<long>); seed centroids are the k lowest vec_ids.  Returns the
+    final assignment (vec_id, cl, d)."""
+    seed_rows = (
+        df.orderBy("vec_id").limit(k)
+        .select("vec_id", "q").collect()
+    )
+    cent = spark.createDataFrame(
+        [(i, list(r["q"])) for i, r in enumerate(seed_rows)],
+        "cl int, cq array<long>",
+    )
+    assigned = None
+    for rnd_no in range(n_rounds):
+        assigned = _assign(df, cent).localCheckpoint()
+        if rnd_no == n_rounds - 1:
+            break
+        upd = (
+            assigned.select("cl", F.posexplode("q").alias("pos", "v"))
+            .groupBy("cl", "pos")
+            .agg(
+                F.floor(
+                    F.sum("v") * F.lit(1.0) / F.count(F.lit(1)) + F.lit(0.5)
+                ).cast("long").alias("cq")
+            )
+        )
+        # k·d rows — the canonical driver-side centroid exchange
+        rows = upd.collect()
+        by_cl: dict[int, dict[int, int]] = {}
+        for r in rows:
+            by_cl.setdefault(r["cl"], {})[r["pos"]] = r["cq"]
+        cent = spark.createDataFrame(
+            [
+                (cl, [pos_map[p] for p in sorted(pos_map)])
+                for cl, pos_map in sorted(by_cl.items())
+            ],
+            "cl int, cq array<long>",
+        )
+    return assigned.select("vec_id", "cl", "d")
+
+
+@register(
+    "semantic_cluster_kmeans",
+    oracle=f"""
+WITH comp AS (
+  SELECT vec_id,
+         generate_subscripts(embedding, 1) AS pos,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * {QUANT} + 0.5)
+              AS BIGINT) AS q
+  FROM embeddings
+),
+seed AS (
+  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cl
+  FROM (SELECT DISTINCT vec_id FROM embeddings ORDER BY vec_id
+        LIMIT {K_CLUSTERS})
+),
+cent0 AS (
+  SELECT s.cl, c.pos, c.q AS cq
+  FROM seed s JOIN comp c ON c.vec_id = s.vec_id
+),
+dist1 AS (
+  SELECT c.vec_id, k.cl, sum((c.q - k.cq) * (c.q - k.cq)) AS d
+  FROM comp c JOIN cent0 k ON k.pos = c.pos
+  GROUP BY 1, 2
+),
+asg1 AS (
+  SELECT vec_id, cl FROM (
+    SELECT vec_id, cl,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d, cl) AS rn
+    FROM dist1
+  ) WHERE rn = 1
+),
+cent1 AS (
+  SELECT a.cl, c.pos,
+         CAST(floor(sum(c.q) * 1.0 / count(*) + 0.5) AS BIGINT) AS cq
+  FROM asg1 a JOIN comp c ON c.vec_id = a.vec_id
+  GROUP BY 1, 2
+),
+dist2 AS (
+  SELECT c.vec_id, k.cl, sum((c.q - k.cq) * (c.q - k.cq)) AS d
+  FROM comp c JOIN cent1 k ON k.pos = c.pos
+  GROUP BY 1, 2
+),
+asg2 AS (
+  SELECT vec_id, cl, d FROM (
+    SELECT vec_id, cl, d,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d, cl) AS rn
+    FROM dist2
+  ) WHERE rn = 1
+)
+SELECT CAST(cl AS INT) AS cluster,
+       CAST(count(*) AS BIGINT) AS n_members,
+       CAST(sum(vec_id) AS BIGINT) AS sum_vec_ids,
+       CAST(sum(d) AS BIGINT) AS inertia_q
+FROM asg2 GROUP BY cl ORDER BY cluster
+""",
+    tags=["llm-similarity", "iterative", "semantic-dedup"],
+)
+def semantic_cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style corpus clustering: 2 deterministic Lloyd rounds,
+    k=8, seeds = the 8 lowest vec_ids, micro-unit-quantized distances.
+    The oracle replays the identical centroid walk positionally in SQL;
+    every intermediate is an exact integer, so the value hash pins the
+    full trajectory, not just the final histogram."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    df = emb.select("vec_id", _quantize(F.col("embedding")).alias("q"))
+    asg = kmeans_rounds(spark, df, K_CLUSTERS, N_ROUNDS)
+    return (
+        asg.groupBy(F.col("cl").cast("int").alias("cluster"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.sum("vec_id").cast("long").alias("sum_vec_ids"),
+            F.sum("d").cast("long").alias("inertia_q"),
+        )
+        .orderBy("cluster")
+    )
+
+
+@register(
+    "semantic_dedup_within_clusters",
+    oracle=f"""
+WITH comp AS (
+  SELECT vec_id,
+         generate_subscripts(embedding, 1) AS pos,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * {QUANT} + 0.5)
+              AS BIGINT) AS q
+  FROM embeddings
+),
+seed AS (
+  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cl
+  FROM (SELECT DISTINCT vec_id FROM embeddings ORDER BY vec_id
+        LIMIT {K_CLUSTERS})
+),
+cent0 AS (
+  SELECT s.cl, c.pos, c.q AS cq
+  FROM seed s JOIN comp c ON c.vec_id = s.vec_id
+),
+dist1 AS (
+  SELECT c.vec_id, k.cl, sum((c.q - k.cq) * (c.q - k.cq)) AS d
+  FROM comp c JOIN cent0 k ON k.pos = c.pos
+  GROUP BY 1, 2
+),
+asg1 AS (
+  SELECT vec_id, cl FROM (
+    SELECT vec_id, cl,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d, cl) AS rn
+    FROM dist1
+  ) WHERE rn = 1
+),
+cent1 AS (
+  SELECT a.cl, c.pos,
+         CAST(floor(sum(c.q) * 1.0 / count(*) + 0.5) AS BIGINT) AS cq
+  FROM asg1 a JOIN comp c ON c.vec_id = a.vec_id
+  GROUP BY 1, 2
+),
+dist2 AS (
+  SELECT c.vec_id, k.cl, sum((c.q - k.cq) * (c.q - k.cq)) AS d
+  FROM comp c JOIN cent1 k ON k.pos = c.pos
+  GROUP BY 1, 2
+),
+asg2 AS (
+  SELECT vec_id, cl FROM (
+    SELECT vec_id, cl,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d, cl) AS rn
+    FROM dist2
+  ) WHERE rn = 1
+),
+norms AS (
+  SELECT vec_id, sum(q * q) AS n2 FROM comp GROUP BY 1
+),
+pairs AS (
+  SELECT a.cl, a.vec_id AS va, b.vec_id AS vb,
+         (SELECT sum(ca.q * cb.q)
+          FROM comp ca JOIN comp cb
+            ON cb.pos = ca.pos AND cb.vec_id = b.vec_id
+          WHERE ca.vec_id = a.vec_id) AS dot
+  FROM asg2 a JOIN asg2 b ON b.cl = a.cl AND a.vec_id < b.vec_id
+),
+dups AS (
+  SELECT p.cl, p.va, p.vb
+  FROM pairs p
+  JOIN norms na ON na.vec_id = p.va
+  JOIN norms nb ON nb.vec_id = p.vb
+  WHERE p.dot >= 0 AND 25 * p.dot * p.dot >= 4 * na.n2 * nb.n2
+)
+SELECT CAST(m.cl AS INT) AS cluster,
+       CAST(count(DISTINCT m.vec_id) AS BIGINT) AS n_members,
+       CAST(coalesce(d.n_pairs, 0) AS BIGINT) AS n_dup_pairs,
+       CAST(coalesce(d.n_removed, 0) AS BIGINT) AS n_removed
+FROM asg2 m
+LEFT JOIN (
+  SELECT cl, count(*) AS n_pairs, count(DISTINCT vb) AS n_removed
+  FROM dups GROUP BY cl
+) d ON d.cl = m.cl
+GROUP BY m.cl, d.n_pairs, d.n_removed
+ORDER BY cluster
+""",
+    tags=["llm-dedup", "llm-similarity", "iterative", "semantic-dedup"],
+)
+def semantic_dedup_within_clusters(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): near-dup detection scoped to k-means
+    clusters — the sub-quadratic trade that makes embedding dedup
+    feasible at corpus scale (pairs are scored only within a cluster, so
+    cost is Σ|cluster|² instead of N²; recall is whatever the clustering
+    captures, and the exact block-GEMM path measures that honestly).
+
+    The cosine ≥ 0.4 predicate is evaluated in EXACT integer arithmetic
+    on micro-unit components: dot ≥ 0 AND 25·dot² ≥ 4·|a|²·|b|²
+    (0.4² = 4/25), decimal(38) on the Spark side and INT128 sums in
+    DuckDB, so the pair SET is bit-identical across engines.  A member is
+    'removed' when it is the higher vec_id of any in-cluster dup pair
+    (keep-lowest-id, the same canonical rule as the MinHash keep list)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    df = emb.select("vec_id", _quantize(F.col("embedding")).alias("q"))
+    norms = df.select(
+        "vec_id",
+        F.aggregate(
+            "q", F.lit(0).cast("long"), lambda acc, x: acc + x * x
+        ).alias("n2"),
+    )
+    asg = kmeans_rounds(spark, df, K_CLUSTERS, N_ROUNDS).select(
+        "vec_id", "cl"
+    )
+    side = (
+        asg.join(df, "vec_id")
+        .join(norms, "vec_id")
+        .select("cl", "vec_id", "q", "n2")
+    )
+    a = side.select(
+        "cl", F.col("vec_id").alias("va"),
+        F.col("q").alias("qa"), F.col("n2").alias("na"),
+    )
+    b = side.select(
+        "cl", F.col("vec_id").alias("vb"),
+        F.col("q").alias("qb"), F.col("n2").alias("nb"),
+    )
+    dot = F.aggregate(
+        F.zip_with("qa", "qb", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    ).alias("dot")
+    pairs = (
+        a.join(b, ["cl"])
+        .filter(F.col("va") < F.col("vb"))
+        .select("cl", "va", "vb", "na", "nb", dot)
+    )
+    dec = "decimal(38,0)"
+    dups = pairs.filter(
+        (F.col("dot") >= 0)
+        & (
+            F.lit(25).cast(dec) * F.col("dot").cast(dec)
+            * F.col("dot").cast(dec)
+            >= F.lit(4).cast(dec) * F.col("na").cast(dec)
+            * F.col("nb").cast(dec)
+        )
+    )
+    per_cl = dups.groupBy("cl").agg(
+        F.count(F.lit(1)).cast("long").alias("n_dup_pairs"),
+        F.countDistinct("vb").cast("long").alias("n_removed"),
+    )
+    members = asg.groupBy("cl").agg(
+        F.countDistinct("vec_id").cast("long").alias("n_members")
+    )
+    return (
+        members.join(per_cl, "cl", "left")
+        .select(
+            F.col("cl").cast("int").alias("cluster"),
+            "n_members",
+            F.coalesce("n_dup_pairs", F.lit(0)).cast("long")
+            .alias("n_dup_pairs"),
+            F.coalesce("n_removed", F.lit(0)).cast("long")
+            .alias("n_removed"),
+        )
+        .orderBy("cluster")
+    )

@@ -26,6 +26,7 @@ from . import (  # noqa: F401
     tpch_rest,
 )
 from ..llm import (  # noqa: F401
+    cluster,
     curation,
     dedup,
     multimodal,
