@@ -1106,3 +1106,86 @@ def moving_sum_arrays_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("moving_sums")
     )
+
+
+@register(
+    "except_intersect_all_users",
+    oracle="""
+SELECT 'clicks_minus_purchases' AS cohort,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT u) AS BIGINT) AS n_users
+FROM (SELECT user_id AS u FROM events WHERE event_type = 'click'
+      EXCEPT ALL
+      SELECT user_id FROM events WHERE event_type = 'purchase')
+UNION ALL
+SELECT 'clicks_and_views_bag' AS cohort,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT u) AS BIGINT) AS n_users
+FROM (SELECT user_id AS u FROM events WHERE event_type = 'click'
+      INTERSECT ALL
+      SELECT user_id FROM events WHERE event_type = 'view')
+""",
+    tags=["U-except-intersect", "clickhouse-parity"],
+)
+def except_intersect_all_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL / INTERSECT ALL — the MULTISET set-ops (bag semantics:
+    each user_id survives with multiplicity |A|−|B| / min(|A|,|B|)),
+    completing the §2.7 surface next to the DISTINCT variants.  Catalyst
+    plans both as a single hash aggregate over per-key counts plus a
+    generate — no row-by-row anti join, so partial aggregation still
+    applies map-side."""
+    ev = load_table(spark, sf_dir, "events")
+    users_of = lambda t: ev.filter(F.col("event_type") == t).select("user_id")  # noqa: E731
+    diff = users_of("click").exceptAll(users_of("purchase"))
+    both = users_of("click").intersectAll(users_of("view"))
+
+    def summarize(df: DataFrame, cohort: str) -> DataFrame:
+        return df.groupBy().agg(
+            F.lit(cohort).alias("cohort"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+        ).select("cohort", "n_rows", "n_users")
+
+    return summarize(diff, "clicks_minus_purchases").unionAll(
+        summarize(both, "clicks_and_views_bag")
+    )
+
+
+@register(
+    "limit_with_ties_quantity",
+    oracle="""
+WITH ranked AS (
+  SELECT l_orderkey, l_linenumber, l_quantity,
+         rank() OVER (ORDER BY l_quantity DESC) AS rk
+  FROM lineitem
+)
+SELECT CAST(l_quantity AS BIGINT) AS quantity,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(l_orderkey) AS BIGINT) AS sum_orderkeys
+FROM ranked WHERE rk <= 10
+GROUP BY 1 ORDER BY quantity DESC
+""",
+    tags=["O-topk", "clickhouse-parity"],
+)
+def limit_with_ties_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``LIMIT n WITH TIES``: the top-n rows by sort key PLUS
+    every row tying the n-th value.  Spark has no WITH TIES clause; the
+    exact analog is ``rank() <= n`` — rank (not row_number) admits the
+    whole tie group, and Catalyst evaluates it as a single window over
+    the sort without materializing a global sort of non-qualifying rows
+    (WindowGroupLimit pushes the rank bound into the shuffle at scale).
+    Aggregated per tied value so the gate pins the tie-group membership,
+    not an arbitrary intra-tie order."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.orderBy(F.col("l_quantity").desc())
+    top = li.select(
+        "l_orderkey", "l_quantity", F.rank().over(w).alias("rk")
+    ).filter(F.col("rk") <= 10)
+    return (
+        top.groupBy(F.col("l_quantity").cast("long").alias("quantity"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("l_orderkey").cast("long").alias("sum_orderkeys"),
+        )
+        .orderBy(F.col("quantity").desc())
+    )
