@@ -53,6 +53,12 @@ _SETTINGS_RE = re.compile(
     re.IGNORECASE,
 )
 _SETTING_PAIR_RE = re.compile(r"(\w+)\s*=\s*('[^']*'|[^\s,]+)")
+#: ``KILL QUERY WHERE query_id = '…'`` — the one management statement the
+#: endpoint serves (admin-only); everything else stays read-only
+_KILL_QUERY_RE = re.compile(
+    r"^KILL\s+QUERY\s+WHERE\s+query_id\s*=\s*'([^']+)'\s*;?\s*$",
+    re.IGNORECASE,
+)
 #: functions whose result depends on when/where the query runs — ClickHouse
 #: refuses to cache a query containing one unless
 #: query_cache_nondeterministic_function_handling says otherwise
@@ -230,6 +236,11 @@ class SqlServingEndpoint:
         self._query_cache_lock = threading.Lock()
         self._query_cache_hits = 0
         self._query_cache_misses = 0
+        #: ``system.processes`` analog — statements currently executing,
+        #: keyed by query_id (= the request's job group), so ``KILL QUERY
+        #: WHERE query_id = '…'`` can cancel the tagged Spark jobs
+        self._processes: dict[str, dict] = {}
+        self._processes_lock = threading.Lock()
         self._register_views(self.serving, role=None)
         self.view_names = sorted(views)
         self.max_rows = max_rows
@@ -585,6 +596,9 @@ class SqlServingEndpoint:
 
         t0 = time.monotonic()
         status, n_out = "error", 0
+        qid = job_group or f"local-{next(_JOB_GROUP_SEQ)}"
+        with self._processes_lock:
+            self._processes[qid] = {"query": sql, "role": role, "t0": t0}
         try:
             sql, settings = self.split_settings(sql)
             try:
@@ -639,6 +653,11 @@ class SqlServingEndpoint:
                 except Exception:
                     pass
             df = sess.sql(sql)
+            with self._processes_lock:
+                if self._processes.get(qid, {}).get("killed"):
+                    raise RuntimeError(
+                        f"query {qid!r} was cancelled (KILL QUERY)"
+                    )
             rows = df.limit(cap).collect()
             cols = list(df.columns)
             status, n_out = "ok", len(rows)
@@ -652,9 +671,47 @@ class SqlServingEndpoint:
                 self._cache_put(cache_key, cols, out_rows, ttl)
             return cols, out_rows
         finally:
+            with self._processes_lock:
+                self._processes.pop(qid, None)
             self._log_query(
                 sql, role, status, n_out, time.monotonic() - t0
             )
+
+    # -- system.processes analog + KILL QUERY --------------------------------
+
+    def processes(self) -> list[dict]:
+        """``system.processes`` analog: one row per currently-executing
+        statement (query_id, query text, role, elapsed seconds)."""
+        import time
+
+        now = time.monotonic()
+        with self._processes_lock:
+            return [
+                {
+                    "query_id": qid,
+                    "query": e["query"][:500],
+                    "role": e["role"],
+                    "elapsed_s": round(now - e["t0"], 3),
+                }
+                for qid, e in self._processes.items()
+            ]
+
+    def kill_query(self, query_id: str) -> bool:
+        """``KILL QUERY WHERE query_id = '…'``: cancel the Spark jobs
+        tagged with the statement's job group.  Returns whether a live
+        statement with that id existed.  The killed request's executing
+        thread surfaces the cancellation as an error (the ClickHouse
+        QUERY_WAS_CANCELLED shape)."""
+        with self._processes_lock:
+            entry = self._processes.get(query_id)
+            if entry is None:
+                return False
+            # marker for the pre-execution window (analysis, queueing):
+            # the executing thread checks it before submitting jobs,
+            # because cancelJobGroup only reaches ALREADY-ACTIVE jobs
+            entry["killed"] = True
+        self.cancel(query_id)
+        return True
 
     def cancel(self, job_group: str) -> None:
         """Cancel all Spark jobs tagged with ``job_group`` (no-op when the
@@ -741,6 +798,7 @@ class SqlServingEndpoint:
                 default_format: str | None = None,
                 params: dict[str, str] | None = None,
                 role_key: str | None = None,
+                query_id: str | None = None,
             ) -> None:
                 try:
                     endpoint.authenticate(role, role_key)
@@ -749,6 +807,21 @@ class SqlServingEndpoint:
                     return
                 if not sql:
                     self._respond(400, {"error": "missing q parameter"})
+                    return
+                m_kill = _KILL_QUERY_RE.match(sql.strip())
+                if m_kill is not None:
+                    # KILL QUERY is management, not reading — admin only
+                    if role is not None:
+                        self._respond(
+                            403,
+                            {"error": "KILL QUERY requires admin (no role)"},
+                        )
+                        return
+                    killed = endpoint.kill_query(m_kill.group(1))
+                    self._respond(
+                        200,
+                        {"killed": int(killed), "query_id": m_kill.group(1)},
+                    )
                     return
                 try:
                     if params:
@@ -773,7 +846,9 @@ class SqlServingEndpoint:
                     self._respond(400, {"error": str(e)})
                     return
                 result: dict = {}
-                gid = f"bi-serve-{next(_JOB_GROUP_SEQ)}"
+                # client-supplied ?query_id= (the ClickHouse HTTP knob)
+                # doubles as the job group, so KILL QUERY can target it
+                gid = query_id or f"bi-serve-{next(_JOB_GROUP_SEQ)}"
 
                 def run():
                     try:
@@ -830,6 +905,9 @@ class SqlServingEndpoint:
                     n = int(qs0.get("limit", ["100"])[0])
                     self._respond(200, {"entries": endpoint.query_log(n)})
                     return
+                if parsed.path == "/system/processes":
+                    self._respond(200, {"entries": endpoint.processes()})
+                    return
                 if parsed.path != "/query":
                     self._respond(404, {"error": "use /query?q=<SQL>"})
                     return
@@ -847,6 +925,7 @@ class SqlServingEndpoint:
                         for k, v in qs.items() if k.startswith("param_")
                     },
                     role_key=key,
+                    query_id=qs.get("query_id", [None])[0],
                 )
 
             def do_POST(self):
@@ -859,6 +938,7 @@ class SqlServingEndpoint:
                     role=self.headers.get("X-Role"),
                     default_format=self.headers.get("X-Format"),
                     role_key=key,
+                    query_id=self.headers.get("X-Query-Id"),
                 )
 
         self._server = ThreadingHTTPServer(("127.0.0.1", port), Handler)

@@ -29,8 +29,8 @@ def endpoint(spark, tmp_path_factory):
     ep.stop()
 
 
-def _get(port: int, sql: str):
-    q = urllib.parse.urlencode({"q": sql})
+def _get(port: int, sql: str, extra: str = ""):
+    q = urllib.parse.urlencode({"q": sql}) + extra
     req = urllib.request.Request(f"http://127.0.0.1:{port}/query?{q}")
     try:
         with urllib.request.urlopen(req, timeout=90) as resp:
@@ -649,3 +649,63 @@ def test_query_cache_lru_eviction(spark, tmp_path):
         "SETTINGS use_query_cache = 1"
     )
     assert ep.query_cache_stats()["hits"] == 0
+
+
+def test_system_processes_and_kill_query(spark, tmp_path):
+    """system.processes analog + KILL QUERY: a running statement is
+    visible with its client-supplied query_id, KILL cancels its Spark
+    jobs (the request errors out instead of completing), the entry
+    drains, and unknown ids report killed=0."""
+    import concurrent.futures
+    import time
+
+    spark.range(0, 64).coalesce(4).write.parquet(str(tmp_path / "g"))
+    ep = SqlServingEndpoint(
+        spark, {"g": str(tmp_path / "g")}, timeout_sec=60.0
+    )
+    port = ep.start()
+    try:
+        slow = (
+            "SELECT count(s) AS n FROM (SELECT java_method("
+            "'java.lang.Thread', 'sleep', 500L) AS s FROM g)"
+        )
+        with concurrent.futures.ThreadPoolExecutor(max_workers=2) as pool:
+            fut = pool.submit(
+                lambda: _get(port, slow, extra="&query_id=victim-1")
+            )
+            # wait until the statement shows up in system.processes
+            deadline = time.time() + 30
+            seen = []
+            while time.time() < deadline:
+                _s, body = _get_path(port, "/system/processes")
+                seen = body["entries"]
+                if any(
+                    e["query_id"] == "victim-1" for e in seen
+                ) and spark.sparkContext.statusTracker().getActiveJobsIds():
+                    break
+                time.sleep(0.2)
+            assert any(e["query_id"] == "victim-1" for e in seen), seen
+            # role-bearing callers may not kill
+            st, body = _get(
+                port, "KILL QUERY WHERE query_id = 'victim-1'",
+                extra="&role=analyst",
+            )
+            assert st == 403
+            # admin kill lands
+            st, body = _get(port, "KILL QUERY WHERE query_id = 'victim-1'")
+            assert (st, body["killed"]) == (200, 1), body
+            st, body = fut.result()
+            assert st == 400  # cancelled, not completed
+        # entry drained; unknown id reports killed=0
+        _s, body = _get_path(port, "/system/processes")
+        assert body["entries"] == []
+        st, body = _get(port, "KILL QUERY WHERE query_id = 'victim-1'")
+        assert (st, body["killed"]) == (200, 0)
+    finally:
+        ep.stop()
+
+
+def _get_path(port: int, path: str):
+    req = urllib.request.Request(f"http://127.0.0.1:{port}{path}")
+    with urllib.request.urlopen(req, timeout=30) as resp:
+        return resp.status, json.loads(resp.read())
