@@ -58,6 +58,8 @@ BENCH_QUERIES = [
     "projection_auto_rewrite_rollup",    # round 9: fold + -Merge rewrite path
     "lightweight_delete_mask_read",      # round 9: DV write + masked read
     "lightweight_update_patch_read",     # round 9: patch write + patched read
+    "recursive_cte_part_hierarchy",      # round 10: pointer-doubling CTE analog
+    "semantic_dedup_within_clusters",    # round 10: k-means + SemDeDup pass
 ]
 
 N_INGEST_EVENTS = 10_000

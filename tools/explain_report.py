@@ -66,6 +66,10 @@ HEADLINE = [
     "lightweight_update_patch_read",  # round 9: latest-patch replace on read
     "bitmap_segment_overlap",         # round 9: distinct + user self-join
     "any_left_join_customer_order",   # round 9: min_by pre-agg, 1:<=1 join
+    "recursive_cte_part_hierarchy",   # round 10: pointer-doubling fold
+    "semantic_cluster_kmeans",        # round 10: broadcast Lloyd assignment
+    "semantic_dedup_within_clusters",  # round 10: cluster-scoped pair scan
+    "except_intersect_all_users",     # round 10: multiset set-ops
 ]
 
 
