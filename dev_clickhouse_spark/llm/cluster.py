@@ -66,11 +66,15 @@ def _assign(df: DataFrame, cent: DataFrame) -> DataFrame:
 
 
 def kmeans_rounds(
-    spark: SparkSession, df: DataFrame, k: int, n_rounds: int
+    spark: SparkSession, df: DataFrame, k: int, n_rounds: int,
+    keep_vec: bool = False,
 ) -> DataFrame:
     """Run ``n_rounds`` deterministic Lloyd rounds over (vec_id, q:
     array<long>); seed centroids are the k lowest vec_ids.  Returns the
-    final assignment (vec_id, cl, d)."""
+    final assignment (vec_id, cl, d) — with the quantized vector kept as
+    ``q`` when ``keep_vec`` (consumers that need components again avoid
+    an N×N re-join against the source; at corpus scale that join is a
+    full shuffle of the embedding column)."""
     seed_rows = (
         df.orderBy("vec_id").limit(k)
         .select("vec_id", "q").collect()
@@ -105,6 +109,8 @@ def kmeans_rounds(
             ],
             "cl int, cq array<long>",
         )
+    if keep_vec:
+        return assigned.select("vec_id", "cl", "d", "q")
     return assigned.select("vec_id", "cl", "d")
 
 
@@ -283,19 +289,15 @@ def semantic_dedup_within_clusters(
     (keep-lowest-id, the same canonical rule as the MinHash keep list)."""
     emb = load_table(spark, sf_dir, "embeddings")
     df = emb.select("vec_id", _quantize(F.col("embedding")).alias("q"))
-    norms = df.select(
-        "vec_id",
+    # keep_vec carries the quantized components through the fold — the
+    # norm is then a map-side expression and the only shuffle left is
+    # the within-cluster self-join itself
+    asg = kmeans_rounds(spark, df, K_CLUSTERS, N_ROUNDS, keep_vec=True)
+    side = asg.select(
+        "cl", "vec_id", "q",
         F.aggregate(
             "q", F.lit(0).cast("long"), lambda acc, x: acc + x * x
         ).alias("n2"),
-    )
-    asg = kmeans_rounds(spark, df, K_CLUSTERS, N_ROUNDS).select(
-        "vec_id", "cl"
-    )
-    side = (
-        asg.join(df, "vec_id")
-        .join(norms, "vec_id")
-        .select("cl", "vec_id", "q", "n2")
     )
     a = side.select(
         "cl", F.col("vec_id").alias("va"),
