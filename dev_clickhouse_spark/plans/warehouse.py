@@ -163,6 +163,70 @@ class Warehouse:
             json.dump(schema.jsonValue(), fh, indent=1)
         os.replace(tmp, p)  # atomic: readers see old or new, never partial
 
+    # -- computed columns (DEFAULT / MATERIALIZED / ALIAS) ------------------
+
+    def _computed_cols_path(self, table: str) -> str:
+        return os.path.join(self.root, "_schemas", table + ".computed.json")
+
+    def computed_columns(self, table: str) -> dict[str, dict]:
+        """Computed-column metadata applied by this warehouse's read/write
+        paths: ``{name: {"kind": default|materialized|alias, "expr": sql,
+        "type": ddl}}`` in declaration order.  Written only by
+        ``quality/migrate.SchemaMigrator.add_computed_column``."""
+        p = self._computed_cols_path(table)
+        try:
+            with open(p) as fh:
+                return json.load(fh)
+        except OSError:
+            return {}
+
+    def save_computed_columns(self, table: str, cols: dict) -> None:
+        p = self._computed_cols_path(table)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        tmp = p + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(cols, fh, indent=1)
+        os.replace(tmp, p)
+
+    def _apply_computed_read(self, table: str, df: DataFrame) -> DataFrame:
+        """Read-side computed columns, ClickHouse part semantics:
+
+        - ALIAS is never stored — always computed here.
+        - DEFAULT/MATERIALIZED values ARE stored for rows written after the
+          ALTER; files that predate the column serve NULLs, which
+          ``coalesce(stored, expr)`` back-fills exactly like ClickHouse
+          computes a missing column's default when reading an old part.
+          (A deterministic expr makes the coalesce idempotent: an expr
+          that evaluated to NULL at insert re-evaluates to the same NULL.)
+        """
+        for name, meta in self.computed_columns(table).items():
+            expr = F.expr(meta["expr"]).cast(meta["type"])
+            if meta["kind"] == "alias":
+                df = df.withColumn(name, expr)
+            elif name in df.columns:
+                df = df.withColumn(name, F.coalesce(F.col(name), expr))
+            else:
+                df = df.withColumn(name, expr)
+        return df
+
+    def _apply_computed_write(self, table: str, df: DataFrame) -> DataFrame:
+        """Insert-side computed columns: ALIAS is not insertable (CH
+        refuses it loudly), MATERIALIZED always overrides whatever the
+        insert supplied, DEFAULT fills only when the column is absent."""
+        for name, meta in self.computed_columns(table).items():
+            kind = meta["kind"]
+            if kind == "alias":
+                if name in df.columns:
+                    raise ValueError(
+                        f"column {name!r} of table {table!r} is ALIAS — "
+                        "it cannot be inserted"
+                    )
+                continue
+            expr = F.expr(meta["expr"]).cast(meta["type"])
+            if kind == "materialized" or name not in df.columns:
+                df = df.withColumn(name, expr)
+        return df
+
     # -- manifest / version pointer (batch-append tables) ------------------
 
     def _manifest_dir(self, table: str) -> str:
@@ -310,10 +374,14 @@ class Warehouse:
         (typed NULLs for added columns, casts for widened ones) — old files
         are served through the new schema without rewrite."""
         if not self.exists(table):
-            return self.spark.createDataFrame([], self.schema_for(table))
+            return self._apply_computed_read(
+                table, self.spark.createDataFrame([], self.schema_for(table))
+            )
         man = self.load_manifest(table)
         if man is not None:
-            return self._read_members(table, man["members"])
+            return self._apply_computed_read(
+                table, self._read_members(table, man["members"])
+            )
         override = self.schema_override(table)
         if override is None:
             df = self.spark.read.parquet(self.path(table))
@@ -333,7 +401,7 @@ class Warehouse:
             df = df.drop("ingest_batch")
         if override is not None:
             df = conform_to_schema(df, self.schema_for(table))
-        return df
+        return self._apply_computed_read(table, df)
 
     def read_at_version(self, table: str, version: int) -> DataFrame:
         """Snapshot read: the table EXACTLY as manifest version ``version``
@@ -824,6 +892,7 @@ class Warehouse:
         them makes ``spark.read`` fail on conflicting partition structures —
         so a mismatch against the existing layout is REFUSED here rather than
         discovered at read time."""
+        df = self._apply_computed_write(table, df)
         existing = self._batch_layout(table)
         if existing is True and batch_id is None:
             raise ValueError(
@@ -903,6 +972,7 @@ class Warehouse:
         """Full-snapshot replace (SCD2 dims).  The input may derive from the
         table being overwritten, so materialize first (localCheckpoint) —
         dims are small."""
+        df = self._apply_computed_write(table, df)
         writer_df = self._prep(table, df).localCheckpoint(eager=True)
         self._writer(writer_df).mode("overwrite").parquet(self.path(table))
 

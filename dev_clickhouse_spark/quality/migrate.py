@@ -132,6 +132,58 @@ class SchemaMigrator:
         self._rewrite(table, target)
         return p
 
+    def add_computed_column(
+        self,
+        table: str,
+        name: str,
+        dtype: T.DataType,
+        expr: str,
+        kind: str = "default",
+    ) -> None:
+        """``ALTER TABLE … ADD COLUMN name type {DEFAULT|MATERIALIZED|ALIAS}
+        expr`` — the ClickHouse column kinds, O(1) at any table size:
+
+        - ``default``: stored for rows inserted after the ALTER (filled
+          when the insert omits the column); pre-ALTER files serve the
+          expression on read (ClickHouse computes a missing column's
+          default when reading old parts).
+        - ``materialized``: always computed at insert — a supplied value
+          is overridden; same read-time back-fill for old files.
+        - ``alias``: never stored; computed on every read; inserting into
+          it is refused.
+
+        The expression is a Spark SQL expression over the table's other
+        columns, validated here by planning it against the declared
+        schema before the metadata commits."""
+        if kind not in ("default", "materialized", "alias"):
+            raise ValueError(f"unknown computed-column kind {kind!r}")
+        current = self.wh.schema_for(table)
+        if name in {f.name for f in current.fields}:
+            raise ValueError(
+                f"column {name!r} already exists on {table!r}"
+            )
+        computed = self.wh.computed_columns(table)
+        if name in computed:
+            raise ValueError(
+                f"computed column {name!r} already declared on {table!r}"
+            )
+        # validate the expression against the current shape (plan only)
+        from pyspark.sql import functions as F
+
+        probe = self.wh.spark.createDataFrame([], current)
+        probe.select(F.expr(expr).cast(dtype).alias(name)).schema
+        if kind in ("default", "materialized"):
+            target = T.StructType(
+                [*current.fields, T.StructField(name, dtype, True)]
+            )
+            self.apply(table, target)
+        computed[name] = {
+            "kind": kind,
+            "expr": expr,
+            "type": dtype.simpleString(),
+        }
+        self.wh.save_computed_columns(table, computed)
+
     def _rewrite(self, table: str, target: T.StructType) -> None:
         """Destructive path: project/cast every row to the target shape and
         swap the rewritten table in (same staged-rename discipline as

@@ -200,3 +200,97 @@ def test_compact_preserves_migrated_column(spark, tmp_path):
     rows = {r.event_id: r.enrichment_score
             for r in wh.read("wazuh_events_raw").collect()}
     assert rows == {"c1": None, "c2": 0.75}
+
+
+def test_default_column_kinds(spark, tmp_path):
+    """ClickHouse column kinds: DEFAULT back-fills pre-ALTER files on read
+    and fills omitted inserts; MATERIALIZED overrides supplied values;
+    ALIAS is never stored and refuses inserts."""
+    import os
+
+    wh = _wh(spark, tmp_path)
+    wh.append("dim_tag", spark.createDataFrame(
+        [(1, "alpha", _TS), (2, "beta", _TS)], wh.schema_for("dim_tag")
+    ))
+    files_before = sorted(
+        f for _r, _d, fs in os.walk(wh.path("dim_tag")) for f in fs
+        if f.endswith(".parquet")
+    )
+    mig = SchemaMigrator(wh)
+    mig.add_computed_column(
+        "dim_tag", "tag_upper", T.StringType(), "upper(tag_value)",
+        kind="default",
+    )
+    mig.add_computed_column(
+        "dim_tag", "tag_len", T.IntegerType(), "length(tag_value)",
+        kind="materialized",
+    )
+    mig.add_computed_column(
+        "dim_tag", "tag_head", T.StringType(), "substring(tag_value, 1, 2)",
+        kind="alias",
+    )
+    # O(1): nothing rewritten
+    files_after = sorted(
+        f for _r, _d, fs in os.walk(wh.path("dim_tag")) for f in fs
+        if f.endswith(".parquet")
+    )
+    assert files_before == files_after
+
+    # pre-ALTER rows serve all three computed columns on read
+    rows = {r.tag_key: r for r in wh.read("dim_tag").collect()}
+    assert rows[1].tag_upper == "ALPHA" and rows[1].tag_len == 5
+    assert rows[2].tag_head == "be"
+
+    # post-ALTER append omitting DEFAULT/MATERIALIZED → stored computed;
+    # supplying MATERIALIZED → overridden
+    wh.append("dim_tag", spark.createDataFrame(
+        [(3, "gamma", _TS, None, 999)],
+        T.StructType([*wh.schema_for("dim_tag").fields[:3],
+                      T.StructField("tag_upper", T.StringType()),
+                      T.StructField("tag_len", T.IntegerType())]),
+    ))
+    rows = {r.tag_key: r for r in wh.read("dim_tag").collect()}
+    assert rows[3].tag_len == 5  # materialized ignored the supplied 999
+    # DEFAULT with an explicitly-NULL supplied value re-evaluates on read
+    # (parquet cannot distinguish absent from null — documented divergence)
+    assert rows[3].tag_upper == "GAMMA"
+
+    # ALIAS: not stored in any parquet footer, insert refused
+    stored_cols = set(spark.read.parquet(wh.path("dim_tag")).columns)
+    assert "tag_head" not in stored_cols
+    assert "tag_len" in stored_cols
+    with pytest.raises(ValueError, match="ALIAS"):
+        wh.append("dim_tag", spark.createDataFrame(
+            [(4, "delta", _TS, "x", 1, "de")],
+            T.StructType([*wh.schema_for("dim_tag").fields[:3],
+                          T.StructField("tag_upper", T.StringType()),
+                          T.StructField("tag_len", T.IntegerType()),
+                          T.StructField("tag_head", T.StringType())]),
+        ))
+
+
+def test_computed_column_validation(spark, tmp_path):
+    wh = _wh(spark, tmp_path)
+    mig = SchemaMigrator(wh)
+    with pytest.raises(ValueError, match="kind"):
+        mig.add_computed_column(
+            "dim_tag", "x", T.StringType(), "tag_value", kind="virtual"
+        )
+    with pytest.raises(ValueError, match="already exists"):
+        mig.add_computed_column(
+            "dim_tag", "tag_value", T.StringType(), "'x'", kind="default"
+        )
+    with pytest.raises(Exception):  # bad expression refuses to plan
+        mig.add_computed_column(
+            "dim_tag", "bad", T.StringType(), "no_such_col + 1",
+            kind="default",
+        )
+    # nothing was persisted by the failed attempts
+    assert wh.computed_columns("dim_tag") == {}
+    mig.add_computed_column(
+        "dim_tag", "ok", T.StringType(), "upper(tag_value)", kind="alias"
+    )
+    with pytest.raises(ValueError, match="already declared"):
+        mig.add_computed_column(
+            "dim_tag", "ok", T.StringType(), "tag_value", kind="alias"
+        )
