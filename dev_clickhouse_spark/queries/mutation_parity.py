@@ -274,3 +274,67 @@ def drop_partition_overlay_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(27,4)")).cast("double"), 2
         ).alias("sum_value"),
     )
+
+
+@register(
+    "computed_column_kinds_read",
+    oracle="""
+SELECT upper(event_type) AS etype_upper,
+       CAST(count(*) AS BIGINT) AS cnt,
+       CAST(sum(CAST(floor("value") AS BIGINT)) AS BIGINT) AS sum_bucket,
+       floor(CAST(sum(CAST("value" * 2 AS DECIMAL(27,4))) AS DOUBLE)
+             * 100 + 0.5) / 100 AS sum_x2
+FROM events
+GROUP BY 1
+""",
+    tags=["clickhouse-parity", "column-kinds"],
+)
+def computed_column_kinds_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse column kinds end-to-end (``ADD COLUMN … DEFAULT /
+    MATERIALIZED / ALIAS``, quality/migrate.py::add_computed_column): a
+    scratch manifest table gets HALF the events BEFORE the ALTERs (those
+    files are back-filled on read) and half AFTER (DEFAULT/MATERIALIZED
+    are stored at insert), plus an ALIAS that is never stored.  The
+    aggregate reads all three computed columns; the oracle computes the
+    same expressions declaratively over the original parquet, so a wrong
+    back-fill, a missed insert-time fill, or a stale alias flips the
+    hash."""
+    ev = load_table(spark, sf_dir, "events")
+    scratch = os.path.join(
+        tempfile.gettempdir(),
+        "dcs_column_kinds_"
+        + hashlib.md5(sf_dir.encode()).hexdigest()[:10],
+    )
+    shutil.rmtree(scratch, ignore_errors=True)
+    wh = Warehouse(spark, scratch)
+    t = "cc_events"
+    wh.save_schema_override(t, ev.schema)
+    wh.append(t, ev.filter(F.col("event_id") % 2 == 0), batch_id=0)
+
+    from ..quality import SchemaMigrator
+    from pyspark.sql import types as T
+
+    mig = SchemaMigrator(wh)
+    mig.add_computed_column(
+        t, "value_bucket", T.LongType(), "floor(value)", kind="default"
+    )
+    mig.add_computed_column(
+        t, "etype_upper", T.StringType(), "upper(event_type)",
+        kind="materialized",
+    )
+    mig.add_computed_column(
+        t, "val_x2", T.DoubleType(), "value * 2", kind="alias"
+    )
+    wh.append(t, ev.filter(F.col("event_id") % 2 == 1), batch_id=1)
+    return (
+        wh.read(t)
+        .groupBy("etype_upper")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("value_bucket").cast("long").alias("sum_bucket"),
+            rnd(
+                F.sum(F.col("val_x2").cast("decimal(27,4)")).cast("double"),
+                2,
+            ).alias("sum_x2"),
+        )
+    )
