@@ -129,6 +129,50 @@ class Warehouse:
             not f.startswith((".", "_")) for f in os.listdir(p)
         )
 
+    # -- DETACH / ATTACH TABLE ----------------------------------------------
+
+    def _detached_dir(self) -> str:
+        return os.path.join(self.root, "_detached")
+
+    def detach_table(self, table: str) -> None:
+        """``DETACH TABLE`` — the table disappears from the serving
+        surface but its data, manifest, and overlays stay on disk under
+        ``_detached/`` (one rename, O(1) at any size).  Reads of a
+        detached table serve the declared-empty result like any missing
+        table; maintenance ops fail on the missing path.  ``attach_table``
+        reverses it."""
+        src = self.path(table)
+        if not os.path.exists(src):
+            raise ValueError(f"no such table to detach: {table!r}")
+        dst = os.path.join(self._detached_dir(), table)
+        if os.path.exists(dst):
+            raise ValueError(f"table {table!r} is already detached")
+        os.makedirs(self._detached_dir(), exist_ok=True)
+        os.rename(src, dst)
+
+    def attach_table(self, table: str) -> None:
+        """``ATTACH TABLE`` — re-register a detached table (the reverse
+        rename).  The manifest version pointer inside the directory is
+        untouched, so the table serves exactly the member set it had at
+        detach time."""
+        src = os.path.join(self._detached_dir(), table)
+        if not os.path.exists(src):
+            raise ValueError(f"no detached table {table!r}")
+        dst = self.path(table)
+        if os.path.exists(dst):
+            raise ValueError(
+                f"cannot attach {table!r}: a live table directory exists"
+            )
+        os.rename(src, dst)
+
+    def detached_tables(self) -> list[str]:
+        """Names currently under ``_detached/`` (the ``system.detached_
+        parts``-adjacent listing, table-granular here)."""
+        try:
+            return sorted(os.listdir(self._detached_dir()))
+        except OSError:
+            return []
+
     # -- declared-schema registry (ALTER target) ---------------------------
 
     def _schema_override_path(self, table: str) -> str:

@@ -1,0 +1,63 @@
+"""DETACH TABLE / ATTACH TABLE (plans/warehouse.py)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from dev_clickhouse_spark.plans.warehouse import Warehouse
+
+_TS = dt.datetime(2026, 1, 8, 9, 0)
+
+
+def _wh(spark, tmp_path):
+    return Warehouse(spark, str(tmp_path / "wh"))
+
+
+def test_detach_attach_roundtrip(spark, tmp_path):
+    wh = _wh(spark, tmp_path)
+    wh.append("dim_tag", spark.createDataFrame(
+        [(1, "a", _TS), (2, "b", _TS)], wh.schema_for("dim_tag")
+    ))
+    wh.detach_table("dim_tag")
+    # invisible: reads serve declared-empty, catalog listing omits it
+    assert wh.read("dim_tag").count() == 0
+    assert "dim_tag" not in [r["table"] for r in wh.tables().collect()]
+    assert wh.detached_tables() == ["dim_tag"]
+    # data survives on disk; attach restores it bit-for-bit
+    wh.attach_table("dim_tag")
+    assert wh.detached_tables() == []
+    assert {r.tag_key for r in wh.read("dim_tag").collect()} == {1, 2}
+
+
+def test_detach_preserves_manifest_version(spark, tmp_path):
+    wh = _wh(spark, tmp_path)
+    ev = spark.createDataFrame(
+        [(1, "a", _TS), (2, "b", _TS)], wh.schema_for("dim_tag")
+    )
+    wh.append("mdt", ev, batch_id=0)
+    wh.append("mdt", ev, batch_id=1)
+    v_before = wh.load_manifest("mdt")["version"]
+    wh.detach_table("mdt")
+    wh.attach_table("mdt")
+    assert wh.load_manifest("mdt")["version"] == v_before
+    assert wh.read("mdt").count() == 4
+
+
+def test_detach_attach_refusals(spark, tmp_path):
+    wh = _wh(spark, tmp_path)
+    with pytest.raises(ValueError, match="no such table"):
+        wh.detach_table("ghost")
+    with pytest.raises(ValueError, match="no detached table"):
+        wh.attach_table("ghost")
+    wh.append("dim_tag", spark.createDataFrame(
+        [(1, "a", _TS)], wh.schema_for("dim_tag")
+    ))
+    wh.detach_table("dim_tag")
+    # a new live table under the same name blocks attach
+    wh.append("dim_tag", spark.createDataFrame(
+        [(9, "z", _TS)], wh.schema_for("dim_tag")
+    ))
+    with pytest.raises(ValueError, match="live table"):
+        wh.attach_table("dim_tag")
