@@ -1796,6 +1796,84 @@ class Warehouse:
         return {"partitions_dropped": dropped,
                 "rows_deleted": res["rows_deleted"]}
 
+    def apply_ttl_group_by(
+        self,
+        table: str,
+        older_than,
+        group_by: list[str],
+        aggregates: dict[str, str],
+        ttl_col: str = "event_ts",
+    ) -> dict:
+        """Rollup TTL — ClickHouse ``TTL ts + INTERVAL … GROUP BY k…
+        SET col = agg(col), …``: rows past the cutoff are AGGREGATED into
+        one row per group instead of deleted, so old data keeps serving
+        coarse analytics at a fraction of the storage (the CH downsampling
+        idiom).  ``aggregates`` maps column → SQL aggregate expression
+        (the SET list); columns covered by neither ``group_by`` nor
+        ``aggregates`` take the group minimum (CH picks ``any`` value —
+        min is the deterministic choice of one).
+
+        Applied as a compact-fold (CH applies TTL during merges): live
+        rows pass through, expired rows collapse, the member swap is
+        atomic.  Returns {"rows_before", "rows_after", "groups"}."""
+        import datetime
+
+        cutoff = older_than
+        if isinstance(cutoff, str):
+            cutoff = datetime.datetime.fromisoformat(cutoff)
+        stats: dict = {}
+
+        def transform(df: DataFrame) -> DataFrame:
+            expired_cond = F.coalesce(
+                F.col(ttl_col) < F.lit(cutoff), F.lit(False)
+            )
+            live = df.filter(~expired_cond)
+            expired = df.filter(expired_cond)
+            agg_exprs = [
+                F.expr(e).alias(c) for c, e in aggregates.items()
+            ]
+            leftovers = [
+                c for c in df.columns
+                if c not in group_by and c not in aggregates
+            ]
+            rolled = (
+                expired.groupBy(*group_by)
+                .agg(*agg_exprs,
+                     *[F.min(c).alias(c) for c in leftovers])
+                .select(*df.columns)
+            )
+            # restore declared types (SQL aggregates can widen, e.g.
+            # sum(int) -> bigint, and the member swap must stay uniform)
+            rolled = rolled.select(
+                *[
+                    F.col(f.name).cast(f.dataType).alias(f.name)
+                    for f in df.schema.fields
+                ]
+            )
+            stats["rows_before"] = df.count()
+            out = live.unionByName(rolled)
+            return out
+
+        if self.load_manifest(table) is not None:
+            self.compact(table, transform=transform)
+            after = self.read(table)
+        else:
+            out = transform(self.read(table)).localCheckpoint(eager=True)
+            self.overwrite(table, out)
+            after = self.read(table)
+        stats["rows_after"] = after.count()
+        stats["groups"] = (
+            after.filter(
+                F.coalesce(F.col(ttl_col) < F.lit(cutoff), F.lit(False))
+            ).count()
+        )
+        self._log_mutation(
+            table, "ttl_group_by",
+            f"TTL {ttl_col} < {cutoff} GROUP BY {', '.join(group_by)}",
+            rows_affected=stats["rows_before"] - stats["rows_after"],
+        )
+        return stats
+
     def _has_date_dirs(self, table: str) -> bool:
         return bool(self._partition_dates(table))
 

@@ -338,3 +338,70 @@ def computed_column_kinds_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sum_x2"),
         )
     )
+
+
+@register(
+    "ttl_group_by_rollup_read",
+    oracle="""
+WITH live AS (
+  SELECT event_id, ts, user_id, event_type, "value", props
+  FROM events
+  WHERE NOT coalesce(ts < TIMESTAMP '2024-01-15 00:00:00', FALSE)
+),
+rolled AS (
+  SELECT min(event_id) AS event_id, max(ts) AS ts, user_id, event_type,
+         CAST(sum(CAST("value" AS DECIMAL(27,4))) AS DOUBLE) AS "value",
+         min(props) AS props
+  FROM events
+  WHERE ts < TIMESTAMP '2024-01-15 00:00:00'
+  GROUP BY user_id, event_type
+),
+u AS (SELECT * FROM live UNION ALL SELECT * FROM rolled)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       floor(CAST(max("value") AS DOUBLE) * 100 + 0.5) / 100 AS max_value
+FROM u GROUP BY event_type
+""",
+    tags=["clickhouse-parity", "ttl"],
+)
+def ttl_group_by_rollup_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``TTL ts + INTERVAL … GROUP BY user_id, event_type SET value =
+    sum(value), ts = max(ts)`` — the ClickHouse rollup-TTL downsampling
+    idiom (``Warehouse.apply_ttl_group_by``, applied as a compact-fold
+    like CH applies TTL during merges): rows before 2024-01-15 collapse
+    to one row per (user, type) carrying the summed value; live rows
+    pass through untouched.  The oracle replays the union declaratively;
+    ``n_rows`` pins the collapse, ``max_value`` pins the summed
+    payloads (exact DECIMAL sums in both engines)."""
+    ev = load_table(spark, sf_dir, "events")
+    scratch = os.path.join(
+        tempfile.gettempdir(),
+        "dcs_ttl_rollup_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10],
+    )
+    shutil.rmtree(scratch, ignore_errors=True)
+    wh = Warehouse(spark, scratch)
+    t = "ttl_events"
+    wh.save_schema_override(t, ev.schema)
+    wh.append(t, ev.filter(F.col("event_id") % 2 == 0), batch_id=0)
+    wh.append(t, ev.filter(F.col("event_id") % 2 == 1), batch_id=1)
+    wh.apply_ttl_group_by(
+        t, "2024-01-15T00:00:00",
+        group_by=["user_id", "event_type"],
+        aggregates={
+            "value": "cast(sum(cast(value as decimal(27,4))) as double)",
+            "ts": "max(ts)",
+            "event_id": "min(event_id)",
+            "props": "min(props)",
+        },
+        ttl_col="ts",
+    )
+    return (
+        wh.read(t)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("user_id").alias("n_users"),
+            rnd(F.max("value"), 2).alias("max_value"),
+        )
+    )

@@ -435,3 +435,50 @@ def test_mutations_log_reports_all_kinds_and_materialization(spark, wh):
     assert all(r["is_materialized"] for r in wh.mutations(t).collect())
     # log survives, data unaffected: 12 - 3 deleted - 3 lightweight = 6
     assert wh.read(t).count() == 6
+
+
+def test_ttl_group_by_rollup(spark, tmp_path):
+    """Rollup TTL: expired rows collapse per group with aggregated SET
+    columns; live rows pass through; totals conserved; mutation logged."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from dev_clickhouse_spark.plans.warehouse import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    old = dt.datetime(2026, 1, 1, 0, 0)
+    new = dt.datetime(2026, 2, 1, 0, 0)
+    df = spark.createDataFrame(
+        [
+            (1, 10, "a", old, 1.0),
+            (2, 10, "a", old, 2.0),
+            (3, 10, "b", old, 4.0),
+            (4, 20, "a", new, 8.0),
+            (5, 10, "a", new, 16.0),
+        ],
+        "event_id long, user_id long, event_type string, "
+        "ts timestamp, value double",
+    )
+    wh.save_schema_override("t", df.schema)
+    wh.append(t := "t", df, batch_id=0)
+    stats = wh.apply_ttl_group_by(
+        t, dt.datetime(2026, 1, 15), group_by=["user_id", "event_type"],
+        aggregates={"value": "sum(value)", "ts": "max(ts)",
+                    "event_id": "min(event_id)"},
+        ttl_col="ts",
+    )
+    assert stats == {"rows_before": 5, "rows_after": 4, "groups": 2}
+    rows = {
+        (r.user_id, r.event_type, r.event_id): r.value
+        for r in wh.read(t).collect()
+    }
+    # the two old (10, a) rows collapsed, keeping min id + summed value
+    assert rows[(10, "a", 1)] == 3.0
+    assert rows[(10, "b", 3)] == 4.0
+    # live rows untouched
+    assert rows[(20, "a", 4)] == 8.0 and rows[(10, "a", 5)] == 16.0
+    # value total conserved
+    assert abs(sum(rows.values()) - 31.0) < 1e-9
+    kinds = [r["kind"] for r in wh.mutations(t).collect()]
+    assert "ttl_group_by" in kinds
