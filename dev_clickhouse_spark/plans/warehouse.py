@@ -1796,6 +1796,26 @@ class Warehouse:
         return {"partitions_dropped": dropped,
                 "rows_deleted": res["rows_deleted"]}
 
+    def read_final(
+        self,
+        table: str,
+        keys: list[str],
+        version_col: str,
+        tiebreak: list[str] | None = None,
+    ) -> DataFrame:
+        """``SELECT … FINAL`` on a Replacing-semantics table: collapse to
+        the latest version per key ACROSS parts at read time, without
+        waiting for a merge (``OPTIMIZE FINAL DEDUPLICATE`` is the
+        materializing twin).  One shuffle on the key — the same cost CH
+        pays for FINAL's read-time merge, and at 100 TB the same advice
+        applies: serve hot paths from merged/deduped tables and reserve
+        FINAL for correctness-critical reads."""
+        from ..operators.dedupe import replacing_dedupe
+
+        return replacing_dedupe(
+            self.read(table), keys, version_col, tiebreak=tiebreak
+        )
+
     def apply_ttl_group_by(
         self,
         table: str,

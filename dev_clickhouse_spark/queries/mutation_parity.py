@@ -405,3 +405,57 @@ def ttl_group_by_rollup_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             rnd(F.max("value"), 2).alias("max_value"),
         )
     )
+
+
+@register(
+    "final_read_replacing",
+    oracle="""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS cnt,
+       floor(CAST(sum(CAST(
+           CASE WHEN event_type = 'purchase' THEN "value" * 3
+                ELSE "value" END AS DECIMAL(27,4))) AS DOUBLE)
+             * 100 + 0.5) / 100 AS sum_value
+FROM events
+GROUP BY event_type
+""",
+    tags=["clickhouse-parity", "replacing-final"],
+)
+def final_read_replacing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``SELECT … FINAL`` (``Warehouse.read_final``): a scratch
+    Replacing-semantics table gets the base events in part 0 and UPDATED
+    versions of every purchase row (ts +1000 days, value ×3) in part 1 —
+    duplicates straddle parts, exactly the situation FINAL exists for.
+    The FINAL read collapses to the newest version per event_id at read
+    time, no merge; the oracle computes the post-collapse table
+    declaratively (purchases carry the updated value, counts unchanged
+    because FINAL never duplicates)."""
+    ev = load_table(spark, sf_dir, "events")
+    scratch = os.path.join(
+        tempfile.gettempdir(),
+        "dcs_final_read_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10],
+    )
+    shutil.rmtree(scratch, ignore_errors=True)
+    wh = Warehouse(spark, scratch)
+    t = "repl_events"
+    wh.save_schema_override(t, ev.schema)
+    wh.append(t, ev, batch_id=0)
+    updated = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        (F.col("ts") + F.expr("INTERVAL 1000 DAYS")).alias("ts"),
+        "user_id", "event_type",
+        (F.col("value") * 3).alias("value"),
+        "props",
+    )
+    wh.append(t, updated, batch_id=1)
+    return (
+        wh.read_final(t, keys=["event_id"], version_col="ts")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            rnd(
+                F.sum(F.col("value").cast("decimal(27,4)")).cast("double"),
+                2,
+            ).alias("sum_value"),
+        )
+    )
