@@ -178,3 +178,49 @@ def write_partitioned(
     if sort_within_partitions:
         df = df.sortWithinPartitions(*sort_within_partitions)
     df.write.mode(mode).partitionBy(*cols).parquet(path)
+
+
+#: ClickHouse input-format names → Spark reader recipes.  The serving layer
+#: RENDERS these formats out (serving.py FORMAT clauses); this is the
+#: ingestion half — every reference deployment loads CSV/TSV/JSONEachRow
+#: exports through clickhouse-client --format, and a migrating user feeds
+#: the same files here.  Native/Parquet map 1:1.
+_CH_INPUT_FORMATS = {
+    "jsoneachrow": {"reader": "json", "options": {}},
+    "csv": {"reader": "csv", "options": {"header": "false"}},
+    "csvwithnames": {"reader": "csv", "options": {"header": "true"}},
+    "tsv": {"reader": "csv", "options": {"header": "false", "sep": "\t"}},
+    "tsvwithnames": {
+        "reader": "csv", "options": {"header": "true", "sep": "\t"}
+    },
+    "parquet": {"reader": "parquet", "options": {}},
+}
+
+
+def read_ch_format(
+    spark: SparkSession,
+    path: str,
+    fmt: str,
+    schema=None,
+) -> DataFrame:
+    """Read a file in a ClickHouse wire/input format (``INSERT … FORMAT
+    X`` / ``clickhouse-client --format X``).  A declared ``schema`` is
+    authoritative when given (headerless CSV/TSV NEED one — CH also
+    requires the table schema there); JSONEachRow/withNames variants can
+    infer but production loads should pin the schema so a malformed file
+    fails loudly instead of adopting a wrong inference."""
+    key = fmt.strip().lower()
+    if key not in _CH_INPUT_FORMATS:
+        raise ValueError(
+            f"unsupported input format {fmt!r} "
+            f"(supported: {sorted(_CH_INPUT_FORMATS)})"
+        )
+    spec = _CH_INPUT_FORMATS[key]
+    reader = spark.read.options(**spec["options"])
+    if schema is not None:
+        reader = reader.schema(schema)
+    elif spec["reader"] == "csv" and spec["options"]["header"] == "false":
+        raise ValueError(
+            f"format {fmt!r} is headerless — a schema is required"
+        )
+    return getattr(reader, spec["reader"])(path)

@@ -1796,6 +1796,42 @@ class Warehouse:
         return {"partitions_dropped": dropped,
                 "rows_deleted": res["rows_deleted"]}
 
+    def show_create_table(self, table: str) -> str:
+        """``SHOW CREATE TABLE`` analog: render the table's effective
+        declaration — columns (with DEFAULT/MATERIALIZED/ALIAS kinds),
+        PARTITION BY / ORDER BY, codec, and layout — as a CH-flavored DDL
+        string.  Pure metadata; no data scan."""
+        schema = self.schema_for(table)
+        computed = self.computed_columns(table)
+        lines = []
+        for f in schema.fields:
+            lines.append(f"  `{f.name}` {f.dataType.simpleString()}")
+        for name, meta in computed.items():
+            if meta["kind"] == "alias" or not any(
+                f.name == name for f in schema.fields
+            ):
+                entry = f"  `{name}` {meta['type']}"
+            else:
+                # stored kinds already render above — annotate in place
+                idx = [
+                    i for i, f in enumerate(schema.fields) if f.name == name
+                ][0]
+                lines[idx] += f" {meta['kind'].upper()} {meta['expr']}"
+                continue
+            lines.append(f"{entry} {meta['kind'].upper()} {meta['expr']}")
+        ddl = [f"CREATE TABLE {table} (", ",\n".join(lines), ")"]
+        sort = self._sort_key(table)
+        engine = "MergeTree (manifest parquet)" if (
+            self.load_manifest(table) is not None
+        ) else "MergeTree (parquet)"
+        ddl.append(f"ENGINE = {engine}")
+        if sort is not None:
+            ddl.append("PARTITION BY event_date")
+            ddl.append(f"ORDER BY ({', '.join(sort)})")
+        if self.codec:
+            ddl.append(f"SETTINGS codec = '{self.codec}'")
+        return "\n".join(ddl)
+
     def read_final(
         self,
         table: str,
