@@ -474,7 +474,11 @@ class Warehouse:
                 f"members {missing}; compact with retain_old=True to keep "
                 "snapshots reconstructible"
             )
-        return self._read_members(table, man["members"])
+        # computed columns apply to snapshots too — ALIAS/back-fill are
+        # read-time semantics, not part of the stored member set
+        return self._apply_computed_read(
+            table, self._read_members(table, man["members"])
+        )
 
     def _read_members(
         self, table: str, members: list[str], keep_dv_tag: bool = False

@@ -294,3 +294,21 @@ def test_computed_column_validation(spark, tmp_path):
         mig.add_computed_column(
             "dim_tag", "ok", T.StringType(), "tag_value", kind="alias"
         )
+
+
+def test_computed_columns_apply_to_snapshots(spark, tmp_path):
+    """read_at_version serves ALIAS/back-fill too — computed columns are
+    read-time semantics, not members."""
+    wh = _wh(spark, tmp_path)
+    df = spark.createDataFrame(
+        [(1, "alpha", _TS)], wh.schema_for("dim_tag")
+    )
+    wh.save_schema_override("snap_tag", df.schema)
+    wh.append("snap_tag", df, batch_id=0)
+    v = wh.load_manifest("snap_tag")["version"]
+    SchemaMigrator(wh).add_computed_column(
+        "snap_tag", "tag_head", T.StringType(), "substring(tag_value,1,2)",
+        kind="alias",
+    )
+    snap = wh.read_at_version("snap_tag", v)
+    assert snap.collect()[0]["tag_head"] == "al"
