@@ -256,7 +256,12 @@ def test_default_column_kinds(spark, tmp_path):
     assert rows[3].tag_upper == "GAMMA"
 
     # ALIAS: not stored in any parquet footer, insert refused
-    stored_cols = set(spark.read.parquet(wh.path("dim_tag")).columns)
+    # (mergeSchema: plain inference adopts ONE file's footer and the
+    # pre-ALTER file would hide the stored computed column)
+    stored_cols = set(
+        spark.read.option("mergeSchema", "true")
+        .parquet(wh.path("dim_tag")).columns
+    )
     assert "tag_head" not in stored_cols
     assert "tag_len" in stored_cols
     with pytest.raises(ValueError, match="ALIAS"):
