@@ -302,3 +302,79 @@ def array_structure_user_values(
         F.array_join(enum, ",").alias("enum_str"),
         F.array_join(zipped, ",").alias("zip_str"),
     )
+
+
+@register(
+    "ipv6_canonicalization_parity",
+    oracle="""
+WITH u AS (SELECT DISTINCT user_id FROM events),
+oct AS (
+  SELECT user_id,
+         user_id % 256 AS b,
+         (user_id // 256) % 256 AS c,
+         (user_id * 7) % 256 AS d
+  FROM u
+),
+canon AS (
+  SELECT user_id,
+         '::ffff:10.' || b || '.' || c || '.' || d AS expected
+  FROM oct
+)
+SELECT CAST(count(*) AS BIGINT) AS n_ips,
+       CAST(count(*) AS BIGINT) AS n_match,
+       min(expected) AS min_canon,
+       max(expected) AS max_canon
+FROM canon
+""",
+    tags=["clickhouse-parity", "ip-functions"],
+)
+def ipv6_canonicalization_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``toIPv6OrNull`` canonicalization (functions/ip.py::to_ipv6_or_null)
+    gated cross-engine: per distinct user, the SAME v4-mapped address is
+    written two ways — dotted quad ``10.b.c.d`` and the uppercase
+    full-group hex form ``0:0:0:0:0:FFFF:xxxx:xxxx`` — and both must
+    canonicalize to the identical RFC 5952 string the oracle constructs
+    arithmetically (``::ffff:10.b.c.d``).  ``n_match`` counts rows where
+    BOTH notations agree with each other; the min/max canonical strings
+    pin the rendering.  The deeper hex/compression property space is
+    covered by the ipaddress-module property tests."""
+    from ..functions.ip import to_ipv6_or_null
+
+    ev = load_table(spark, sf_dir, "events")
+    oct_ = ev.select("user_id").distinct().select(
+        "user_id",
+        (F.col("user_id") % 256).alias("b"),
+        ((F.col("user_id") / 256).cast("long") % 256).alias("c"),
+        ((F.col("user_id") * 7) % 256).alias("d"),
+    )
+    both = oct_.select(
+        "user_id",
+        F.concat_ws(
+            ".", F.lit("10"), F.col("b").cast("string"),
+            F.col("c").cast("string"), F.col("d").cast("string"),
+        ).alias("quad"),
+        F.concat(
+            F.lit("0:0:0:0:0:FFFF:"),
+            F.upper(F.format_string(
+                "%x", (F.lit(10) * 256 + F.col("b")).cast("int")
+            )),
+            F.lit(":"),
+            F.upper(F.format_string(
+                "%x", (F.col("c") * 256 + F.col("d")).cast("int")
+            )),
+        ).alias("longform"),
+    )
+    canon = both.select(
+        to_ipv6_or_null("quad").alias("cq"),
+        to_ipv6_or_null("longform").alias("cl"),
+    )
+    return canon.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n_ips"),
+        F.sum(
+            F.when(
+                F.col("cq").isNotNull() & (F.col("cq") == F.col("cl")), 1
+            ).otherwise(0)
+        ).cast("long").alias("n_match"),
+        F.min("cq").alias("min_canon"),
+        F.max("cq").alias("max_canon"),
+    )
