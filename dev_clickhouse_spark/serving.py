@@ -43,7 +43,8 @@ _JOB_GROUP_SEQ = itertools.count()
 #: ClickHouse-HTTP output formats the endpoint renders (the subset a BI /
 #: export consumer actually requests over the reference's port-8123 link)
 _FORMATS = (
-    "JSON", "JSONEachRow", "CSV", "CSVWithNames", "TSV", "TSVWithNames",
+    "JSON", "JSONEachRow", "JSONCompact", "CSV", "CSVWithNames",
+    "TSV", "TSVWithNames", "Vertical",
 )
 _FORMAT_RE = re.compile(r"\bFORMAT\s+(\w+)\s*$", re.IGNORECASE)
 #: trailing `SETTINGS k = v, …` clause (ClickHouse grammar places it after
@@ -111,6 +112,28 @@ def _render(fmt: str, columns: list[str], rows: list[list]) -> tuple[bytes, str]
             for r in rows
         )
         return body.encode("utf-8"), "application/x-ndjson"
+    if fmt == "JSONCompact":
+        body = json.dumps(
+            {
+                "meta": [{"name": c} for c in columns],
+                "data": [list(r) for r in rows],
+                "rows": len(rows),
+            },
+            default=str,
+        )
+        return body.encode("utf-8"), "application/json"
+    if fmt == "Vertical":
+        width = max((len(c) for c in columns), default=0)
+        blocks = []
+        for i, r in enumerate(rows, 1):
+            lines_ = [f"Row {i}:", "─" * 8]
+            lines_ += [
+                f"{c.rjust(width)}: {'' if v is None else v}"
+                for c, v in zip(columns, r)
+            ]
+            blocks.append("\n".join(lines_))
+        body = "\n\n".join(blocks) + ("\n" if blocks else "")
+        return body.encode("utf-8"), "text/plain; charset=utf-8"
     sep = "," if fmt.startswith("CSV") else "\t"
     lines = []
     if fmt.endswith("WithNames"):
@@ -864,9 +887,20 @@ class SqlServingEndpoint:
                     except Exception as e:  # analysis/execution errors
                         result["error"] = str(e)[:2000]
 
+                # SETTINGS max_execution_time tightens (never widens) the
+                # endpoint timeout for THIS request — the CH per-query knob
+                timeout = endpoint.timeout_sec
+                try:
+                    _bare, peek = endpoint.split_settings(sql)
+                    if "max_execution_time" in peek:
+                        timeout = min(
+                            timeout, float(peek["max_execution_time"])
+                        )
+                except Exception:
+                    pass
                 t = threading.Thread(target=run, daemon=True)
                 t.start()
-                t.join(endpoint.timeout_sec)
+                t.join(timeout)
                 if t.is_alive():
                     # a 504 must RELEASE the cluster, not just the socket —
                     # cancel the tagged jobs so slow queries can't pile up

@@ -709,3 +709,44 @@ def _get_path(port: int, path: str):
     req = urllib.request.Request(f"http://127.0.0.1:{port}{path}")
     with urllib.request.urlopen(req, timeout=30) as resp:
         return resp.status, json.loads(resp.read())
+
+
+def test_jsoncompact_and_vertical_formats(endpoint):
+    ep, port = endpoint
+    status, ctype, body = _get_raw(port, {
+        "q": "SELECT region, sum(revenue) AS rev FROM gold_revenue "
+             "GROUP BY region ORDER BY region FORMAT JSONCompact",
+    })
+    assert status == 200 and ctype.startswith("application/json")
+    parsed = json.loads(body)
+    assert [m["name"] for m in parsed["meta"]] == ["region", "rev"]
+    assert parsed["data"] == [["EU", 15.0], ["US", 7.5]]
+    status, ctype, body = _get_raw(port, {
+        "q": "SELECT region FROM gold_revenue ORDER BY region LIMIT 1 "
+             "FORMAT Vertical",
+    })
+    assert status == 200 and ctype.startswith("text/plain")
+    assert "Row 1:" in body.decode() and "region: EU" in body.decode()
+
+
+def test_max_execution_time_setting_times_out(spark, tmp_path):
+    import time
+
+    spark.range(0, 8).coalesce(4).write.parquet(str(tmp_path / "g"))
+    ep = SqlServingEndpoint(
+        spark, {"g": str(tmp_path / "g")}, timeout_sec=60.0
+    )
+    port = ep.start()
+    try:
+        slow = (
+            "SELECT count(s) AS n FROM (SELECT java_method("
+            "'java.lang.Thread', 'sleep', 2000L) AS s FROM g) "
+            "SETTINGS max_execution_time = 1"
+        )
+        t0 = time.monotonic()
+        status, _body = _get(port, slow)
+        took = time.monotonic() - t0
+        assert status in (504, 400)
+        assert took < 30  # the 60s endpoint ceiling did NOT apply
+    finally:
+        ep.stop()
