@@ -246,9 +246,10 @@ def _ordered():
     pivot-era families VERDICT r9 #8 names).  So the window leads with
     (0) queries whose OUTPUT SCHEMA changed this round — the codec
     census grew a metadata level — plus anything newly added (never
-    checked), then (1) the r6-era stalest greens, then r7, r8, and the
-    freshest r9 rows last.  Max driver-row staleness after this window:
-    4 rounds.  tools/check_correctness.py still oracle-checks everything
+    checked; 11 new oracle queries this round), then (1) the r6-era
+    stalest greens, then r7, r8, and the freshest r9 rows last.  The
+    round-10 window is exactly 12 class-0 + all 37 r6-era rows + 1 r7
+    row.  tools/check_correctness.py still oracle-checks everything
     each round regardless of the driver's window."""
     from dev_clickhouse_spark.queries import REGISTRY
 
