@@ -80,6 +80,12 @@ def recursive_cte_part_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
         state, node_col="node", ptr_col="ptr",
         sum_cols=["s_cents", "c"], max_depth=max_depth,
     )
+    # WITH RECURSIVE emits a terminal row only for walks that actually
+    # reach the root: a node whose parent key is absent from the table
+    # (possible under partial/sharded key spaces) never terminates in the
+    # oracle and must not surface here either — its fold leaves ptr
+    # non-null, so the filter is exactly that contract
+    folded = folded.filter(F.col("ptr").isNull())
     return (
         folded.groupBy((F.col("c") - 1).cast("int").alias("depth"))
         .agg(
