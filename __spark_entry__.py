@@ -246,11 +246,12 @@ def _ordered():
     pivot-era families VERDICT r9 #8 names).  So the window leads with
     (0) queries whose OUTPUT SCHEMA changed this round — the codec
     census grew a metadata level — plus anything newly added (never
-    checked; 11 new oracle queries this round), then (1) the r6-era
+    checked; 12 new oracle queries this round), then (1) the r6-era
     stalest greens, then r7, r8, and the freshest r9 rows last.  The
-    round-10 window is exactly 12 class-0 + all 37 r6-era rows + 1 r7
-    row.  tools/check_correctness.py still oracle-checks everything
-    each round regardless of the driver's window."""
+    round-10 window is exactly full: 13 class-0 (census re-lead + the 12
+    round-10 queries) + all 37 r6-era rows.  tools/check_correctness.py
+    still oracle-checks everything each round regardless of the
+    driver's window."""
     from dev_clickhouse_spark.queries import REGISTRY
 
     ever = (
