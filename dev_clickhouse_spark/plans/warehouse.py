@@ -1856,6 +1856,62 @@ class Warehouse:
             self.read(table), keys, version_col, tiebreak=tiebreak
         )
 
+    def read_summed(
+        self,
+        table: str,
+        keys: list[str],
+        sum_cols: list[str],
+        order_col: str | None = None,
+    ) -> DataFrame:
+        """``SummingMergeTree`` read semantics: collapse to one row per
+        sort key with ``sum_cols`` summed; every other column takes the
+        value of the first row in ``order_col`` order (CH keeps an
+        arbitrary one — we pin it; defaults to the first key).  Like
+        :meth:`read_final` this is the read-time merge — partial states
+        in different parts stay correct without waiting for compaction.
+        One shuffle on the key."""
+        df = self.read(table)
+        order_col = order_col or keys[0]
+        others = [
+            c for c in df.columns if c not in keys and c not in sum_cols
+        ]
+        aggs = [F.sum(c).alias(c) for c in sum_cols] + [
+            F.min_by(c, order_col).alias(c) for c in others
+        ]
+        return df.groupBy(*keys).agg(*aggs).select(*df.columns)
+
+    def read_collapsed(
+        self,
+        table: str,
+        keys: list[str],
+        sign_col: str,
+        version_col: str | None = None,
+    ) -> DataFrame:
+        """``CollapsingMergeTree(sign)`` / ``VersionedCollapsingMergeTree
+        (sign, version)`` read semantics: per sort key, +1 ("state") and
+        −1 ("cancel") rows annihilate pairwise; a key whose signs net to
+        zero disappears, a key with a surviving +1 serves its LATEST
+        state row (by ``version_col`` when given, else arrival order is
+        undefined in CH — we require a version for determinism on
+        multi-row keys).  This is the mutable-state-via-immutable-inserts
+        idiom (the CH way to "update" at ingest rates); the read is one
+        key shuffle."""
+        df = self.read(table)
+        order = (
+            [F.col(version_col).desc()] if version_col is not None else []
+        ) + [F.col(sign_col).desc()]
+        w = Window.partitionBy(*keys).orderBy(*order)
+        return (
+            df.withColumn(
+                "__net", F.sum(sign_col).over(Window.partitionBy(*keys))
+            )
+            .filter(F.col("__net") > 0)
+            .filter(F.col(sign_col) > 0)
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__net", "__rn")
+        )
+
     def apply_ttl_group_by(
         self,
         table: str,

@@ -459,3 +459,126 @@ def final_read_replacing(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sum_value"),
         )
     )
+
+
+@register(
+    "summing_read_merge",
+    oracle="""
+WITH s AS (
+  SELECT user_id, event_type,
+         CAST(sum(CAST("value" AS DECIMAL(27,4))) AS DOUBLE) AS v,
+         min(event_id) AS picked
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_keys,
+       floor(CAST(sum(CAST(v AS DECIMAL(27,4))) AS DOUBLE) * 100 + 0.5)
+         / 100 AS total_value,
+       CAST(sum(picked) AS BIGINT) AS sum_picked_ids
+FROM s GROUP BY event_type
+""",
+    tags=["clickhouse-parity", "mergetree-engines"],
+)
+def summing_read_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``SummingMergeTree`` read semantics (``Warehouse.read_summed``):
+    a scratch table holds the raw events in TWO parts; the summed read
+    collapses to one row per (user_id, event_type) with ``value`` summed
+    across parts and the non-summed columns pinned to the lowest-
+    event_id row (CH keeps an arbitrary one; we pin for determinism).
+    The oracle computes the same collapse declaratively — a key counted
+    twice (cross-part merge missed) or a wrong pick flips the hash."""
+    ev = load_table(spark, sf_dir, "events")
+    scratch = os.path.join(
+        tempfile.gettempdir(),
+        "dcs_summing_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10],
+    )
+    shutil.rmtree(scratch, ignore_errors=True)
+    wh = Warehouse(spark, scratch)
+    t = "sum_events"
+    wh.save_schema_override(t, ev.schema)
+    wh.append(t, ev.filter(F.col("event_id") % 2 == 0), batch_id=0)
+    wh.append(t, ev.filter(F.col("event_id") % 2 == 1), batch_id=1)
+    summed = wh.read_summed(
+        t, keys=["user_id", "event_type"], sum_cols=["value"],
+        order_col="event_id",
+    )
+    return (
+        summed.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+            rnd(
+                F.sum(F.col("value").cast("decimal(27,4)")).cast("double"),
+                2,
+            ).alias("total_value"),
+            F.sum("event_id").cast("long").alias("sum_picked_ids"),
+        )
+    )
+
+
+@register(
+    "collapsing_read_net",
+    oracle="""
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       floor(CAST(sum(CAST(
+           CASE WHEN event_id % 3 = 1 THEN "value" * 2
+                ELSE "value" END AS DECIMAL(27,4))) AS DOUBLE)
+             * 100 + 0.5) / 100 AS sum_value
+FROM events
+WHERE event_type = 'purchase' AND event_id % 3 <> 0
+""",
+    tags=["clickhouse-parity", "mergetree-engines"],
+)
+def collapsing_read_net(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``VersionedCollapsingMergeTree(sign, version)`` read semantics
+    (``Warehouse.read_collapsed``): purchases land as +1 state rows;
+    a second part DELETES one third of them (a matching −1 cancel) and
+    UPDATES another third (−1 cancel of the old state + a +1 v2 row at
+    double value — the CH mutable-state-via-immutable-inserts idiom).
+    The collapsed read nets signs per key: cancelled keys vanish,
+    updated keys serve the v2 row, untouched keys the original.  The
+    oracle states the surviving set declaratively."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    base = ev.select(
+        "event_id", "value",
+        F.lit(1).cast("int").alias("sign"),
+        F.lit(1).cast("int").alias("ver"),
+    )
+    cancels = base.filter(F.col("event_id") % 3 == 0).select(
+        "event_id", "value",
+        F.lit(-1).cast("int").alias("sign"),
+        F.lit(1).cast("int").alias("ver"),
+    )
+    upd_cancel = base.filter(F.col("event_id") % 3 == 1).select(
+        "event_id", "value",
+        F.lit(-1).cast("int").alias("sign"),
+        F.lit(1).cast("int").alias("ver"),
+    )
+    upd_state = base.filter(F.col("event_id") % 3 == 1).select(
+        "event_id", (F.col("value") * 2).alias("value"),
+        F.lit(1).cast("int").alias("sign"),
+        F.lit(2).cast("int").alias("ver"),
+    )
+    scratch = os.path.join(
+        tempfile.gettempdir(),
+        "dcs_collapsing_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10],
+    )
+    shutil.rmtree(scratch, ignore_errors=True)
+    wh = Warehouse(spark, scratch)
+    t = "col_events"
+    wh.save_schema_override(t, base.schema)
+    wh.append(t, base, batch_id=0)
+    wh.append(
+        t, cancels.unionByName(upd_cancel).unionByName(upd_state),
+        batch_id=1,
+    )
+    net = wh.read_collapsed(
+        t, keys=["event_id"], sign_col="sign", version_col="ver"
+    )
+    return net.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        rnd(
+            F.sum(F.col("value").cast("decimal(27,4)")).cast("double"), 2
+        ).alias("sum_value"),
+    )

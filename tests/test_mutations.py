@@ -482,3 +482,45 @@ def test_ttl_group_by_rollup(spark, tmp_path):
     assert abs(sum(rows.values()) - 31.0) < 1e-9
     kinds = [r["kind"] for r in wh.mutations(t).collect()]
     assert "ttl_group_by" in kinds
+
+
+def test_summing_and_collapsing_reads(spark, tmp_path):
+    """SummingMergeTree / VersionedCollapsingMergeTree read semantics on
+    tiny hand-checked parts."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from dev_clickhouse_spark.plans.warehouse import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    s = spark.createDataFrame(
+        [(1, "a", 1.0, 100), (1, "a", 2.0, 101), (2, "b", 5.0, 102)],
+        "k long, g string, v double, other long",
+    )
+    wh.save_schema_override("sm", s.schema)
+    wh.append("sm", s.filter(F.col("other") == 100), batch_id=0)
+    wh.append("sm", s.filter(F.col("other") > 100), batch_id=1)
+    got = {
+        (r.k, r.g): (r.v, r.other)
+        for r in wh.read_summed(
+            "sm", keys=["k", "g"], sum_cols=["v"], order_col="other"
+        ).collect()
+    }
+    assert got == {(1, "a"): (3.0, 100), (2, "b"): (5.0, 102)}
+
+    c = spark.createDataFrame(
+        [
+            (1, 10.0, 1, 1),             # survives untouched
+            (2, 20.0, 1, 1), (2, 20.0, -1, 1),  # cancelled
+            (3, 30.0, 1, 1), (3, 30.0, -1, 1), (3, 99.0, 1, 2),  # updated
+        ],
+        "k long, v double, sign int, ver int",
+    )
+    wh.save_schema_override("cl", c.schema)
+    wh.append("cl", c, batch_id=0)
+    got = {
+        r.k: r.v
+        for r in wh.read_collapsed(
+            "cl", keys=["k"], sign_col="sign", version_col="ver"
+        ).collect()
+    }
+    assert got == {1: 10.0, 3: 99.0}
