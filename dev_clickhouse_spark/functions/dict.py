@@ -70,6 +70,56 @@ class SparkDictionary:
         )
         self.n_keys = len(keys)
 
+    def set_hierarchy(self, parent_col_map: dict) -> None:
+        """Declare the dictionary HIERARCHICAL (CH layout ``hierarchical:
+        true``): ``parent_col_map`` maps key → parent key; a key absent
+        from the map (or mapping to NULL) is a root.  Cycle-checked and
+        depth-measured at build time so the in-plan walk can be unrolled
+        to exactly the hierarchy's depth."""
+        depth = 0
+        for k in parent_col_map:
+            seen = set()
+            cur, d = k, 0
+            while cur is not None and cur in parent_col_map:
+                if cur in seen:
+                    raise ValueError(
+                        f"hierarchy cycle through key {cur!r}"
+                    )
+                seen.add(cur)
+                cur = parent_col_map[cur]
+                d += 1
+            depth = max(depth, d)
+        pairs = [
+            (k, v) for k, v in parent_col_map.items()
+            if k is not None and v is not None
+        ]
+        self._parent = F.create_map(
+            *[F.lit(x) for x in chain.from_iterable(pairs)]
+        )
+        self._depth = depth
+
+    def get_hierarchy(self, key) -> Column:
+        """``dictGetHierarchy``: the array ``[key, parent, …, root]`` —
+        an UNROLLED chain of in-plan map lookups (depth measured at
+        build), trailing NULLs filtered, entirely inside whole-stage
+        codegen.  A key unknown to the dictionary yields ``[key]``."""
+        key = F.col(key) if isinstance(key, str) else key
+        steps = [key]
+        cur = key
+        for _ in range(self._depth):
+            cur = F.element_at(self._parent, cur)
+            steps.append(cur)
+        return F.filter(F.array(*steps), lambda x: x.isNotNull())
+
+    def is_in(self, child, ancestor) -> Column:
+        """``dictIsIn``: whether ``ancestor`` appears in ``child``'s
+        hierarchy chain (including child itself, the CH contract)."""
+        ancestor = (
+            F.col(ancestor) if isinstance(ancestor, str) else F.lit(ancestor)
+            if not isinstance(ancestor, Column) else ancestor
+        )
+        return F.array_contains(self.get_hierarchy(child), ancestor)
+
     def get(self, attr: str, key) -> Column:
         """``dictGet``: the attribute for ``key``, NULL when absent."""
         key = F.col(key) if isinstance(key, str) else key

@@ -974,3 +974,68 @@ def bitmap_segment_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("na") - F.col("and_card")).alias("andnot_card"),
         rnd(F.col("and_card") / or_card, 6).alias("jaccard"),
     )
+
+
+@register(
+    "dict_hierarchy_nation_chain",
+    oracle="""
+WITH RECURSIVE walk AS (
+  SELECT n_nationkey AS node, n_nationkey AS cur,
+         CAST(n_nationkey AS BIGINT) AS s, 1 AS c,
+         CASE WHEN n_nationkey = 1 THEN 1 ELSE 0 END AS has1
+  FROM nation
+  UNION ALL
+  SELECT w.node, (w.cur - 1) // 2,
+         w.s + (w.cur - 1) // 2, w.c + 1,
+         CASE WHEN (w.cur - 1) // 2 = 1 THEN 1 ELSE w.has1 END
+  FROM walk w WHERE w.cur > 0
+),
+chains AS (SELECT node, s, c, has1 FROM walk WHERE cur = 0)
+SELECT CAST(ch.c AS INT) AS chain_len,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(ch.s) AS BIGINT) AS sum_chain,
+       CAST(sum(ch.has1) AS BIGINT) AS n_under_1
+FROM customer cu JOIN chains ch ON ch.node = cu.c_nationkey
+GROUP BY 1 ORDER BY chain_len
+""",
+    tags=["clickhouse-parity", "dictionary", "iterative"],
+)
+def dict_hierarchy_nation_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dictGetHierarchy`` / ``dictIsIn`` over a HIERARCHICAL dictionary
+    (functions/dict.py): nations form a heap tree (parent(k) =
+    (k−1) div 2, root 0) declared as a parent map; every customer's
+    nation chain is resolved by UNROLLED in-plan map lookups — no join,
+    no recursion in the plan, whole-stage codegen end to end (the CH
+    hierarchical-dictionary contract).  The oracle walks the same tree
+    with a recursive CTE.  ``n_under_1`` gates ``dictIsIn(…, 1)``."""
+    from ..functions.dict import SparkDictionary
+
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    d = SparkDictionary(nation, "n_nationkey", ["n_name"])
+    parents = {
+        int(r["n_nationkey"]): (
+            (int(r["n_nationkey"]) - 1) // 2
+            if int(r["n_nationkey"]) > 0 else None
+        )
+        for r in nation.select("n_nationkey").collect()
+    }
+    d.set_hierarchy(parents)
+    chain = d.get_hierarchy(F.col("c_nationkey"))
+    enriched = cust.select(
+        F.size(chain).alias("chain_len"),
+        F.aggregate(
+            chain, F.lit(0).cast("long"),
+            lambda acc, x: acc + x.cast("long"),
+        ).alias("chain_sum"),
+        d.is_in(F.col("c_nationkey"), F.lit(1)).cast("int").alias("has1"),
+    )
+    return (
+        enriched.groupBy(F.col("chain_len").cast("int").alias("chain_len"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum("chain_sum").cast("long").alias("sum_chain"),
+            F.sum("has1").cast("long").alias("n_under_1"),
+        )
+        .orderBy("chain_len")
+    )
