@@ -50,3 +50,40 @@ def test_dict_skips_null_keys(spark):
     d = SparkDictionary(dim, "k", ["v"])
     probe = spark.createDataFrame([(2,)], "k long")
     assert probe.select(d.get("v", "k")).collect()[0][0] == "y"
+
+
+def test_hierarchical_dictionary(spark):
+    from pyspark.sql import functions as F
+
+    from dev_clickhouse_spark.functions.dict import SparkDictionary
+
+    dim = spark.createDataFrame(
+        [(1, "root"), (2, "a"), (3, "b"), (4, "leaf")], "k long, name string"
+    )
+    d = SparkDictionary(dim, "k", ["name"])
+    d.set_hierarchy({1: None, 2: 1, 3: 1, 4: 2})
+    df = spark.createDataFrame([(4,), (3,), (1,), (99,)], "k long")
+    got = {
+        r["k"]: (list(r["h"]), r["in1"], r["in3"])
+        for r in df.select(
+            "k",
+            d.get_hierarchy("k").alias("h"),
+            d.is_in("k", F.lit(1)).alias("in1"),
+            d.is_in("k", F.lit(3)).alias("in3"),
+        ).collect()
+    }
+    assert got[4] == ([4, 2, 1], True, False)
+    assert got[3] == ([3, 1], True, True)   # dictIsIn includes self
+    assert got[1] == ([1], True, False)
+    assert got[99] == ([99], False, False)  # unknown key: just itself
+
+
+def test_hierarchy_cycle_refused(spark):
+    import pytest as _pytest
+
+    from dev_clickhouse_spark.functions.dict import SparkDictionary
+
+    dim = spark.createDataFrame([(1, "x"), (2, "y")], "k long, name string")
+    d = SparkDictionary(dim, "k", ["name"])
+    with _pytest.raises(ValueError, match="cycle"):
+        d.set_hierarchy({1: 2, 2: 1})
