@@ -264,6 +264,10 @@ class SqlServingEndpoint:
         #: WHERE query_id = '…'`` can cancel the tagged Spark jobs
         self._processes: dict[str, dict] = {}
         self._processes_lock = threading.Lock()
+        #: ``system.metrics``/``system.events`` analog — monotonic
+        #: counters over the endpoint's lifetime
+        self._metrics = collections.Counter()
+        self._metrics_lock = threading.Lock()
         self._register_views(self.serving, role=None)
         self.view_names = sorted(views)
         self.max_rows = max_rows
@@ -696,6 +700,10 @@ class SqlServingEndpoint:
         finally:
             with self._processes_lock:
                 self._processes.pop(qid, None)
+            with self._metrics_lock:
+                self._metrics["queries"] += 1
+                self._metrics[f"queries_{status}"] += 1
+                self._metrics["result_rows"] += n_out
             self._log_query(
                 sql, role, status, n_out, time.monotonic() - t0
             )
@@ -718,6 +726,19 @@ class SqlServingEndpoint:
                 }
                 for qid, e in self._processes.items()
             ]
+
+    def metrics(self) -> dict:
+        """``system.metrics``/``system.events`` analog: monotonic
+        counters (total/ok/cached/denied/quota/error statement counts,
+        rows served) plus the query-cache gauges."""
+        with self._metrics_lock:
+            out = dict(self._metrics)
+        out.update(
+            {f"query_cache_{k}": v for k, v in self.query_cache_stats().items()}
+        )
+        with self._processes_lock:
+            out["running_queries"] = len(self._processes)
+        return out
 
     def kill_query(self, query_id: str) -> bool:
         """``KILL QUERY WHERE query_id = '…'``: cancel the Spark jobs
@@ -941,6 +962,9 @@ class SqlServingEndpoint:
                     return
                 if parsed.path == "/system/processes":
                     self._respond(200, {"entries": endpoint.processes()})
+                    return
+                if parsed.path == "/system/metrics":
+                    self._respond(200, endpoint.metrics())
                     return
                 if parsed.path != "/query":
                     self._respond(404, {"error": "use /query?q=<SQL>"})

@@ -750,3 +750,23 @@ def test_max_execution_time_setting_times_out(spark, tmp_path):
         assert took < 30  # the 60s endpoint ceiling did NOT apply
     finally:
         ep.stop()
+
+
+def test_system_metrics_counters(spark, tmp_path):
+    spark.range(3).write.parquet(str(tmp_path / "g"))
+    ep = SqlServingEndpoint(spark, {"g": str(tmp_path / "g")})
+    port = ep.start()
+    try:
+        _get(port, "SELECT count(*) AS n FROM g")
+        _get(port, "DROP TABLE g")          # denied
+        _get(port, "SELECT broken syntax")  # error
+        _get(port, "SELECT id FROM g SETTINGS use_query_cache = 1")
+        _get(port, "SELECT id FROM g SETTINGS use_query_cache = 1")  # hit
+        _s, m = _get_path(port, "/system/metrics")
+        assert m["queries"] == 5
+        assert m["queries_ok"] == 2 and m["queries_cached"] == 1
+        assert m["queries_denied"] == 1 and m["queries_error"] == 1
+        assert m["result_rows"] == 1 + 3 + 3
+        assert m["query_cache_hits"] == 1 and m["running_queries"] == 0
+    finally:
+        ep.stop()
