@@ -1189,3 +1189,27 @@ def limit_with_ties_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("quantity").desc())
     )
+
+
+@register(
+    "group_concat_user_types",
+    oracle="""
+SELECT user_id,
+       string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS types_csv
+FROM events GROUP BY user_id
+""",
+    tags=["clickhouse-parity", "A-aggregate"],
+)
+def group_concat_user_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse 24.x ``groupConcat(DISTINCT …, ',')`` parity: each
+    user's distinct event types as one sorted CSV string.  Spark:
+    ``collect_set`` → ``array_sort`` → ``array_join`` — the sort makes
+    the concatenation order-insensitive, which is also what makes it
+    cross-engine gateable (CH/DuckDB need the ORDER BY for the same
+    reason).  One data-sized group-by, set states merge map-side."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.array_join(
+            F.array_sort(F.collect_set("event_type")), ","
+        ).alias("types_csv")
+    )

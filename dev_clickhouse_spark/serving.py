@@ -806,6 +806,12 @@ class SqlServingEndpoint:
         deny = ("Command", "Insert", "Create", "Drop", "Alter", "Merge",
                 "Update", "Delete", "Truncate")
         simple = plan_cls.rsplit(".", 1)[-1]
+        # EXPLAIN parses to ExplainCommand but only ANALYZES its child —
+        # it is a read statement (CH serves it); the child itself still
+        # went through every lexical check above, and planning it cannot
+        # execute it
+        if simple == "ExplainCommand":
+            return
         if any(d in simple for d in deny):
             raise PermissionError(f"read-only endpoint: {simple} is not served")
 

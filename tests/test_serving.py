@@ -770,3 +770,15 @@ def test_system_metrics_counters(spark, tmp_path):
         assert m["query_cache_hits"] == 1 and m["running_queries"] == 0
     finally:
         ep.stop()
+
+
+def test_explain_statement_is_served(endpoint):
+    """EXPLAIN is a read statement (CH serves it): the endpoint returns
+    the plan text instead of refusing."""
+    _ep, port = endpoint
+    status, body = _get(
+        port, "EXPLAIN SELECT region FROM gold_revenue WHERE region = 'EU'"
+    )
+    assert status == 200
+    plan_text = json.dumps(body["rows"])
+    assert "Filter" in plan_text or "Scan" in plan_text
