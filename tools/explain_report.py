@@ -70,6 +70,12 @@ HEADLINE = [
     "semantic_cluster_kmeans",        # round 10: broadcast Lloyd assignment
     "semantic_dedup_within_clusters",  # round 10: cluster-scoped pair scan
     "except_intersect_all_users",     # round 10: multiset set-ops
+    "computed_column_kinds_read",     # round 10: DEFAULT/MATERIALIZED/ALIAS
+    "ttl_group_by_rollup_read",       # round 10: rollup TTL compact-fold
+    "final_read_replacing",           # round 10: FINAL read-time collapse
+    "summing_read_merge",             # round 10: SummingMergeTree read
+    "collapsing_read_net",            # round 10: sign-netting collapse
+    "dict_hierarchy_nation_chain",    # round 10: unrolled in-plan chain walk
 ]
 
 
