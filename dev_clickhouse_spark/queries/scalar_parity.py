@@ -30,6 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.ch_compat import round_half_up as rnd
 from ..io import load_table
 from .registry import register
 
@@ -377,4 +378,76 @@ def ipv6_canonicalization_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long").alias("n_match"),
         F.min("cq").alias("min_canon"),
         F.max("cq").alias("max_canon"),
+    )
+
+
+@register(
+    "iso_week_order_counts",
+    oracle="""
+SELECT CAST(isoyear(o_orderdate) AS INT) AS iso_year,
+       CAST(weekofyear(o_orderdate) AS INT) AS iso_week,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       floor(sum(o_totalprice) * 100 + 0.5) / 100 AS total_price
+FROM orders
+GROUP BY 1, 2 ORDER BY iso_year, iso_week
+""",
+    tags=["clickhouse-parity", "date-functions"],
+)
+def iso_week_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``toISOYear`` / ``toISOWeek`` parity: weekly order rollup on the
+    ISO-8601 calendar, where the year BOUNDARY weeks belong to the year
+    owning the Thursday — Dec 29 can be week 1 of the NEXT iso year and
+    Jan 1 week 52/53 of the previous, exactly the rows a non-ISO
+    year(d)+week(d) pairing would misbucket.  Spark's ``weekofyear`` is
+    ISO already; the ISO year comes from ``extract(YEAROFWEEK ...)``."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.expr("extract(YEAROFWEEK FROM o_orderdate)").cast("int")
+            .alias("iso_year"),
+            F.weekofyear("o_orderdate").cast("int").alias("iso_week"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            rnd(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .orderBy("iso_year", "iso_week")
+    )
+
+
+@register(
+    "regexp_extract_doc_stats",
+    oracle="""
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len(regexp_extract_all(text, '[0-9]+'))) AS BIGINT)
+         AS n_number_runs,
+       CAST(sum(len(regexp_extract_all(lower(text), '\\bthe\\b')))
+         AS BIGINT) AS n_the
+FROM documents
+GROUP BY source ORDER BY source
+""",
+    tags=["clickhouse-parity", "string-functions"],
+)
+def regexp_extract_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``countMatches`` / ``extractAll`` parity: per source, the total
+    number of digit runs and of the standalone token 'the' across the
+    corpus — both engines run the same RE2-subset patterns (`[0-9]+`,
+    `\\bthe\\b`) so the counts are exact.  Map-only + one aggregate;
+    the regex never leaves the JVM on the Spark side."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(
+                F.size(F.expr(r"regexp_extract_all(text, '[0-9]+', 0)"))
+            ).cast("long").alias("n_number_runs"),
+            F.sum(
+                F.size(F.expr(
+                    r"regexp_extract_all(lower(text), '\\bthe\\b', 0)"
+                ))
+            ).cast("long").alias("n_the"),
+        )
+        .orderBy("source")
     )
