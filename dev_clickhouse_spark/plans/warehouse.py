@@ -1856,6 +1856,51 @@ class Warehouse:
             self.read(table), keys, version_col, tiebreak=tiebreak
         )
 
+    def freeze_partition(self, table: str, date) -> str:
+        """``ALTER TABLE … FREEZE PARTITION`` — a hardlink snapshot of one
+        partition's live members into ``_shadow/<increment>/<table>/``
+        (the CH shadow/ layout): O(files) metadata work, zero data copy,
+        immune to subsequent mutations/compactions because those mint NEW
+        member files rather than rewriting linked ones.  Returns the
+        shadow directory.  Unlike :meth:`backup_table` this is partition-
+        scoped and overlay-free by design: live DV/patch overlays address
+        row positions, so a frozen partition with pending lightweight
+        mutations reflects the ON-DISK (pre-overlay) rows — the exact CH
+        FREEZE contract (mutations-in-flight are not applied to parts)."""
+        date_str = str(date)
+        shadow_root = os.path.join(self.root, "_shadow")
+        os.makedirs(shadow_root, exist_ok=True)
+        inc = 1 + max(
+            (int(d) for d in os.listdir(shadow_root) if d.isdigit()),
+            default=0,
+        )
+        dst_root = os.path.join(shadow_root, str(inc), table)
+        man = self.load_manifest(table)
+        members = man["members"] if man is not None else [""]
+        n_linked = 0
+        for m in members:
+            src = os.path.join(self.path(table), m, f"event_date={date_str}")
+            if not os.path.isdir(src):
+                continue
+            dst = os.path.join(dst_root, m or "flat",
+                               f"event_date={date_str}")
+            os.makedirs(dst, exist_ok=True)
+            for f in os.listdir(src):
+                s = os.path.join(src, f)
+                if os.path.isfile(s):
+                    try:
+                        os.link(s, os.path.join(dst, f))
+                    except OSError:
+                        shutil.copy2(s, os.path.join(dst, f))
+                    n_linked += 1
+        if n_linked == 0:
+            shutil.rmtree(os.path.join(shadow_root, str(inc)),
+                          ignore_errors=True)
+            raise ValueError(
+                f"no files for partition {date_str!r} of {table!r}"
+            )
+        return dst_root
+
     def read_summed(
         self,
         table: str,

@@ -625,3 +625,28 @@ def any_left_join_customer_order(
     return cust.join(
         one, cust.c_custkey == one.o_custkey, "left"
     ).select("c_custkey", "c_mktsegment", "any_orderkey", "any_total_cents")
+
+
+@register(
+    "limit_by_offset_events",
+    oracle="""
+SELECT user_id, event_id, event_type
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+WHERE rn > 1 AND rn <= 3
+""",
+    tags=["clickhouse-parity", "limit-by", "W2"],
+)
+def limit_by_offset_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``LIMIT 2 OFFSET 1 BY user_id`` — the offset form of the per-group
+    head clause (skip each user's newest event, take the next two).
+    Same single window shuffle as ``limit_by_recent_events``; only the
+    rank band changes, so WindowGroupLimit still bounds the sort."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") > 1) & (F.col("rn") <= 3))
+        .select("user_id", "event_id", "event_type")
+    )

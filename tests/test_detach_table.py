@@ -61,3 +61,39 @@ def test_detach_attach_refusals(spark, tmp_path):
     ))
     with pytest.raises(ValueError, match="live table"):
         wh.attach_table("dim_tag")
+
+
+def test_freeze_partition_snapshot(spark, tmp_path):
+    """FREEZE PARTITION: hardlink snapshot of one partition, immune to a
+    later mutation (which mints new members instead of rewriting)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    wh = _wh(spark, tmp_path)
+    df = spark.createDataFrame(
+        [(1, dt.datetime(2026, 1, 8, 9), 1.0),
+         (2, dt.datetime(2026, 1, 9, 9), 2.0)],
+        "event_id long, event_ts timestamp, value double",
+    )
+    wh.save_schema_override("fz", df.schema)
+    wh.set_partitioning("fz", ["event_ts", "event_id"])
+    wh.append("fz", df, batch_id=0)
+    shadow = wh.freeze_partition("fz", "2026-01-08")
+    files = [
+        os.path.join(r, f) for r, _d, fs in os.walk(shadow) for f in fs
+        if f.endswith(".parquet")
+    ]
+    assert files
+    frozen = spark.read.parquet(*[os.path.dirname(files[0])])
+    assert frozen.count() == 1
+    # a mutation after the freeze does not disturb the snapshot
+    wh.update_set("fz", {"value": "value * 10"}, "event_id = 1")
+    assert spark.read.parquet(os.path.dirname(files[0])).collect()[0][
+        "value"
+    ] == 1.0
+    assert {r.value for r in wh.read("fz").collect()} == {10.0, 2.0}
+    # freezing an absent partition refuses
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="no files"):
+        wh.freeze_partition("fz", "1999-01-01")
