@@ -1213,3 +1213,48 @@ def group_concat_user_types(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_sort(F.collect_set("event_type")), ","
         ).alias("types_csv")
     )
+
+
+@register(
+    "has_all_any_user_journeys",
+    oracle="""
+WITH j AS (
+  SELECT user_id, list(DISTINCT event_type) AS types
+  FROM events GROUP BY user_id
+)
+SELECT CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(CASE WHEN list_has_all(types, ['click', 'purchase'])
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel,
+       CAST(sum(CASE WHEN list_has_any(types, ['error', 'signup'])
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_edge_types,
+       CAST(sum(CASE WHEN NOT list_has_any(types, ['purchase'])
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_never_bought
+FROM j
+""",
+    tags=["clickhouse-parity", "array-functions"],
+)
+def has_all_any_user_journeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``hasAll(arr, needles)`` / ``hasAny(arr, needles)`` parity over
+    per-user event-type journeys: one collect_set shuffle, then the
+    containment predicates evaluate in-plan (``array_except`` emptiness
+    for hasAll, ``arrays_overlap`` for hasAny) — no second shuffle, no
+    explode."""
+    ev = load_table(spark, sf_dir, "events")
+    j = ev.groupBy("user_id").agg(
+        F.collect_set("event_type").alias("types")
+    )
+    has_all = F.size(
+        F.array_except(F.array(F.lit("click"), F.lit("purchase")), "types")
+    ) == 0
+    has_any_edge = F.arrays_overlap(
+        "types", F.array(F.lit("error"), F.lit("signup"))
+    )
+    never_bought = ~F.arrays_overlap(
+        "types", F.array(F.lit("purchase"))
+    )
+    return j.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum(has_all.cast("int")).cast("long").alias("n_full_funnel"),
+        F.sum(has_any_edge.cast("int")).cast("long").alias("n_edge_types"),
+        F.sum(never_bought.cast("int")).cast("long").alias("n_never_bought"),
+    )
