@@ -567,3 +567,81 @@ def timeseries_interpolate_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(interp, 4).alias("interp_value"),
         F.when(F.col("av").isNull(), 1).otherwise(0).cast("int").alias("filled"),
     )
+
+
+@register(
+    "funnel_strict_increase_counts",
+    oracle="""
+WITH u AS (SELECT DISTINCT user_id FROM events),
+v AS (SELECT user_id, ts AS v_ts FROM events WHERE event_type = 'view'),
+c AS (SELECT user_id, ts AS c_ts FROM events WHERE event_type = 'click'),
+p AS (SELECT user_id, ts AS p_ts FROM events WHERE event_type = 'purchase'),
+s2 AS (
+  SELECT v.user_id, v.v_ts, min(c.c_ts) AS c1
+  FROM v JOIN c ON v.user_id = c.user_id
+   AND c.c_ts > v.v_ts AND c.c_ts <= v.v_ts + INTERVAL 24 HOUR
+  GROUP BY v.user_id, v.v_ts
+),
+s3 AS (
+  SELECT s2.user_id
+  FROM s2 JOIN p ON s2.user_id = p.user_id
+   AND p.p_ts > s2.c1 AND p.p_ts <= s2.v_ts + INTERVAL 24 HOUR
+),
+lv AS (
+  SELECT user_id, 0 AS lvl FROM u
+  UNION ALL SELECT DISTINCT user_id, 1 FROM v
+  UNION ALL SELECT DISTINCT user_id, 2 FROM s2
+  UNION ALL SELECT DISTINCT user_id, 3 FROM s3
+)
+SELECT CAST(lvl AS INTEGER) AS funnel_level,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM (SELECT user_id, max(lvl) AS lvl FROM lv GROUP BY user_id)
+GROUP BY lvl
+""",
+    tags=["ch-window-funnel", "clickhouse-parity"],
+)
+def funnel_strict_increase_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``windowFunnel(24h, 'strict_increase')(ts, view, click, purchase)``:
+    each chain step must carry a STRICTLY greater timestamp than its
+    predecessor — simultaneous events (batch imports, second-granularity
+    clocks) cannot advance the chain, the CH tie-safety mode.  Identical
+    plan shape to the default funnel (user-keyed step joins, window as
+    residual); only the boundary comparisons tighten, so the two modes'
+    driver rows differ exactly on tie rows."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("v_ts"))
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"))
+    deadline = F.col("v_ts") + F.expr("INTERVAL 24 HOURS")
+    s2 = (
+        views.join(
+            clicks,
+            (F.col("user_id") == F.col("c_user"))
+            & (F.col("c_ts") > F.col("v_ts")) & (F.col("c_ts") <= deadline),
+        )
+        .groupBy("user_id", "v_ts")
+        .agg(F.min("c_ts").alias("c1"))
+    )
+    s3 = s2.join(
+        buys,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("c1")) & (F.col("p_ts") <= deadline),
+    ).select("user_id")
+    levels = (
+        ev.select("user_id").distinct().withColumn("lvl", F.lit(0))
+        .unionByName(
+            views.select("user_id").distinct().withColumn("lvl", F.lit(1)))
+        .unionByName(
+            s2.select("user_id").distinct().withColumn("lvl", F.lit(2)))
+        .unionByName(s3.distinct().withColumn("lvl", F.lit(3)))
+    )
+    return (
+        levels.groupBy("user_id").agg(F.max("lvl").alias("lvl"))
+        .groupBy(F.col("lvl").cast("int").alias("funnel_level"))
+        .agg(F.count("*").cast("long").alias("n_users"))
+    )
