@@ -377,3 +377,37 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         rnd(F.sum("x").cast("double") / F.count(F.lit(1)), 6).alias("centroid"),
     )
+
+
+@register(
+    "sample_offset_events_agg",
+    oracle="""
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_sampled,
+       floor(sum("value") * 100 + 0.5) / 100 AS sum_value
+FROM events
+WHERE ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))::BIGINT
+      % 10000 >= 5000
+  AND ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))::BIGINT
+      % 10000 < 6000
+GROUP BY event_type
+""",
+    tags=["clickhouse-parity", "sample"],
+)
+def sample_offset_events_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``SAMPLE 0.1 OFFSET 0.5`` parity: the same
+    deterministic 10% band, shifted to start at the 50% point of the
+    hash space — the clause that lets k parallel consumers each read a
+    DISJOINT sample (``OFFSET i/k``) with no coordination, because the
+    bands tile the keyspace.  Same map-side predicate discipline as
+    ``sample_clause_events_agg``; this band is disjoint from that row's
+    ``[0, 0.1)`` band by construction."""
+    ev = load_table(spark, sf_dir, "events")
+    b = hash_bucket("event_id")
+    return (
+        ev.filter((b >= 5000) & (b < 6000))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            rnd(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
