@@ -645,3 +645,102 @@ def funnel_strict_increase_counts(spark: SparkSession, sf_dir: str) -> DataFrame
         .groupBy(F.col("lvl").cast("int").alias("funnel_level"))
         .agg(F.count("*").cast("long").alias("n_users"))
     )
+
+
+@register(
+    "funnel_strict_dedup_counts",
+    oracle="""
+WITH vc AS (
+  SELECT user_id, ts, event_id, event_type,
+         lead(event_type) OVER w AS n1_type,
+         lead(ts)        OVER w AS n1_ts,
+         lead(event_id)  OVER w AS n1_id
+  FROM events WHERE event_type IN ('view', 'click')
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+cp AS (
+  SELECT user_id, event_id, 
+         lead(event_type) OVER w AS n2_type,
+         lead(ts)        OVER w AS n2_ts
+  FROM events WHERE event_type IN ('click', 'purchase')
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+l2 AS (
+  SELECT user_id, ts AS v_ts, n1_id AS c_id
+  FROM vc
+  WHERE event_type = 'view' AND n1_type = 'click'
+    AND n1_ts <= ts + INTERVAL 24 HOUR
+),
+l3 AS (
+  SELECT l2.user_id
+  FROM l2 JOIN cp ON cp.user_id = l2.user_id AND cp.event_id = l2.c_id
+  WHERE cp.n2_type = 'purchase' AND cp.n2_ts <= l2.v_ts + INTERVAL 24 HOUR
+),
+lv AS (
+  SELECT user_id, 0 AS lvl FROM (SELECT DISTINCT user_id FROM events)
+  UNION ALL SELECT DISTINCT user_id, 1 FROM events WHERE event_type = 'view'
+  UNION ALL SELECT DISTINCT user_id, 2 FROM l2
+  UNION ALL SELECT DISTINCT user_id, 3 FROM l3
+)
+SELECT CAST(lvl AS INTEGER) AS funnel_level,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM (SELECT user_id, max(lvl) AS lvl FROM lv GROUP BY user_id)
+GROUP BY lvl
+""",
+    tags=["ch-window-funnel", "clickhouse-parity"],
+)
+def funnel_strict_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``windowFunnel(24h, 'strict_dedup')(ts, view, click, purchase)``:
+    a REPEATED match of an already-satisfied step breaks the chain — a
+    second view before the click kills that anchor, a second click
+    before the purchase kills the level-3 extension.  (Interpretation
+    note: only a duplicate of the step being ADVANCED FROM interrupts —
+    a view recurring after level 2 is already reached does not; the
+    oracle pins this exact contract.)  That makes "the
+    next step-relevant event" decisive, so the whole mode reduces to
+    LEAD over two FILTERED subsequences ({view,click} for step 2,
+    {click,purchase} for step 3) — two window shuffles + one user-keyed
+    join, no per-anchor scan, no quadratic term; chain order is the
+    deterministic (ts, event_id) lexicographic order in both engines."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    vc = ev.filter(F.col("event_type").isin("view", "click")).select(
+        "user_id", "ts", "event_id", "event_type",
+        F.lead("event_type").over(w).alias("n1_type"),
+        F.lead("ts").over(w).alias("n1_ts"),
+        F.lead("event_id").over(w).alias("n1_id"),
+    )
+    cp = ev.filter(F.col("event_type").isin("click", "purchase")).select(
+        "user_id", F.col("event_id").alias("c_event_id"),
+        F.lead("event_type").over(w).alias("n2_type"),
+        F.lead("ts").over(w).alias("n2_ts"),
+    )
+    day = F.expr("INTERVAL 24 HOURS")
+    l2 = vc.filter(
+        (F.col("event_type") == "view")
+        & (F.col("n1_type") == "click")
+        & (F.col("n1_ts") <= F.col("ts") + day)
+    ).select("user_id", F.col("ts").alias("v_ts"), F.col("n1_id").alias("c_id"))
+    l3 = l2.join(
+        cp,
+        (l2["user_id"] == cp["user_id"]) & (cp["c_event_id"] == l2["c_id"]),
+    ).filter(
+        (F.col("n2_type") == "purchase")
+        & (F.col("n2_ts") <= F.col("v_ts") + day)
+    ).select(l2["user_id"])
+    levels = (
+        ev.select("user_id").distinct().withColumn("lvl", F.lit(0))
+        .unionByName(
+            ev.filter(F.col("event_type") == "view")
+            .select("user_id").distinct().withColumn("lvl", F.lit(1)))
+        .unionByName(
+            l2.select("user_id").distinct().withColumn("lvl", F.lit(2)))
+        .unionByName(l3.distinct().withColumn("lvl", F.lit(3)))
+    )
+    return (
+        levels.groupBy("user_id").agg(F.max("lvl").alias("lvl"))
+        .groupBy(F.col("lvl").cast("int").alias("funnel_level"))
+        .agg(F.count("*").cast("long").alias("n_users"))
+    )
