@@ -92,9 +92,17 @@ def kmeans_rounds(
             assigned.select("cl", F.posexplode("q").alias("pos", "v"))
             .groupBy("cl", "pos")
             .agg(
-                F.floor(
-                    F.sum("v") * F.lit(1.0) / F.count(F.lit(1)) + F.lit(0.5)
-                ).cast("long").alias("cq")
+                F.sum("v").alias("s"), F.count(F.lit(1)).alias("c")
+            )
+            # round-half-up mean floor(s/c + 1/2) = floor((2s+c)/(2c)) in
+            # PURE long arithmetic (pmod-corrected truncating div), so the
+            # cross-engine bit-equality contract holds even when a
+            # cluster's component sum exceeds 2^53 (double would round)
+            .select(
+                "cl", "pos",
+                F.expr(
+                    "(2*s + c - pmod(2*s + c, 2*c)) div (2*c)"
+                ).cast("long").alias("cq"),
             )
         )
         # k·d rows — the canonical driver-side centroid exchange
@@ -147,7 +155,9 @@ asg1 AS (
 ),
 cent1 AS (
   SELECT a.cl, c.pos,
-         CAST(floor(sum(c.q) * 1.0 / count(*) + 0.5) AS BIGINT) AS cq
+         CAST((2*sum(c.q) + count(*)
+               - (((2*sum(c.q) + count(*)) % (2*count(*)) + 2*count(*))
+                  % (2*count(*)))) // (2*count(*)) AS BIGINT) AS cq
   FROM asg1 a JOIN comp c ON c.vec_id = a.vec_id
   GROUP BY 1, 2
 ),
@@ -224,7 +234,9 @@ asg1 AS (
 ),
 cent1 AS (
   SELECT a.cl, c.pos,
-         CAST(floor(sum(c.q) * 1.0 / count(*) + 0.5) AS BIGINT) AS cq
+         CAST((2*sum(c.q) + count(*)
+               - (((2*sum(c.q) + count(*)) % (2*count(*)) + 2*count(*))
+                  % (2*count(*)))) // (2*count(*)) AS BIGINT) AS cq
   FROM asg1 a JOIN comp c ON c.vec_id = a.vec_id
   GROUP BY 1, 2
 ),

@@ -37,6 +37,20 @@ class PipelineRunner:
         self.pipelines = list(pipelines if pipelines is not None else PIPELINES)
         self.metrics: list[dict] = []
         self._row_counts: dict[str, int] = {}
+        self.refreshable = None  # RefreshableViews, created on first use
+
+    def refreshable_views(self):
+        """Refreshable-MV registry bound to this runner's warehouse
+        (plans/refresh.py).  Views registered here are ticked by
+        ``run_latest`` after each gold refresh — the orchestrator-owned
+        schedule the reference gives refreshable rollups (Airflow cron;
+        CH 24.x ``REFRESH EVERY``), so a rollup over mutated gold tables
+        converges inside the SAME scheduled path that refreshed them."""
+        if self.refreshable is None:
+            from .refresh import RefreshableViews
+
+            self.refreshable = RefreshableViews(self.spark, self.wh)
+        return self.refreshable
 
     @classmethod
     def from_store(
@@ -250,6 +264,8 @@ class PipelineRunner:
         )
         if monitor:
             self.monitor_tick(start_ts, end_ts)
+        if self.refreshable is not None:
+            self.refreshable.run_pending()
         return results
 
     def monitor_tick(

@@ -96,17 +96,37 @@ class Warehouse:
         #: mtime-keyed cache of parsed schema overrides — read()/read_window()
         #: consult the override several times per call and run ~30×/tick
         self._override_cache: dict[str, tuple[float, T.StructType]] = {}
+        self._footer_cols_cache: dict[str, tuple[float, set]] = {}
+        self._unpartitioned_sorted: set[str] = set()
         #: per-instance ``PARTITION BY event_date ORDER BY (...)``
         #: declarations (CREATE TABLE analog) — extends the module-level
         #: _PARTITIONED_SORT registry for ad-hoc tables
         self._declared_sort: dict[str, list[str]] = {}
 
-    def set_partitioning(self, table: str, sort_key: list[str]) -> None:
-        """Declare ``table`` date-partitioned with an in-partition sort key —
-        the ``PARTITION BY toDate(ts) ORDER BY (...)`` clause of a ClickHouse
-        CREATE TABLE (reference clickhouse/init/01_create_tables.sql).  Must
-        be called before the first append; the two layouts don't mix."""
+    def set_partitioning(
+        self, table: str, sort_key: list[str], partitioned: bool = True
+    ) -> None:
+        """Declare ``table``'s MergeTree layout: an in-part sort key and,
+        by default, date partitioning — the ``PARTITION BY toDate(ts)
+        ORDER BY (...)`` clause of a ClickHouse CREATE TABLE (reference
+        clickhouse/init/01_create_tables.sql).  ``partitioned=False``
+        declares ``ORDER BY`` WITHOUT ``PARTITION BY`` (ClickHouse allows
+        a MergeTree with only a sort key): files are written sorted but
+        no ``event_date=`` directory level is minted.  Must be called
+        before the first append; the two layouts don't mix."""
         self._declared_sort[table] = list(sort_key)
+        if partitioned:
+            self._unpartitioned_sorted.discard(table)
+        else:
+            self._unpartitioned_sorted.add(table)
+
+    def _is_date_partitioned(self, table: str) -> bool:
+        """Declared layout check: sorted tables are date-partitioned
+        unless explicitly declared ORDER-BY-only."""
+        return (
+            self._sort_key(table) is not None
+            and table not in self._unpartitioned_sorted
+        )
 
     def _sort_key(self, table: str) -> list[str] | None:
         """Sort key for a date-partitioned table, else None."""
@@ -149,6 +169,16 @@ class Warehouse:
             raise ValueError(f"table {table!r} is already detached")
         os.makedirs(self._detached_dir(), exist_ok=True)
         os.rename(src, dst)
+        # schema overrides / computed-column metadata travel WITH the
+        # table: left under _schemas/ they would be inherited by a new
+        # table created under the same name while this one is detached
+        meta_dst = os.path.join(self._detached_dir(), "_schemas")
+        for p in (self._schema_override_path(table),
+                  self._computed_cols_path(table)):
+            if os.path.exists(p):
+                os.makedirs(meta_dst, exist_ok=True)
+                os.rename(p, os.path.join(meta_dst, os.path.basename(p)))
+        self._override_cache.pop(table, None)
 
     def attach_table(self, table: str) -> None:
         """``ATTACH TABLE`` — re-register a detached table (the reverse
@@ -164,12 +194,24 @@ class Warehouse:
                 f"cannot attach {table!r}: a live table directory exists"
             )
         os.rename(src, dst)
+        # restore schema/computed metadata detached alongside the data
+        meta_src = os.path.join(self._detached_dir(), "_schemas")
+        for p in (self._schema_override_path(table),
+                  self._computed_cols_path(table)):
+            cand = os.path.join(meta_src, os.path.basename(p))
+            if os.path.exists(cand):
+                os.makedirs(os.path.dirname(p), exist_ok=True)
+                os.rename(cand, p)
+        self._override_cache.pop(table, None)
 
     def detached_tables(self) -> list[str]:
         """Names currently under ``_detached/`` (the ``system.detached_
         parts``-adjacent listing, table-granular here)."""
         try:
-            return sorted(os.listdir(self._detached_dir()))
+            return sorted(
+                e for e in os.listdir(self._detached_dir())
+                if not e.startswith("_")
+            )
         except OSError:
             return []
 
@@ -232,25 +274,113 @@ class Warehouse:
             json.dump(cols, fh, indent=1)
         os.replace(tmp, p)
 
-    def _apply_computed_read(self, table: str, df: DataFrame) -> DataFrame:
+    def _parquet_column_names(self, fpath: str) -> set:
+        """Footer column set of one parquet file, cached by (path, mtime) —
+        O(1) metadata read, never a data scan."""
+        try:
+            mtime = os.path.getmtime(fpath)
+        except OSError:
+            return set()
+        hit = self._footer_cols_cache.get(fpath)
+        if hit is not None and hit[0] == mtime:
+            return hit[1]
+        import pyarrow.parquet as pq
+
+        cols = set(pq.read_schema(fpath).names)
+        self._footer_cols_cache[fpath] = (mtime, cols)
+        return cols
+
+    def _computed_cols_lacking(self, root: str, names: list) -> set:
+        """Which of ``names`` are absent from EVERY parquet footer under
+        ``root``.  A file that physically lacks the column predates the
+        ALTER and must serve the computed expression; a file that has it
+        serves the stored value VERBATIM — including an explicitly
+        inserted NULL (the ClickHouse per-part contract).  Members are one
+        write generation, so their footers agree; the intersection is the
+        conservative answer if they ever do not."""
+        lacking = set(names)
+        for dirpath, _dirs, files in os.walk(root):
+            if not lacking:
+                break
+            for f in files:
+                if f.endswith(".parquet"):
+                    lacking -= self._parquet_column_names(
+                        os.path.join(dirpath, f)
+                    )
+                    if not lacking:
+                        break
+        return lacking
+
+    def _stored_computed(self, table: str) -> dict:
+        return {
+            n: m for n, m in self.computed_columns(table).items()
+            if m["kind"] != "alias"
+        }
+
+    def _backfill_member_computed(
+        self, table: str, member_root: str, df: DataFrame
+    ) -> DataFrame:
+        """Per-member read-side back-fill of DEFAULT/MATERIALIZED columns:
+        only members whose files PREDATE the ALTER (footer lacks the
+        column) compute the expression; post-ALTER members serve stored
+        values verbatim, preserving explicitly inserted NULLs."""
+        stored = self._stored_computed(table)
+        if not stored:
+            return df
+        lacking = self._computed_cols_lacking(member_root, list(stored))
+        for name, meta in stored.items():
+            if name in lacking:
+                df = df.withColumn(
+                    name, F.expr(meta["expr"]).cast(meta["type"])
+                )
+        return df
+
+    def _apply_computed_read(
+        self, table: str, df: DataFrame, stored_mode: str = "verbatim"
+    ) -> DataFrame:
         """Read-side computed columns, ClickHouse part semantics:
 
         - ALIAS is never stored — always computed here.
-        - DEFAULT/MATERIALIZED values ARE stored for rows written after the
-          ALTER; files that predate the column serve NULLs, which
-          ``coalesce(stored, expr)`` back-fills exactly like ClickHouse
-          computes a missing column's default when reading an old part.
-          (A deterministic expr makes the coalesce idempotent: an expr
-          that evaluated to NULL at insert re-evaluates to the same NULL.)
+        - DEFAULT/MATERIALIZED values ARE stored for rows written after
+          the ALTER; files that predate the column serve the expression.
+          Which rows those are is decided per FILE from the parquet
+          footer (the column is physically absent pre-ALTER) — an
+          explicitly inserted NULL in a post-ALTER file is preserved, as
+          ClickHouse preserves it.  Manifest reads do the back-fill per
+          member inside ``_read_members`` (``stored_mode='verbatim'``
+          here); single-directory scans pass ``stored_mode='by_file'``
+          and the decision keys on ``input_file_name()`` (safe there: one
+          scan, no joins to break file lineage).
         """
         for name, meta in self.computed_columns(table).items():
             expr = F.expr(meta["expr"]).cast(meta["type"])
             if meta["kind"] == "alias":
                 df = df.withColumn(name, expr)
-            elif name in df.columns:
-                df = df.withColumn(name, F.coalesce(F.col(name), expr))
-            else:
+            elif name not in df.columns:
                 df = df.withColumn(name, expr)
+            elif stored_mode == "by_file":
+                root = self.path(table)
+                lacking = []
+                for dirpath, _dirs, files in os.walk(root):
+                    for f in files:
+                        if f.endswith(".parquet") and name not in (
+                            self._parquet_column_names(
+                                os.path.join(dirpath, f)
+                            )
+                        ):
+                            lacking.append(
+                                os.path.abspath(os.path.join(dirpath, f))
+                            )
+                if lacking:
+                    scheme_less = F.regexp_replace(
+                        F.input_file_name(), "^[a-z]+:/+", "/"
+                    )
+                    df = df.withColumn(
+                        name,
+                        F.when(
+                            scheme_less.isin(lacking), expr
+                        ).otherwise(F.col(name)),
+                    )
         return df
 
     def _apply_computed_write(self, table: str, df: DataFrame) -> DataFrame:
@@ -401,7 +531,7 @@ class Warehouse:
 
     def schema_for(self, table: str) -> T.StructType:
         schema = self.schema_override(table) or _ALL_SCHEMAS[table]
-        if self._sort_key(table) is not None and not any(
+        if self._is_date_partitioned(table) and not any(
             f.name == "event_date" for f in schema.fields
         ):
             return T.StructType(
@@ -445,7 +575,7 @@ class Warehouse:
             df = df.drop("ingest_batch")
         if override is not None:
             df = conform_to_schema(df, self.schema_for(table))
-        return self._apply_computed_read(table, df)
+        return self._apply_computed_read(table, df, stored_mode="by_file")
 
     def read_at_version(self, table: str, version: int) -> DataFrame:
         """Snapshot read: the table EXACTLY as manifest version ``version``
@@ -513,6 +643,13 @@ class Warehouse:
                 # declared-schema read: mixed pre/post-ALTER members must not
                 # adopt one file's footer and hide the added column
                 df = self.spark.read.schema(self.schema_for(table)).parquet(p)
+            # DEFAULT/MATERIALIZED back-fill is decided per member from
+            # parquet footers: only pre-ALTER members (column physically
+            # absent) compute the expression; post-ALTER members serve
+            # stored values verbatim, explicit NULLs included.  Doing it
+            # here — before the union and any DV/patch join — keeps the
+            # decision on the member scan where file lineage is exact.
+            df = self._backfill_member_computed(table, p, df)
             if tag:
                 df = df.select(
                     F.col("_metadata.file_path").alias("__dv_file"),
@@ -966,7 +1103,7 @@ class Warehouse:
         else:
             target = os.path.join(self.path(table), f"ingest_batch={batch_id}")
             mode = "overwrite"
-            if self._sort_key(table) is not None and "event_date" in writer_df.columns:
+            if self._is_date_partitioned(table) and "event_date" in writer_df.columns:
                 # ONE part per (batch, date) — the MergeTree
                 # one-part-per-insert shape.  A micro-batch is bounded (a
                 # 10-min window at the reference envelope ≈ 200k events),
@@ -978,7 +1115,7 @@ class Warehouse:
                 writer_df = writer_df.repartition("event_date").sortWithinPartitions(
                     *self._sort_key(table)
                 )
-        if self._sort_key(table) is not None:
+        if self._is_date_partitioned(table):
             self._writer(writer_df).mode(mode).partitionBy("event_date").parquet(target)
         else:
             self._writer(writer_df).mode(mode).parquet(target)
@@ -1166,11 +1303,15 @@ class Warehouse:
         """One sorted file per event_date (hash-repartition on event_date:
         every date lands in exactly one task, dates run in parallel)."""
         par = self.spark.sparkContext.defaultParallelism
-        if self._sort_key(table) is not None and "event_date" in df.columns:
+        if self._is_date_partitioned(table) and "event_date" in df.columns:
             out = df.repartition(par, "event_date").sortWithinPartitions(
                 *self._sort_key(table)
             )
             self._writer(out).mode("overwrite").partitionBy("event_date").parquet(target)
+        elif self._sort_key(table) is not None:
+            # ORDER-BY-only layout: one sorted file, no date directories
+            out = df.coalesce(1).sortWithinPartitions(*self._sort_key(table))
+            self._writer(out).mode("overwrite").parquet(target)
         else:
             self._writer(df.coalesce(1)).mode("overwrite").parquet(target)
 
@@ -1830,7 +1971,12 @@ class Warehouse:
         ) else "MergeTree (parquet)"
         ddl.append(f"ENGINE = {engine}")
         if sort is not None:
-            ddl.append("PARTITION BY event_date")
+            # a table can be sorted without being date-partitioned
+            # (set_partitioning(..., partitioned=False)): render PARTITION
+            # BY only when the declared layout says so or date directories
+            # actually exist on disk
+            if self._is_date_partitioned(table) or self._has_date_dirs(table):
+                ddl.append("PARTITION BY event_date")
             ddl.append(f"ORDER BY ({', '.join(sort)})")
         if self.codec:
             ddl.append(f"SETTINGS codec = '{self.codec}'")
@@ -1964,6 +2110,7 @@ class Warehouse:
         group_by: list[str],
         aggregates: dict[str, str],
         ttl_col: str = "event_ts",
+        stats: bool = False,
     ) -> dict:
         """Rollup TTL — ClickHouse ``TTL ts + INTERVAL … GROUP BY k…
         SET col = agg(col), …``: rows past the cutoff are AGGREGATED into
@@ -1976,13 +2123,17 @@ class Warehouse:
 
         Applied as a compact-fold (CH applies TTL during merges): live
         rows pass through, expired rows collapse, the member swap is
-        atomic.  Returns {"rows_before", "rows_after", "groups"}."""
+        atomic.  The rollup is ONE data pass; row-count bookkeeping costs
+        three more full-table actions, so it is opt-in: with
+        ``stats=True`` returns {"rows_before", "rows_after", "groups"},
+        else an empty dict."""
         import datetime
 
         cutoff = older_than
         if isinstance(cutoff, str):
             cutoff = datetime.datetime.fromisoformat(cutoff)
-        stats: dict = {}
+        want_stats = stats
+        stats = {}
 
         def transform(df: DataFrame) -> DataFrame:
             expired_cond = F.coalesce(
@@ -2011,27 +2162,31 @@ class Warehouse:
                     for f in df.schema.fields
                 ]
             )
-            stats["rows_before"] = df.count()
+            if want_stats:
+                stats["rows_before"] = df.count()
             out = live.unionByName(rolled)
             return out
 
         if self.load_manifest(table) is not None:
             self.compact(table, transform=transform)
-            after = self.read(table)
         else:
             out = transform(self.read(table)).localCheckpoint(eager=True)
             self.overwrite(table, out)
+        if want_stats:
             after = self.read(table)
-        stats["rows_after"] = after.count()
-        stats["groups"] = (
-            after.filter(
-                F.coalesce(F.col(ttl_col) < F.lit(cutoff), F.lit(False))
-            ).count()
-        )
+            stats["rows_after"] = after.count()
+            stats["groups"] = (
+                after.filter(
+                    F.coalesce(F.col(ttl_col) < F.lit(cutoff), F.lit(False))
+                ).count()
+            )
         self._log_mutation(
             table, "ttl_group_by",
             f"TTL {ttl_col} < {cutoff} GROUP BY {', '.join(group_by)}",
-            rows_affected=stats["rows_before"] - stats["rows_after"],
+            rows_affected=(
+                stats["rows_before"] - stats["rows_after"]
+                if want_stats else None
+            ),
         )
         return stats
 
@@ -2248,7 +2403,10 @@ class Warehouse:
     def _prep(self, table: str, df: DataFrame) -> DataFrame:
         sort_key = self._sort_key(table)
         if sort_key is not None:
-            if "event_date" not in df.columns:
+            if (
+                self._is_date_partitioned(table)
+                and "event_date" not in df.columns
+            ):
                 df = df.withColumn("event_date", F.to_date("event_ts"))
             df = df.sortWithinPartitions(*sort_key)
         return df

@@ -385,6 +385,13 @@ class SqlServingEndpoint:
         masked = _mask_quoted(sql, mask_backticks=True)
         out, last = [], 0
         for m in re.finditer(r"\s+", masked):
+            # the mask blanks literal/backtick CONTENTS to spaces, so a
+            # \s+ run in `masked` may cover real literal text in `sql`;
+            # folding those spans would merge queries that differ only in
+            # a string literal.  Fold only spans that are whitespace in
+            # the ORIGINAL text.
+            if not sql[m.start():m.end()].isspace():
+                continue
             out.append(sql[last:m.start()])
             out.append(" ")
             last = m.end()

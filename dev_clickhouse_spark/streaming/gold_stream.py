@@ -99,6 +99,11 @@ class ContinuousPipeline(BronzeStream):
         # continuous observability: the same lag/volume/drift family the
         # scheduled tick persists (monitoring.* parity)
         self.runner.monitor_tick(start, end)
+        # refreshable MVs registered on the runner tick with each batch,
+        # so rollups over freshly-refreshed (or mutated) gold converge
+        # inside the stream's own cadence
+        if self.runner.refreshable is not None:
+            self.runner.refreshable.run_pending()
 
     def _batch_event_span(self, batch: DataFrame):
         """Event-time min/max across the three routed projections (the batch

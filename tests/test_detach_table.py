@@ -45,6 +45,43 @@ def test_detach_preserves_manifest_version(spark, tmp_path):
     assert wh.read("mdt").count() == 4
 
 
+def test_detach_carries_schema_metadata(spark, tmp_path):
+    """Schema overrides and computed-column metadata travel with the
+    detached table: a NEW table created under the same name while the old
+    one is detached must NOT inherit the detached table's declared schema
+    or computed columns; attach restores them."""
+    from pyspark.sql import types as T
+
+    from dev_clickhouse_spark.quality import SchemaMigrator
+
+    wh = _wh(spark, tmp_path)
+    wh.append("dim_tag", spark.createDataFrame(
+        [(1, "alpha", _TS)], wh.schema_for("dim_tag")
+    ))
+    SchemaMigrator(wh).add_computed_column(
+        "dim_tag", "tag_upper", T.StringType(), "upper(tag_value)",
+        kind="default",
+    )
+    assert "tag_upper" in wh.computed_columns("dim_tag")
+    wh.detach_table("dim_tag")
+    # metadata is gone from the live surface with the table
+    assert wh.computed_columns("dim_tag") == {}
+    assert wh.schema_override("dim_tag") is None
+    # a fresh same-name table has the pristine declared shape
+    wh.append("dim_tag", spark.createDataFrame(
+        [(9, "zeta", _TS)], wh.schema_for("dim_tag")
+    ))
+    assert "tag_upper" not in wh.read("dim_tag").columns
+    # swap back: drop the interloper, attach the original with metadata
+    import shutil
+
+    shutil.rmtree(wh.path("dim_tag"))
+    wh.attach_table("dim_tag")
+    assert "tag_upper" in wh.computed_columns("dim_tag")
+    rows = {r.tag_key: r for r in wh.read("dim_tag").collect()}
+    assert rows[1].tag_upper == "ALPHA"
+
+
 def test_detach_attach_refusals(spark, tmp_path):
     wh = _wh(spark, tmp_path)
     with pytest.raises(ValueError, match="no such table"):

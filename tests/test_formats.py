@@ -80,3 +80,31 @@ def test_show_create_table(spark, tmp_path):
     ddl_ev = wh.show_create_table("wazuh_events_raw")
     assert "PARTITION BY event_date" in ddl_ev
     assert "ORDER BY (event_ts, event_id)" in ddl_ev
+
+
+def test_order_by_only_layout(spark, tmp_path):
+    """``set_partitioning(..., partitioned=False)`` declares a MergeTree
+    ORDER BY without PARTITION BY: writes are sorted but mint no
+    ``event_date=`` directory level, and SHOW CREATE TABLE renders only
+    the ORDER BY clause (the r10 version misreported every sorted table
+    as date-partitioned)."""
+    import datetime as dt
+    import os
+
+    from dev_clickhouse_spark.plans.warehouse import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    wh.set_partitioning("dim_tag", ["tag_key"], partitioned=False)
+    wh.append("dim_tag", spark.createDataFrame(
+        [(2, "b", dt.datetime(2026, 1, 9)), (1, "a", dt.datetime(2026, 1, 8))],
+        wh.schema_for("dim_tag"),
+    ))
+    ddl = wh.show_create_table("dim_tag")
+    assert "ORDER BY (tag_key)" in ddl
+    assert "PARTITION BY" not in ddl
+    # no date directory level on disk
+    dirs = [
+        d for _r, ds, _f in os.walk(wh.path("dim_tag")) for d in ds
+    ]
+    assert not any(d.startswith("event_date=") for d in dirs)
+    assert wh.read("dim_tag").count() == 2

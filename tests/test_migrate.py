@@ -251,9 +251,13 @@ def test_default_column_kinds(spark, tmp_path):
     ))
     rows = {r.tag_key: r for r in wh.read("dim_tag").collect()}
     assert rows[3].tag_len == 5  # materialized ignored the supplied 999
-    # DEFAULT with an explicitly-NULL supplied value re-evaluates on read
-    # (parquet cannot distinguish absent from null — documented divergence)
-    assert rows[3].tag_upper == "GAMMA"
+    # DEFAULT with an explicitly-NULL supplied value is PRESERVED on read
+    # (ClickHouse keeps an inserted NULL in a nullable DEFAULT column) —
+    # the back-fill applies only to files whose footer lacks the column
+    assert rows[3].tag_upper is None
+    # pre-ALTER rows still back-fill after the post-ALTER append
+    rows2 = {r.tag_key: r for r in wh.read("dim_tag").collect()}
+    assert rows2[1].tag_upper == "ALPHA" and rows2[2].tag_upper == "BETA"
 
     # ALIAS: not stored in any parquet footer, insert refused
     # (mergeSchema: plain inference adopts ONE file's footer and the

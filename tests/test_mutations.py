@@ -466,7 +466,7 @@ def test_ttl_group_by_rollup(spark, tmp_path):
         t, dt.datetime(2026, 1, 15), group_by=["user_id", "event_type"],
         aggregates={"value": "sum(value)", "ts": "max(ts)",
                     "event_id": "min(event_id)"},
-        ttl_col="ts",
+        ttl_col="ts", stats=True,
     )
     assert stats == {"rows_before": 5, "rows_after": 4, "groups": 2}
     rows = {
@@ -482,6 +482,50 @@ def test_ttl_group_by_rollup(spark, tmp_path):
     assert abs(sum(rows.values()) - 31.0) < 1e-9
     kinds = [r["kind"] for r in wh.mutations(t).collect()]
     assert "ttl_group_by" in kinds
+
+
+def test_ttl_group_by_is_one_pass_without_stats(spark, tmp_path):
+    """Default (stats=False) TTL rollup triggers no bookkeeping actions:
+    the count of Spark jobs in the apply's job group must be strictly
+    lower than with stats=True, whose rows_before/rows_after/groups cost
+    three extra full-table actions.  (The rollup itself is one compact
+    pass; at 100 TB bookkeeping must not triple it.)"""
+    import datetime as dt
+
+    from dev_clickhouse_spark.plans.warehouse import Warehouse
+
+    old = dt.datetime(2026, 1, 1, 0, 0)
+    new = dt.datetime(2026, 2, 1, 0, 0)
+
+    def run(label: str, with_stats: bool) -> int:
+        wh = Warehouse(spark, str(tmp_path / label))
+        df = spark.createDataFrame(
+            [(1, 10, "a", old, 1.0), (2, 10, "a", old, 2.0),
+             (3, 20, "a", new, 4.0)],
+            "event_id long, user_id long, event_type string, "
+            "ts timestamp, value double",
+        )
+        wh.save_schema_override("t", df.schema)
+        wh.append("t", df, batch_id=0)
+        sc = spark.sparkContext
+        group = f"ttl-probe-{label}"
+        sc.setJobGroup(group, "ttl job-count probe")
+        try:
+            wh.apply_ttl_group_by(
+                "t", dt.datetime(2026, 1, 15),
+                group_by=["user_id", "event_type"],
+                aggregates={"value": "sum(value)", "ts": "max(ts)",
+                            "event_id": "min(event_id)"},
+                ttl_col="ts", stats=with_stats,
+            )
+        finally:
+            sc.setJobGroup("", "")
+        return len(sc.statusTracker().getJobIdsForGroup(group))
+
+    jobs_plain = run("plain", False)
+    jobs_stats = run("stats", True)
+    # stats adds >= 3 actions (rows_before, rows_after, groups)
+    assert jobs_stats >= jobs_plain + 3, (jobs_plain, jobs_stats)
 
 
 def test_summing_and_collapsing_reads(spark, tmp_path):

@@ -105,3 +105,52 @@ def test_depends_on_chains_within_one_tick(spark, rig):
     # unknown dependency refused at create
     with pytest.raises(ValueError, match="DEPENDS ON"):
         rv.create("mv_x", _rollup(wh), 1, depends_on=["nope"])
+
+
+def test_refreshable_mv_ticks_through_runner(spark, tmp_path):
+    """Refreshable MVs ride the scheduled pipeline path (VERDICT r10 #5):
+    views registered on ``PipelineRunner.refreshable_views()`` are ticked
+    by ``run_latest`` after each gold refresh, so an upstream lightweight
+    DELETE is reflected in the rollup MV after the NEXT tick — the CH use
+    case for ``REFRESH EVERY`` (incremental insert-time state would go
+    stale under mutations)."""
+    import datetime as dt
+
+    from test_siem import raw_df, wazuh_payload
+
+    from dev_clickhouse_spark.plans import PipelineRunner
+    from dev_clickhouse_spark.sources.json_events import extract_wazuh
+
+    runner = PipelineRunner(spark, str(tmp_path / "wh"), max_active_tasks=4)
+    typed = extract_wazuh(raw_df(spark, [
+        wazuh_payload("w1", "10.1.0.1", "2026-01-08T09:10:00.000Z"),
+        wazuh_payload("w2", "10.1.0.1", "2026-01-08T09:20:00.000Z"),
+        wazuh_payload("w3", "10.1.0.1", "2026-01-08T09:25:00.000Z"),
+    ]))
+    # manifest layout (batch_id) so the lightweight DELETE has a DV target
+    runner.wh.append("wazuh_events_raw", typed, batch_id=0)
+    wh = runner.wh
+
+    def build(_spark):
+        return (
+            wh.read("wazuh_events_raw").groupBy("agent_name")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+        )
+
+    rv = runner.refreshable_views()
+    rv.create("mv_agent_counts", build, refresh_every_sec=0)
+    assert {r.agent_name: r.n_events
+            for r in wh.read("mv_agent_counts").collect()} == {"agent7": 3}
+
+    # upstream lightweight DELETE: the MV is stale until a tick runs
+    wh.delete_where_lightweight("wazuh_events_raw", "event_id = 'w1'")
+    assert {r.n_events
+            for r in wh.read("mv_agent_counts").collect()} == {3}
+    # the next scheduled tick (gold refresh) also converges the MV
+    runner.run_latest(
+        window_minutes=60, now=dt.datetime(2026, 1, 8, 10, 0), monitor=False,
+    )
+    assert {r.agent_name: r.n_events
+            for r in wh.read("mv_agent_counts").collect()} == {"agent7": 2}
+    [row] = [v for v in rv.view_refreshes() if v["view"] == "mv_agent_counts"]
+    assert row["status"] == "ok" and row["refresh_count"] == 2

@@ -581,6 +581,39 @@ def test_query_cache_hit_miss_ttl_and_drop(endpoint):
     assert ep.query_cache_stats()["entries"] == 0
 
 
+def test_query_cache_distinguishes_string_literals(endpoint):
+    """Two statements that differ ONLY inside a string literal must key to
+    distinct cache entries: the whitespace-folding normalizer operates on a
+    masked copy and must not erase literal contents from the key (a
+    collision would serve query A's rows to query B)."""
+    ep, _port = endpoint
+    ep.drop_query_cache()
+    a = ("SELECT count(*) AS n FROM gold_revenue WHERE region = 'US' "
+         "SETTINGS use_query_cache = 1")
+    b = ("SELECT count(*) AS n FROM gold_revenue WHERE region = 'EU' "
+         "SETTINGS use_query_cache = 1")
+    _c, rows_a = ep.execute_columns(a)
+    _c, rows_b = ep.execute_columns(b)
+    assert ep.query_cache_stats()["entries"] == 2
+    assert rows_a != rows_b
+    # re-run of b is a hit on ITS OWN entry, returning b's rows
+    _c, again_b = ep.execute_columns(b)
+    assert again_b == rows_b
+    assert ep.query_log(1)[0]["status"] == "cached"
+    # whitespace INSIDE a literal is preserved verbatim in the key, while
+    # whitespace outside literals still folds to a shared entry
+    c1 = ("SELECT 'a  b' AS s FROM gold_revenue LIMIT 1 "
+          "SETTINGS use_query_cache = 1")
+    c2 = ("SELECT 'a b' AS s FROM gold_revenue LIMIT 1 "
+          "SETTINGS use_query_cache = 1")
+    ep.drop_query_cache()
+    ep.execute_columns(c1)
+    ep.execute_columns(c2)
+    assert ep.query_cache_stats()["entries"] == 2
+    ep.execute_columns(c1.replace("FROM", "  FROM  "))
+    assert ep.query_cache_stats()["entries"] == 2  # folded -> hit on c1
+
+
 def test_query_cache_is_per_role_and_policy_invalidated(endpoint):
     """Entries are keyed per role (query_cache_share_between_users=0): a
     policy-restricted role never sees the admin entry, and adding a policy
