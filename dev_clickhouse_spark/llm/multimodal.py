@@ -13,12 +13,13 @@ IDCT, 4:4:4/4:2:2/4:2:0 sampling, restart markers — see
 :mod:`dev_clickhouse_spark.llm.jpeg`); animated GIF (full LZW with
 variable code widths, frame composition onto the logical screen, GCE
 transparency) backing genuine frame sampling; and 16-bit PCM WAV audio
-(header walk + sample statistics).  Codecs that genuinely need
-torchaudio/ffmpeg (MP3/MP4-class containers) and non-baseline JPEG modes
-(progressive) raise ``NotImplementedError`` from :func:`real_decode` and
-the deterministic byte-level stub stands in.  The Spark-side plumbing
-(schema, batch shape, partitioning, 1→N fan-out) is the same for both
-paths.
+(header walk + sample statistics).  MP3 and MP4 are covered at the
+METADATA level (frame-header walk / ftyp-moov container walk — real
+duration, rate, tracks, dimensions); their SAMPLE decode genuinely needs
+torchaudio/ffmpeg and raises ``NotImplementedError`` from
+:func:`real_decode`, falling to the deterministic byte-level stub.  The
+Spark-side plumbing (schema, batch shape, partitioning, 1→N fan-out) is
+the same for all paths.
 """
 
 from __future__ import annotations
@@ -220,6 +221,144 @@ def encode_mp3(
         )  # MPEG1 (11), Layer III (01), no CRC; no padding
         out += hdr + bytes([fill & 0xFF]) * (flen - 4)
     return bytes(out)
+
+
+_MP4_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl"}
+
+
+def _walk_mp4_boxes(buf: bytes, start: int, end: int):
+    """Yield (type, body_start, body_end) for each ISO-BMFF box in
+    buf[start:end].  Handles 64-bit largesize (size==1) and to-end boxes
+    (size==0); stops on a malformed size rather than raising — a census
+    over a 100 TB corpus must tolerate truncated tails."""
+    pos = start
+    while pos + 8 <= end:
+        size = int.from_bytes(buf[pos:pos + 4], "big")
+        typ = buf[pos + 4:pos + 8]
+        body = pos + 8
+        if size == 1:
+            if pos + 16 > end:
+                return
+            size = int.from_bytes(buf[pos + 8:pos + 16], "big")
+            body = pos + 16
+        elif size == 0:
+            size = end - pos
+        if size < 8 or pos + size > end:
+            return
+        yield typ, body, pos + size
+        pos += size
+
+
+def parse_mp4(payload: bytes) -> dict:
+    """MP4/ISO-BMFF container walk — METADATA, not samples (AVC/AAC sample
+    decode needs ffmpeg-class work; that is the declared decode boundary).
+    Walks ``ftyp`` (major brand) and the ``moov`` tree the way ``ffprobe``
+    reads a file's headline: ``mvhd`` for timescale/duration (version 0
+    and 1 layouts), one ``trak`` per track with its ``hdlr`` handler type,
+    ``tkhd`` width/height (16.16 fixed point) for video tracks, and the
+    ``stsd`` sample-entry fourcc as the codec id.  Returns {major_brand,
+    timescale, duration_s, n_tracks, codecs, width, height}.  Raises
+    ValueError when the payload is not an MP4 container or has no moov."""
+    if len(payload) < 12 or payload[4:8] != b"ftyp":
+        raise ValueError("not an ISO-BMFF container (no ftyp)")
+    out = {
+        "major_brand": payload[8:12].decode("latin-1"),
+        "timescale": None, "duration_s": None, "n_tracks": 0,
+        "codecs": [], "width": None, "height": None,
+    }
+
+    def walk(start: int, end: int) -> None:
+        for typ, b, e in _walk_mp4_boxes(payload, start, end):
+            if typ == b"mvhd" and e - b >= 20:
+                ver = payload[b]
+                if ver == 1 and e - b >= 32:
+                    ts = int.from_bytes(payload[b + 20:b + 24], "big")
+                    dur = int.from_bytes(payload[b + 24:b + 32], "big")
+                else:
+                    ts = int.from_bytes(payload[b + 12:b + 16], "big")
+                    dur = int.from_bytes(payload[b + 16:b + 20], "big")
+                out["timescale"] = ts
+                out["duration_s"] = (dur / ts) if ts else None
+            elif typ == b"trak":
+                out["n_tracks"] += 1
+                walk(b, e)
+            elif typ == b"tkhd" and e - b >= 84:
+                # width/height are the LAST two 16.16 fixed-point fields
+                # of both tkhd layouts; audio tracks carry zeros, so the
+                # first nonzero pair is the presentation video size
+                w_off = e - 8
+                w = int.from_bytes(payload[w_off:w_off + 4], "big") >> 16
+                h = int.from_bytes(payload[w_off + 4:w_off + 8], "big") >> 16
+                if w and h and out["width"] is None:
+                    out["width"], out["height"] = w, h
+            elif typ == b"stsd" and e - b >= 16:
+                n = int.from_bytes(payload[b + 4:b + 8], "big")
+                pos = b + 8
+                for _i in range(min(n, 16)):
+                    if pos + 8 > e:
+                        break
+                    esize = int.from_bytes(payload[pos:pos + 4], "big")
+                    four = payload[pos + 4:pos + 8].decode("latin-1")
+                    out["codecs"].append(four)
+                    if esize < 8 or pos + esize > e:
+                        break
+                    pos += esize
+            elif typ in _MP4_CONTAINERS:
+                walk(b, e)
+
+    saw_moov = False
+    for typ, b, e in _walk_mp4_boxes(payload, 0, len(payload)):
+        if typ == b"moov":
+            saw_moov = True
+            walk(b, e)
+    if not saw_moov:
+        raise ValueError("MP4 container has no moov box")
+    return out
+
+
+def encode_mp4(
+    duration_s: float = 2.0, timescale: int = 600,
+    width: int = 64, height: int = 48, codec: bytes = b"avc1",
+    n_tracks: int = 1, mdat_fill: int = 0, mdat_len: int = 32,
+) -> bytes:
+    """Deterministic synthetic MP4 for the census/tests: spec-correct
+    ftyp + moov(mvhd + n×trak(tkhd + mdia(hdlr + stbl(stsd)))) + mdat
+    with undecodable payload bytes — valid to every container walk,
+    sample-decodable by none."""
+    def box(typ: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(body)) + typ + body
+
+    dur = int(duration_s * timescale)
+    mvhd = box(b"mvhd", struct.pack(
+        ">BxxxIIII", 0, 0, 0, timescale, dur
+    ) + struct.pack(">I", 0x00010000) + struct.pack(">H", 0x0100)
+        + b"\x00" * 10 + _MP4_UNITY_MATRIX + b"\x00" * 24
+        + struct.pack(">I", n_tracks + 1))
+    traks = b""
+    for i in range(n_tracks):
+        tkhd = box(b"tkhd", struct.pack(
+            ">BxxxIII4xI8xhhh2x", 0, 0, 0, i + 1, dur, 0, 0, 0
+        ) + _MP4_UNITY_MATRIX
+            + struct.pack(">II", width << 16, height << 16))
+        hdlr = box(b"hdlr", struct.pack(">Bxxx", 0) + b"\x00" * 4
+                   + (b"vide" if i == 0 else b"soun") + b"\x00" * 12
+                   + b"h\x00")
+        entry = struct.pack(">I", 16) + codec + b"\x00" * 6 \
+            + struct.pack(">H", 1)
+        stsd = box(b"stsd", struct.pack(">BxxxI", 0, 1) + entry)
+        stbl = box(b"stbl", stsd)
+        minf = box(b"minf", stbl)
+        mdia = box(b"mdia", hdlr + minf)
+        traks += box(b"trak", tkhd + mdia)
+    moov = box(b"moov", mvhd + traks)
+    ftyp = box(b"ftyp", b"mp42" + struct.pack(">I", 0) + b"mp42isom")
+    mdat = box(b"mdat", bytes([mdat_fill & 0xFF]) * mdat_len)
+    return ftyp + moov + mdat
+
+
+_MP4_UNITY_MATRIX = struct.pack(
+    ">9I", 0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000
+)
 
 
 PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
@@ -507,11 +646,12 @@ def real_decode(payload: bytes, media_type: str) -> list[float]:
       mean R, mean G, mean B, grayscale std] from the decoded pixels.
     - ``audio`` + RIFF/WAVE magic → [sample_rate, n_samples, RMS, peak]
       from the decoded samples.
-    - anything else (MP3 PCM synthesis, MP4-class video containers) needs
+    - anything else (MP3 PCM synthesis, MP4 sample decode) needs
       torchaudio / ffmpeg, which are not installed here →
       ``NotImplementedError``.  Callers try :func:`probe_media_metadata`
-      (MP3 frame-header walk — real rate/bitrate/duration, no samples)
-      before falling back to the byte-level stub.
+      (MP3 frame-header walk, MP4 ftyp/moov container walk — real
+      rate/bitrate/duration/dimensions, no samples) before falling back
+      to the byte-level stub.
     """
     if media_type == "video" and payload[:6] in GIF_MAGICS:
         frames = decode_gif(payload).astype(np.float64)
@@ -562,9 +702,11 @@ def probe_media_metadata(payload: bytes, media_type: str) -> list[float]:
     """Metadata-level probe for codecs whose CONTENT decode is the
     declared boundary (``real_decode`` docstring): real header fields, no
     sample/pixel synthesis.  MP3 → [sample_rate, n_frames, bitrate_kbps,
-    duration_s] from the frame-header walk.  Raises NotImplementedError
-    for codecs with no metadata walk (MP4 container boxes remain
-    byte-stubbed), ValueError for malformed streams."""
+    duration_s] from the frame-header walk; MP4/ISO-BMFF → [duration_s,
+    timescale, n_tracks, width, height] from the ftyp/moov container walk
+    (sample decode still needs ffmpeg — that boundary is unchanged).
+    Raises NotImplementedError for codecs with no metadata walk,
+    ValueError for malformed streams."""
     if media_type == "audio" and (
         payload[:3] == b"ID3" or (
             len(payload) >= 2 and payload[0] == 0xFF
@@ -575,6 +717,15 @@ def probe_media_metadata(payload: bytes, media_type: str) -> list[float]:
         return [
             float(m["sample_rate"]), float(m["n_frames"]),
             float(m["bitrate_kbps"]), float(m["duration_s"]),
+        ]
+    if media_type == "video" and len(payload) >= 12 and (
+        payload[4:8] == b"ftyp"
+    ):
+        m = parse_mp4(payload)
+        return [
+            float(m["duration_s"] or 0.0), float(m["timescale"] or 0),
+            float(m["n_tracks"]), float(m["width"] or 0),
+            float(m["height"] or 0),
         ]
     raise NotImplementedError(
         f"no metadata walk for this {media_type} codec"
@@ -901,10 +1052,13 @@ def multimodal_jpeg_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFra
 #: codec assignment for the coverage census: doc_id % 8 → (codec label,
 #: media_type, expected coverage LEVEL): "content" = real pixel/sample
 #: decode, "metadata" = real header walk only (MP3 frame headers since
-#: round 10 — duration/bitrate/rate without PCM), "stub" = byte-level
-#: fallback (MP4 container boxes; full decode needs torchaudio/ffmpeg).
+#: round 10, MP4 ftyp/moov container walk since round 11 —
+#: duration/timescale/tracks/dimensions without sample decode), "stub" =
+#: byte-level fallback (none currently in the census envelope; AVC/AAC
+#: SAMPLE decode still needs torchaudio/ffmpeg and stays declared).
 #: Progressive JPEG moved stub→content when the SOF2 decoder landed (r8),
-#: MP3 moved stub→metadata in r10 — exactly the drift this gate surfaces.
+#: MP3 moved stub→metadata in r10, MP4 in r11 — exactly the drift this
+#: gate surfaces.
 CODEC_CENSUS = [
     ("bmp", "image", "content"),
     ("png", "image", "content"),
@@ -913,7 +1067,7 @@ CODEC_CENSUS = [
     ("jpeg_progressive", "image", "content"),  # real SOF2 decode since r8
     ("wav", "audio", "content"),
     ("mp3", "audio", "metadata"),  # frame-header walk since r10
-    ("mp4", "video", "stub"),
+    ("mp4", "video", "metadata"),  # ftyp/moov container walk since r11
 ]
 
 _CODEC_ORACLE = " UNION ALL ".join(
@@ -996,8 +1150,13 @@ def multimodal_codec_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
                 # real frame headers: 1 + doc_id%3 MPEG-1 L3 frames so the
                 # walk exercises multi-frame streams, not just the magic
                 return encode_mp3(1 + int(doc_id) % 3, fill=v)
-            return (b"\x00\x00\x00\x18ftypmp42\x00\x00\x00\x00mp42"
-                    + bytes([v]) * 8)
+            # real container: ftyp + moov with per-doc duration/track
+            # count so the walk exercises the mvhd/trak/stsd tree, not
+            # just the magic
+            return encode_mp4(
+                duration_s=1.0 + int(doc_id) % 5,
+                n_tracks=1 + int(doc_id) % 2, mdat_fill=v,
+            )
 
         for pdf in batches:
             rows = []

@@ -1064,3 +1064,54 @@ def test_mp3_frame_header_walk():
         parse_mp3(b"\xffnot-a-frame")
     # truncated last frame is not counted
     assert parse_mp3(raw[: len(raw) - 10])["n_frames"] == 4
+
+
+def test_mp4_container_metadata_walk():
+    """r10 verdict #7: MP4 moves byte-stub → metadata-real via an
+    ISO-BMFF ftyp/moov walk (brand, timescale, duration, track count,
+    codec fourccs, video dimensions) — no sample decode."""
+    import struct
+
+    import pytest as _pt
+
+    from dev_clickhouse_spark.llm.multimodal import (
+        encode_mp4,
+        parse_mp4,
+        probe_media_metadata,
+    )
+
+    raw = encode_mp4(duration_s=2.5, timescale=600, width=320, height=240,
+                     codec=b"avc1", n_tracks=2, mdat_fill=9)
+    m = parse_mp4(raw)
+    assert m["major_brand"] == "mp42"
+    assert m["timescale"] == 600 and abs(m["duration_s"] - 2.5) < 1e-9
+    assert m["n_tracks"] == 2
+    assert m["codecs"] == ["avc1", "avc1"]
+    assert (m["width"], m["height"]) == (320, 240)
+    # the probe surface returns [duration, timescale, tracks, w, h]
+    assert probe_media_metadata(raw, "video") == [2.5, 600.0, 2.0, 320.0,
+                                                  240.0]
+    # 64-bit largesize boxes parse: re-wrap moov with size==1 + largesize
+    moov_start = raw.index(b"moov") - 4
+    moov_size = struct.unpack(">I", raw[moov_start:moov_start + 4])[0]
+    moov_body = raw[moov_start + 8:moov_start + moov_size]
+    large = (struct.pack(">I", 1) + b"moov"
+             + struct.pack(">Q", 16 + len(moov_body)) + moov_body)
+    rewrapped = raw[:moov_start] + large + raw[moov_start + moov_size:]
+    assert parse_mp4(rewrapped)["n_tracks"] == 2
+    # version-1 mvhd (64-bit times) parses via the v1 offsets
+    mvhd_start = raw.index(b"mvhd") - 4
+    v1_body = (struct.pack(">Bxxx", 1) + struct.pack(">QQIQ", 0, 0, 1000,
+                                                     7000)
+               + raw[mvhd_start + 8 + 20 + 6:mvhd_start
+                     + struct.unpack(">I", raw[mvhd_start:mvhd_start+4])[0]])
+    v1 = struct.pack(">I", 8 + len(v1_body)) + b"mvhd" + v1_body
+    doc = parse_mp4(raw[:mvhd_start] + v1
+                    + raw[mvhd_start + 8 + 100:])
+    assert doc["timescale"] == 1000 and abs(doc["duration_s"] - 7.0) < 1e-9
+    # non-MP4 payloads are rejected, truncated tails tolerated
+    with _pt.raises(ValueError):
+        parse_mp4(b"RIFF" + b"\x00" * 32)
+    with _pt.raises(ValueError):
+        parse_mp4(raw[:20])  # ftyp only, no moov
+    assert parse_mp4(raw[: len(raw) - 8])["n_tracks"] == 2  # mdat clipped
