@@ -299,7 +299,19 @@ def main() -> None:
             if (m := _re.search(r"BENCH_r(\d+)\.json$", f))
         ]
         rnd = (max(seen) + 1) if seen else 1
-    detail_path = os.path.join(repo_dir, f"BENCH_DETAIL_r{rnd:02d}.json")
+    # Builder (interactive) runs and driver (end-of-round) runs are two
+    # different protocols — the driver's end-of-round run lands on a hot
+    # machine and historically swings every pipeline ~2x vs a quiet run
+    # (VERDICT r10 "What's wrong" #1).  Keep them in DISTINCT files so
+    # round-over-round per-query comparisons always compare like with
+    # like: builder runs set SPARK_GRAFT_BENCH_TAG=builder (the builder's
+    # quiet-run artifact becomes BENCH_DETAIL_r{N}_builder.json) and the
+    # untagged driver invocation keeps the canonical name.
+    tag = os.environ.get("SPARK_GRAFT_BENCH_TAG")
+    suffix = f"_{tag}" if tag else ""
+    detail_path = os.path.join(
+        repo_dir, f"BENCH_DETAIL_r{rnd:02d}{suffix}.json"
+    )
     with open(detail_path, "w") as fh:
         json.dump(
             {

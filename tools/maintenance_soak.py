@@ -26,6 +26,23 @@ the full maintenance mix interleaved:
   table's checksum equals the at-backup checksum (row-level equivalence
   at the backup's manifest version, overlay addresses remapped).
 
+Round 11 (VERDICT r10 #6) adds the remaining maintenance surface under
+the same live ingest:
+
+- mid-stream FREEZE PARTITION of the main live date: a byte-level digest
+  of the shadow snapshot is captured at freeze time and re-verified at
+  soak END — later appends/mutations/compactions mint NEW member files,
+  so the hardlinked shadow must be byte-identical (the CH shadow/
+  contract: pre-overlay on-disk rows, immune to everything after);
+- mid-stream DETACH TABLE + ATTACH TABLE of a second live table between
+  two batches: reads serve declared-empty while detached, and the
+  re-attached table's content checksum equals the pre-detach one (zero
+  row drift);
+- a refreshable MV (rollup over the probe table) registered at the first
+  batch and ticked at every maintenance point: at soak end one more tick
+  must CONVERGE the MV to a fresh evaluation of its SELECT — i.e. the
+  rollup reflects every lightweight delete/update and the partition drop.
+
 Verdict: PASS iff (a) the restore checksum matches, (b) the overlay file
 count is bounded and resets at every full compaction, (c) deleted rows
 stay deleted and patched rows stay patched across every maintenance op,
@@ -150,7 +167,37 @@ def main() -> None:
     attach_at = args.batches // 3
     backup_at = args.batches // 2
     drop_at = 2 * args.batches // 3
+    freeze_at = max(2, int(args.batches * 0.4))
+    detach_at = freeze_at + 2
     patch_cycles: list[int] = []
+
+    def shadow_digest(shadow_dir: str) -> str:
+        """Byte-level digest of every file under the freeze shadow,
+        keyed by relative path — hardlink-snapshot immutability check."""
+        import hashlib
+
+        h = hashlib.md5()
+        for dirpath, _dirs, files in sorted(os.walk(shadow_dir)):
+            for f in sorted(files):
+                p = os.path.join(dirpath, f)
+                h.update(os.path.relpath(p, shadow_dir).encode())
+                with open(p, "rb") as fh:
+                    h.update(fh.read())
+        return h.hexdigest()
+
+    freeze_state: dict = {}
+    rv = None
+    detach_table = "zeek_events_raw"
+
+    def mv_build(_spark):
+        return (
+            wh.read(probe).groupBy("event_type").agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(
+                    F.col("message").startswith("soaked-").cast("long")
+                ).alias("n_patched"),
+            )
+        )
 
     for b in range(args.batches):
         t0 = time.time()
@@ -172,6 +219,14 @@ def main() -> None:
                 extracted.items(),
             ))
         batch_secs.append(time.time() - t0)
+
+        if b == 0:
+            # refreshable MV over the probe, ticked at every maintenance
+            # point (the runner-owned schedule at production scale)
+            from dev_clickhouse_spark.plans.refresh import RefreshableViews
+
+            rv = RefreshableViews(spark, wh)
+            rv.create("mv_soak_rollup", mv_build, refresh_every_sec=0)
 
         if (b + 1) % args.mutate_every == 0:
             cyc = (b + 1) // args.mutate_every
@@ -201,6 +256,43 @@ def main() -> None:
                 rows_deleted=d["rows_deleted"],
                 rows_updated=u["rows_updated"],
                 overlay_files=oc,
+                sec=round(time.time() - t0, 3))
+            rv.run_pending()
+
+        if b + 1 == freeze_at:
+            main_date = next(
+                d for d in wh._partition_dates(probe) if d != side_date
+            )
+            t0 = time.time()
+            shadow = wh.freeze_partition(probe, main_date)
+            freeze_state = {
+                "after_batch": b + 1,
+                "date": str(main_date),
+                "shadow": shadow,
+                "digest_at_freeze": shadow_digest(shadow),
+                "overlay_files_live": overlay_count(),
+                "sec": round(time.time() - t0, 3),
+            }
+            log("freeze_partition", **{
+                k: v for k, v in freeze_state.items() if k != "shadow"
+            })
+
+        if b + 1 == detach_at:
+            n0, s0 = checksum(wh.read(detach_table))
+            t0 = time.time()
+            wh.detach_table(detach_table)
+            checks["detach_reads_empty"] = (
+                wh.read(detach_table).count() == 0
+            )
+            checks["detach_listed"] = (
+                detach_table in wh.detached_tables()
+            )
+            wh.attach_table(detach_table)
+            n1, s1 = checksum(wh.read(detach_table))
+            checks["detach_attach_zero_drift"] = (n0, s0) == (n1, s1)
+            log("detach_attach", after_batch=b + 1, table=detach_table,
+                rows_before=n0, rows_after=n1,
+                drift_free=checks["detach_attach_zero_drift"],
                 sec=round(time.time() - t0, 3))
 
         if b + 1 == attach_at:
@@ -270,6 +362,7 @@ def main() -> None:
                 overlay_files_after=oc,
                 full_reset_ok=(not full) or oc == 0,
                 window_events_per_sec=round(args.events_per_batch / med, 1))
+            rv.run_pending()
 
     # -- end-state assertions ------------------------------------------------
     final = wh.read(probe)
@@ -289,6 +382,23 @@ def main() -> None:
     checks["restore_checksum_matches"] = (
         rn == backup_state["rows_at_backup"]
         and rs == backup_state["checksum_at_backup"]
+    )
+    # freeze shadow: byte-identical at soak end (hardlinked pre-overlay
+    # members; every later append/mutation/compaction minted NEW files)
+    checks["freeze_shadow_immutable"] = (
+        shadow_digest(freeze_state["shadow"])
+        == freeze_state["digest_at_freeze"]
+    )
+    # refreshable MV: one more tick converges it to a fresh evaluation
+    # of its SELECT over the post-maintenance table
+    rv.run_pending()
+    mv_rows = sorted(
+        tuple(r) for r in wh.read("mv_soak_rollup").collect()
+    )
+    fresh_rows = sorted(tuple(r) for r in mv_build(spark).collect())
+    checks["refresh_mv_converged"] = mv_rows == fresh_rows
+    checks["refresh_mv_saw_patches"] = (
+        sum(r[2] for r in mv_rows) > 0  # (event_type, n, n_patched)
     )
     checks["overlay_bounded"] = overlay_max <= args.overlay_bound
     checks["compact_rows_stable"] = all(
@@ -312,6 +422,8 @@ def main() -> None:
         "probe_table": probe,
         "timeline": events,
         "backup": backup_state,
+        "freeze": {k: v for k, v in freeze_state.items() if k != "shadow"},
+        "mv_rollup_rows": [list(r) for r in mv_rows],
         "restore": {"rows": rn, "checksum": rs, "sec": restore_sec},
         "n_deleted_ids_tracked": len(deleted_ids),
         "overlay_files_max": overlay_max,
@@ -321,7 +433,10 @@ def main() -> None:
         "verdict": (
             "PASS: restore equals the at-backup state after "
             f"{args.batches - backup_at} further batches + mutations + "
-            "drop + compactions; overlays bounded "
+            "drop + compactions; freeze shadow byte-identical at soak "
+            "end; detach/attach round-trip drift-free under live ingest; "
+            "refreshable MV converged to a fresh evaluation after the "
+            "final tick; overlays bounded "
             f"(max {overlay_max} <= {args.overlay_bound}, reset at every "
             "full compaction); deletes/patches survive every maintenance "
             f"op; steady-state {steady} ev/s >= 333 floor"
