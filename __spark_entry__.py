@@ -238,43 +238,86 @@ _CHECKED_R9 = {
 }
 
 
-def _ordered():
-    """Registry in round-10 driver-check priority order, LRU-style.
+_CHECKED_R10 = {
+    "anova_price_by_returnflag", "collapsing_read_net",
+    "computed_column_kinds_read", "dict_hierarchy_nation_chain",
+    "drop_partition_overlay_read", "event_date_time_keys",
+    "events_5min_buckets", "except_intersect_all_users",
+    "except_intersect_users", "final_read_replacing",
+    "funnel_strict_dedup_counts", "funnel_strict_increase_counts",
+    "funnel_strict_order_levels", "funnel_window_counts",
+    "gold_star_build_events", "group_concat_user_types",
+    "has_all_any_user_journeys", "histogram_event_values",
+    "ipv6_canonicalization_parity", "iso_week_order_counts",
+    "json_extract_props", "limit_by_offset_events",
+    "limit_with_ties_quantity", "lm_char_trigram_scores",
+    "merge_upsert_daily_counts", "multi_key_daily_top",
+    "multimodal_codec_coverage", "multimodal_jpeg_roundtrip_stats",
+    "multimodal_png_roundtrip_stats", "percentile_event_values",
+    "pii_redaction_stats", "pivot_daily_event_types",
+    "projection_refold_after_delete", "q10_returned_items",
+    "q11_balance_concentration", "q13_order_count_distribution",
+    "q14_promo_revenue_ratio", "q15_top_suppliers",
+    "q16_supplier_part_variety", "q17_small_quantity_revenue",
+    "q18_large_volume_orders", "q19_disjunctive_revenue",
+    "q20_dominant_suppliers", "recursive_cte_part_hierarchy",
+    "regexp_extract_doc_stats", "sample_offset_events_agg",
+    "semantic_cluster_kmeans", "semantic_dedup_within_clusters",
+    "summing_read_merge", "ttl_group_by_rollup_read",
+}
 
-    The staleness census at r10 start: every oracle query has a green
-    driver row, none older than round 6 (37 queries — the q10/retention/
-    pivot-era families VERDICT r9 #8 names).  So the window leads with
-    (0) queries whose OUTPUT SCHEMA changed this round — the codec
-    census grew a metadata level — plus anything newly added (never
-    checked; 12 new oracle queries this round), then (1) the r6-era
-    stalest greens, then r7, r8, and the freshest r9 rows last.  The
-    round-10 window is exactly full: 13 class-0 (census re-lead + the 12
-    round-10 queries) + all 37 r6-era rows.  tools/check_correctness.py
-    still oracle-checks everything each round regardless of the
-    driver's window."""
+
+def _ordered():
+    """Registry in round-11 driver-check priority order, LRU-style
+    (VERDICT r10 #8).
+
+    The staleness census at r11 start: every oracle query has a green
+    driver row; the stalest cohort was last checked in round 7 (the
+    ann_*/uniq_up_to/group_array/running_difference-era families).  The
+    window leads with (0) queries whose RESULTS changed this round —
+    the codec census (mp4 stub→metadata), the k-means pair (exact-
+    integer centroid arithmetic), computed-column kinds (explicit-NULL
+    preservation) — plus anything newly added (never checked), then
+    (1) the r7-era stalest greens, then r8, r9, with the freshest r10
+    rows rotating out.  tools/check_correctness.py still oracle-checks
+    everything each round regardless of the driver's window."""
     from dev_clickhouse_spark.queries import REGISTRY
 
     ever = (
         _CHECKED_R3 | _CHECKED_R4 | _CHECKED_R5 | _CHECKED_R6
-        | _CHECKED_R7 | _CHECKED_R8 | _CHECKED_R9
+        | _CHECKED_R7 | _CHECKED_R8 | _CHECKED_R9 | _CHECKED_R10
     )
+    changed_r11 = {
+        # r11 result/semantics changes — must re-lead regardless of age
+        "multimodal_codec_coverage",       # mp4 stub -> metadata census row
+        "semantic_cluster_kmeans",         # integer centroid arithmetic
+        "semantic_dedup_within_clusters",  # same centroid walk
+        "computed_column_kinds_read",      # per-file back-fill semantics
+        "ttl_group_by_rollup_read",        # stats now opt-in (one pass)
+    }
+    # VERDICT r10 #8 names these r7-era families explicitly; with 61
+    # r7-era rows competing for ~45 slots they are pinned ahead of the
+    # alphabetical tail (the ~16 spilled rows lead round 12's window)
+    named_r7 = {
+        "uniq_up_to_users", "running_difference_daily",
+        "group_array_user_events",
+    }
 
     def klass(item):
         name, spec = item
         if spec.oracle is None:
             return (7, name)
-        if name == "multimodal_codec_coverage":
-            # r10 schema change (content/metadata/stub levels) — re-lead
-            return (0, name)
-        if name not in ever:
-            return (0, name)      # never driver-checked (new this round)
-        if name not in _CHECKED_R7 | _CHECKED_R8 | _CHECKED_R9:
-            return (1, name)      # stalest: last driver row r6
-        if name not in _CHECKED_R8 | _CHECKED_R9:
-            return (2, name)      # last checked r7
-        if name not in _CHECKED_R9:
-            return (3, name)      # last checked r8
-        return (6, name)          # green in r9 — freshest, rotates out
+        if name in changed_r11 or name not in ever:
+            return (0, name)      # changed this round / never checked
+        if name in named_r7:
+            return (0.5, name)    # verdict-named stale families
+        if name not in _CHECKED_R8 | _CHECKED_R9 | _CHECKED_R10:
+            return (1, name)      # stalest: last driver row r7
+        if name not in _CHECKED_R9 | _CHECKED_R10:
+            return (2, name)      # last checked r8
+        if name not in _CHECKED_R10:
+            return (3, name)      # last checked r9
+        return (6, name)          # green in r10 — freshest, rotates out
 
     return sorted(REGISTRY.items(), key=klass)
 
