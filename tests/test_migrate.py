@@ -321,3 +321,33 @@ def test_computed_columns_apply_to_snapshots(spark, tmp_path):
     )
     snap = wh.read_at_version("snap_tag", v)
     assert snap.collect()[0]["tag_head"] == "al"
+
+
+def test_default_null_preserved_on_manifest_members(spark, tmp_path):
+    """Member-path twin of the explicit-NULL rule: on a manifest table the
+    back-fill decision is per MEMBER (footer check before the union) —
+    pre-ALTER members compute the DEFAULT, post-ALTER members serve the
+    stored value verbatim, explicitly inserted NULLs included."""
+    wh = _wh(spark, tmp_path)
+    wh.save_schema_override("mnull", wh.schema_for("dim_tag"))
+    wh.append("mnull", spark.createDataFrame(
+        [(1, "alpha", _TS)], wh.schema_for("dim_tag")
+    ), batch_id=0)
+    mig = SchemaMigrator(wh)
+    mig.add_computed_column(
+        "mnull", "tag_upper", T.StringType(), "upper(tag_value)",
+        kind="default",
+    )
+    # post-ALTER member with an explicit NULL in the DEFAULT column
+    wh.append("mnull", spark.createDataFrame(
+        [(2, "beta", _TS, None)],
+        T.StructType([*wh.schema_for("dim_tag").fields[:3],
+                      T.StructField("tag_upper", T.StringType())]),
+    ), batch_id=1)
+    rows = {r.tag_key: r.tag_upper for r in wh.read("mnull").collect()}
+    assert rows == {1: "ALPHA", 2: None}
+    # compaction folds members and MATERIALIZES the back-fill; the
+    # explicit NULL still survives the merge
+    wh.compact("mnull")
+    rows = {r.tag_key: r.tag_upper for r in wh.read("mnull").collect()}
+    assert rows == {1: "ALPHA", 2: None}
