@@ -101,6 +101,7 @@ def main() -> None:
         probe(args.tree)
         return
 
+    sys.path.insert(0, HEAD_REPO)
     from tools.quietcheck import quiet_stamp, settle
 
     settle()
@@ -131,9 +132,15 @@ def main() -> None:
     deltas = {}
     for k in ("ingest_sec", "gold_sec"):
         h, r = med("head", k), med("r9", k)
+        # the PAIRED estimator: each pair shares machine state, so the
+        # per-pair ratio cancels load; the median of ratios is robust to
+        # one contaminated pair, where the ratio of unpaired medians is
+        # not (it can pair a hot HEAD run against a cold r9 run)
+        ratios = sorted(p["head"][k] / p["r9"][k] for p in pairs)
         deltas[k] = {
             "head_median": round(h, 3), "r9_median": round(r, 3),
-            "head_over_r9": round(h / r, 3),
+            "pair_ratios": [round(x, 3) for x in ratios],
+            "head_over_r9": round(statistics.median(ratios), 3),
         }
     # per-pipeline medians for attribution when gold moved
     pipes = sorted(pairs[0]["head"]["pipeline_secs"])
