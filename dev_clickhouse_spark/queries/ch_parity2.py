@@ -262,3 +262,76 @@ def min_sample_size_conversion_by_type(
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "qualify_above_type_mean",
+    oracle="""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_above,
+       CAST(sum(CAST(floor(value) AS BIGINT)) AS BIGINT) AS sum_floor_value
+FROM (
+  SELECT event_type, value
+  FROM events
+  QUALIFY value > avg(value) OVER (PARTITION BY event_type)
+)
+GROUP BY event_type ORDER BY event_type
+""",
+    tags=["clickhouse-parity", "qualify"],
+)
+def qualify_above_type_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``QUALIFY`` clause parity (filter on a window result
+    without a subquery): events whose value exceeds their type's mean.
+    The oracle uses DuckDB's native QUALIFY; Spark has no QUALIFY
+    keyword, so the same plan is the window + filter composition —
+    which is exactly what both engines execute underneath.  One
+    type-keyed window shuffle, then a 5-row aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type")
+    above = ev.withColumn("type_mean", F.avg("value").over(w)).filter(
+        F.col("value") > F.col("type_mean")
+    )
+    return (
+        above.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_above"),
+            F.sum(F.floor("value").cast("long")).cast("long")
+            .alias("sum_floor_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "grouping_sets_type_day",
+    oracle="""
+SELECT coalesce(event_type, '<all>') AS event_type,
+       coalesce(CAST(CAST(ts AS DATE) AS VARCHAR), '<all>') AS day,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(grouping(event_type) AS BIGINT) AS g_type,
+       CAST(grouping(CAST(ts AS DATE)) AS BIGINT) AS g_day
+FROM events
+GROUP BY GROUPING SETS ((event_type), (CAST(ts AS DATE)), ())
+ORDER BY event_type, day
+""",
+    tags=["clickhouse-parity", "grouping-sets"],
+)
+def grouping_sets_type_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``GROUP BY GROUPING SETS ((a), (b), ())`` parity with
+    ``grouping()`` markers — the explicit-sets form CUBE/ROLLUP rows
+    don't cover (per-type totals + per-day totals + grand total, no
+    (type, day) cells).  Spark computes all sets in ONE pass (Expand +
+    single aggregate exchange); string-coalesced keys so the hash
+    compare is NULL-free."""
+    ev = load_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("gs_events")
+    return spark.sql("""
+        SELECT coalesce(event_type, '<all>') AS event_type,
+               coalesce(CAST(to_date(ts) AS STRING), '<all>') AS day,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(grouping(event_type) AS BIGINT) AS g_type,
+               CAST(grouping(to_date(ts)) AS BIGINT) AS g_day
+        FROM gs_events
+        GROUP BY GROUPING SETS ((event_type), (to_date(ts)), ())
+        ORDER BY event_type, day
+    """)
