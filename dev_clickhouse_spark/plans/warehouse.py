@@ -173,8 +173,7 @@ class Warehouse:
         # table: left under _schemas/ they would be inherited by a new
         # table created under the same name while this one is detached
         meta_dst = os.path.join(self._detached_dir(), "_schemas")
-        for p in (self._schema_override_path(table),
-                  self._computed_cols_path(table)):
+        for p in self._table_meta_paths(table):
             if os.path.exists(p):
                 os.makedirs(meta_dst, exist_ok=True)
                 os.rename(p, os.path.join(meta_dst, os.path.basename(p)))
@@ -196,8 +195,7 @@ class Warehouse:
         os.rename(src, dst)
         # restore schema/computed metadata detached alongside the data
         meta_src = os.path.join(self._detached_dir(), "_schemas")
-        for p in (self._schema_override_path(table),
-                  self._computed_cols_path(table)):
+        for p in self._table_meta_paths(table):
             cand = os.path.join(meta_src, os.path.basename(p))
             if os.path.exists(cand):
                 os.makedirs(os.path.dirname(p), exist_ok=True)
@@ -214,6 +212,15 @@ class Warehouse:
             )
         except OSError:
             return []
+
+    def _table_meta_paths(self, table: str) -> tuple:
+        """Every per-table metadata file under ``_schemas/`` — the set
+        that must travel with the table through DETACH/ATTACH."""
+        return (
+            self._schema_override_path(table),
+            self._computed_cols_path(table),
+            self._ttl_path(table),
+        )
 
     # -- declared-schema registry (ALTER target) ---------------------------
 
@@ -334,6 +341,60 @@ class Warehouse:
                     name, F.expr(meta["expr"]).cast(meta["type"])
                 )
         return df
+
+    # -- declared table TTL (ALTER TABLE … MODIFY TTL) -----------------------
+
+    def _ttl_path(self, table: str) -> str:
+        return os.path.join(self.root, "_schemas", table + ".ttl.json")
+
+    def set_table_ttl(
+        self,
+        table: str,
+        interval_days: float,
+        ttl_col: str = "event_ts",
+        group_by: list[str] | None = None,
+        aggregates: dict[str, str] | None = None,
+    ) -> None:
+        """``ALTER TABLE … MODIFY TTL col + INTERVAL n DAY [GROUP BY k…
+        SET col = agg(col)…]`` — DECLARE the TTL once; every ``compact``
+        (the merge analog) enforces it from then on, exactly where
+        ClickHouse applies TTL (during merges, zero extra passes).
+        Without ``group_by`` expired rows are DELETED; with it they roll
+        up (the downsampling idiom).  O(1) metadata write."""
+        if (group_by is None) != (aggregates is None):
+            raise ValueError(
+                "rollup TTL needs BOTH group_by and aggregates"
+            )
+        spec = {"ttl_col": ttl_col, "interval_days": float(interval_days)}
+        if group_by is not None:
+            spec["group_by"] = list(group_by)
+            spec["aggregates"] = dict(aggregates)
+        p = self._ttl_path(table)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        tmp = p + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(spec, fh, indent=1)
+        os.replace(tmp, p)
+        self._log_mutation(
+            table, "modify_ttl",
+            f"MODIFY TTL {ttl_col} + INTERVAL {interval_days} DAY"
+            + (f" GROUP BY {', '.join(group_by)}" if group_by else ""),
+        )
+
+    def table_ttl(self, table: str) -> dict | None:
+        """The declared TTL spec, or None (``REMOVE TTL`` state)."""
+        try:
+            with open(self._ttl_path(table)) as fh:
+                return json.load(fh)
+        except OSError:
+            return None
+
+    def remove_table_ttl(self, table: str) -> None:
+        """``ALTER TABLE … REMOVE TTL``."""
+        try:
+            os.remove(self._ttl_path(table))
+        except OSError:
+            pass
 
     def _apply_computed_read(
         self, table: str, df: DataFrame, stored_mode: str = "verbatim"
@@ -1169,6 +1230,7 @@ class Warehouse:
         mode: str = "full",
         max_generations: int = 4,
         transform=None,
+        now=None,
     ) -> int:
         """Small-file compaction — the engine's analog of MergeTree background
         merges (streaming foreachBatch appends one file set per micro-batch;
@@ -1222,6 +1284,26 @@ class Warehouse:
             if isinstance(cutoff, str):
                 cutoff = datetime.datetime.fromisoformat(cutoff)
             ttl_cond = F.col("event_ts") >= F.lit(cutoff)
+        elif transform is None:
+            # DECLARED TTL (set_table_ttl): the merge enforces it without
+            # the caller re-stating the clause — the CH MODIFY TTL contract
+            decl = self.table_ttl(table)
+            if decl is not None:
+                import datetime
+
+                now_dt = now or datetime.datetime.now()
+                cutoff = now_dt - datetime.timedelta(
+                    days=decl["interval_days"]
+                )
+                if decl.get("group_by"):
+                    transform = self._ttl_rollup_transform(
+                        cutoff, decl["group_by"], decl["aggregates"],
+                        decl["ttl_col"],
+                    )
+                else:
+                    ttl_cond = F.coalesce(
+                        F.col(decl["ttl_col"]) >= F.lit(cutoff), F.lit(True)
+                    )
         if ttl_cond is not None:
             # TTL must see every row, including ones inside old compacted
             # generations a tiered pass would skip
@@ -1978,6 +2060,18 @@ class Warehouse:
             if self._is_date_partitioned(table) or self._has_date_dirs(table):
                 ddl.append("PARTITION BY event_date")
             ddl.append(f"ORDER BY ({', '.join(sort)})")
+        ttl = self.table_ttl(table)
+        if ttl is not None:
+            clause = (
+                f"TTL {ttl['ttl_col']} + INTERVAL "
+                f"{ttl['interval_days']:g} DAY"
+            )
+            if ttl.get("group_by"):
+                clause += " GROUP BY " + ", ".join(ttl["group_by"])
+                clause += " SET " + ", ".join(
+                    f"{c} = {e}" for c, e in ttl["aggregates"].items()
+                )
+            ddl.append(clause)
         if self.codec:
             ddl.append(f"SETTINGS codec = '{self.codec}'")
         return "\n".join(ddl)
@@ -2103,6 +2197,52 @@ class Warehouse:
             .drop("__net", "__rn")
         )
 
+    def _ttl_rollup_transform(
+        self,
+        cutoff,
+        group_by: list[str],
+        aggregates: dict[str, str],
+        ttl_col: str,
+        stats_sink: dict | None = None,
+    ):
+        """The rollup-TTL compact transform: live rows pass through,
+        rows past the cutoff collapse to one row per group with the SET
+        aggregates applied; uncovered columns take the group minimum (CH
+        picks ``any`` — min is the deterministic choice of one)."""
+
+        def transform(df: DataFrame) -> DataFrame:
+            expired_cond = F.coalesce(
+                F.col(ttl_col) < F.lit(cutoff), F.lit(False)
+            )
+            live = df.filter(~expired_cond)
+            expired = df.filter(expired_cond)
+            agg_exprs = [
+                F.expr(e).alias(c) for c, e in aggregates.items()
+            ]
+            leftovers = [
+                c for c in df.columns
+                if c not in group_by and c not in aggregates
+            ]
+            rolled = (
+                expired.groupBy(*group_by)
+                .agg(*agg_exprs,
+                     *[F.min(c).alias(c) for c in leftovers])
+                .select(*df.columns)
+            )
+            # restore declared types (SQL aggregates can widen, e.g.
+            # sum(int) -> bigint, and the member swap must stay uniform)
+            rolled = rolled.select(
+                *[
+                    F.col(f.name).cast(f.dataType).alias(f.name)
+                    for f in df.schema.fields
+                ]
+            )
+            if stats_sink is not None:
+                stats_sink["rows_before"] = df.count()
+            return live.unionByName(rolled)
+
+        return transform
+
     def apply_ttl_group_by(
         self,
         table: str,
@@ -2134,38 +2274,10 @@ class Warehouse:
             cutoff = datetime.datetime.fromisoformat(cutoff)
         want_stats = stats
         stats = {}
-
-        def transform(df: DataFrame) -> DataFrame:
-            expired_cond = F.coalesce(
-                F.col(ttl_col) < F.lit(cutoff), F.lit(False)
-            )
-            live = df.filter(~expired_cond)
-            expired = df.filter(expired_cond)
-            agg_exprs = [
-                F.expr(e).alias(c) for c, e in aggregates.items()
-            ]
-            leftovers = [
-                c for c in df.columns
-                if c not in group_by and c not in aggregates
-            ]
-            rolled = (
-                expired.groupBy(*group_by)
-                .agg(*agg_exprs,
-                     *[F.min(c).alias(c) for c in leftovers])
-                .select(*df.columns)
-            )
-            # restore declared types (SQL aggregates can widen, e.g.
-            # sum(int) -> bigint, and the member swap must stay uniform)
-            rolled = rolled.select(
-                *[
-                    F.col(f.name).cast(f.dataType).alias(f.name)
-                    for f in df.schema.fields
-                ]
-            )
-            if want_stats:
-                stats["rows_before"] = df.count()
-            out = live.unionByName(rolled)
-            return out
+        transform = self._ttl_rollup_transform(
+            cutoff, group_by, aggregates, ttl_col,
+            stats_sink=stats if want_stats else None,
+        )
 
         if self.load_manifest(table) is not None:
             self.compact(table, transform=transform)

@@ -568,3 +568,70 @@ def test_summing_and_collapsing_reads(spark, tmp_path):
         ).collect()
     }
     assert got == {1: 10.0, 3: 99.0}
+
+
+def test_declared_ttl_enforced_by_compact(spark, tmp_path):
+    """``ALTER TABLE … MODIFY TTL``: declare once, every compact (the
+    merge analog) enforces it — delete form drops expired rows, rollup
+    form collapses them, REMOVE TTL stops enforcement, SHOW CREATE
+    renders the clause, and the declaration travels through
+    DETACH/ATTACH."""
+    import datetime as dt
+
+    from dev_clickhouse_spark.plans.warehouse import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    old = dt.datetime(2026, 1, 1, 0, 0)
+    new = dt.datetime(2026, 2, 1, 0, 0)
+    now = dt.datetime(2026, 2, 2, 0, 0)
+    df = spark.createDataFrame(
+        [(1, 10, old, 1.0), (2, 10, old, 2.0), (3, 20, new, 4.0),
+         (4, 30, None, 8.0)],
+        "event_id long, user_id long, ts timestamp, value double",
+    )
+    wh.save_schema_override("t", df.schema)
+    wh.append("t", df, batch_id=0)
+
+    # delete TTL: rows older than 7 days vanish at the next compact;
+    # NULL-ts rows can never expire
+    wh.set_table_ttl("t", interval_days=7, ttl_col="ts")
+    assert "TTL ts + INTERVAL 7 DAY" in wh.show_create_table("t")
+    wh.compact("t", now=now)
+    ids = {r.event_id for r in wh.read("t").collect()}
+    assert ids == {3, 4}
+    # idempotent: a second compact changes nothing
+    wh.compact("t", now=now)
+    assert wh.read("t").count() == 2
+    # explicit ttl_older_than still wins over the declaration
+    kinds = [r["kind"] for r in wh.mutations("t").collect()]
+    assert "modify_ttl" in kinds
+
+    # REMOVE TTL: expired rows survive compaction again
+    wh2 = Warehouse(spark, str(tmp_path / "wh2"))
+    wh2.save_schema_override("t", df.schema)
+    wh2.append("t", df, batch_id=0)
+    wh2.set_table_ttl("t", interval_days=7, ttl_col="ts")
+    wh2.remove_table_ttl("t")
+    wh2.compact("t", now=now)
+    assert wh2.read("t").count() == 4
+
+    # rollup TTL: expired rows collapse per group at the merge
+    wh3 = Warehouse(spark, str(tmp_path / "wh3"))
+    wh3.save_schema_override("t", df.schema)
+    wh3.append("t", df, batch_id=0)
+    wh3.set_table_ttl(
+        "t", interval_days=7, ttl_col="ts", group_by=["user_id"],
+        aggregates={"value": "sum(value)", "ts": "max(ts)",
+                    "event_id": "min(event_id)"},
+    )
+    ddl = wh3.show_create_table("t")
+    assert "GROUP BY user_id" in ddl and "value = sum(value)" in ddl
+    wh3.compact("t", now=now)
+    rows = {r.event_id: r.value for r in wh3.read("t").collect()}
+    assert rows == {1: 3.0, 3: 4.0, 4: 8.0}  # (1,2) collapsed into 1
+
+    # the declaration travels through DETACH/ATTACH
+    wh3.detach_table("t")
+    assert wh3.table_ttl("t") is None
+    wh3.attach_table("t")
+    assert wh3.table_ttl("t")["interval_days"] == 7.0
