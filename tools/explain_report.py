@@ -76,6 +76,10 @@ HEADLINE = [
     "summing_read_merge",             # round 10: SummingMergeTree read
     "collapsing_read_net",            # round 10: sign-netting collapse
     "dict_hierarchy_nation_chain",    # round 10: unrolled in-plan chain walk
+    "quantile_timing_event_values",   # round 11: grid-bucketed timing quantile
+    "qualify_above_type_mean",        # round 11: QUALIFY = window + filter
+    "grouping_sets_type_day",         # round 11: one Expand, one exchange
+    "neighbor_value_delta_by_type",   # round 11: lagInFrame per type
 ]
 
 
