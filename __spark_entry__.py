@@ -296,8 +296,9 @@ def _ordered():
         "ttl_group_by_rollup_read",        # stats now opt-in (one pass)
     }
     # VERDICT r10 #8 names these r7-era families explicitly; with 61
-    # r7-era rows competing for ~45 slots they are pinned ahead of the
-    # alphabetical tail (the ~16 spilled rows lead round 12's window)
+    # r7-era rows competing for the ~36 slots left after the changed +
+    # new-this-round classes, they are pinned ahead of the alphabetical
+    # tail (the ~25 spilled r7-era rows lead round 12's window)
     named_r7 = {
         "uniq_up_to_users", "running_difference_daily",
         "group_array_user_events",
