@@ -268,6 +268,34 @@ class PipelineRunner:
             self.refreshable.run_pending()
         return results
 
+    def maintenance_tick(
+        self,
+        tables: list[str] | None = None,
+        mode: str = "tiered",
+        gc_min_age_sec: float = 3600.0,
+        now: dt.datetime | None = None,
+    ) -> dict[str, int]:
+        """One background-merge cycle over the bronze tables — the work
+        ClickHouse's merge scheduler owns: tiered compaction (folding the
+        members appended since the last cycle), orphan GC, deletion-vector
+        GC, and any DECLARED table TTL (``set_table_ttl``), which the
+        compact enforces in the same pass.  Returns {table: n_files}.
+
+        Single-compactor discipline applies: call this from ONE place (the
+        scheduled tick or the stream's cadence), never concurrently with
+        itself.  Cost is O(ingest window) per table in tiered mode, so the
+        cadence can be aggressive without rewriting the table."""
+        from ..schemas import BRONZE_SCHEMAS
+
+        out: dict[str, int] = {}
+        for table in tables if tables is not None else list(BRONZE_SCHEMAS):
+            if not self.wh.exists(table):
+                continue
+            out[table] = self.wh.compact(table, mode=mode, now=now)
+            self.wh.gc(table, min_age_sec=gc_min_age_sec)
+            self.wh.gc_deletes(table)
+        return out
+
     def monitor_tick(
         self, start_ts: dt.datetime, end_ts: dt.datetime
     ) -> list[dict]:

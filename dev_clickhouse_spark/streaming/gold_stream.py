@@ -34,6 +34,7 @@ class ContinuousPipeline(BronzeStream):
         pipeline_ids: set[str] | None = None,
         metadata_url: str | None = None,
         metadata_reload_batches: int = 10,
+        maintenance_every_batches: int = 0,
     ):
         """``metadata_url`` points the per-batch gold refresh at the DB
         metadata store (plans/metastore.py): the pipeline catalog reloads
@@ -52,6 +53,11 @@ class ContinuousPipeline(BronzeStream):
         self.metadata_url = metadata_url
         self.metadata_reload_batches = max(1, metadata_reload_batches)
         self._batches_since_reload = 0
+        # 0 = maintenance owned elsewhere (orchestrator / soak driver);
+        # N>0 = this stream is the single compactor, running a tiered
+        # compact+GC(+declared TTL) cycle every N micro-batches
+        self.maintenance_every_batches = maintenance_every_batches
+        self._batches_since_maintenance = 0
         if metadata_url is not None:
             self._reload_pipelines(initial=True)
 
@@ -104,6 +110,14 @@ class ContinuousPipeline(BronzeStream):
         # inside the stream's own cadence
         if self.runner.refreshable is not None:
             self.runner.refreshable.run_pending()
+        if self.maintenance_every_batches > 0:
+            self._batches_since_maintenance += 1
+            if (
+                self._batches_since_maintenance
+                >= self.maintenance_every_batches
+            ):
+                self._batches_since_maintenance = 0
+                self.runner.maintenance_tick(gc_min_age_sec=0.0)
 
     def _batch_event_span(self, batch: DataFrame):
         """Event-time min/max across the three routed projections (the batch

@@ -134,3 +134,47 @@ def test_jdbc_dialect_option_matrix():
     assert jdbc_dialect("jdbc:postgresql://x/y") == "postgresql"
     assert quote_ident("public.user table", "postgresql") == '"public"."user table"'
     assert quote_ident("a`b", "mysql") == "`a``b`"
+
+
+def test_continuous_pipeline_owns_maintenance_cadence(spark, tmp_path):
+    """`maintenance_every_batches=N` makes the stream the single
+    compactor: every N micro-batches the runner's maintenance_tick runs
+    a tiered compact + GC + DV-GC over the bronze tables, and a DECLARED
+    table TTL (set_table_ttl) is enforced in the same pass — the CH
+    background-merge loop expressed inside the streaming cadence."""
+    from dev_clickhouse_spark.streaming import ContinuousPipeline
+
+    inp = tmp_path / "in"
+    # batch 1: one stale wazuh event (2020) + one fresh, plus suricata
+    _write_batch(inp, [
+        wazuh_payload("m1", "10.9.0.1", "2020-01-01T09:10:00.000Z"),
+        wazuh_payload("m2", "10.9.0.1", "2026-01-08T09:20:00.000Z"),
+        suricata_payload("ms1", ts="2026-01-08T09:15:00.000Z"),
+    ])
+    cp = ContinuousPipeline(
+        spark, str(tmp_path / "wh"), str(tmp_path / "ckpt"),
+        maintenance_every_batches=1,
+    )
+    # declare a delete TTL before the stream runs: anything older than
+    # ~5 years expires at the maintenance tick
+    cp.wh.set_table_ttl("wazuh_events_raw", interval_days=2000,
+                        ttl_col="event_ts")
+    cp.from_files(str(inp)).awaitTermination(180)
+    # the stale row was ingested, then expired by the in-stream compact
+    bron = cp.wh.read("wazuh_events_raw")
+    assert {r.event_id for r in bron.collect()} == {"m2"}
+    # maintenance compacted the manifest into one generation
+    man = cp.wh.load_manifest("wazuh_events_raw")
+    assert any(m.startswith("compacted-") for m in man["members"])
+    # second batch: appends keep working post-compaction and the next
+    # tick folds them again
+    _write_batch(inp, [
+        wazuh_payload("m3", "10.9.0.1", "2026-01-08T09:40:00.000Z"),
+    ])
+    cp2 = ContinuousPipeline(
+        spark, str(tmp_path / "wh"), str(tmp_path / "ckpt"),
+        maintenance_every_batches=1,
+    )
+    cp2.from_files(str(inp)).awaitTermination(180)
+    assert {r.event_id for r in cp2.wh.read("wazuh_events_raw").collect()} \
+        == {"m2", "m3"}
