@@ -360,7 +360,14 @@ class Warehouse:
         (the merge analog) enforces it from then on, exactly where
         ClickHouse applies TTL (during merges, zero extra passes).
         Without ``group_by`` expired rows are DELETED; with it they roll
-        up (the downsampling idiom).  O(1) metadata write."""
+        up (the downsampling idiom).  O(1) metadata write.
+
+        Scale note: a TTL-bearing compact runs as a FULL merge (expired
+        rows may hide in any generation).  On a 100 TB date-partitioned
+        table, prefer ``apply_ttl`` (whole-partition drops, metadata-
+        only — the ``ttl_only_drop_parts`` fast path) on the tight
+        cadence and reserve the declared-TTL merge for the periodic
+        major compaction."""
         if (group_by is None) != (aggregates is None):
             raise ValueError(
                 "rollup TTL needs BOTH group_by and aggregates"
