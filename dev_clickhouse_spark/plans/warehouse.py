@@ -220,6 +220,7 @@ class Warehouse:
             self._schema_override_path(table),
             self._computed_cols_path(table),
             self._ttl_path(table),
+            self._renames_path(table),
         )
 
     # -- declared-schema registry (ALTER target) ---------------------------
@@ -340,6 +341,63 @@ class Warehouse:
                 df = df.withColumn(
                     name, F.expr(meta["expr"]).cast(meta["type"])
                 )
+        return df
+
+    # -- column renames (ALTER TABLE … RENAME COLUMN) ------------------------
+
+    def _renames_path(self, table: str) -> str:
+        return os.path.join(self.root, "_schemas", table + ".renames.json")
+
+    def renames(self, table: str) -> dict:
+        """Live rename chains: ``{new_name: [old_name, older_name, …]}``.
+        Old parquet files keep the old column name in their footer; reads
+        scan them with the legacy fields appended and fold
+        ``coalesce(new, old…)`` — metadata-only at any table size, the
+        ClickHouse RENAME COLUMN contract.  Compaction writes the new
+        name, so chains retire as merges touch old files."""
+        try:
+            with open(self._renames_path(table)) as fh:
+                return json.load(fh)
+        except OSError:
+            return {}
+
+    def save_renames(self, table: str, ren: dict) -> None:
+        p = self._renames_path(table)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        tmp = p + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(ren, fh, indent=1)
+        os.replace(tmp, p)
+
+    def _legacy_read_schema(self, table: str) -> T.StructType:
+        """Declared schema extended with the legacy (pre-rename) field
+        names, so old files' values surface instead of reading as NULL."""
+        schema = self.schema_for(table)
+        ren = self.renames(table)
+        if not ren:
+            return schema
+        by_name = {f.name: f for f in schema.fields}
+        extra = []
+        for new, olds in ren.items():
+            f = by_name.get(new)
+            if f is None:
+                continue
+            for old in olds:
+                if old not in by_name:
+                    extra.append(T.StructField(old, f.dataType, True))
+        return T.StructType([*schema.fields, *extra])
+
+    def _apply_renames(self, table: str, df: DataFrame) -> DataFrame:
+        """Fold legacy columns into their renamed successor and drop
+        them.  A file carries a value under exactly ONE of the chain's
+        names, so the coalesce is a disjoint merge, not a preference."""
+        for new, olds in self.renames(table).items():
+            present = [o for o in olds if o in df.columns]
+            if new in df.columns and present:
+                df = df.withColumn(
+                    new,
+                    F.coalesce(F.col(new), *[F.col(o) for o in present]),
+                ).drop(*present)
         return df
 
     # -- declared table TTL (ALTER TABLE … MODIFY TTL) -----------------------
@@ -633,12 +691,13 @@ class Warehouse:
             # the added column in the others.  Reading with the declared
             # schema is authoritative and free: missing columns surface as
             # NULLs, widened types use the parquet reader's type promotion.
-            expected = self.schema_for(table)
+            expected = self._legacy_read_schema(table)
             if self._batch_layout(table):
                 expected = T.StructType(
                     [*expected.fields, T.StructField("ingest_batch", T.LongType())]
                 )
             df = self.spark.read.schema(expected).parquet(self.path(table))
+            df = self._apply_renames(table, df)
         if "ingest_batch" in df.columns:
             df = df.drop("ingest_batch")
         if override is not None:
@@ -709,8 +768,13 @@ class Warehouse:
                 df = self.spark.read.parquet(p)
             else:
                 # declared-schema read: mixed pre/post-ALTER members must not
-                # adopt one file's footer and hide the added column
-                df = self.spark.read.schema(self.schema_for(table)).parquet(p)
+                # adopt one file's footer and hide the added column; the
+                # schema carries legacy (pre-rename) names so old files'
+                # values surface, folded right below
+                df = self.spark.read.schema(
+                    self._legacy_read_schema(table)
+                ).parquet(p)
+                df = self._apply_renames(table, df)
             # DEFAULT/MATERIALIZED back-fill is decided per member from
             # parquet footers: only pre-ALTER members (column physically
             # absent) compute the expression; post-ALTER members serve

@@ -132,6 +132,79 @@ class SchemaMigrator:
         self._rewrite(table, target)
         return p
 
+    def rename_column(self, table: str, old: str, new: str) -> None:
+        """``ALTER TABLE … RENAME COLUMN old TO new`` — metadata-only at
+        any table size: the declared schema adopts the new name and a
+        rename chain is persisted; reads scan old files with the legacy
+        name appended and fold ``coalesce(new, old)``, writes and
+        compactions use the new name (retiring the chain as merges touch
+        old files) — the ClickHouse RENAME COLUMN contract."""
+        current = self.wh.schema_for(table)
+        names = {f.name for f in current.fields}
+        if old not in names:
+            raise ValueError(f"no column {old!r} on {table!r}")
+        if new in names or new in self.wh.computed_columns(table):
+            raise ValueError(f"column {new!r} already exists on {table!r}")
+        if old == "event_date" or (
+            self.wh._sort_key(table) or []
+        ).count(old):
+            raise ValueError(
+                f"cannot rename layout column {old!r} (partition/sort key)"
+            )
+        target = T.StructType([
+            T.StructField(new, f.dataType, f.nullable)
+            if f.name == old else f
+            for f in current.fields
+        ])
+        ren = self.wh.renames(table)
+        # chaining: if `old` was itself a rename target, its legacy names
+        # transfer to `new`
+        legacy = [old] + ren.pop(old, [])
+        ren[new] = legacy
+        self.wh.save_schema_override(table, target)
+        self.wh.save_renames(table, ren)
+        # validate old data serves through the renamed declaration
+        if self.wh.exists(table):
+            self.wh.read(table).limit(1).collect()
+        self.wh._log_mutation(
+            table, "rename_column", f"RENAME COLUMN {old} TO {new}"
+        )
+
+    def drop_column(
+        self, table: str, name: str, metadata_only: bool = False
+    ) -> None:
+        """``ALTER TABLE … DROP COLUMN`` — with ``metadata_only=True``
+        the declared schema simply forgets the column (O(1)): reads never
+        select it (parquet column pruning makes the dead bytes free) and
+        the next compaction physically drops it from rewritten files —
+        exactly ClickHouse, where the drop applies as parts merge.
+        Without the flag this is the guarded destructive rewrite."""
+        current = self.wh.schema_for(table)
+        if name not in {f.name for f in current.fields}:
+            raise ValueError(f"no column {name!r} on {table!r}")
+        if name == "event_date" or (
+            self.wh._sort_key(table) or []
+        ).count(name):
+            raise ValueError(
+                f"cannot drop layout column {name!r} (partition/sort key)"
+            )
+        target = T.StructType(
+            [f for f in current.fields if f.name != name]
+        )
+        if not metadata_only:
+            self.apply(table, target, rewrite=True)
+            return
+        ren = self.wh.renames(table)
+        ren.pop(name, None)  # dropping a renamed column retires its chain
+        self.wh.save_schema_override(table, target)
+        self.wh.save_renames(table, ren)
+        if self.wh.exists(table):
+            # validates no computed expression references the column
+            self.wh.read(table).limit(1).collect()
+        self.wh._log_mutation(
+            table, "drop_column", f"DROP COLUMN {name} (metadata-only)"
+        )
+
     def add_computed_column(
         self,
         table: str,

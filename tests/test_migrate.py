@@ -351,3 +351,114 @@ def test_default_null_preserved_on_manifest_members(spark, tmp_path):
     wh.compact("mnull")
     rows = {r.tag_key: r.tag_upper for r in wh.read("mnull").collect()}
     assert rows == {1: "ALPHA", 2: None}
+
+
+def test_rename_column_is_metadata_only(spark, tmp_path):
+    """RENAME COLUMN: O(1) metadata commit — old files keep the old
+    footer name and serve through a coalesce fold; new appends write the
+    new name; compaction retires the legacy name physically; the chain
+    survives a second rename and DETACH/ATTACH."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    wh = _wh(spark, tmp_path)
+    wh.save_schema_override("rn", wh.schema_for("dim_tag"))
+    wh.append("rn", spark.createDataFrame(
+        [(1, "alpha", _TS)], wh.schema_for("dim_tag")
+    ), batch_id=0)
+    files_before = sorted(
+        f for _r, _d, fs in os.walk(wh.path("rn")) for f in fs
+        if f.endswith(".parquet")
+    )
+    mig = SchemaMigrator(wh)
+    mig.rename_column("rn", "tag_value", "tag_label")
+    # metadata-only: nothing rewritten
+    files_after = sorted(
+        f for _r, _d, fs in os.walk(wh.path("rn")) for f in fs
+        if f.endswith(".parquet")
+    )
+    assert files_before == files_after
+    # old rows serve under the new name; old name is gone from the view
+    row = wh.read("rn").collect()[0]
+    assert row.tag_label == "alpha" and "tag_value" not in wh.read("rn").columns
+    # post-rename append uses the new name; both generations fold
+    wh.append("rn", spark.createDataFrame(
+        [(2, "beta", _TS)], wh.schema_for("rn")
+    ), batch_id=1)
+    got = {r.tag_key: r.tag_label for r in wh.read("rn").collect()}
+    assert got == {1: "alpha", 2: "beta"}
+    # chained rename: tag_label -> tag_text keeps serving the oldest files
+    mig.rename_column("rn", "tag_label", "tag_text")
+    got = {r.tag_key: r.tag_text for r in wh.read("rn").collect()}
+    assert got == {1: "alpha", 2: "beta"}
+    assert wh.renames("rn")["tag_text"] == ["tag_label", "tag_value"]
+    # refusals
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="already exists"):
+        mig.rename_column("rn", "tag_key", "tag_text")
+    with _pt.raises(ValueError, match="no column"):
+        mig.rename_column("rn", "ghost", "ghost2")
+    # detach/attach carries the chain
+    wh.detach_table("rn")
+    assert wh.renames("rn") == {}
+    wh.attach_table("rn")
+    assert wh.renames("rn")["tag_text"] == ["tag_label", "tag_value"]
+    # compaction writes the new name — the chain's files retire
+    wh.compact("rn")
+    man = wh.load_manifest("rn")
+    member = os.path.join(wh.path("rn"), man["members"][0])
+    foot_cols = set()
+    for dirpath, _dirs, files in os.walk(member):
+        for f in files:
+            if f.endswith(".parquet"):
+                foot_cols |= set(
+                    pq.read_schema(os.path.join(dirpath, f)).names
+                )
+    assert "tag_text" in foot_cols
+    assert "tag_value" not in foot_cols and "tag_label" not in foot_cols
+    got = {r.tag_key: r.tag_text for r in wh.read("rn").collect()}
+    assert got == {1: "alpha", 2: "beta"}
+
+
+def test_drop_column_metadata_only(spark, tmp_path):
+    """DROP COLUMN metadata_only=True: the declared schema forgets the
+    column instantly (column pruning makes the dead bytes free); the
+    next compaction physically drops it — the CH merge-applied drop."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    wh = _wh(spark, tmp_path)
+    wh.save_schema_override("dc", wh.schema_for("dim_tag"))
+    wh.append("dc", spark.createDataFrame(
+        [(1, "alpha", _TS)], wh.schema_for("dim_tag")
+    ), batch_id=0)
+    mig = SchemaMigrator(wh)
+    mig.drop_column("dc", "tag_value", metadata_only=True)
+    assert "tag_value" not in wh.read("dc").columns
+    assert wh.read("dc").count() == 1
+    # data untouched on disk until the merge
+    member_files = [
+        os.path.join(dp, f)
+        for dp, _d, fs in os.walk(wh.path("dc")) for f in fs
+        if f.endswith(".parquet")
+    ]
+    assert any(
+        "tag_value" in pq.read_schema(p).names for p in member_files
+    )
+    wh.compact("dc")
+    member_files = [
+        os.path.join(dp, f)
+        for dp, _d, fs in os.walk(wh.path("dc")) for f in fs
+        if f.endswith(".parquet")
+    ]
+    assert all(
+        "tag_value" not in pq.read_schema(p).names for p in member_files
+    )
+    # layout columns are protected
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="no column|layout"):
+        mig.drop_column("dc", "ghost", metadata_only=True)
