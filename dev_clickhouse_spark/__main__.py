@@ -159,6 +159,49 @@ def cmd_compact(args) -> None:
     print(f"{args.table}: {n} data files after compaction")
 
 
+def cmd_rename_column(args) -> None:
+    from .plans import Warehouse
+    from .quality import SchemaMigrator
+
+    wh = Warehouse(_spark(args), args.warehouse)
+    SchemaMigrator(wh).rename_column(args.table, args.old, args.new)
+    print(json.dumps({
+        "table": args.table, "renamed": {args.old: args.new},
+        "chains": wh.renames(args.table),
+    }))
+
+
+def cmd_drop_column(args) -> None:
+    from .plans import Warehouse
+    from .quality import SchemaMigrator
+
+    wh = Warehouse(_spark(args), args.warehouse)
+    SchemaMigrator(wh).drop_column(
+        args.table, args.column, metadata_only=not args.rewrite
+    )
+    print(json.dumps({
+        "table": args.table, "dropped": args.column,
+        "metadata_only": not args.rewrite,
+    }))
+
+
+def cmd_set_ttl(args) -> None:
+    from .plans import Warehouse
+
+    wh = Warehouse(_spark(args), args.warehouse)
+    if args.remove:
+        wh.remove_table_ttl(args.table)
+        print(json.dumps({"table": args.table, "ttl": None}))
+        return
+    group_by = args.group_by.split(",") if args.group_by else None
+    aggregates = json.loads(args.aggregates) if args.aggregates else None
+    wh.set_table_ttl(
+        args.table, interval_days=args.interval_days, ttl_col=args.ttl_col,
+        group_by=group_by, aggregates=aggregates,
+    )
+    print(json.dumps({"table": args.table, "ttl": wh.table_ttl(args.table)}))
+
+
 def gold_views(wh) -> dict:
     """The serving view map for a warehouse: every EXISTING declared gold
     table (catalog-driven, not directory prefixes), with migrated tables
@@ -291,6 +334,34 @@ def build_parser() -> argparse.ArgumentParser:
                             "overlap appends; plain tables: single writer)")
     p.add_argument("table")
     p.set_defaults(fn=cmd_compact)
+
+    p = sub.add_parser("rename-column",
+                       help="ALTER TABLE ... RENAME COLUMN (metadata-only)")
+    p.add_argument("table")
+    p.add_argument("old")
+    p.add_argument("new")
+    p.set_defaults(fn=cmd_rename_column)
+
+    p = sub.add_parser("drop-column",
+                       help="ALTER TABLE ... DROP COLUMN (metadata-only "
+                            "unless --rewrite)")
+    p.add_argument("table")
+    p.add_argument("column")
+    p.add_argument("--rewrite", action="store_true")
+    p.set_defaults(fn=cmd_drop_column)
+
+    p = sub.add_parser("set-ttl",
+                       help="ALTER TABLE ... MODIFY TTL (merges enforce it); "
+                            "--remove = REMOVE TTL")
+    p.add_argument("table")
+    p.add_argument("--interval-days", type=float, default=None)
+    p.add_argument("--ttl-col", default="event_ts")
+    p.add_argument("--group-by", default=None,
+                   help="comma-separated rollup keys (rollup TTL form)")
+    p.add_argument("--aggregates", default=None,
+                   help='JSON {"col": "agg expr", ...} (rollup SET list)')
+    p.add_argument("--remove", action="store_true")
+    p.set_defaults(fn=cmd_set_ttl)
 
     p = sub.add_parser("gc", help="sweep unreferenced data dirs of a "
                                   "manifest table (crash leftovers)")

@@ -201,3 +201,35 @@ def test_cli_corpus_ingest(env, spark, tmp_path, capsys):
     main(["--warehouse", env["wh"], "corpus-ingest", str(inp)])
     out2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out2 == {"corpus_documents": 1, "corpus_rejects": 1}
+
+
+def test_cli_alter_surface(env, spark, capsys):
+    """rename-column / drop-column / set-ttl round-trip through the CLI
+    (the operator's ALTER surface)."""
+    from dev_clickhouse_spark.plans import Warehouse
+
+    main(["--warehouse", env["wh"], "ingest", env["raw"]])
+    capsys.readouterr()
+    wh = Warehouse(spark, env["wh"])
+
+    main(["--warehouse", env["wh"], "rename-column", "wazuh_events_raw",
+          "rule_name", "rule_title"])
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out["renamed"] == {"rule_name": "rule_title"}
+    cols = wh.read("wazuh_events_raw").columns
+    assert "rule_title" in cols and "rule_name" not in cols
+
+    main(["--warehouse", env["wh"], "drop-column", "wazuh_events_raw",
+          "rule_ruleset"])
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out["metadata_only"] and out["dropped"] == "rule_ruleset"
+    assert "rule_ruleset" not in wh.read("wazuh_events_raw").columns
+
+    main(["--warehouse", env["wh"], "set-ttl", "wazuh_events_raw",
+          "--interval-days", "365"])
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out["ttl"]["interval_days"] == 365.0
+    main(["--warehouse", env["wh"], "set-ttl", "wazuh_events_raw",
+          "--remove"])
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out["ttl"] is None
