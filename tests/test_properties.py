@@ -217,3 +217,87 @@ def test_serving_masker_invariants(sql, mask_backticks):
         for pos, (strict_c, lenient_c) in enumerate(zip(masked, lenient)):
             if lenient_c == " ":
                 assert strict_c == " " or sql[pos] == " ", (pos, sql)
+
+
+# -- ALTER-surface property: random append/rename/drop/compact sequences ----
+
+_alter_ops = st.lists(
+    st.one_of(
+        st.tuples(st.just("append"), st.integers(1, 3)),
+        st.tuples(st.just("rename"), st.integers(0, 99)),
+        st.tuples(st.just("drop"), st.integers(0, 99)),
+        st.tuples(st.just("compact"), st.just(0)),
+    ),
+    min_size=1, max_size=6,
+)
+
+
+@settings(max_examples=5, deadline=None)
+@given(ops=_alter_ops)
+def test_alter_sequence_matches_eager_model(spark, tmp_path_factory, ops):
+    """Any interleaving of appends, metadata-only RENAME/DROP COLUMN, and
+    compaction serves exactly the rows an eager-rewrite model holds: the
+    legacy-name fold and declared-schema reads are invisible to readers."""
+    from pyspark.sql import types as T
+
+    from dev_clickhouse_spark.plans.warehouse import Warehouse
+    from dev_clickhouse_spark.quality import SchemaMigrator
+
+    tmp = tmp_path_factory.mktemp("alterprop")
+    wh = Warehouse(spark, str(tmp / "wh"))
+    mig = SchemaMigrator(wh)
+    schema = T.StructType([
+        T.StructField("k", T.LongType()),
+        T.StructField("c0", T.StringType()),
+        T.StructField("c1", T.DoubleType()),
+    ])
+    wh.save_schema_override("t", schema)
+    # model: logical column list + rows as dicts under CURRENT names
+    cols = ["k", "c0", "c1"]
+    model: list[dict] = []
+    batch = 0
+    fresh = 0
+    for op, arg in ops:
+        if op == "append":
+            rows = [
+                {c: (batch * 100 + i if c == "k"
+                     else f"s{batch}_{i}" if wh.schema_for("t")[c].dataType
+                     == T.StringType() else float(batch + i))
+                 for c in cols}
+                for i in range(arg)
+            ]
+            df = spark.createDataFrame(
+                [tuple(r[c] for c in cols) for r in rows],
+                wh.schema_for("t"),
+            )
+            wh.append("t", df, batch_id=batch)
+            model.extend(rows)
+            batch += 1
+        elif op == "rename":
+            renameable = [c for c in cols if c != "k"]
+            if not renameable:
+                continue
+            old = renameable[arg % len(renameable)]
+            new = f"r{fresh}"
+            fresh += 1
+            mig.rename_column("t", old, new)
+            cols[cols.index(old)] = new
+            for r in model:
+                r[new] = r.pop(old)
+        elif op == "drop":
+            droppable = [c for c in cols if c != "k"]
+            if len(droppable) < 2:
+                continue  # keep at least one payload column
+            victim = droppable[arg % len(droppable)]
+            mig.drop_column("t", victim, metadata_only=True)
+            cols.remove(victim)
+            for r in model:
+                r.pop(victim)
+        else:
+            if wh.exists("t"):
+                wh.compact("t")
+    got = sorted(
+        (tuple(sorted(r.asDict().items())) for r in wh.read("t").collect())
+    )
+    want = sorted(tuple(sorted(r.items())) for r in model)
+    assert got == want
