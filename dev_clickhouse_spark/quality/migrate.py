@@ -151,6 +151,7 @@ class SchemaMigrator:
             raise ValueError(
                 f"cannot rename layout column {old!r} (partition/sort key)"
             )
+        self._refuse_if_projected(table, old, "rename")
         target = T.StructType([
             T.StructField(new, f.dataType, f.nullable)
             if f.name == old else f
@@ -188,6 +189,7 @@ class SchemaMigrator:
             raise ValueError(
                 f"cannot drop layout column {name!r} (partition/sort key)"
             )
+        self._refuse_if_projected(table, name, "drop")
         target = T.StructType(
             [f for f in current.fields if f.name != name]
         )
@@ -204,6 +206,27 @@ class SchemaMigrator:
         self.wh._log_mutation(
             table, "drop_column", f"DROP COLUMN {name} (metadata-only)"
         )
+
+    def _refuse_if_projected(self, table: str, col: str, verb: str) -> None:
+        """A live projection's fold state references base columns by
+        name — dims AND measure sources, and the sidecar records only
+        dims — so any rename/drop under a live projection could strand
+        it.  Refuse whenever a sidecar exists (ClickHouse likewise
+        refuses ALTERs on projected columns until the projection is
+        dropped); the operator drops/rebuilds projections around the
+        ALTER."""
+        import os
+
+        proj_dir = os.path.join(self.wh.path(table), "_projections")
+        if not os.path.isdir(proj_dir):
+            return
+        live = [f[:-5] for f in os.listdir(proj_dir) if f.endswith(".json")]
+        if live:
+            raise ValueError(
+                f"cannot {verb} column {col!r} on {table!r}: live "
+                f"projection(s) {live} may reference it — drop the "
+                "projection first"
+            )
 
     def add_computed_column(
         self,

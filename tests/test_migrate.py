@@ -462,3 +462,47 @@ def test_drop_column_metadata_only(spark, tmp_path):
 
     with _pt.raises(ValueError, match="no column|layout"):
         mig.drop_column("dc", "ghost", metadata_only=True)
+
+
+def test_rename_drop_refused_under_live_projection(spark, tmp_path):
+    """A live projection references base columns by name: RENAME/DROP of
+    a projected column is refused until the projection is dropped (the
+    CH rule for ALTERs on projected columns)."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from dev_clickhouse_spark.plans.projection import (
+        Measure,
+        ProjectionSet,
+        ProjectionSpec,
+    )
+
+    wh = _wh(spark, tmp_path)
+    schema = T.StructType([
+        T.StructField("k", T.LongType()),
+        T.StructField("grp", T.StringType()),
+        T.StructField("v", T.DoubleType()),
+    ])
+    wh.save_schema_override("pt", schema)
+    wh.append("pt", spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0)], schema
+    ), batch_id=0)
+    ps = ProjectionSet(wh, "pt", [ProjectionSpec(
+        name="by_grp", dims=("grp",),
+        measures=(Measure("count"), Measure("sum", "v")),
+    )])
+    ps.ensure()
+    mig = SchemaMigrator(wh)
+    with pytest.raises(ValueError, match="live projection"):
+        mig.rename_column("pt", "grp", "grp2")
+    with pytest.raises(ValueError, match="live projection"):
+        mig.drop_column("pt", "v", metadata_only=True)
+    # measure sources are not recorded in the sidecar, so the refusal is
+    # blanket: renaming a measure column is blocked too
+    with pytest.raises(ValueError, match="live projection"):
+        mig.rename_column("pt", "v", "val")
+    # dropping the projection unblocks the ALTER
+    import shutil
+
+    shutil.rmtree(wh.path("pt") + "/_projections")
+    mig.rename_column("pt", "v", "val")
+    assert {r.val for r in wh.read("pt").collect()} == {1.0, 2.0}
