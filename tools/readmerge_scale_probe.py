@@ -158,6 +158,10 @@ def main() -> None:
     ap.add_argument("--workdir", default="/tmp/readmerge_scale")
     args = ap.parse_args()
 
+    from tools.quietcheck import quiet_stamp, settle
+
+    settle()
+    quiet = quiet_stamp()
     spark = get_spark(
         master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]",
         shuffle_partitions=32,
@@ -202,6 +206,7 @@ def main() -> None:
             "ttl": "single apply on a fresh copy, stats=False (one pass)",
         },
         "ops": series,
+        "quiet": quiet,
         "verdict": "PASS" if not failures else "FAIL",
         "failures": failures,
     }
