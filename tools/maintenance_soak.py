@@ -188,6 +188,9 @@ def main() -> None:
     freeze_state: dict = {}
     rv = None
     detach_table = "zeek_events_raw"
+    ttl_declared_at = None
+    zeek_rows_per_batch = None
+    last_compact_batch = 0
 
     def mv_build(_spark):
         return (
@@ -227,6 +230,7 @@ def main() -> None:
 
             rv = RefreshableViews(spark, wh)
             rv.create("mv_soak_rollup", mv_build, refresh_every_sec=0)
+            zeek_rows_per_batch = extracted[detach_table].count()
 
         if (b + 1) % args.mutate_every == 0:
             cyc = (b + 1) // args.mutate_every
@@ -294,6 +298,16 @@ def main() -> None:
                 rows_before=n0, rows_after=n1,
                 drift_free=checks["detach_attach_zero_drift"],
                 sec=round(time.time() - t0, 3))
+            # declared TTL (MODIFY TTL): wall-now minus 30 days is far
+            # past the synthetic 2026-01-08 event times, so EVERY on-disk
+            # row of this table expires at each subsequent compact while
+            # appends keep repopulating — composition of the merge-owned
+            # TTL with live ingest
+            wh.set_table_ttl(detach_table, interval_days=30,
+                             ttl_col="event_ts")
+            ttl_declared_at = b + 1
+            log("modify_ttl", after_batch=b + 1, table=detach_table,
+                interval_days=30)
 
         if b + 1 == attach_at:
             pre = wh.read(probe).count()
@@ -363,6 +377,17 @@ def main() -> None:
                 full_reset_ok=(not full) or oc == 0,
                 window_events_per_sec=round(args.events_per_batch / med, 1))
             rv.run_pending()
+            last_compact_batch = b + 1
+            if ttl_declared_at is not None:
+                # every zeek row on disk predates the TTL cutoff, so a
+                # post-declare compact must empty the table
+                n_zeek = wh.read(detach_table).count()
+                checks["ttl_zeek_emptied_at_compact"] = (
+                    checks.get("ttl_zeek_emptied_at_compact", True)
+                    and n_zeek == 0
+                )
+                log("ttl_enforced", after_batch=b + 1,
+                    zeek_rows_after_compact=n_zeek)
 
     # -- end-state assertions ------------------------------------------------
     final = wh.read(probe)
@@ -400,6 +425,16 @@ def main() -> None:
     checks["refresh_mv_saw_patches"] = (
         sum(r[2] for r in mv_rows) > 0  # (event_type, n, n_patched)
     )
+    # declared TTL end-state: only rows appended AFTER the last compact
+    # survive (everything older expired at that merge)
+    if ttl_declared_at is not None and zeek_rows_per_batch is not None:
+        expected_zeek = zeek_rows_per_batch * (
+            args.batches - max(last_compact_batch, ttl_declared_at)
+        ) if last_compact_batch >= ttl_declared_at else None
+        if expected_zeek is not None:
+            checks["ttl_end_state_exact"] = (
+                wh.read(detach_table).count() == expected_zeek
+            )
     checks["overlay_bounded"] = overlay_max <= args.overlay_bound
     checks["compact_rows_stable"] = all(
         e["rows_stable"] for e in events if e["kind"] == "compact"
