@@ -97,6 +97,7 @@ class Warehouse:
         #: consult the override several times per call and run ~30×/tick
         self._override_cache: dict[str, tuple[float, T.StructType]] = {}
         self._footer_cols_cache: dict[str, tuple[float, set]] = {}
+        self._json_meta_cache: dict[str, tuple] = {}
         self._unpartitioned_sorted: set[str] = set()
         #: per-instance ``PARTITION BY event_date ORDER BY (...)``
         #: declarations (CREATE TABLE analog) — extends the module-level
@@ -262,17 +263,39 @@ class Warehouse:
     def _computed_cols_path(self, table: str) -> str:
         return os.path.join(self.root, "_schemas", table + ".computed.json")
 
+    def _load_json_meta(self, path: str, default):
+        """mtime-cached JSON metadata loader (computed columns, rename
+        chains, TTL specs): table reads consult these per member, so a
+        30-member scan must not open the same file 30 times.  The atomic
+        replace every writer uses bumps the mtime, invalidating the
+        entry; a missing file caches the default against mtime None."""
+        try:
+            mtime = os.path.getmtime(path)
+        except OSError:
+            mtime = None
+        import copy
+
+        hit = self._json_meta_cache.get(path)
+        if hit is not None and hit[0] == mtime:
+            # copy out: callers mutate these dicts before re-saving
+            return copy.deepcopy(hit[1])
+        if mtime is None:
+            val = default
+        else:
+            try:
+                with open(path) as fh:
+                    val = json.load(fh)
+            except (OSError, ValueError):
+                val = default
+        self._json_meta_cache[path] = (mtime, val)
+        return copy.deepcopy(val)
+
     def computed_columns(self, table: str) -> dict[str, dict]:
         """Computed-column metadata applied by this warehouse's read/write
         paths: ``{name: {"kind": default|materialized|alias, "expr": sql,
         "type": ddl}}`` in declaration order.  Written only by
         ``quality/migrate.SchemaMigrator.add_computed_column``."""
-        p = self._computed_cols_path(table)
-        try:
-            with open(p) as fh:
-                return json.load(fh)
-        except OSError:
-            return {}
+        return self._load_json_meta(self._computed_cols_path(table), {})
 
     def save_computed_columns(self, table: str, cols: dict) -> None:
         p = self._computed_cols_path(table)
@@ -335,24 +358,32 @@ class Warehouse:
         }
 
     def _backfill_member_computed(
-        self, table: str, member_root: str, df: DataFrame
+        self, table: str, member_root: str, df: DataFrame,
+        stored: dict | None = None,
     ) -> DataFrame:
         """Per-member read-side back-fill of DEFAULT/MATERIALIZED columns:
         only members whose files PREDATE the ALTER (footer lacks the
         column) compute the expression; post-ALTER members serve stored
-        values verbatim, preserving explicitly inserted NULLs."""
-        stored = self._stored_computed(table)
+        values verbatim, preserving explicitly inserted NULLs.  ONE
+        projection per member (see ``_apply_renames``)."""
+        stored = (
+            self._stored_computed(table) if stored is None else stored
+        )
         if not stored:
             return df
         lacking = self._computed_cols_lacking(
             member_root, list(stored), first_file_only=True
         )
-        for name, meta in stored.items():
-            if name in lacking:
-                df = df.withColumn(
-                    name, F.expr(meta["expr"]).cast(meta["type"])
-                )
-        return df
+        if not lacking:
+            return df
+        exprs = {
+            n: F.expr(stored[n]["expr"]).cast(stored[n]["type"]).alias(n)
+            for n in lacking
+        }
+        cols = [
+            exprs.pop(c) if c in exprs else F.col(c) for c in df.columns
+        ]
+        return df.select(*cols, *exprs.values())
 
     # -- column renames (ALTER TABLE … RENAME COLUMN) ------------------------
 
@@ -366,11 +397,7 @@ class Warehouse:
         ``coalesce(new, old…)`` — metadata-only at any table size, the
         ClickHouse RENAME COLUMN contract.  Compaction writes the new
         name, so chains retire as merges touch old files."""
-        try:
-            with open(self._renames_path(table)) as fh:
-                return json.load(fh)
-        except OSError:
-            return {}
+        return self._load_json_meta(self._renames_path(table), {})
 
     def save_renames(self, table: str, ren: dict) -> None:
         p = self._renames_path(table)
@@ -398,18 +425,31 @@ class Warehouse:
                     extra.append(T.StructField(old, f.dataType, True))
         return T.StructType([*schema.fields, *extra])
 
-    def _apply_renames(self, table: str, df: DataFrame) -> DataFrame:
+    def _apply_renames(
+        self, table: str, df: DataFrame, ren: dict | None = None
+    ) -> DataFrame:
         """Fold legacy columns into their renamed successor and drop
         them.  A file carries a value under exactly ONE of the chain's
-        names, so the coalesce is a disjoint merge, not a preference."""
-        for new, olds in self.renames(table).items():
+        names, so the coalesce is a disjoint merge, not a preference.
+        ONE projection, not a withColumn chain — reads apply this per
+        member, and N members × chained analysis passes is real driver
+        latency."""
+        ren = self.renames(table) if ren is None else ren
+        if not ren:
+            return df
+        repl, drops = {}, set()
+        for new, olds in ren.items():
             present = [o for o in olds if o in df.columns]
             if new in df.columns and present:
-                df = df.withColumn(
-                    new,
-                    F.coalesce(F.col(new), *[F.col(o) for o in present]),
-                ).drop(*present)
-        return df
+                repl[new] = F.coalesce(
+                    F.col(new), *[F.col(o) for o in present]
+                ).alias(new)
+                drops.update(present)
+        if not repl:
+            return df
+        return df.select(
+            *[repl.get(c, F.col(c)) for c in df.columns if c not in drops]
+        )
 
     # -- declared table TTL (ALTER TABLE … MODIFY TTL) -----------------------
 
@@ -459,11 +499,7 @@ class Warehouse:
 
     def table_ttl(self, table: str) -> dict | None:
         """The declared TTL spec, or None (``REMOVE TTL`` state)."""
-        try:
-            with open(self._ttl_path(table)) as fh:
-                return json.load(fh)
-        except OSError:
-            return None
+        return self._load_json_meta(self._ttl_path(table), None)
 
     def remove_table_ttl(self, table: str) -> None:
         """``ALTER TABLE … REMOVE TTL``."""
@@ -768,6 +804,16 @@ class Warehouse:
         dv_files = self._dv_files(table)
         patch_files = self._patch_files(table)
         tag = bool(dv_files) or bool(patch_files) or keep_dv_tag
+        # ALTER metadata is hoisted OUT of the member loop: these are
+        # per-table constants, and a scan of N members must not pay N
+        # metadata lookups / schema constructions (the round-11 overhead
+        # probe measured the chained per-member build at ~1.3 s driver
+        # time for 30 members before this hoist)
+        legacy_schema = (
+            self._legacy_read_schema(table) if override is not None else None
+        )
+        ren = self.renames(table)
+        stored = self._stored_computed(table)
         dfs = []
         for m in members:
             p = os.path.join(self.path(table), m)
@@ -781,18 +827,17 @@ class Warehouse:
                 # declared-schema read: mixed pre/post-ALTER members must not
                 # adopt one file's footer and hide the added column; the
                 # schema carries legacy (pre-rename) names so old files'
-                # values surface, folded right below
-                df = self.spark.read.schema(
-                    self._legacy_read_schema(table)
-                ).parquet(p)
-                df = self._apply_renames(table, df)
+                # values surface — folded ONCE after the union (the
+                # coalesce is disjoint-correct across mixed members, and
+                # per-member folds cost N analysis passes)
+                df = self.spark.read.schema(legacy_schema).parquet(p)
             # DEFAULT/MATERIALIZED back-fill is decided per member from
             # parquet footers: only pre-ALTER members (column physically
             # absent) compute the expression; post-ALTER members serve
             # stored values verbatim, explicit NULLs included.  Doing it
             # here — before the union and any DV/patch join — keeps the
             # decision on the member scan where file lineage is exact.
-            df = self._backfill_member_computed(table, p, df)
+            df = self._backfill_member_computed(table, p, df, stored=stored)
             if tag:
                 df = df.select(
                     F.col("_metadata.file_path").alias("__dv_file"),
@@ -805,6 +850,11 @@ class Warehouse:
         out = dfs[0]
         for df in dfs[1:]:
             out = out.unionByName(df, allowMissingColumns=True)
+        # rename fold: ONE projection over the union — a legacy column
+        # holds a value in pre-rename members and NULL in post-rename
+        # ones, so coalesce(new, old…) is exact here, and patch rows
+        # (written post-read, new names only) pass through untouched
+        out = self._apply_renames(table, out, ren=ren)
         if patch_files:
             # lightweight UPDATE (patch parts): replace each patched row
             # address with its LATEST patch row — the patch keeps the

@@ -1,0 +1,128 @@
+#!/usr/bin/env python
+"""Read-overhead probe for the round-11 metadata-only ALTER surface.
+
+RENAME COLUMN adds a legacy-name schema extension + a coalesce fold per
+member scan; DEFAULT-column back-fill adds ONE parquet-footer read per
+member per read (cached by mtime); metadata DROP COLUMN narrows the
+projection.  All three must be ~free: the fold is whole-stage-codegen
+expressions, the footer check is O(members) driver-side metadata.  This
+probe builds a many-member manifest table, measures a full-scan
+aggregate before any ALTER and again after rename+default+drop, and
+gates the ratio.
+
+Artifact: ALTER_READ_OVERHEAD.json.
+Usage: python tools/alter_read_overhead_probe.py [--members 30]
+       [--rows-per-member 100000] [--reps 3]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+from pyspark.sql import types as T  # noqa: E402
+
+RATIO_MAX = 1.3        # post-compaction: ALTER debt fully retired
+RATIO_MAX_WORST = 1.5  # every member pre-ALTER (transient, pre-merge)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--members", type=int, default=30)
+    ap.add_argument("--rows-per-member", type=int, default=100_000)
+    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--out", default="ALTER_READ_OVERHEAD.json")
+    ap.add_argument("--workdir", default="/tmp/alter_read_probe")
+    args = ap.parse_args()
+
+    from dev_clickhouse_spark.plans.warehouse import Warehouse
+    from dev_clickhouse_spark.quality import SchemaMigrator
+    from dev_clickhouse_spark.session import get_spark
+    from tools.quietcheck import quiet_stamp, settle
+
+    settle()
+    quiet = quiet_stamp()
+    spark = get_spark(
+        master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]",
+        shuffle_partitions=32,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    shutil.rmtree(args.workdir, ignore_errors=True)
+    wh = Warehouse(spark, os.path.join(args.workdir, "wh"))
+    schema = T.StructType([
+        T.StructField("k", T.LongType()),
+        T.StructField("a", T.StringType()),
+        T.StructField("b", T.DoubleType()),
+        T.StructField("c", T.LongType()),
+    ])
+    wh.save_schema_override("t", schema)
+    for m in range(args.members):
+        df = spark.range(args.rows_per_member).select(
+            (F.col("id") + m * args.rows_per_member).alias("k"),
+            F.concat(F.lit(f"m{m}_"), F.col("id").cast("string")).alias("a"),
+            (F.col("id") % 997).cast("double").alias("b"),
+            (F.col("id") % 31).alias("c"),
+        )
+        wh.append("t", df, batch_id=m)
+
+    def scan() -> float:
+        best = math.inf
+        for _ in range(args.reps):
+            t0 = time.time()
+            wh.read("t").agg(
+                F.count(F.lit(1)), F.sum("b"), F.max("k")
+            ).collect()
+            best = min(best, time.time() - t0)
+        return best
+
+    base = scan()
+    mig = SchemaMigrator(wh)
+    mig.rename_column("t", "a", "a2")          # legacy fold on every member
+    mig.add_computed_column(                   # footer check on every member
+        "t", "b_bucket", T.LongType(), "cast(floor(b / 10) as bigint)",
+        kind="default",
+    )
+    mig.drop_column("t", "c", metadata_only=True)
+    altered = scan()                           # WORST case: every member
+    ratio = altered / base                     # predates every ALTER
+    # the overhead is TRANSIENT: the next merge materializes the rename /
+    # back-fill / drop into the rewritten member, after which reads pay
+    # nothing (the CH story — ALTER debt is retired by merges)
+    wh.compact("t")
+    compacted = scan()
+    ratio_after = compacted / base
+    artifact = {
+        "metric": "alter_read_overhead",
+        "members": args.members,
+        "rows": args.members * args.rows_per_member,
+        "baseline_sec": round(base, 3),
+        "altered_sec": round(altered, 3),
+        "ratio_worst_case_all_members_pre_alter": round(ratio, 3),
+        "after_compact_sec": round(compacted, 3),
+        "ratio_after_compact": round(ratio_after, 3),
+        "ratio_max_worst_case": RATIO_MAX_WORST,
+        "ratio_max_after_compact": RATIO_MAX,
+        "alters": ["rename a->a2", "add b_bucket DEFAULT", "drop c (meta)"],
+        "quiet": quiet,
+        "verdict": (
+            "PASS" if ratio <= RATIO_MAX_WORST
+            and ratio_after <= RATIO_MAX else "FAIL"
+        ),
+    }
+    with open(args.out, "w") as fh:
+        json.dump(artifact, fh, indent=1, sort_keys=True)
+        fh.write("\n")
+    print(json.dumps(artifact))
+    shutil.rmtree(args.workdir, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
