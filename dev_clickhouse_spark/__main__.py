@@ -185,6 +185,56 @@ def cmd_drop_column(args) -> None:
     }))
 
 
+def cmd_modify_column(args) -> None:
+    from pyspark.sql import types as T
+
+    from .plans import Warehouse
+    from .quality import SchemaMigrator
+
+    wh = Warehouse(_spark(args), args.warehouse)
+    dtype = T._parse_datatype_string(args.type)
+    SchemaMigrator(wh).modify_column_type(args.table, args.column, dtype)
+    print(json.dumps({
+        "table": args.table, "column": args.column, "type": args.type,
+        "cast_chains": wh.column_casts(args.table),
+    }))
+
+
+def cmd_clear_column(args) -> None:
+    from .plans import Warehouse
+
+    wh = Warehouse(_spark(args), args.warehouse)
+    entry = wh.clear_column_in_partition(args.table, args.column, args.date)
+    print(json.dumps({
+        "table": args.table, "cleared": args.column, "partition": args.date,
+        "members_addressed": len(entry["members"]),
+    }))
+
+
+def cmd_materialize_column(args) -> None:
+    from .plans import Warehouse
+
+    wh = Warehouse(_spark(args), args.warehouse)
+    res = wh.materialize_column(args.table, args.column)
+    print(json.dumps({"table": args.table, "column": args.column, **res}))
+
+
+def cmd_set_column_ttl(args) -> None:
+    from .plans import Warehouse
+
+    wh = Warehouse(_spark(args), args.warehouse)
+    if args.remove:
+        wh.remove_column_ttl(args.table, args.column)
+    else:
+        wh.set_column_ttl(
+            args.table, args.column,
+            interval_days=args.interval_days, ttl_col=args.ttl_col,
+        )
+    print(json.dumps({
+        "table": args.table, "column_ttls": wh.column_ttls(args.table),
+    }))
+
+
 def cmd_set_ttl(args) -> None:
     from .plans import Warehouse
 
@@ -349,6 +399,40 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("column")
     p.add_argument("--rewrite", action="store_true")
     p.set_defaults(fn=cmd_drop_column)
+
+    p = sub.add_parser("modify-column",
+                       help="ALTER TABLE ... MODIFY COLUMN type "
+                            "(metadata-only; non-widening = cast-on-read, "
+                            "merges materialize)")
+    p.add_argument("table")
+    p.add_argument("column")
+    p.add_argument("type", help="Spark DDL type, e.g. string, bigint")
+    p.set_defaults(fn=cmd_modify_column)
+
+    p = sub.add_parser("clear-column",
+                       help="ALTER TABLE ... CLEAR COLUMN IN PARTITION "
+                            "(member-snapshot overlay; merges materialize)")
+    p.add_argument("table")
+    p.add_argument("column")
+    p.add_argument("date", help="partition date YYYY-MM-DD")
+    p.set_defaults(fn=cmd_clear_column)
+
+    p = sub.add_parser("materialize-column",
+                       help="ALTER TABLE ... MATERIALIZE COLUMN (rewrites "
+                            "only members whose footers lack it)")
+    p.add_argument("table")
+    p.add_argument("column")
+    p.set_defaults(fn=cmd_materialize_column)
+
+    p = sub.add_parser("set-column-ttl",
+                       help="MODIFY COLUMN ... TTL (merge resets expired "
+                            "values to DEFAULT/NULL); --remove to drop")
+    p.add_argument("table")
+    p.add_argument("column")
+    p.add_argument("--interval-days", type=float, default=None)
+    p.add_argument("--ttl-col", default="event_ts")
+    p.add_argument("--remove", action="store_true")
+    p.set_defaults(fn=cmd_set_column_ttl)
 
     p = sub.add_parser("set-ttl",
                        help="ALTER TABLE ... MODIFY TTL (merges enforce it); "

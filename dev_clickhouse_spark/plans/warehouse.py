@@ -97,6 +97,7 @@ class Warehouse:
         #: consult the override several times per call and run ~30×/tick
         self._override_cache: dict[str, tuple[float, T.StructType]] = {}
         self._footer_cols_cache: dict[str, tuple[float, set]] = {}
+        self._footer_types_cache: dict[str, tuple[float, dict]] = {}
         self._json_meta_cache: dict[str, tuple] = {}
         self._unpartitioned_sorted: set[str] = set()
         #: per-instance ``PARTITION BY event_date ORDER BY (...)``
@@ -222,6 +223,9 @@ class Warehouse:
             self._computed_cols_path(table),
             self._ttl_path(table),
             self._renames_path(table),
+            self._casts_path(table),
+            self._cleared_path(table),
+            self._colttl_path(table),
         )
 
     # -- declared-schema registry (ALTER target) ---------------------------
@@ -320,6 +324,40 @@ class Warehouse:
         cols = set(pq.read_schema(fpath).names)
         self._footer_cols_cache[fpath] = (mtime, cols)
         return cols
+
+    def _first_parquet(self, root: str) -> str | None:
+        """First parquet file under ``root`` (a member is ONE write
+        generation, so one footer answers type/column questions for the
+        member — the same O(1) fast path as ``_computed_cols_lacking``)."""
+        for dirpath, _dirs, files in os.walk(root):
+            for f in sorted(files):
+                if f.endswith(".parquet"):
+                    return os.path.join(dirpath, f)
+        return None
+
+    def _parquet_field_types(self, fpath: str) -> dict:
+        """Footer column → Spark DataType of one parquet file, cached by
+        (path, mtime) — O(1) metadata read, never a data scan.  Columns
+        whose arrow type has no Spark mapping are omitted (read as
+        declared)."""
+        try:
+            mtime = os.path.getmtime(fpath)
+        except OSError:
+            return {}
+        hit = self._footer_types_cache.get(fpath)
+        if hit is not None and hit[0] == mtime:
+            return hit[1]
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import from_arrow_type
+
+        out: dict = {}
+        for fld in pq.read_schema(fpath):
+            try:
+                out[fld.name] = from_arrow_type(fld.type)
+            except Exception:
+                pass
+        self._footer_types_cache[fpath] = (mtime, out)
+        return out
 
     def _computed_cols_lacking(
         self, root: str, names: list, first_file_only: bool = False
@@ -507,6 +545,215 @@ class Warehouse:
             os.remove(self._ttl_path(table))
         except OSError:
             pass
+
+    # -- MODIFY COLUMN type (cast-on-read chains) ----------------------------
+
+    def _casts_path(self, table: str) -> str:
+        return os.path.join(self.root, "_schemas", table + ".casts.json")
+
+    def column_casts(self, table: str) -> dict:
+        """Live ``ALTER TABLE … MODIFY COLUMN col type`` retype chains:
+        ``{col: declared_type_ddl}``.  Old parquet files keep the
+        pre-ALTER physical type in their footers; reads scan each such
+        member with the footer's type and fold ONE ``cast(declared)``
+        projection before the union — metadata-only at any table size.
+        ClickHouse rewrites parts eagerly for MODIFY COLUMN; here the
+        new type materializes as merges rewrite members (the same lazy
+        discipline as RENAME COLUMN), and entries retire once no live
+        member's footer disagrees (``_gc_alter_overlays``)."""
+        return self._load_json_meta(self._casts_path(table), {})
+
+    def save_column_casts(self, table: str, casts: dict) -> None:
+        p = self._casts_path(table)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        tmp = p + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(casts, fh, indent=1)
+        os.replace(tmp, p)
+
+    # -- CLEAR COLUMN IN PARTITION (member-scoped reset overlays) ------------
+
+    def _cleared_path(self, table: str) -> str:
+        return os.path.join(self.root, "_schemas", table + ".cleared.json")
+
+    def cleared_entries(self, table: str) -> list:
+        """Live ``CLEAR COLUMN … IN PARTITION`` overlays:
+        ``[{"col", "date", "members"}]`` — each addresses exactly the
+        members that were live when the ALTER ran, so rows inserted
+        AFTER it keep their values (the ClickHouse mutation-snapshot
+        contract).  Reads mask the column to its DEFAULT (or typed
+        NULL) for the addressed members' rows in that partition;
+        compaction materializes the mask and retires the entry."""
+        return self._load_json_meta(self._cleared_path(table), [])
+
+    def save_cleared_entries(self, table: str, entries: list) -> None:
+        p = self._cleared_path(table)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        tmp = p + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(entries, fh, indent=1)
+        os.replace(tmp, p)
+
+    def clear_column_in_partition(self, table: str, col: str, date) -> dict:
+        """``ALTER TABLE … CLEAR COLUMN col IN PARTITION 'date'`` — O(1)
+        metadata at any table size: records (column, partition, live
+        member snapshot); the read path masks the column to its declared
+        DEFAULT expression (or a typed NULL) for those members' rows in
+        that partition and merges materialize the reset, exactly where
+        ClickHouse applies the mutation (reference evolves live bronze
+        tables with point ALTERs, scripts/alter_bronze_timezone_asia_
+        jakarta.sql:1-16).  Requires the manifest layout (the member
+        snapshot IS the mutation address) and no pending patch overlays
+        (a lightweight UPDATE's rows would escape a member-scoped mask —
+        compact first, as ClickHouse serializes mutations)."""
+        schema = self.schema_for(table)
+        names = {f.name for f in schema.fields}
+        if col not in names:
+            raise ValueError(f"no column {col!r} on {table!r}")
+        if col == "event_date" or col in (self._sort_key(table) or []):
+            raise ValueError(
+                f"cannot clear layout column {col!r} (partition/sort key)"
+            )
+        man = self.load_manifest(table)
+        if man is None and self._batch_layout(table):
+            with self._manifest_lock(table):
+                if self.load_manifest(table) is None:
+                    boot = self._bootstrap_manifest(table)
+                    boot["version"] = 1
+                    self._write_manifest(table, boot)
+            man = self.load_manifest(table)
+        if man is None:
+            raise ValueError(
+                f"CLEAR COLUMN needs the manifest (batch) layout on "
+                f"{table!r} — plain tables are rebuilt wholesale by their "
+                "writer"
+            )
+        if self._patch_files(table):
+            raise ValueError(
+                f"table {table!r} has pending lightweight-UPDATE patches; "
+                "compact() to materialize them before CLEAR COLUMN"
+            )
+        entry = {"col": col, "date": str(date), "members": list(man["members"])}
+        entries = self.cleared_entries(table)
+        entries.append(entry)
+        self.save_cleared_entries(table, entries)
+        self._log_mutation(
+            table, "clear_column",
+            f"CLEAR COLUMN {col} IN PARTITION '{date}'",
+            members_addressed=len(entry["members"]),
+        )
+        return entry
+
+    def _reset_value(self, table: str, col: str):
+        """Reset value for CLEAR COLUMN / column TTL: the column's
+        declared DEFAULT expression when one exists (ClickHouse resets
+        to the column default), else a typed NULL."""
+        meta = self.computed_columns(table).get(col)
+        if meta is not None and meta["kind"] == "default":
+            return F.expr(meta["expr"]).cast(meta["type"])
+        dtype = next(
+            (
+                f.dataType
+                for f in self.schema_for(table).fields
+                if f.name == col
+            ),
+            None,
+        )
+        return F.lit(None).cast(dtype) if dtype is not None else F.lit(None)
+
+    # -- column-level TTL (ALTER TABLE … MODIFY COLUMN col … TTL expr) -------
+
+    def _colttl_path(self, table: str) -> str:
+        return os.path.join(self.root, "_schemas", table + ".colttl.json")
+
+    def column_ttls(self, table: str) -> dict:
+        """Declared column TTLs: ``{col: {"ttl_col", "interval_days"}}``.
+        Enforced by ``compact`` (the merge) like table TTL: expired rows
+        keep the row but the column resets to its DEFAULT/NULL — the
+        ClickHouse column-TTL storage reclaim for wide columns whose
+        value stops mattering before the row does."""
+        return self._load_json_meta(self._colttl_path(table), {})
+
+    def set_column_ttl(
+        self,
+        table: str,
+        col: str,
+        interval_days: float,
+        ttl_col: str = "event_ts",
+    ) -> None:
+        """``ALTER TABLE … MODIFY COLUMN col type TTL ttl_col + INTERVAL
+        n DAY`` — declare once, O(1) metadata; every merge enforces it
+        from then on (zero extra passes: the reset folds into the
+        rewrite projection the merge runs anyway)."""
+        schema = self.schema_for(table)
+        names = {f.name for f in schema.fields}
+        if col not in names:
+            raise ValueError(f"no column {col!r} on {table!r}")
+        if col == "event_date" or col in (self._sort_key(table) or []):
+            raise ValueError(
+                f"cannot TTL layout column {col!r} (partition/sort key)"
+            )
+        if ttl_col not in names:
+            raise ValueError(f"TTL column {ttl_col!r} not on {table!r}")
+        ttls = self.column_ttls(table)
+        ttls[col] = {
+            "ttl_col": ttl_col, "interval_days": float(interval_days)
+        }
+        p = self._colttl_path(table)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        tmp = p + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(ttls, fh, indent=1)
+        os.replace(tmp, p)
+        self._log_mutation(
+            table, "modify_column_ttl",
+            f"MODIFY COLUMN {col} TTL {ttl_col} + "
+            f"INTERVAL {interval_days} DAY",
+        )
+
+    def remove_column_ttl(self, table: str, col: str) -> None:
+        ttls = self.column_ttls(table)
+        if ttls.pop(col, None) is not None:
+            if ttls:
+                p = self._colttl_path(table)
+                tmp = p + ".tmp"
+                with open(tmp, "w") as fh:
+                    json.dump(ttls, fh, indent=1)
+                os.replace(tmp, p)
+            else:
+                try:
+                    os.remove(self._colttl_path(table))
+                except OSError:
+                    pass
+
+    def _column_ttl_transform(self, table: str, specs: dict, now_dt):
+        """Merge-fold for declared column TTLs: ONE projection resetting
+        each expired column to its DEFAULT/NULL; row count unchanged."""
+        import datetime
+
+        resets = {c: self._reset_value(table, c) for c in specs}
+
+        def transform(df: DataFrame) -> DataFrame:
+            cols = []
+            for c in df.columns:
+                spec = specs.get(c)
+                if spec is None or spec["ttl_col"] not in df.columns:
+                    cols.append(F.col(c))
+                    continue
+                cutoff = now_dt - datetime.timedelta(
+                    days=spec["interval_days"]
+                )
+                expired = F.coalesce(
+                    F.col(spec["ttl_col"]) < F.lit(cutoff), F.lit(False)
+                )
+                cols.append(
+                    F.when(expired, resets[c])
+                    .otherwise(F.col(c))
+                    .alias(c)
+                )
+            return df.select(*cols)
+
+        return transform
 
     def _apply_computed_read(
         self, table: str, df: DataFrame, stored_mode: str = "verbatim"
@@ -814,6 +1061,15 @@ class Warehouse:
         )
         ren = self.renames(table)
         stored = self._stored_computed(table)
+        # MODIFY COLUMN cast chains + CLEAR COLUMN overlays (both
+        # member-addressed, both metadata-only until merges materialize
+        # them) — hoisted like the rest of the ALTER metadata
+        casts = self.column_casts(table) if override is not None else {}
+        cleared = self.cleared_entries(table)
+        clear_resets = {
+            e["col"]: self._reset_value(table, e["col"])
+            for e in cleared
+        }
         dfs = []
         for m in members:
             p = os.path.join(self.path(table), m)
@@ -821,8 +1077,28 @@ class Warehouse:
                 # zero-row member (empty-batch append / bootstrap): no
                 # files to infer a schema from, and nothing to scan
                 continue
+            read_schema = legacy_schema
+            member_casts: dict = {}
+            if casts:
+                fp = self._first_parquet(p)
+                ftypes = self._parquet_field_types(fp) if fp else {}
+                member_casts = {
+                    c: ftypes[c]
+                    for c, ddl in casts.items()
+                    if c in ftypes and ftypes[c].simpleString() != ddl
+                }
+                if member_casts:
+                    # pre-ALTER member: scan with the footer's physical
+                    # type, fold cast(declared) below — one projection
+                    read_schema = T.StructType([
+                        T.StructField(f.name, member_casts[f.name], True)
+                        if f.name in member_casts else f
+                        for f in legacy_schema.fields
+                    ])
             if override is None:
                 df = self.spark.read.parquet(p)
+            elif read_schema is not legacy_schema:
+                df = self.spark.read.schema(read_schema).parquet(p)
             else:
                 # declared-schema read: mixed pre/post-ALTER members must not
                 # adopt one file's footer and hide the added column; the
@@ -838,6 +1114,34 @@ class Warehouse:
             # here — before the union and any DV/patch join — keeps the
             # decision on the member scan where file lineage is exact.
             df = self._backfill_member_computed(table, p, df, stored=stored)
+            # CLEAR COLUMN overlays addressed to this member (mask rows of
+            # the cleared partition to the column DEFAULT/NULL) + MODIFY
+            # COLUMN casts — folded as ONE projection per affected member,
+            # BEFORE the union so member frames stay type-uniform
+            member_clears: dict[str, list] = {}
+            for e in cleared:
+                if m in e["members"] and e["col"] in df.columns:
+                    member_clears.setdefault(e["col"], []).append(e["date"])
+            if member_casts or member_clears:
+                sel = []
+                for c in df.columns:
+                    expr = F.col(c)
+                    if c in member_casts:
+                        expr = expr.cast(casts[c])
+                    if c in member_clears and "event_date" in df.columns:
+                        # reset value is declared-typed (matches the
+                        # post-cast branch); the mask applies only to the
+                        # cleared partitions' rows of THIS member
+                        in_cleared = F.lit(False)
+                        for d in member_clears[c]:
+                            in_cleared = in_cleared | (
+                                F.col("event_date") == F.to_date(F.lit(d))
+                            )
+                        expr = F.when(
+                            in_cleared, clear_resets[c]
+                        ).otherwise(expr)
+                    sel.append(expr.alias(c))
+                df = df.select(*sel)
             if tag:
                 df = df.select(
                     F.col("_metadata.file_path").alias("__dv_file"),
@@ -1436,6 +1740,21 @@ class Warehouse:
                     ttl_cond = F.coalesce(
                         F.col(decl["ttl_col"]) >= F.lit(cutoff), F.lit(True)
                     )
+        colttl = self.column_ttls(table)
+        if colttl:
+            # declared COLUMN TTLs fold into every merge as one extra
+            # projection (row count unchanged) — applied to raw rows
+            # BEFORE any caller/rollup transform, CH merge semantics
+            import datetime
+
+            now_dt = now or datetime.datetime.now()
+            col_tf = self._column_ttl_transform(table, colttl, now_dt)
+            inner = transform
+            transform = (
+                (lambda df: inner(col_tf(df)))
+                if inner is not None
+                else col_tf
+            )
         if ttl_cond is not None:
             # TTL must see every row, including ones inside old compacted
             # generations a tiered pass would skip
@@ -1590,11 +1909,114 @@ class Warehouse:
         # members (the merged read applies DVs); DVs that now reference no
         # live file are spent
         self.gc_deletes(table)
+        # cast chains / CLEAR overlays addressed to the folded members are
+        # now physically materialized — retire spent entries (footer
+        # metadata only, no data scan)
+        self._gc_alter_overlays(table)
         live = self.load_manifest(table)["members"]
         return sum(
             self._count_parquet(os.path.join(self.path(table), m))
             for m in live
         )
+
+    def _gc_alter_overlays(self, table: str) -> None:
+        """Retire MODIFY-COLUMN cast chains whose every live member
+        already stores the declared type, and CLEAR COLUMN entries whose
+        addressed members have all been rewritten away — both become
+        physical as merges rewrite members, after which the metadata is
+        dead weight on every read.  Footer metadata only, no data scan."""
+        man = self.load_manifest(table)
+        if man is None:
+            return
+        live = list(man["members"])
+        casts = self.column_casts(table)
+        if casts:
+            stale: set = set()
+            for m in live:
+                fp = self._first_parquet(os.path.join(self.path(table), m))
+                if fp is None:
+                    continue
+                ftypes = self._parquet_field_types(fp)
+                for c, ddl in casts.items():
+                    if c in ftypes and ftypes[c].simpleString() != ddl:
+                        stale.add(c)
+            kept = {c: d for c, d in casts.items() if c in stale}
+            if kept != casts:
+                self.save_column_casts(table, kept)
+        entries = self.cleared_entries(table)
+        if entries:
+            kept_e = [e for e in entries if set(e["members"]) & set(live)]
+            if len(kept_e) != len(entries):
+                self.save_cleared_entries(table, kept_e)
+
+    def materialize_column(self, table: str, name: str) -> dict:
+        """``ALTER TABLE … MATERIALIZE COLUMN name`` — rewrite ONLY the
+        members whose parquet footers predate the computed column, so its
+        values become stored bytes (the read-side back-fill stops paying
+        for those members and direct file readers see the column).
+        Members written after the ADD COLUMN are untouched — the
+        ClickHouse materialize-mutation contract (mutations address the
+        parts that need them).  Returns ``{"members_rewritten",
+        "members_kept"}``."""
+        stored = self._stored_computed(table)
+        if name not in stored:
+            raise ValueError(
+                f"column {name!r} of {table!r} is not a stored "
+                "(DEFAULT/MATERIALIZED) computed column"
+            )
+        if not self.exists(table):
+            return {"members_rewritten": 0, "members_kept": 0}
+        man = self.load_manifest(table)
+        if man is None:
+            # plain layout: one staged rewrite through the back-filling read
+            out = self.read(table).localCheckpoint(eager=True)
+            self.overwrite(table, out)
+            self._log_mutation(
+                table, "materialize_column", f"MATERIALIZE COLUMN {name}",
+                members_rewritten=1,
+            )
+            return {"members_rewritten": 1, "members_kept": 0}
+        snapshot = list(man["members"])
+        rewritten: dict[str, str] = {}
+        for m in snapshot:
+            root = os.path.join(self.path(table), m)
+            if self._count_parquet(root) == 0:
+                continue
+            if not self._computed_cols_lacking(
+                root, [name], first_file_only=True
+            ):
+                continue  # column already stored in this member
+            new_member = f"materialized-{uuid.uuid4().hex[:8]}"
+            # the member read back-fills the expression (and applies any
+            # DV/patch/cast overlays, which materialize along the way)
+            self._write_compacted(
+                table,
+                self._read_members(table, [m]),
+                os.path.join(self.path(table), new_member),
+            )
+            rewritten[m] = new_member
+        if rewritten:
+            with self._manifest_lock(table):
+                cur = self.load_manifest(table)
+                cur["members"] = [
+                    rewritten.get(m, m) for m in cur["members"]
+                ]
+                cur["version"] += 1
+                self._write_manifest(table, cur)
+            for m in rewritten:
+                shutil.rmtree(
+                    os.path.join(self.path(table), m), ignore_errors=True
+                )
+            self.gc_deletes(table)
+            self._gc_alter_overlays(table)
+        self._log_mutation(
+            table, "materialize_column", f"MATERIALIZE COLUMN {name}",
+            members_rewritten=len(rewritten),
+        )
+        return {
+            "members_rewritten": len(rewritten),
+            "members_kept": len(snapshot) - len(rewritten),
+        }
 
     # -- mutations (ALTER TABLE … DELETE / UPDATE / DROP PARTITION, TTL) ----
     #

@@ -233,3 +233,45 @@ def test_cli_alter_surface(env, spark, capsys):
           "--remove"])
     out = json.loads(capsys.readouterr().out.strip())
     assert out["ttl"] is None
+
+
+def test_cli_alter_column_surface(env, spark, capsys):
+    """modify-column / clear-column / materialize-column / set-column-ttl
+    round-trip through the CLI (the round-11 column-ALTER surface).
+    Non-widening MODIFY and CLEAR are member-addressed, so the table uses
+    the batch (manifest) layout the streaming ingest path produces."""
+    from dev_clickhouse_spark.plans import Warehouse
+
+    main(["--warehouse", env["wh"], "ingest", env["raw"]])
+    capsys.readouterr()
+    wh = Warehouse(spark, env["wh"])
+    t = "wazuh_events_raw"
+    # re-land the ingested rows as a batch-layout twin of the same table
+    plain = wh.read(t).localCheckpoint(eager=True)
+    import shutil as _sh
+
+    _sh.rmtree(wh.path(t))
+    wh.append(t, plain.drop("event_date"), batch_id=0)
+
+    main(["--warehouse", env["wh"], "modify-column", t,
+          "rule_level", "string"])
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out["cast_chains"] == {"rule_level": "string"}
+    assert dict(wh.read(t).dtypes)["rule_level"] == "string"
+
+    d0 = str(wh.read(t).agg({"event_date": "min"}).collect()[0][0])
+    main(["--warehouse", env["wh"], "clear-column", t, "rule_name", d0])
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out["members_addressed"] >= 1
+    assert wh.read(t).filter(
+        f"event_date = '{d0}' AND rule_name IS NOT NULL"
+    ).count() == 0
+
+    main(["--warehouse", env["wh"], "set-column-ttl", t, "rule_name",
+          "--interval-days", "30"])
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out["column_ttls"]["rule_name"]["interval_days"] == 30.0
+    main(["--warehouse", env["wh"], "set-column-ttl", t, "rule_name",
+          "--remove"])
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out["column_ttls"] == {}
