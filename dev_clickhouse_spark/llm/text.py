@@ -128,6 +128,72 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: pinned quality-classifier weights (a trained fasttext/logreg filter ships
+#: as constants exactly like this): bias, stopword_ratio, repetition,
+#: length_score.  Dyadic values so the literal parses identically everywhere.
+_QM_W = (-1.5, 4.0, -6.0, 2.5)
+_QM_KEEP = 0.5
+
+
+@register(
+    "quality_model_scores",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks, length(text) AS n_chars
+  FROM documents
+), m AS (
+  SELECT doc_id,
+         floor(len(list_filter(toks, x -> x IN ('the','a','of','and')))::DOUBLE
+               / len(toks) * 10000 + 0.5) / 10000 AS sw,
+         floor((1 - len(list_distinct(toks))::DOUBLE / len(toks))
+               * 10000 + 0.5) / 10000 AS rep,
+         floor(least(n_chars / 400.0, 1.0) * 10000 + 0.5) / 10000 AS ls
+  FROM t
+), z AS (
+  SELECT doc_id,
+         {_QM_W[0]} + {_QM_W[1]} * sw + {_QM_W[2]} * rep
+           + {_QM_W[3]} * ls AS z
+  FROM m
+), s AS (
+  SELECT doc_id, 0.5 + z / (2 * (1 + abs(z))) AS score FROM z
+)
+SELECT doc_id,
+       floor(score * 10000 + 0.5) / 10000 AS quality_score,
+       CAST(score >= {_QM_KEEP} AS BOOLEAN) AS keep
+FROM s
+""",
+    tags=["llm-text", "quality-model"],
+)
+def quality_model_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality scoring — the pretraining-filter step after the
+    heuristic trio: a logistic-shaped classifier over the quality features
+    with PINNED weights (a trained filter deploys exactly like this — the
+    weights are data, the scoring plan is this map-only projection; at
+    100 TB the score is one whole-stage-codegen pass, no shuffle).
+
+    The link is the rational sigmoid ``0.5 + z / (2 (1 + |z|))`` rather
+    than ``1/(1+e^-z)``: monotone, same decision boundary at z = 0, and
+    built only from correctly-rounded IEEE ops (+, *, /, abs) — so
+    Spark and the DuckDB oracle produce bit-identical scores, where
+    ``exp`` may differ in the last ulp between libms.  Features are
+    rounded to 4dp BEFORE the linear layer so both engines fold the same
+    doubles."""
+    docs = load_table(spark, sf_dir, "documents")
+    sw = rnd(stopword_ratio("text"), 4)
+    rep = rnd(1 - distinct_token_ratio("text"), 4)
+    ls = rnd(F.least(F.length("text") / 400.0, F.lit(1.0)), 4)
+    z = (
+        F.lit(_QM_W[0]) + F.lit(_QM_W[1]) * sw + F.lit(_QM_W[2]) * rep
+        + F.lit(_QM_W[3]) * ls
+    )
+    score = F.lit(0.5) + z / (F.lit(2.0) * (F.lit(1.0) + F.abs(z)))
+    return docs.select(
+        "doc_id",
+        rnd(score, 4).alias("quality_score"),
+        (score >= F.lit(_QM_KEEP)).alias("keep"),
+    )
+
+
 def rolling_hash_fingerprints(
     docs: DataFrame, window: int = 16, keep: int = 8,
     id_col: str = "doc_id", text_col: str = "text",
