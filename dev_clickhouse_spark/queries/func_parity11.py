@@ -162,6 +162,80 @@ def group_array_sorted_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "non_negative_derivative_daily",
+    oracle="""
+WITH d AS (
+  SELECT event_type, ts, "value",
+         lag("value") OVER (PARTITION BY event_type
+                            ORDER BY ts, event_id) AS pv,
+         lag(ts) OVER (PARTITION BY event_type
+                       ORDER BY ts, event_id) AS pt
+  FROM events
+),
+r AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CASE WHEN pv IS NULL OR ts = pt THEN NULL
+              WHEN ("value" - pv) < 0 THEN 0.0
+              ELSE ("value" - pv)
+                   / (date_diff('microsecond', pt, ts) / 1000000.0)
+         END AS nnd
+  FROM d
+)
+SELECT event_type, day,
+       CAST(count(nnd) AS BIGINT) AS n_rates,
+       floor(CAST(sum(CAST(nnd AS DECIMAL(27,12))) AS DOUBLE)
+             * 10000 + 0.5) / 10000 AS sum_rate_per_sec
+FROM r GROUP BY event_type, day
+""",
+    tags=["clickhouse-parity", "time-series"],
+)
+def non_negative_derivative_daily(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ClickHouse ``nonNegativeDerivative(value, ts)`` window-function
+    parity: per event_type ordered by (ts, event_id), the clamped rate
+    ``max(0, Δvalue / Δseconds)`` — the counter-reset-tolerant gauge
+    derivative.  ONE key shuffle for the lag window; each rate is a
+    single IEEE divide on identical inputs in both engines, and the
+    per-day sum is folded through DECIMAL so addition order cannot
+    diverge the doubles.  Zero-Δt pairs yield NULL (CH skips them)."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    d = ev.select(
+        "event_type", "ts", "value",
+        F.lag("value").over(w).alias("pv"),
+        F.lag("ts").over(w).alias("pt"),
+    )
+    # testdata timestamps load as TIMESTAMP_NTZ; the session TZ is pinned
+    # UTC, so the cast to TIMESTAMP is an exact reinterpretation and the
+    # micros difference is integer-exact in both engines
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    dt_sec = (us("ts") - us("pt")) / F.lit(1000000.0)
+    nnd = (
+        F.when(F.col("pv").isNull() | (F.col("ts") == F.col("pt")), None)
+        .when(
+            (F.col("value") - F.col("pv")) < 0, F.lit(0.0)
+        )
+        .otherwise((F.col("value") - F.col("pv")) / dt_sec)
+    )
+    return (
+        d.select(
+            "event_type", F.to_date("ts").alias("day"), nnd.alias("nnd")
+        )
+        .groupBy("event_type", "day")
+        .agg(
+            F.count("nnd").alias("n_rates"),
+            rnd(
+                F.sum(F.col("nnd").cast("decimal(27,12)")).cast("double"),
+                4,
+            ).alias("sum_rate_per_sec"),
+        )
+    )
+
+
 # z-quantiles CH hardcodes for minSampleSize*: alpha=0.05 two-sided,
 # power=0.8 (z_{1-alpha/2}, z_{power}) — pinned as literals in BOTH engines
 _Z_ALPHA = 1.9599639845400545
