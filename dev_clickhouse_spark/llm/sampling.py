@@ -78,6 +78,26 @@ def stratified_sample(
     )
 
 
+def importance_resample(
+    df: DataFrame,
+    weight: Column | str,
+    key: Column | str,
+    buckets: int = 1_000_000,
+) -> DataFrame:
+    """DSIR-style deterministic importance resampling: attach ``keep`` =
+    (u(key) < weight), where ``weight`` ∈ [0, 1] is the per-row sampling
+    probability (an importance weight normalized by its max) and u is the
+    md5-bucket uniform of the key — the Bernoulli coin depends only on
+    the key, so the sample is reproducible, append-stable (new rows never
+    flip old coins), and exactly replayable in SQL.  Map-only: at 100 TB
+    this is one whole-stage-codegen pass with zero shuffle, versus the
+    global sort a top-k-by-weight selection would need."""
+    u = (
+        hash_bucket(key, buckets).cast("double") / F.lit(float(buckets))
+    )
+    return df.withColumn("keep", u < _col(weight))
+
+
 def pack_context_windows(
     docs: DataFrame,
     budget_tokens: int,
@@ -376,6 +396,72 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.groupBy("label", "pos").agg(
         F.count(F.lit(1)).alias("n"),
         rnd(F.sum("x").cast("double") / F.count(F.lit(1)), 6).alias("centroid"),
+    )
+
+
+@register(
+    "importance_resample_by_quality",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS toks,
+         length(text) AS n_chars
+  FROM documents
+), m AS (
+  SELECT doc_id, lang,
+         floor(len(list_filter(toks, x -> x IN ('the','a','of','and')))::DOUBLE
+               / len(toks) * 10000 + 0.5) / 10000 AS sw,
+         floor((1 - len(list_distinct(toks))::DOUBLE / len(toks))
+               * 10000 + 0.5) / 10000 AS rep,
+         floor(least(n_chars / 400.0, 1.0) * 10000 + 0.5) / 10000 AS ls
+  FROM t
+), s AS (
+  SELECT doc_id, lang,
+         0.5 + (-1.5 + 4.0 * sw + -6.0 * rep + 2.5 * ls)
+           / (2 * (1 + abs(-1.5 + 4.0 * sw + -6.0 * rep + 2.5 * ls)))
+           AS score,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+           % 1000000 / 1000000.0 AS u
+  FROM m
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN u < score THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       floor(CAST(sum(CASE WHEN u < score
+                      THEN CAST(score AS DECIMAL(19,6)) END) AS DOUBLE)
+             / sum(CASE WHEN u < score THEN 1 ELSE 0 END)
+             * 10000 + 0.5) / 10000 AS mean_kept_score
+FROM s GROUP BY lang
+""",
+    tags=["llm-sampling", "importance-resample"],
+)
+def importance_resample_by_quality(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DSIR-shaped corpus resampling driven by the pinned-weight quality
+    model (llm/text.py::quality_score_col): each document keeps with
+    probability = its quality score, decided by the md5-bucket uniform of
+    doc_id — so the kept corpus up-weights quality exactly and the whole
+    selection replays bit-for-bit in the oracle.  The aggregate (docs,
+    kept, mean kept score per lang) flips on any scoring or coin
+    drift."""
+    from .text import quality_score_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", "lang", quality_score_col("text").alias("score")
+    )
+    kept = importance_resample(scored, "score", "doc_id")
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("keep").cast("long")).cast("long").alias("n_kept"),
+        rnd(
+            F.sum(
+                F.when(F.col("keep"), F.col("score"))
+                .cast("decimal(19,6)")
+            ).cast("double")
+            / F.sum(F.col("keep").cast("long")),
+            4,
+        ).alias("mean_kept_score"),
     )
 
 

@@ -135,6 +135,23 @@ _QM_W = (-1.5, 4.0, -6.0, 2.5)
 _QM_KEEP = 0.5
 
 
+def quality_score_col(text: Column | str = "text") -> Column:
+    """The pinned-weight quality-classifier score as a reusable column
+    (rational sigmoid — see ``quality_model_scores``); bit-exact across
+    Spark/DuckDB given the 4dp-rounded features."""
+    sw = rnd(stopword_ratio(text), 4)
+    rep = rnd(1 - distinct_token_ratio(text), 4)
+    ls = rnd(
+        F.least(F.length(text if isinstance(text, Column) else F.col(text))
+                / 400.0, F.lit(1.0)), 4
+    )
+    z = (
+        F.lit(_QM_W[0]) + F.lit(_QM_W[1]) * sw + F.lit(_QM_W[2]) * rep
+        + F.lit(_QM_W[3]) * ls
+    )
+    return F.lit(0.5) + z / (F.lit(2.0) * (F.lit(1.0) + F.abs(z)))
+
+
 @register(
     "quality_model_scores",
     oracle=f"""
@@ -179,14 +196,7 @@ def quality_model_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounded to 4dp BEFORE the linear layer so both engines fold the same
     doubles."""
     docs = load_table(spark, sf_dir, "documents")
-    sw = rnd(stopword_ratio("text"), 4)
-    rep = rnd(1 - distinct_token_ratio("text"), 4)
-    ls = rnd(F.least(F.length("text") / 400.0, F.lit(1.0)), 4)
-    z = (
-        F.lit(_QM_W[0]) + F.lit(_QM_W[1]) * sw + F.lit(_QM_W[2]) * rep
-        + F.lit(_QM_W[3]) * ls
-    )
-    score = F.lit(0.5) + z / (F.lit(2.0) * (F.lit(1.0) + F.abs(z)))
+    score = quality_score_col("text")
     return docs.select(
         "doc_id",
         rnd(score, 4).alias("quality_score"),
