@@ -94,6 +94,24 @@ class BronzeStream:
         wire-shaped test twin so the executed transform is identical."""
         return kafka_df.selectExpr("CAST(value AS STRING) AS raw")
 
+    @staticmethod
+    def kafka_wire_virtuals(kafka_df: DataFrame) -> DataFrame:
+        """Raw string plus the ClickHouse Kafka-engine VIRTUAL columns
+        (``_topic``, ``_partition``, ``_offset``, ``_timestamp``,
+        ``_key``) under their CH names — what a CH materialized view
+        selects off a Kafka engine table for provenance/audit
+        (``SELECT …, _topic, _offset FROM kafka_table``).  Spark's wire
+        schema carries the same fields natively; this is the naming
+        shim so MV-style consumers keep the CH contract."""
+        return kafka_df.select(
+            F.expr("CAST(value AS STRING)").alias("raw"),
+            F.col("topic").alias("_topic"),
+            F.col("partition").alias("_partition"),
+            F.col("offset").alias("_offset"),
+            F.col("timestamp").alias("_timestamp"),
+            F.expr("CAST(key AS STRING)").alias("_key"),
+        )
+
     def from_kafka(
         self, brokers: str, topics: str, group_id: str,
         available_now: bool = False, processing_time: str = "5 minutes",

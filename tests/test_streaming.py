@@ -195,6 +195,33 @@ def test_kafka_wire_branch_micro_batches_and_replay(spark, tmp_path):
     assert got == {"w1", "w2"}
 
 
+def test_kafka_wire_virtual_columns(spark, tmp_path):
+    """ClickHouse Kafka-engine virtual columns (_topic/_partition/_offset/
+    _timestamp/_key) surface under their CH names off the wire schema —
+    the contract a CH materialized view relies on for provenance."""
+    from dev_clickhouse_spark.streaming.bronze_stream import BronzeStream
+
+    wire_dir = tmp_path / "wire"
+    _write_kafka_wire(spark, wire_dir, [
+        wazuh_payload("w1", ts="2026-01-08T09:10:00.000Z"),
+        suricata_payload("s1", ts="2026-01-08T09:11:00.000Z"),
+    ])
+    wire = spark.read.schema(BronzeStream.KAFKA_WIRE_SCHEMA).parquet(
+        str(wire_dir)
+    )
+    v = BronzeStream.kafka_wire_virtuals(wire)
+    assert v.columns == ["raw", "_topic", "_partition", "_offset",
+                         "_timestamp", "_key"]
+    rows = v.orderBy("_offset").collect()
+    assert [r["_offset"] for r in rows] == sorted(
+        r["offset"] for r in wire.collect()
+    )
+    assert all(r["_topic"] == t for r, t in zip(
+        rows, [r2["topic"] for r2 in wire.orderBy("offset").collect()]
+    ))
+    assert all(r["raw"].startswith("{") for r in rows)
+
+
 def test_commit_marker_requires_success(spark, tmp_path):
     """A crash between task-file moves and the commit point leaves .parquet
     files on disk — the batch must NOT count as committed, or the replayed
