@@ -1061,10 +1061,18 @@ class Warehouse:
         )
         ren = self.renames(table)
         stored = self._stored_computed(table)
-        # MODIFY COLUMN cast chains + CLEAR COLUMN overlays (both
+        # MODIFY COLUMN cast-on-read + CLEAR COLUMN overlays (both
         # member-addressed, both metadata-only until merges materialize
-        # them) — hoisted like the rest of the ALTER metadata
-        casts = self.column_casts(table) if override is not None else {}
+        # them).  The cast decision is taken per member from the parquet
+        # FOOTER against the declared type — not from the cast-chain
+        # registry — so reads stay correct even for old-type files minted
+        # after the chain retired (or by writers that bypassed _prep).
+        check_casts = override is not None
+        declared_types = (
+            {f.name: f.dataType for f in legacy_schema.fields}
+            if legacy_schema is not None
+            else {}
+        )
         cleared = self.cleared_entries(table)
         clear_resets = {
             e["col"]: self._reset_value(table, e["col"])
@@ -1079,16 +1087,17 @@ class Warehouse:
                 continue
             read_schema = legacy_schema
             member_casts: dict = {}
-            if casts:
+            if check_casts:
                 fp = self._first_parquet(p)
                 ftypes = self._parquet_field_types(fp) if fp else {}
-                member_casts = {
-                    c: ftypes[c]
-                    for c, ddl in casts.items()
-                    if c in ftypes and ftypes[c].simpleString() != ddl
-                }
+                for fld in legacy_schema.fields:
+                    ft = ftypes.get(fld.name)
+                    if ft is not None and (
+                        ft.simpleString() != fld.dataType.simpleString()
+                    ):
+                        member_casts[fld.name] = ft
                 if member_casts:
-                    # pre-ALTER member: scan with the footer's physical
+                    # old-type member: scan with the footer's physical
                     # type, fold cast(declared) below — one projection
                     read_schema = T.StructType([
                         T.StructField(f.name, member_casts[f.name], True)
@@ -1127,7 +1136,7 @@ class Warehouse:
                 for c in df.columns:
                     expr = F.col(c)
                     if c in member_casts:
-                        expr = expr.cast(casts[c])
+                        expr = expr.cast(declared_types[c])
                     if c in member_clears and "event_date" in df.columns:
                         # reset value is declared-typed (matches the
                         # post-cast branch); the mask applies only to the
@@ -1740,11 +1749,15 @@ class Warehouse:
                     ttl_cond = F.coalesce(
                         F.col(decl["ttl_col"]) >= F.lit(cutoff), F.lit(True)
                     )
+        row_set_transform = transform is not None
         colttl = self.column_ttls(table)
         if colttl:
             # declared COLUMN TTLs fold into every merge as one extra
             # projection (row count unchanged) — applied to raw rows
-            # BEFORE any caller/rollup transform, CH merge semantics
+            # BEFORE any caller/rollup transform.  Column TTL alone does
+            # NOT force a full merge: ClickHouse applies it to exactly
+            # the parts a merge rewrites, so expired values inside
+            # untouched generations wait for their generation's merge.
             import datetime
 
             now_dt = now or datetime.datetime.now()
@@ -1759,8 +1772,9 @@ class Warehouse:
             # TTL must see every row, including ones inside old compacted
             # generations a tiered pass would skip
             mode = "full"
-        if transform is not None:
-            # a row-set rewrite (e.g. DEDUPLICATE) must see every row
+        if row_set_transform:
+            # a row-set rewrite (e.g. DEDUPLICATE, rollup TTL) must see
+            # every row
             mode = "full"
         man = self.load_manifest(table)
         if man is not None:
@@ -2325,6 +2339,22 @@ class Warehouse:
         if not replaced:
             return 0
         old_overlays = self._remap_overlays_for_drop(table, part, replaced)
+        # CLEAR COLUMN overlays address members BY NAME; the hardlink
+        # clones carry the same (unmasked) bytes under new names, so each
+        # entry's member list must follow the rename or the mask silently
+        # stops applying (dropped-away members leave the list)
+        entries = self.cleared_entries(table)
+        if entries:
+            remapped = []
+            for e in entries:
+                ms = [
+                    replaced.get(m, m)
+                    for m in e["members"]
+                    if replaced.get(m, m) is not None
+                ]
+                if ms:
+                    remapped.append({**e, "members": ms})
+            self.save_cleared_entries(table, remapped)
         with self._manifest_lock(table):
             cur = self.load_manifest(table)
             members = []
@@ -3067,6 +3097,32 @@ class Warehouse:
         return n
 
     def _prep(self, table: str, df: DataFrame) -> DataFrame:
+        # conform insert TYPES to the declared schema (ClickHouse inserts
+        # cast to the column's type): after a MODIFY COLUMN a writer still
+        # supplying the old type must not mint new old-type files forever —
+        # the cast chain could then never retire.  Names/extra columns are
+        # left alone; only same-name type mismatches are cast.
+        try:
+            declared_fields = self.schema_for(table).fields
+        except KeyError:
+            # internal side table (projection state, staging) without a
+            # declared schema: nothing to conform to
+            declared_fields = []
+        declared = {f.name: f.dataType for f in declared_fields}
+        mismatched = {
+            f.name: declared[f.name]
+            for f in df.schema.fields
+            if f.name in declared and f.dataType != declared[f.name]
+        }
+        if mismatched:
+            df = df.select(
+                *[
+                    F.col(c).cast(mismatched[c]).alias(c)
+                    if c in mismatched
+                    else F.col(c)
+                    for c in df.columns
+                ]
+            )
         sort_key = self._sort_key(table)
         if sort_key is not None:
             if (

@@ -248,6 +248,82 @@ def test_materialize_column_targets_lacking_members(spark, tmp_path):
         wh.materialize_column("alt_events", "value")
 
 
+def test_clear_survives_drop_partition_clone(spark, tmp_path):
+    """DROP PARTITION replaces affected members with hardlink clones under
+    NEW names; CLEAR COLUMN entries address members BY NAME, so they must
+    follow the rename — otherwise the mask silently stops applying to the
+    surviving partitions (found by the round-11 maintenance soak)."""
+    wh = _wh(spark, tmp_path)
+    wh.append("alt_events", _rows(spark, [(1, _D1), (2, _D2), (3, _D3)]),
+              batch_id=0)
+    wh.clear_column_in_partition("alt_events", "value", _D1.date())
+    assert wh.read("alt_events").filter(
+        (F.col("event_date") == F.lit(_D1.date()))
+        & F.col("value").isNotNull()
+    ).count() == 0
+    # drop a DIFFERENT partition: the member is cloned to a new name
+    wh.drop_partition("alt_events", _D3.date())
+    out = {r["event_id"]: r["value"]
+           for r in wh.read("alt_events").collect()}
+    assert out == {1: None, 2: 2.0}      # mask still applies post-clone
+    ent = wh.cleared_entries("alt_events")
+    assert len(ent) == 1
+    man = wh.load_manifest("alt_events")
+    assert set(ent[0]["members"]) & set(man["members"])  # remapped names
+    # compaction still materializes + retires
+    wh.compact("alt_events")
+    assert wh.cleared_entries("alt_events") == []
+    out2 = {r["event_id"]: r["value"]
+            for r in wh.read("alt_events").collect()}
+    assert out2 == out
+
+
+def test_append_conforms_types_after_modify(spark, tmp_path):
+    """Post-MODIFY appends carrying the OLD type are cast at write
+    (ClickHouse inserts cast to the column type) — and even un-conformed
+    old-type files are served correctly by the footer-driven cast-on-read,
+    independent of the cast-chain registry state."""
+    wh = _wh(spark, tmp_path)
+    wh.append("alt_events", _rows(spark, [(1, _D1)]), batch_id=0)
+    SchemaMigrator(wh).modify_column_type(
+        "alt_events", "user_id", T.StringType()
+    )
+    # writer unaware of the ALTER: supplies bigint user_id
+    wh.append("alt_events", _rows(spark, [(2, _D2)]), batch_id=1)
+    man = wh.load_manifest("alt_events")
+    fp = wh._first_parquet(os.path.join(
+        wh.path("alt_events"),
+        next(m for m in man["members"] if "1" in m.split("=")[-1]),
+    ))
+    assert str(pq.read_schema(fp).field("user_id").type) in (
+        "string", "large_string"
+    )  # _prep conformed the insert
+    wh.compact("alt_events")   # retires the chain
+    assert wh.column_casts("alt_events") == {}
+    # an old-type file minted AFTER retirement (bypassing _prep) must
+    # still read correctly via the footer-driven per-member cast
+    import pyarrow as pa
+    import pyarrow.parquet as pqw
+
+    rogue = os.path.join(wh.path("alt_events"), "ingest_batch=7",
+                         "event_date=2026-01-03")
+    os.makedirs(rogue)
+    pqw.write_table(pa.table({
+        "event_id": pa.array([9], pa.int64()),
+        "event_ts": pa.array([_D3], pa.timestamp("us")),
+        "user_id": pa.array([90], pa.int64()),     # OLD physical type
+        "value": pa.array([9.0], pa.float64()),
+    }), os.path.join(rogue, "part-0.parquet"))
+    with wh._manifest_lock("alt_events"):
+        cur = wh.load_manifest("alt_events")
+        cur["members"].append("ingest_batch=7")
+        cur["version"] += 1
+        wh._write_manifest("alt_events", cur)
+    out = {r["event_id"]: r["user_id"]
+           for r in wh.read("alt_events").collect()}
+    assert out == {1: "10", 2: "20", 9: "90"}
+
+
 def test_alter_metadata_travels_through_detach_attach(spark, tmp_path):
     wh = _wh(spark, tmp_path)
     wh.append("alt_events", _rows(spark, [(1, _D1), (2, _D2)]), batch_id=0)

@@ -169,6 +169,15 @@ def main() -> None:
     drop_at = 2 * args.batches // 3
     freeze_at = max(2, int(args.batches * 0.4))
     detach_at = freeze_at + 2
+    # round-11b column-ALTER drills: MODIFY right after the mid-soak full
+    # compaction (cast chain starts from a clean overlay state), CLEAR the
+    # batch after, column TTL declared one compact-cycle before the end so
+    # the final full merge both enforces it and retires the other chains
+    modify_at = (args.batches // 2) + 1
+    clear_at = modify_at + 1
+    colttl_at = args.batches - args.compact_every + 1
+    alter_state: dict = {}
+    last_full_compact = 0
     patch_cycles: list[int] = []
 
     def shadow_digest(shadow_dir: str) -> str:
@@ -309,6 +318,69 @@ def main() -> None:
             log("modify_ttl", after_batch=b + 1, table=detach_table,
                 interval_days=30)
 
+        if b + 1 == modify_at:
+            # MODIFY COLUMN src_port int -> string UNDER LIVE INGEST:
+            # pre-ALTER members serve through the cast chain, later
+            # appends land the new type, the final full merge
+            # materializes and retires the chain
+            from pyspark.sql import types as T
+
+            from dev_clickhouse_spark.quality import SchemaMigrator
+
+            if wh._patch_files(probe):
+                wh.compact(probe, mode="full")
+                wh.gc_deletes(probe)
+            pre_n = wh.read(probe).count()
+            t0 = time.time()
+            SchemaMigrator(wh).modify_column_type(
+                probe, "src_port", T.StringType()
+            )
+            post = wh.read(probe)
+            checks["modify_dtype_live"] = (
+                dict(post.dtypes)["src_port"] == "string"
+            )
+            checks["modify_rows_stable"] = post.count() == pre_n
+            alter_state["modify_at"] = b + 1
+            log("modify_column", after_batch=b + 1, column="src_port",
+                cast_chain=wh.column_casts(probe),
+                sec=round(time.time() - t0, 3))
+
+        if b + 1 == clear_at:
+            # CLEAR COLUMN dest_ip IN PARTITION <main date>: rows live at
+            # the ALTER read NULL from then on; rows appended after keep
+            # their values (member-snapshot addressing)
+            clr_date = next(
+                d for d in wh._partition_dates(probe) if d != side_date
+            )
+            if wh._patch_files(probe):
+                wh.compact(probe, mode="full")
+                wh.gc_deletes(probe)
+            t0 = time.time()
+            entry = wh.clear_column_in_partition(probe, "dest_ip", clr_date)
+            cleared_now = wh.read(probe).filter(
+                (F.col("event_date") == F.lit(clr_date))
+                & F.col("dest_ip").isNotNull()
+            ).count()
+            checks["clear_masks_existing_rows"] = cleared_now == 0
+            alter_state["clear_at"] = b + 1
+            alter_state["clear_date"] = str(clr_date)
+            log("clear_column", after_batch=b + 1, column="dest_ip",
+                partition=str(clr_date),
+                members_addressed=len(entry["members"]),
+                sec=round(time.time() - t0, 3))
+
+        if b + 1 == colttl_at:
+            # column TTL: wall-now minus 30 days is far past the synthetic
+            # event times, so every on-disk http_url resets to NULL at the
+            # next merge that touches its member (row counts unchanged)
+            t0 = time.time()
+            wh.set_column_ttl(
+                probe, "http_url", interval_days=30, ttl_col="event_ts"
+            )
+            alter_state["colttl_at"] = b + 1
+            log("set_column_ttl", after_batch=b + 1, column="http_url",
+                interval_days=30, sec=round(time.time() - t0, 3))
+
         if b + 1 == attach_at:
             pre = wh.read(probe).count()
             t0 = time.time()
@@ -378,6 +450,8 @@ def main() -> None:
                 window_events_per_sec=round(args.events_per_batch / med, 1))
             rv.run_pending()
             last_compact_batch = b + 1
+            if full:
+                last_full_compact = b + 1
             if ttl_declared_at is not None:
                 # every zeek row on disk predates the TTL cutoff, so a
                 # post-declare compact must empty the table
@@ -435,6 +509,41 @@ def main() -> None:
             checks["ttl_end_state_exact"] = (
                 wh.read(detach_table).count() == expected_zeek
             )
+    # round-11b column-ALTER end state
+    if "modify_at" in alter_state:
+        checks["modify_dtype_survives"] = (
+            dict(final.dtypes)["src_port"] == "string"
+        )
+        if last_full_compact >= alter_state["modify_at"]:
+            checks["modify_chain_retired_by_full_merge"] = (
+                wh.column_casts(probe) == {}
+            )
+    if "clear_at" in alter_state:
+        bidx = F.regexp_extract("event_id", r"^b(\d+)-", 1).cast("int")
+        in_date = F.col("event_date") == F.to_date(
+            F.lit(alter_state["clear_date"])
+        )
+        pre_nonnull = final.filter(
+            in_date & (bidx < alter_state["clear_at"])
+            & F.col("dest_ip").isNotNull()
+        ).count()
+        post_nonnull = final.filter(
+            in_date & (bidx >= alter_state["clear_at"])
+            & F.col("dest_ip").isNotNull()
+        ).count()
+        checks["clear_pre_rows_stay_null"] = pre_nonnull == 0
+        checks["clear_post_rows_keep_values"] = post_nonnull > 0
+        if last_full_compact >= alter_state["clear_at"]:
+            checks["clear_entry_retired_by_full_merge"] = (
+                wh.cleared_entries(probe) == []
+            )
+    if (
+        "colttl_at" in alter_state
+        and last_full_compact >= alter_state["colttl_at"]
+    ):
+        checks["colttl_reset_after_merge"] = (
+            final.filter(F.col("http_url").isNotNull()).count() == 0
+        )
     checks["overlay_bounded"] = overlay_max <= args.overlay_bound
     checks["compact_rows_stable"] = all(
         e["rows_stable"] for e in events if e["kind"] == "compact"
@@ -460,6 +569,7 @@ def main() -> None:
         "freeze": {k: v for k, v in freeze_state.items() if k != "shadow"},
         "mv_rollup_rows": [list(r) for r in mv_rows],
         "restore": {"rows": rn, "checksum": rs, "sec": restore_sec},
+        "alter_drills": alter_state,
         "n_deleted_ids_tracked": len(deleted_ids),
         "overlay_files_max": overlay_max,
         "steady_state_events_per_sec": steady,
@@ -483,8 +593,9 @@ def main() -> None:
         fh.write("\n")
     print(json.dumps({"verdict": artifact["verdict"]}))
     print(f"wrote {out_path}")
-    shutil.rmtree(root, ignore_errors=True)
-    shutil.rmtree(restore_root, ignore_errors=True)
+    if not os.environ.get("SOAK_KEEP_WH"):
+        shutil.rmtree(root, ignore_errors=True)
+        shutil.rmtree(restore_root, ignore_errors=True)
     spark.stop()
 
 
