@@ -90,6 +90,9 @@ def main() -> None:
     # with its footer type + a cast projection.  The fair baseline is the
     # same data natively stored in the new type (what a full eager rewrite
     # would produce — the thing the lazy chain avoids paying at 100 TB).
+    # The retyped column is HIGH-cardinality (ids/ports/codes — the
+    # typical retype candidates); a low-cardinality column would hand the
+    # native side a dictionary-encoding discount no real retype sees.
     for name, as_string in (("t_cast", False), ("t_native", True)):
         wh.save_schema_override(name, schema)
         for m in range(args.members):
@@ -99,7 +102,7 @@ def main() -> None:
                     F.lit(f"m{m}_"), F.col("id").cast("string")
                 ).alias("a"),
                 (F.col("id") % 997).cast("double").alias("b"),
-                (F.col("id") % 31).alias("c"),
+                (F.col("id") * 2654435761 % 100000000).alias("c"),
             )
             if as_string:
                 df = df.withColumn("c", F.col("c").cast("string"))
