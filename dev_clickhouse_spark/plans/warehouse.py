@@ -226,6 +226,7 @@ class Warehouse:
             self._casts_path(table),
             self._cleared_path(table),
             self._colttl_path(table),
+            self._stop_merges_path(table),
         )
 
     # -- declared-schema registry (ALTER target) ---------------------------
@@ -1711,6 +1712,10 @@ class Warehouse:
 
         if not self.exists(table):
             return 0
+        if self.merges_stopped(table):
+            # SYSTEM STOP MERGES: the background merge is a no-op until
+            # START MERGES; appends/reads/mutations continue unaffected
+            return self._count_parquet(self.path(table))
         if self.load_manifest(table) is None and self._batch_layout(table):
             # legacy ingest_batch dirs from before the manifest layout:
             # adopt them into a first manifest, then compact through it
@@ -2962,6 +2967,161 @@ class Warehouse:
                     shutil.rmtree(full, ignore_errors=True)
                     swept.append(e)
         return swept
+
+    # -- SYSTEM STOP/START MERGES --------------------------------------------
+
+    def _stop_merges_path(self, table: str) -> str:
+        return os.path.join(self.root, "_schemas", table + ".stopmerges")
+
+    def stop_merges(self, table: str) -> None:
+        """``SYSTEM STOP MERGES table`` — background merges (``compact``)
+        become no-ops until ``start_merges``; appends, reads, and
+        mutations continue (the CH maintenance freeze ops use around
+        delicate operations).  Persisted so a restarted maintenance loop
+        honors it."""
+        p = self._stop_merges_path(table)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        with open(p, "w") as fh:
+            fh.write("stopped\n")
+        self._log_mutation(table, "stop_merges", "SYSTEM STOP MERGES")
+
+    def start_merges(self, table: str) -> None:
+        """``SYSTEM START MERGES table``."""
+        try:
+            os.remove(self._stop_merges_path(table))
+            self._log_mutation(table, "start_merges", "SYSTEM START MERGES")
+        except OSError:
+            pass
+
+    def merges_stopped(self, table: str) -> bool:
+        return os.path.exists(self._stop_merges_path(table))
+
+    # -- EXPLAIN ESTIMATE ----------------------------------------------------
+
+    def explain_estimate(
+        self, table: str, predicates: list[tuple] | None = None
+    ) -> dict:
+        """``EXPLAIN ESTIMATE SELECT … WHERE …`` analog: how many members
+        (parts), row groups (the granule/mark analog), and rows a query
+        with ``predicates`` MIGHT read, decided from parquet row-group
+        min/max statistics alone — footer metadata, no data scan at any
+        table size.  ``predicates``: ``[(col, op, value)]`` with op in
+        ``< <= > >= =``; a row group without usable stats for a
+        predicate column is counted as a candidate (conservative, like
+        ClickHouse counting a granule whose mark range overlaps)."""
+        import pyarrow.parquet as pq
+
+        preds = predicates or []
+        man = self.load_manifest(table)
+        members = (
+            man["members"] if man is not None
+            else ([""] if self.exists(table) else [])
+        )
+        total = {"parts": 0, "files": 0, "row_groups": 0, "rows": 0}
+        est = {"parts": 0, "files": 0, "row_groups": 0, "rows": 0}
+
+        def rg_survives(md, rg_i: int, names: list[str]) -> tuple[bool, int]:
+            rg = md.row_group(rg_i)
+            nrows = rg.num_rows
+            for col, op, val in preds:
+                try:
+                    ci = names.index(col)
+                except ValueError:
+                    continue  # partition/virtual column: no file stats
+                st = rg.column(ci).statistics
+                if st is None or not st.has_min_max:
+                    continue  # no stats → candidate
+                lo, hi = st.min, st.max
+                if op in ("=", "=="):
+                    if not (lo <= val <= hi):
+                        return False, nrows
+                elif op == "<" and not (lo < val):
+                    return False, nrows
+                elif op == "<=" and not (lo <= val):
+                    return False, nrows
+                elif op == ">" and not (hi > val):
+                    return False, nrows
+                elif op == ">=" and not (hi >= val):
+                    return False, nrows
+            return True, nrows
+
+        for m in members:
+            root = os.path.join(self.path(table), m) if m else self.path(table)
+            part_hit = False
+            for r, _dirs, files in os.walk(root):
+                for f in sorted(files):
+                    if not f.endswith(".parquet"):
+                        continue
+                    fp = os.path.join(r, f)
+                    md = pq.ParquetFile(fp).metadata
+                    names = [
+                        md.schema.column(i).name
+                        for i in range(md.num_columns)
+                    ]
+                    total["files"] += 1
+                    file_hit = False
+                    for i in range(md.num_row_groups):
+                        total["row_groups"] += 1
+                        survives, nrows = rg_survives(md, i, names)
+                        total["rows"] += nrows
+                        if survives:
+                            est["row_groups"] += 1
+                            est["rows"] += nrows
+                            file_hit = part_hit = True
+                    if file_hit:
+                        est["files"] += 1
+            total["parts"] += 1
+            if part_hit:
+                est["parts"] += 1
+        return {
+            "estimate": est,
+            "total": total,
+            "predicates": [list(p) for p in preds],
+        }
+
+    def parts_columns(self, table: str) -> DataFrame:
+        """``system.parts_columns`` analog: one row per (member, column)
+        with row count, compressed and uncompressed bytes, and the
+        compression ratio — the per-column storage census ClickHouse
+        operators use to pick codecs and spot bloated columns.  Parquet
+        footer metadata only, no data scan."""
+        import pyarrow.parquet as pq
+
+        agg: dict[tuple, list] = {}
+        man = self.load_manifest(table)
+        members = (
+            man["members"] if man is not None
+            else ([""] if self.exists(table) else [])
+        )
+        for m in members:
+            root = os.path.join(self.path(table), m) if m else self.path(table)
+            for r, _dirs, files in os.walk(root):
+                for f in sorted(files):
+                    if not f.endswith(".parquet"):
+                        continue
+                    md = pq.ParquetFile(os.path.join(r, f)).metadata
+                    for rg_i in range(md.num_row_groups):
+                        rg = md.row_group(rg_i)
+                        for ci in range(md.num_columns):
+                            col = rg.column(ci)
+                            key = (m or "(root)", md.schema.column(ci).name)
+                            s = agg.setdefault(key, [0, 0, 0])
+                            s[0] += rg.num_rows
+                            s[1] += col.total_compressed_size
+                            s[2] += col.total_uncompressed_size
+        rows = [
+            (
+                table, mem, col, n, comp, uncomp,
+                round(uncomp / comp, 3) if comp else None,
+            )
+            for (mem, col), (n, comp, uncomp) in sorted(agg.items())
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "table string, member string, column string, rows long, "
+            "compressed_bytes long, uncompressed_bytes long, "
+            "compression_ratio double",
+        )
 
     def parts(self, table: str) -> DataFrame:
         """``system.parts`` analog: one row per live member (part) with its
