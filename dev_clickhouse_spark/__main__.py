@@ -235,6 +235,45 @@ def cmd_set_column_ttl(args) -> None:
     }))
 
 
+def cmd_merges(args) -> None:
+    from .plans import Warehouse
+
+    wh = Warehouse(_spark(args), args.warehouse)
+    if args.action == "stop":
+        wh.stop_merges(args.table)
+    else:
+        wh.start_merges(args.table)
+    print(json.dumps({
+        "table": args.table, "merges_stopped": wh.merges_stopped(args.table),
+    }))
+
+
+def cmd_parts_columns(args) -> None:
+    from .plans import Warehouse
+
+    wh = Warehouse(_spark(args), args.warehouse)
+    for r in wh.parts_columns(args.table).collect():
+        print(json.dumps(r.asDict()))
+
+
+def cmd_explain_estimate(args) -> None:
+    from .plans import Warehouse
+
+    wh = Warehouse(_spark(args), args.warehouse)
+    preds = []
+    for p in args.where or []:
+        col, op, val = p.split(":", 2)
+        try:
+            val = int(val)
+        except ValueError:
+            try:
+                val = float(val)
+            except ValueError:
+                pass
+        preds.append((col, op, val))
+    print(json.dumps(wh.explain_estimate(args.table, preds)))
+
+
 def cmd_set_ttl(args) -> None:
     from .plans import Warehouse
 
@@ -399,6 +438,27 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("column")
     p.add_argument("--rewrite", action="store_true")
     p.set_defaults(fn=cmd_drop_column)
+
+    p = sub.add_parser("merges",
+                       help="SYSTEM STOP/START MERGES (compact no-ops "
+                            "while stopped)")
+    p.add_argument("action", choices=["stop", "start"])
+    p.add_argument("table")
+    p.set_defaults(fn=cmd_merges)
+
+    p = sub.add_parser("parts-columns",
+                       help="system.parts_columns: per-column storage "
+                            "census from parquet footers")
+    p.add_argument("table")
+    p.set_defaults(fn=cmd_parts_columns)
+
+    p = sub.add_parser("explain-estimate",
+                       help="EXPLAIN ESTIMATE: parts/row-groups/rows a "
+                            "predicate might read (footer stats only)")
+    p.add_argument("table")
+    p.add_argument("--where", action="append",
+                   help="col:op:value (repeatable), e.g. k:>=:10000")
+    p.set_defaults(fn=cmd_explain_estimate)
 
     p = sub.add_parser("modify-column",
                        help="ALTER TABLE ... MODIFY COLUMN type "

@@ -3032,17 +3032,22 @@ class Warehouse:
                 if st is None or not st.has_min_max:
                     continue  # no stats → candidate
                 lo, hi = st.min, st.max
-                if op in ("=", "=="):
-                    if not (lo <= val <= hi):
+                try:
+                    if op in ("=", "=="):
+                        if not (lo <= val <= hi):
+                            return False, nrows
+                    elif op == "<" and not (lo < val):
                         return False, nrows
-                elif op == "<" and not (lo < val):
-                    return False, nrows
-                elif op == "<=" and not (lo <= val):
-                    return False, nrows
-                elif op == ">" and not (hi > val):
-                    return False, nrows
-                elif op == ">=" and not (hi >= val):
-                    return False, nrows
+                    elif op == "<=" and not (lo <= val):
+                        return False, nrows
+                    elif op == ">" and not (hi > val):
+                        return False, nrows
+                    elif op == ">=" and not (hi >= val):
+                        return False, nrows
+                except TypeError:
+                    # stats type ≠ predicate type (e.g. a pre-retype file
+                    # after MODIFY COLUMN): conservative candidate
+                    continue
             return True, nrows
 
         for m in members:

@@ -275,3 +275,20 @@ def test_cli_alter_column_surface(env, spark, capsys):
           "--remove"])
     out = json.loads(capsys.readouterr().out.strip())
     assert out["column_ttls"] == {}
+
+    main(["--warehouse", env["wh"], "merges", "stop", t])
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out["merges_stopped"]
+    main(["--warehouse", env["wh"], "merges", "start", t])
+    out = json.loads(capsys.readouterr().out.strip())
+    assert not out["merges_stopped"]
+
+    main(["--warehouse", env["wh"], "parts-columns", t])
+    lines = [json.loads(ln) for ln in
+             capsys.readouterr().out.strip().splitlines()]
+    assert any(r["column"] == "event_id" and r["rows"] > 0 for r in lines)
+
+    main(["--warehouse", env["wh"], "explain-estimate", t,
+          "--where", "rule_level:>=:0"])
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out["estimate"]["rows"] <= out["total"]["rows"]
