@@ -80,6 +80,14 @@ HEADLINE = [
     "qualify_above_type_mean",        # round 11: QUALIFY = window + filter
     "grouping_sets_type_day",         # round 11: one Expand, one exchange
     "neighbor_value_delta_by_type",   # round 11: lagInFrame per type
+    "modify_column_cast_read",        # round 11b: footer-driven cast-on-read
+    "clear_column_partition_read",    # round 11b: member-scoped reset mask
+    "column_ttl_merge_read",          # round 11b: merge-fold column reset
+    "exp_time_decayed_daily",         # round 11b: grid fold, one agg shuffle
+    "non_negative_derivative_daily",  # round 11b: one lag window per type
+    "group_array_sorted_last",        # round 11b: bounded per-key arrays
+    "quality_model_scores",           # round 11b: map-only scorer, no shuffle
+    "importance_resample_by_quality",  # round 11b: map-only keep-coin
 ]
 
 
