@@ -279,8 +279,12 @@ def _ordered():
     integer centroid arithmetic), computed-column kinds (explicit-NULL
     preservation) — plus anything newly added (never checked), then
     (1) the r7-era stalest greens, then r8, r9, with the freshest r10
-    rows rotating out.  tools/check_correctness.py still oracle-checks
-    everything each round regardless of the driver's window."""
+    rows rotating out.  The round-11b additions (the column-ALTER
+    quartet, time-decayed/group-array/sample-size/derivative parity,
+    quality model, importance resample) are never-driver-checked and
+    sort into class 0 automatically.  tools/check_correctness.py still
+    oracle-checks everything each round regardless of the driver's
+    window (225/225 at r11 HEAD)."""
     from dev_clickhouse_spark.queries import REGISTRY
 
     ever = (
