@@ -615,6 +615,11 @@ class Warehouse:
             raise ValueError(
                 f"cannot clear layout column {col!r} (partition/sort key)"
             )
+        if "event_date" not in names:
+            raise ValueError(
+                f"CLEAR COLUMN IN PARTITION needs a date-partitioned "
+                f"table; {table!r} has no event_date column"
+            )
         man = self.load_manifest(table)
         if man is None and self._batch_layout(table):
             with self._manifest_lock(table):

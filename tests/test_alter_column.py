@@ -178,10 +178,11 @@ def test_clear_column_refusals(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="patches"):
         wh.clear_column_in_partition("alt_events", "value", _D1.date())
-    # plain layout (no manifest, not batch): refused
+    # unpartitioned table (no event_date): refused before anything else —
+    # the mask keys on the partition column, a silent no-op would be worse
     wh.overwrite("dim_tag", spark.createDataFrame(
         [(1, "t", _D1)], wh.schema_for("dim_tag")))
-    with pytest.raises(ValueError, match="manifest"):
+    with pytest.raises(ValueError, match="date-partitioned"):
         wh.clear_column_in_partition("dim_tag", "tag_value", _D1.date())
 
 

@@ -226,18 +226,21 @@ _alter_ops = st.lists(
         st.tuples(st.just("append"), st.integers(1, 3)),
         st.tuples(st.just("rename"), st.integers(0, 99)),
         st.tuples(st.just("drop"), st.integers(0, 99)),
+        st.tuples(st.just("modify"), st.integers(0, 99)),
         st.tuples(st.just("compact"), st.just(0)),
     ),
-    min_size=1, max_size=6,
+    min_size=1, max_size=7,
 )
 
 
 @settings(max_examples=5, deadline=None)
 @given(ops=_alter_ops)
 def test_alter_sequence_matches_eager_model(spark, tmp_path_factory, ops):
-    """Any interleaving of appends, metadata-only RENAME/DROP COLUMN, and
-    compaction serves exactly the rows an eager-rewrite model holds: the
-    legacy-name fold and declared-schema reads are invisible to readers."""
+    """Any interleaving of appends, metadata-only RENAME/DROP COLUMN,
+    non-widening MODIFY COLUMN (cast-on-read chains), and compaction
+    serves exactly the rows an eager-rewrite model holds: name chains,
+    type chains, and their compositions (rename-after-modify,
+    modify-then-merge retirement) are invisible to readers."""
     from pyspark.sql import types as T
 
     from dev_clickhouse_spark.plans.warehouse import Warehouse
@@ -293,6 +296,20 @@ def test_alter_sequence_matches_eager_model(spark, tmp_path_factory, ops):
             cols.remove(victim)
             for r in model:
                 r.pop(victim)
+        elif op == "modify":
+            # retype a currently-double payload column to string; the
+            # model converts with str() (floats here are x.0, which
+            # Spark's double→string cast renders identically)
+            doubles = [
+                c for c in cols
+                if wh.schema_for("t")[c].dataType == T.DoubleType()
+            ]
+            if not doubles:
+                continue
+            victim = doubles[arg % len(doubles)]
+            mig.modify_column_type("t", victim, T.StringType())
+            for r in model:
+                r[victim] = str(r[victim])
         else:
             if wh.exists("t"):
                 wh.compact("t")
