@@ -502,13 +502,17 @@ class Warehouse:
         ttl_col: str = "event_ts",
         group_by: list[str] | None = None,
         aggregates: dict[str, str] | None = None,
+        where: str | None = None,
     ) -> None:
-        """``ALTER TABLE … MODIFY TTL col + INTERVAL n DAY [GROUP BY k…
-        SET col = agg(col)…]`` — DECLARE the TTL once; every ``compact``
-        (the merge analog) enforces it from then on, exactly where
-        ClickHouse applies TTL (during merges, zero extra passes).
+        """``ALTER TABLE … MODIFY TTL col + INTERVAL n DAY [WHERE pred]
+        [GROUP BY k… SET col = agg(col)…]`` — DECLARE the TTL once; every
+        ``compact`` (the merge analog) enforces it from then on, exactly
+        where ClickHouse applies TTL (during merges, zero extra passes).
         Without ``group_by`` expired rows are DELETED; with it they roll
-        up (the downsampling idiom).  O(1) metadata write.
+        up (the downsampling idiom).  With ``where`` only matching rows
+        expire — the CH conditional-TTL idiom (age out debug/noise rows
+        while keeping the rest forever); delete form only.  O(1)
+        metadata write.
 
         Scale note: a TTL-bearing compact runs as a FULL merge (expired
         rows may hide in any generation).  On a 100 TB date-partitioned
@@ -520,7 +524,17 @@ class Warehouse:
             raise ValueError(
                 "rollup TTL needs BOTH group_by and aggregates"
             )
+        if where is not None and group_by is not None:
+            raise ValueError(
+                "TTL WHERE is supported on the delete form only "
+                "(ClickHouse refuses WHERE + GROUP BY TTL likewise)"
+            )
         spec = {"ttl_col": ttl_col, "interval_days": float(interval_days)}
+        if where is not None:
+            # validate the predicate plans against the declared schema
+            probe = self.spark.createDataFrame([], self.schema_for(table))
+            probe.filter(F.expr(where)).schema
+            spec["where"] = where
         if group_by is not None:
             spec["group_by"] = list(group_by)
             spec["aggregates"] = dict(aggregates)
@@ -1759,6 +1773,12 @@ class Warehouse:
                     ttl_cond = F.coalesce(
                         F.col(decl["ttl_col"]) >= F.lit(cutoff), F.lit(True)
                     )
+                    if decl.get("where"):
+                        # conditional TTL: rows NOT matching the WHERE
+                        # never expire (NULL predicate = not matching)
+                        ttl_cond = ttl_cond | ~F.coalesce(
+                            F.expr(decl["where"]), F.lit(False)
+                        )
         row_set_transform = transform is not None
         colttl = self.column_ttls(table)
         if colttl:
@@ -2057,18 +2077,26 @@ class Warehouse:
     # merges/mutations owning parts.
 
     def delete_where(
-        self, table: str, condition, retain_old: bool = False
+        self, table: str, condition, retain_old: bool = False,
+        partition=None,
     ) -> dict:
-        """``ALTER TABLE … DELETE WHERE condition`` analog.  ``condition``
-        is a SQL expression string or Column selecting rows to DELETE.
-        Members with no matching rows are kept as-is (the match probe is a
-        count with the predicate pushed into the parquet scan, so row-group
-        stats skip untouched members cheaply).  Returns
-        ``{"rows_deleted", "members_rewritten", "members_kept"}``."""
+        """``ALTER TABLE … DELETE [IN PARTITION p] WHERE condition``
+        analog.  ``condition`` is a SQL expression string or Column
+        selecting rows to DELETE.  Members with no matching rows are kept
+        as-is (the match probe is a count with the predicate pushed into
+        the parquet scan, so row-group stats skip untouched members
+        cheaply); with ``partition`` the probe SKIPS members that lack
+        the partition directory entirely — no job at all for them, the
+        CH IN PARTITION mutation-scoping.  Returns ``{"rows_deleted",
+        "members_rewritten", "members_kept"}``."""
         cond = F.expr(condition) if isinstance(condition, str) else condition
-        res = self._mutate(table, cond, None, retain_old)
+        res = self._mutate(table, cond, None, retain_old,
+                           partition=partition)
         self._log_mutation(
-            table, "ALTER_DELETE", f"ALTER DELETE WHERE {condition}",
+            table, "ALTER_DELETE",
+            "ALTER DELETE"
+            + (f" IN PARTITION '{partition}'" if partition else "")
+            + f" WHERE {condition}",
             rows_affected=res.get("rows_deleted", 0),
             members_rewritten=res.get("members_rewritten", 0),
         )
@@ -2080,18 +2108,23 @@ class Warehouse:
         assignments: dict[str, object],
         condition,
         retain_old: bool = False,
+        partition=None,
     ) -> dict:
-        """``ALTER TABLE … UPDATE col = expr, … WHERE condition`` analog.
-        ``assignments`` maps column name → SQL expression string or Column;
-        rows matching ``condition`` get the new values, other rows pass
-        through unchanged.  Returns ``{"rows_updated", "members_rewritten",
+        """``ALTER TABLE … UPDATE col = expr, … [IN PARTITION p] WHERE
+        condition`` analog.  ``assignments`` maps column name → SQL
+        expression string or Column; rows matching ``condition`` get the
+        new values, other rows pass through unchanged; ``partition``
+        scopes the mutation to one event_date (members without it are
+        never probed).  Returns ``{"rows_updated", "members_rewritten",
         "members_kept"}``."""
         cond = F.expr(condition) if isinstance(condition, str) else condition
-        res = self._mutate(table, cond, assignments, retain_old)
+        res = self._mutate(table, cond, assignments, retain_old,
+                           partition=partition)
         self._log_mutation(
             table, "ALTER_UPDATE",
-            "ALTER UPDATE %s WHERE %s" % (
+            "ALTER UPDATE %s%s WHERE %s" % (
                 ", ".join(f"{c} = {e}" for c, e in assignments.items()),
+                f" IN PARTITION '{partition}'" if partition else "",
                 condition,
             ),
             rows_affected=res.get("rows_updated", 0),
@@ -2105,6 +2138,7 @@ class Warehouse:
         cond,
         assignments: dict[str, object] | None,
         retain_old: bool,
+        partition=None,
     ) -> dict:
         import shutil
         import uuid
@@ -2112,6 +2146,12 @@ class Warehouse:
         verb = "rows_updated" if assignments is not None else "rows_deleted"
         if not self.exists(table):
             return {verb: 0, "members_rewritten": 0, "members_kept": 0}
+        if partition is not None:
+            # IN PARTITION: the predicate gains the partition equality so
+            # rows outside it are untouched even inside probed members
+            cond = cond & (
+                F.col("event_date") == F.to_date(F.lit(str(partition)))
+            )
         if assignments:
             missing = [
                 c for c in assignments if c not in self.read(table).columns
@@ -2171,7 +2211,17 @@ class Warehouse:
         snapshot = list(man["members"])
         rewritten: dict[str, str | None] = {}
         total = 0
+        skipped_by_partition = 0
         for m in snapshot:
+            if partition is not None and not os.path.isdir(
+                os.path.join(
+                    self.path(table), m, f"event_date={partition}"
+                )
+            ):
+                # IN PARTITION fast path: the member has no directory for
+                # the partition — no probe job at all (directory metadata)
+                skipped_by_partition += 1
+                continue
             mdf = self._read_members(table, [m])
             n = mdf.filter(cond).count()
             if n == 0:
@@ -2189,7 +2239,8 @@ class Warehouse:
                 rewritten[m] = new_member
         if not rewritten:
             return {verb: 0, "members_rewritten": 0,
-                    "members_kept": len(snapshot)}
+                    "members_kept": len(snapshot),
+                    "members_skipped_by_partition": skipped_by_partition}
         with self._manifest_lock(table):
             cur = self.load_manifest(table)
             members = []
@@ -2210,6 +2261,7 @@ class Warehouse:
             verb: total,
             "members_rewritten": len(rewritten),
             "members_kept": len(snapshot) - len(rewritten),
+            "members_skipped_by_partition": skipped_by_partition,
         }
 
     def _remap_overlays_for_drop(
@@ -2660,6 +2712,8 @@ class Warehouse:
                 f"TTL {ttl['ttl_col']} + INTERVAL "
                 f"{ttl['interval_days']:g} DAY"
             )
+            if ttl.get("where"):
+                clause += f" WHERE {ttl['where']}"
             if ttl.get("group_by"):
                 clause += " GROUP BY " + ", ".join(ttl["group_by"])
                 clause += " SET " + ", ".join(

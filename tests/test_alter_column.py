@@ -325,6 +325,57 @@ def test_append_conforms_types_after_modify(spark, tmp_path):
     assert out == {1: "10", 2: "20", 9: "90"}
 
 
+def test_in_partition_mutation_scopes_members(spark, tmp_path):
+    """``ALTER … DELETE/UPDATE IN PARTITION``: members without the
+    partition directory are never probed (no job at all), and rows
+    outside the partition are untouched even when the predicate alone
+    would match them."""
+    wh = _wh(spark, tmp_path)
+    wh.append("alt_events", _rows(spark, [(1, _D1), (2, _D1)]), batch_id=0)
+    wh.append("alt_events", _rows(spark, [(3, _D2)]), batch_id=1)
+    wh.append("alt_events", _rows(spark, [(4, _D3)]), batch_id=2)
+    res = wh.delete_where("alt_events", "value >= 0",
+                          partition=_D2.date())
+    assert res["rows_deleted"] == 1
+    assert res["members_skipped_by_partition"] == 2
+    assert res["members_rewritten"] == 1
+    left = {r["event_id"] for r in wh.read("alt_events").collect()}
+    assert left == {1, 2, 4}
+    res2 = wh.update_set("alt_events", {"value": "value * 10"},
+                         "event_id >= 0", partition=_D1.date())
+    assert res2["rows_updated"] == 2
+    assert res2["members_skipped_by_partition"] >= 1
+    out = {r["event_id"]: r["value"]
+           for r in wh.read("alt_events").collect()}
+    assert out == {1: 10.0, 2: 20.0, 4: 4.0}
+
+
+def test_table_ttl_where_clause(spark, tmp_path):
+    """Conditional TTL: only rows matching the WHERE expire at the merge;
+    non-matching rows survive regardless of age, and SHOW CREATE renders
+    the clause."""
+    wh = _wh(spark, tmp_path)
+    rows = spark.createDataFrame(
+        [(1, _D1, 10, 1.0, _D1.date()),     # old, low value  -> expires
+         (2, _D1, 20, 99.0, _D1.date()),    # old, high value -> kept
+         (3, _D3, 30, 1.0, _D3.date())],    # young           -> kept
+        _SCHEMA,
+    )
+    wh.append("alt_events", rows, batch_id=0)
+    wh.set_table_ttl("alt_events", 1.0, ttl_col="event_ts",
+                     where="value < 50")
+    assert "WHERE value < 50" in wh.show_create_table("alt_events")
+    wh.compact("alt_events", now=_D3)
+    left = {r["event_id"] for r in wh.read("alt_events").collect()}
+    assert left == {2, 3}
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="delete form"):
+        wh.set_table_ttl("alt_events", 1.0, where="value < 50",
+                         group_by=["event_date"],
+                         aggregates={"value": "sum(value)"})
+
+
 def test_alter_metadata_travels_through_detach_attach(spark, tmp_path):
     wh = _wh(spark, tmp_path)
     wh.append("alt_events", _rows(spark, [(1, _D1), (2, _D2)]), batch_id=0)
