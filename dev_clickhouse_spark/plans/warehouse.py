@@ -3027,6 +3027,121 @@ class Warehouse:
                     swept.append(e)
         return swept
 
+    # -- table lifecycle: DROP / UNDROP / TRUNCATE / EXCHANGE ----------------
+
+    def _trash_dir(self) -> str:
+        return os.path.join(self.root, "_trash")
+
+    def drop_table(self, table: str) -> str:
+        """``DROP TABLE`` — the data moves to a timestamped trash entry
+        (with its per-table metadata) instead of vanishing, the CH Atomic
+        database behavior (``database_atomic_delay_before_drop_table``):
+        ``undrop_table`` restores it until ``purge_dropped`` reclaims the
+        space.  Returns the trash entry name."""
+        if not self.exists(table):
+            raise ValueError(f"no table {table!r} to drop")
+        entry = f"{table}@{int(time.time() * 1000)}"
+        dst = os.path.join(self._trash_dir(), entry)
+        os.makedirs(os.path.join(dst, "_meta"), exist_ok=True)
+        os.rename(self.path(table), os.path.join(dst, "data"))
+        for p in self._table_meta_paths(table):
+            if os.path.exists(p):
+                os.rename(
+                    p, os.path.join(dst, "_meta", os.path.basename(p))
+                )
+        self._override_cache.pop(table, None)
+        return entry
+
+    def dropped_tables(self) -> list[str]:
+        """Trash entries, newest first."""
+        d = self._trash_dir()
+        if not os.path.isdir(d):
+            return []
+        return sorted(os.listdir(d), reverse=True)
+
+    def undrop_table(self, table: str) -> None:
+        """``UNDROP TABLE`` — restore the NEWEST trash entry for the
+        name, metadata included.  Refused when a live table with the
+        name exists (as in ClickHouse)."""
+        if self.exists(table):
+            raise ValueError(
+                f"cannot UNDROP {table!r}: a live table holds the name"
+            )
+        entry = next(
+            (e for e in self.dropped_tables()
+             if e.rsplit("@", 1)[0] == table),
+            None,
+        )
+        if entry is None:
+            raise LookupError(f"no dropped table {table!r} in the trash")
+        src = os.path.join(self._trash_dir(), entry)
+        os.rename(os.path.join(src, "data"), self.path(table))
+        meta = os.path.join(src, "_meta")
+        if os.path.isdir(meta):
+            os.makedirs(os.path.join(self.root, "_schemas"), exist_ok=True)
+            for f in os.listdir(meta):
+                os.rename(
+                    os.path.join(meta, f),
+                    os.path.join(self.root, "_schemas", f),
+                )
+        shutil.rmtree(src, ignore_errors=True)
+        self._override_cache.pop(table, None)
+
+    def purge_dropped(self, older_than_sec: float = 8 * 3600) -> list[str]:
+        """Reclaim trash entries older than the retention window (the CH
+        delayed-drop sweep).  Returns the purged entry names."""
+        purged = []
+        now_ms = time.time() * 1000
+        for e in self.dropped_tables():
+            try:
+                ts = int(e.rsplit("@", 1)[1])
+            except (IndexError, ValueError):
+                continue
+            if now_ms - ts >= older_than_sec * 1000:
+                shutil.rmtree(
+                    os.path.join(self._trash_dir(), e), ignore_errors=True
+                )
+                purged.append(e)
+        return purged
+
+    def truncate_table(self, table: str) -> None:
+        """``TRUNCATE TABLE`` — all rows (and overlays, manifest, the
+        committed-batches ledger) go; the DECLARED shape stays: schema
+        override, computed columns, TTLs, rename/cast chains survive, so
+        the next insert lands into the same table definition — the CH
+        contract (TRUNCATE keeps the table, drops the parts)."""
+        if not self.exists(table):
+            return
+        shutil.rmtree(self.path(table), ignore_errors=True)
+
+    def exchange_tables(self, a: str, b: str) -> None:
+        """``EXCHANGE TABLES a AND b`` — swap the two tables' data AND
+        their per-table metadata (the blue/green cutover primitive; CH
+        does this atomically in the Atomic database engine).  Here it is
+        three renames per artifact under the single-maintenance-writer
+        discipline — readers resolve manifests per query, so a query
+        planned before the swap still reads the files it resolved."""
+        if not self.exists(a) or not self.exists(b):
+            raise ValueError(f"EXCHANGE needs both tables ({a!r}, {b!r})")
+        tmp = self.path(f".exchange-{uuid.uuid4().hex[:8]}")
+        os.rename(self.path(a), tmp)
+        os.rename(self.path(b), self.path(a))
+        os.rename(tmp, self.path(b))
+        for pa, pb in zip(self._table_meta_paths(a),
+                          self._table_meta_paths(b)):
+            ea, eb = os.path.exists(pa), os.path.exists(pb)
+            if not (ea or eb):
+                continue
+            t = pa + ".xchg"
+            if ea:
+                os.rename(pa, t)
+            if eb:
+                os.rename(pb, pa)
+            if ea:
+                os.rename(t, pb)
+        self._override_cache.pop(a, None)
+        self._override_cache.pop(b, None)
+
     # -- SYSTEM STOP/START MERGES --------------------------------------------
 
     def _stop_merges_path(self, table: str) -> str:
