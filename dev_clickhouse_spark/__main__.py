@@ -235,6 +235,24 @@ def cmd_set_column_ttl(args) -> None:
     }))
 
 
+def cmd_table_lifecycle(args) -> None:
+    from .plans import Warehouse
+
+    wh = Warehouse(_spark(args), args.warehouse)
+    if args.cmd == "drop-table":
+        entry = wh.drop_table(args.table)
+        print(json.dumps({"dropped": args.table, "trash_entry": entry}))
+    elif args.cmd == "undrop-table":
+        wh.undrop_table(args.table)
+        print(json.dumps({"undropped": args.table}))
+    elif args.cmd == "truncate-table":
+        wh.truncate_table(args.table)
+        print(json.dumps({"truncated": args.table}))
+    else:  # exchange-tables
+        wh.exchange_tables(args.table, args.other)
+        print(json.dumps({"exchanged": [args.table, args.other]}))
+
+
 def cmd_merges(args) -> None:
     from .plans import Warehouse
 
@@ -438,6 +456,18 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("column")
     p.add_argument("--rewrite", action="store_true")
     p.set_defaults(fn=cmd_drop_column)
+
+    for name, hlp in (
+        ("drop-table", "DROP TABLE (to trash; undrop-table restores)"),
+        ("undrop-table", "UNDROP TABLE (newest trash entry)"),
+        ("truncate-table", "TRUNCATE TABLE (keeps the declared shape)"),
+        ("exchange-tables", "EXCHANGE TABLES a AND b (blue/green swap)"),
+    ):
+        p = sub.add_parser(name, help=hlp)
+        p.add_argument("table")
+        if name == "exchange-tables":
+            p.add_argument("other")
+        p.set_defaults(fn=cmd_table_lifecycle, cmd=name)
 
     p = sub.add_parser("merges",
                        help="SYSTEM STOP/START MERGES (compact no-ops "
