@@ -235,6 +235,23 @@ def cmd_set_column_ttl(args) -> None:
     }))
 
 
+def cmd_create_table(args) -> None:
+    from .plans import Warehouse
+    from .plans.ddl import create_table_from_ddl
+
+    wh = Warehouse(_spark(args), args.warehouse)
+    with open(args.ddl_file) as fh:
+        ddl = fh.read()
+    name = create_table_from_ddl(wh, ddl)
+    print(json.dumps({
+        "created": name,
+        "sort_key": wh._sort_key(name),
+        "ttl": wh.table_ttl(name),
+        "column_ttls": wh.column_ttls(name),
+        "computed_columns": list(wh.computed_columns(name)),
+    }))
+
+
 def cmd_table_lifecycle(args) -> None:
     from .plans import Warehouse
 
@@ -456,6 +473,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("column")
     p.add_argument("--rewrite", action="store_true")
     p.set_defaults(fn=cmd_drop_column)
+
+    p = sub.add_parser("create-table",
+                       help="register a table from CH-flavored CREATE "
+                            "TABLE DDL (types, ORDER BY, PARTITION BY, "
+                            "TTLs, DEFAULT/MATERIALIZED/ALIAS columns)")
+    p.add_argument("ddl_file")
+    p.set_defaults(fn=cmd_create_table)
 
     for name, hlp in (
         ("drop-table", "DROP TABLE (to trash; undrop-table restores)"),
