@@ -43,6 +43,8 @@ _CH_SIMPLE = {
     "string": T.StringType,
     "fixedstring": T.StringType,   # parametrized form handled below
     "uuid": T.StringType,
+    "ipv4": T.StringType,          # canonicalized strings (functions/ip.py
+    "ipv6": T.StringType,          # applies the RFC 5952 toIPv6OrNull guard)
     "bool": T.BooleanType,
     "boolean": T.BooleanType,
     "int8": T.ByteType,
@@ -120,8 +122,10 @@ def parse_type(s: str) -> T.DataType:
     m = re.fullmatch(r"(?i)fixedstring\s*\(\s*\d+\s*\)", s)
     if m:
         return T.StringType()
-    m = re.fullmatch(r"(?i)datetime64\s*(\(.*\))?", s)
+    m = re.fullmatch(r"(?i)datetime(64)?\s*(\(.*\))?", s)
     if m:
+        # precision and timezone parameters (DateTime64(3, 'Asia/Jakarta'))
+        # collapse to the engine's UTC-instant timestamps (SURVEY.md §1.2)
         return T.TimestampType()
     m = re.fullmatch(r"(?i)decimal\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)", s)
     if m:

@@ -124,6 +124,38 @@ def test_show_create_round_trips(spark, tmp_path):
     assert wh2.table_ttl("rt") == wh.table_ttl("rt")
 
 
+_REF_DDL = "/root/reference/clickhouse/init/01_bronze_tables.sql"
+
+
+@pytest.mark.skipif(
+    not __import__("os").path.exists(_REF_DDL),
+    reason="reference checkout not available",
+)
+def test_reference_bronze_ddl_reproduces_declared_schemas(spark, tmp_path):
+    """The reference's OWN MergeTree bronze DDL
+    (clickhouse/init/01_bronze_tables.sql) parses statement-by-statement
+    and reproduces this engine's hand-declared bronze schemas exactly —
+    types (IPv6 → canonical string, DateTime64(3, tz) → UTC instant,
+    Nullable unwrap), the (event_ts, event_id) sort key, and the
+    toDate(event_ts) partitioning mapped to event_date."""
+    from dev_clickhouse_spark.schemas import BRONZE_SCHEMAS
+
+    src = open(_REF_DDL).read()
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    parsed = []
+    for stmt in src.split(";"):
+        if "CREATE TABLE" in stmt.upper():
+            parsed.append(create_table_from_ddl(wh, stmt))
+    assert set(parsed) == set(BRONZE_SCHEMAS)
+    for t in parsed:
+        got = {f.name: f.dataType for f in wh.schema_for(t).fields}
+        want = {f.name: f.dataType for f in BRONZE_SCHEMAS[t].fields}
+        want["event_date"] = T.DateType()
+        assert got == want, t
+        assert wh._sort_key(t) == ["event_ts", "event_id"]
+        assert wh._is_date_partitioned(t)
+
+
 def test_unsupported_partition_by_is_refused(spark, tmp_path):
     wh = Warehouse(spark, str(tmp_path / "wh"))
     with pytest.raises(ValueError, match="PARTITION BY"):
