@@ -117,10 +117,11 @@ def build_fact_wazuh(
             "event_dataset", "event_kind", "event_module", "event_provider"
         ).alias("__event_key"),
         F.when(
-            F.col("event_ingested_ts").isNull(), F.lit(None).cast("long")
+            F.col("event_ingested_ts").isNull(), F.lit(None).cast("double")
         ).otherwise(
-            F.unix_timestamp("event_ingested_ts") - F.unix_timestamp("event_ts")
-        ).alias("lag_seconds"),
+            (F.unix_timestamp("event_ingested_ts")
+             - F.unix_timestamp("event_ts")).cast("double")
+        ).alias("lag_seconds"),  # Nullable(Float64) per 03_gold_tables.sql
         F.when(
             F.col("event_start_ts").isNull() | F.col("event_end_ts").isNull(),
             F.lit(None).cast("double"),

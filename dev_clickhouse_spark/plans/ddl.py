@@ -48,11 +48,16 @@ _CH_SIMPLE = {
     "bool": T.BooleanType,
     "boolean": T.BooleanType,
     "int8": T.ByteType,
-    "uint8": T.ShortType,
     "int16": T.ShortType,
     "uint16": T.IntegerType,
     "int32": T.IntegerType,
-    "uint32": T.LongType,
+    # UInt8/UInt32 follow the engine's hand-declared conventions
+    # (schemas.py: is_current/quarter/… UInt8 → Integer, date_key/time_key
+    # UInt32 → Integer — toYYYYMMDD/HHMMSS-shaped values fit; a column
+    # needing the full UInt32 range should be declared UInt64 → Long) so
+    # the reference's own gold DDL reproduces GOLD_SCHEMAS exactly
+    "uint8": T.IntegerType,
+    "uint32": T.IntegerType,
     "int64": T.LongType,
     "uint64": T.LongType,          # documented: top bit folds into sign
     "float32": T.FloatType,
@@ -141,8 +146,13 @@ def parse_type(s: str) -> T.DataType:
 
 
 def _split_top(s: str, sep: str = ",") -> list[str]:
-    """Split on ``sep`` outside parentheses/backticks/quotes."""
-    parts, depth, buf, q = [], 0, [], None
+    """Split on ``sep`` outside parentheses/backticks/quotes — and outside
+    Spark ``<...>`` generics (``map<string,int>``, ``struct<a:int,b:string>``)
+    so show_create_table output with multi-parameter generic columns
+    round-trips.  A ``<`` opens a generic only when it directly follows an
+    identifier character (``map<``), so comparison operators in DEFAULT
+    expressions (``a < b``) never unbalance the scan."""
+    parts, depth, angle, buf, q = [], 0, 0, [], None
     for ch in s:
         if q:
             buf.append(ch)
@@ -158,7 +168,13 @@ def _split_top(s: str, sep: str = ",") -> list[str]:
         elif ch == ")":
             depth -= 1
             buf.append(ch)
-        elif ch == sep and depth == 0:
+        elif ch == "<" and buf and (buf[-1].isalnum() or buf[-1] == "_"):
+            angle += 1
+            buf.append(ch)
+        elif ch == ">" and angle > 0 and (not buf or buf[-1] != "-"):
+            angle -= 1
+            buf.append(ch)
+        elif ch == sep and depth == 0 and angle == 0:
             parts.append("".join(buf).strip())
             buf = []
         else:
@@ -198,6 +214,113 @@ def _take_type(s: str) -> tuple[str, str]:
                     return s[: i + k + 1], rest[k + 1:]
         raise ValueError(f"unbalanced type parentheses: {s!r}")
     return s[:i], rest
+
+
+def bootstrap_from_ddl(wh: Warehouse, sql: str) -> list[str]:
+    """Run every ``CREATE TABLE`` statement in a SQL script through
+    :func:`create_table_from_ddl` — the engine's DDL bootstrap.  Pointing
+    this at the reference's own init scripts
+    (clickhouse/init/01_bronze_tables.sql + 03_gold_tables.sql) declares
+    the complete bronze+gold star schema verbatim from the files the
+    reference provisions ClickHouse with (tested: the parsed declarations
+    ≡ the hand-declared schemas.py BRONZE_SCHEMAS/GOLD_SCHEMAS).  Non-DDL
+    statements are skipped; returns the created table names in order."""
+    created: list[str] = []
+    for stmt in sql.split(";"):
+        if "CREATE TABLE" in stmt.upper():
+            created.append(create_table_from_ddl(wh, stmt))
+    return created
+
+
+def _parse_order_by(rest: str) -> list[str]:
+    """The text after ``ORDER BY`` → sort columns.  Tuple bodies are
+    scanned with balanced parens (``_split_top``), so function calls in
+    the key don't shear at inner commas.  Plain identifiers pass through;
+    ``ifNull(col, default)`` — the reference's NULL-safe sort spelling
+    (03_gold_tables.sql gold.dim_host ``ORDER BY (ifNull(host_name, ''),
+    effective_from)``) — maps to the column itself (parquet sorts NULLs
+    first; the prune/cluster intent is identical); any other expression
+    is rejected loudly instead of registering a broken column name.
+    ``ORDER BY tuple()`` (a ClickHouse unsorted MergeTree) → []."""
+    rest = rest.lstrip()
+    if rest.startswith("("):
+        depth = 0
+        for k, ch in enumerate(rest):
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+        else:
+            raise ValueError(f"unbalanced ORDER BY tuple: {rest!r}")
+        entries = _split_top(rest[1:k])
+    else:
+        m = re.match(r"(?i)tuple\s*\(\s*\)", rest)
+        if m:
+            return []
+        m = re.match(r"[\w`]+(\s*\([^)]*\))?", rest)
+        entries = [m.group(0)] if m else []
+    cols: list[str] = []
+    for e in entries:
+        e = e.strip()
+        if re.fullmatch(r"(?i)tuple\s*\(\s*\)", e):
+            continue
+        im = re.fullmatch(
+            r"(?i)ifNull\s*\(\s*`?(\w+)`?\s*,\s*[^()]*\)", e
+        )
+        if im:
+            cols.append(im.group(1))
+            continue
+        cm = re.fullmatch(r"`?(\w+)`?", e)
+        if cm is None:
+            raise ValueError(
+                f"unsupported ORDER BY entry {e!r}: plain columns or "
+                "ifNull(col, default) only"
+            )
+        cols.append(cm.group(1))
+    return cols
+
+
+#: MergeTree engine-family spellings this parser maps onto the engine's
+#: read_final/read_summed/read_collapsed semantics.  Plain MergeTree (and
+#: this engine's own "MergeTree (manifest parquet)" show_create rendering)
+#: carries no merge semantics and produces no declaration.
+_ENGINE_RE = re.compile(
+    r"(?i)\bENGINE\s*=\s*(?P<name>\w+)\s*(?:\((?P<args>[^)]*)\))?"
+)
+
+
+def _parse_engine(tail: str) -> dict | None:
+    m = _ENGINE_RE.search(tail)
+    if m is None:
+        return None
+    name = m.group("name")
+    args = [
+        a.strip().strip("`")
+        for a in (m.group("args") or "").split(",")
+        if a.strip()
+    ]
+    low = name.lower()
+    if low == "replacingmergetree":
+        return {
+            "engine": "ReplacingMergeTree",
+            "version_col": args[0] if args else None,
+        }
+    if low == "summingmergetree":
+        return {"engine": "SummingMergeTree", "sum_cols": args or None}
+    if low == "collapsingmergetree":
+        return {
+            "engine": "CollapsingMergeTree",
+            "sign_col": args[0] if args else "sign",
+        }
+    if low == "versionedcollapsingmergetree":
+        return {
+            "engine": "VersionedCollapsingMergeTree",
+            "sign_col": args[0] if args else "sign",
+            "version_col": args[1] if len(args) > 1 else None,
+        }
+    return None  # MergeTree / Log / unknown: plain append semantics
 
 
 def create_table_from_ddl(wh: Warehouse, ddl: str) -> str:
@@ -275,9 +398,7 @@ def create_table_from_ddl(wh: Warehouse, ddl: str) -> str:
         r"(?i)\bPARTITION\s+BY\s+(.+?)(?=\bORDER\s+BY|\bTTL\b|"
         r"\bSETTINGS\b|$)", tail,
     )
-    order = re.search(
-        r"(?i)\bORDER\s+BY\s+(\(([^)]*)\)|(\w+))", tail
-    )
+    order = re.search(r"(?i)\bORDER\s+BY\s+", tail)
     ttl_m = re.search(
         r"(?i)\bTTL\s+(\w+)\s*\+\s*INTERVAL\s+(\d+(?:\.\d+)?)\s+"
         r"(DAY|WEEK|MONTH|HOUR)(\s+WHERE\s+(?P<w>.+?))?"
@@ -304,13 +425,17 @@ def create_table_from_ddl(wh: Warehouse, ddl: str) -> str:
 
     schema = T.StructType(fields)
     if order is not None:
-        sort_cols = [
-            c.strip().strip("`")
-            for c in (order.group(2) or order.group(3)).split(",")
-            if c.strip()
-        ]
-        wh.set_partitioning(table, sort_cols)
+        sort_cols = _parse_order_by(tail[order.end():])
+        if sort_cols:
+            # an ORDER-BY-only MergeTree (every dim in the reference's
+            # 03_gold_tables.sql) stays unpartitioned: files are written
+            # sorted but no event_date directory level is minted
+            wh.set_partitioning(table, sort_cols,
+                                partitioned=date_partitioned)
     wh.save_schema_override(table, schema)
+    engine = _parse_engine(tail)
+    if engine is not None:
+        wh.set_table_engine(table, **engine)
     for name, dtype, kind, expr in computed:
         from ..quality import SchemaMigrator
 

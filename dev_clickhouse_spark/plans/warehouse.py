@@ -227,7 +227,48 @@ class Warehouse:
             self._cleared_path(table),
             self._colttl_path(table),
             self._stop_merges_path(table),
+            self._engine_path(table),
         )
+
+    # -- declared MergeTree engine family (CREATE TABLE ENGINE = …) ---------
+
+    def _engine_path(self, table: str) -> str:
+        return os.path.join(self.root, "_schemas", table + ".engine.json")
+
+    def set_table_engine(
+        self,
+        table: str,
+        engine: str,
+        *,
+        version_col: str | None = None,
+        sign_col: str | None = None,
+        sum_cols: list[str] | None = None,
+    ) -> None:
+        """Declare the table's MergeTree engine family — the
+        ``ENGINE = ReplacingMergeTree(updated_at)`` clause of a ClickHouse
+        CREATE TABLE (reference clickhouse/init/03_gold_tables.sql declares
+        every dim/fact this way).  Pure metadata: appends are unchanged;
+        :meth:`read_final` / :meth:`read_summed` / :meth:`read_collapsed`
+        consult it so ``FINAL`` reads need no per-call key/version args."""
+        spec: dict = {"engine": engine}
+        if version_col:
+            spec["version_col"] = version_col
+        if sign_col:
+            spec["sign_col"] = sign_col
+        if sum_cols:
+            spec["sum_cols"] = list(sum_cols)
+        p = self._engine_path(table)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        tmp = p + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(spec, fh, indent=1)
+        os.replace(tmp, p)
+
+    def table_engine(self, table: str) -> dict | None:
+        """The declared engine spec ({"engine", "version_col", …}) or None
+        for plain-MergeTree/undeclared tables."""
+        spec = self._load_json_meta(self._engine_path(table), None)
+        return spec if spec else None
 
     # -- declared-schema registry (ALTER target) ---------------------------
 
@@ -2212,8 +2253,17 @@ class Warehouse:
         rewritten: dict[str, str | None] = {}
         total = 0
         skipped_by_partition = 0
+        # the directory fast path is only sound when members actually
+        # carry event_date= levels: an ORDER-BY-only table has none, and
+        # skipping on the missing directory would silently mutate nothing.
+        # There, fall back to predicate probing (cond already carries the
+        # partition equality) — loud AnalysisException if the table has
+        # no event_date column at all, like CH's unknown-partition error.
+        partition_dirs = partition is not None and (
+            self._is_date_partitioned(table) or self._has_date_dirs(table)
+        )
         for m in snapshot:
-            if partition is not None and not os.path.isdir(
+            if partition_dirs and not os.path.isdir(
                 os.path.join(
                     self.path(table), m, f"event_date={partition}"
                 )
@@ -2694,9 +2744,20 @@ class Warehouse:
             lines.append(f"{entry} {meta['kind'].upper()} {meta['expr']}")
         ddl = [f"CREATE TABLE {table} (", ",\n".join(lines), ")"]
         sort = self._sort_key(table)
-        engine = "MergeTree (manifest parquet)" if (
-            self.load_manifest(table) is not None
-        ) else "MergeTree (parquet)"
+        spec = self.table_engine(table)
+        if spec is not None:
+            args = (
+                [spec["sign_col"]] if spec.get("sign_col") else []
+            ) + (
+                [spec["version_col"]] if spec.get("version_col") else []
+            ) + list(spec.get("sum_cols") or [])
+            engine = spec["engine"] + (
+                f"({', '.join(args)})" if args else ""
+            )
+        else:
+            engine = "MergeTree (manifest parquet)" if (
+                self.load_manifest(table) is not None
+            ) else "MergeTree (parquet)"
         ddl.append(f"ENGINE = {engine}")
         if sort is not None:
             # a table can be sorted without being date-partitioned
@@ -2727,8 +2788,8 @@ class Warehouse:
     def read_final(
         self,
         table: str,
-        keys: list[str],
-        version_col: str,
+        keys: list[str] | None = None,
+        version_col: str | None = None,
         tiebreak: list[str] | None = None,
     ) -> DataFrame:
         """``SELECT … FINAL`` on a Replacing-semantics table: collapse to
@@ -2737,9 +2798,27 @@ class Warehouse:
         materializing twin).  One shuffle on the key — the same cost CH
         pays for FINAL's read-time merge, and at 100 TB the same advice
         applies: serve hot paths from merged/deduped tables and reserve
-        FINAL for correctness-critical reads."""
+        FINAL for correctness-critical reads.
+
+        ``keys``/``version_col`` default from the table's DECLARED layout
+        — the ORDER BY sort key and the ``ReplacingMergeTree(version)``
+        engine argument (:meth:`set_table_engine`, or a parsed CREATE
+        TABLE via plans/ddl.py) — exactly how ClickHouse resolves a bare
+        ``SELECT … FINAL``."""
         from ..operators.dedupe import replacing_dedupe
 
+        if keys is None or version_col is None:
+            spec = self.table_engine(table) or {}
+            if keys is None:
+                keys = self._sort_key(table)
+            if version_col is None:
+                version_col = spec.get("version_col")
+            if keys is None or version_col is None:
+                raise ValueError(
+                    f"read_final({table!r}) without keys/version_col needs "
+                    "a declared ORDER BY and ReplacingMergeTree(version) "
+                    "engine (set_table_engine / create_table_from_ddl)"
+                )
         return replacing_dedupe(
             self.read(table), keys, version_col, tiebreak=tiebreak
         )

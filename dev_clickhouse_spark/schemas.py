@@ -127,7 +127,7 @@ FACT_WAZUH = T.StructType([
     _s("event_id"), _ts("event_ts"), _ts("event_ingested_ts"),
     _ts("event_start_ts"), _ts("event_end_ts"), _i("date_key"), _i("time_key"),
     _l("agent_key"), _l("host_key"), _l("rule_key"), _l("event_key"),
-    _l("lag_seconds"), _d("duration_seconds"), _s("message"), _ts("updated_at"),
+    _d("lag_seconds"), _d("duration_seconds"), _s("message"), _ts("updated_at"),
 ])
 
 FACT_SURICATA = T.StructType([

@@ -25,7 +25,10 @@ def test_parse_type_matrix(spark):  # session: the struct<>/array<> fallback
     assert parse_type("Date") == T.DateType()
     assert parse_type("Nullable(String)") == T.StringType()
     assert parse_type("LowCardinality(String)") == T.StringType()
-    assert parse_type("Array(UInt32)") == T.ArrayType(T.LongType())
+    # UInt8/UInt32 follow schemas.py's declared conventions (Integer) so
+    # the reference's gold DDL reproduces GOLD_SCHEMAS exactly
+    assert parse_type("UInt8") == T.IntegerType()
+    assert parse_type("Array(UInt32)") == T.ArrayType(T.IntegerType())
     assert parse_type("Decimal(18, 4)") == T.DecimalType(18, 4)
     assert parse_type("FixedString(16)") == T.StringType()
     assert parse_type("Enum8('a' = 1, 'b' = 2)") == T.StringType()
@@ -163,3 +166,185 @@ def test_unsupported_partition_by_is_refused(spark, tmp_path):
 CREATE TABLE t (`k` UInt64, `ts` DateTime)
 ENGINE = MergeTree PARTITION BY cityHash64(k) ORDER BY k
 """)
+
+
+_REF_GOLD_DDL = "/root/reference/clickhouse/init/03_gold_tables.sql"
+
+
+@pytest.mark.skipif(
+    not __import__("os").path.exists(_REF_GOLD_DDL),
+    reason="reference checkout not available",
+)
+def test_reference_gold_ddl_reproduces_declared_schemas(spark, tmp_path):
+    """The reference's OWN gold DDL (clickhouse/init/03_gold_tables.sql)
+    bootstraps this engine's complete star schema: every dim/fact/bridge
+    parses into the hand-declared GOLD_SCHEMAS exactly — UInt8/16/32 →
+    Integer, UInt64 keys → Long, DateTime64(3, tz) → UTC instant, IPv6 →
+    canonical string — with the ReplacingMergeTree(updated_at) version
+    column captured as the declared engine, ORDER-BY-only dims staying
+    UNpartitioned, toDate(event_ts) facts date-partitioned, and the
+    ifNull(col, '') sort entries mapped to their columns."""
+    from dev_clickhouse_spark.plans.ddl import bootstrap_from_ddl
+    from dev_clickhouse_spark.schemas import GOLD_SCHEMAS
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    created = bootstrap_from_ddl(wh, open(_REF_GOLD_DDL).read())
+    assert set(created) == set(GOLD_SCHEMAS)
+
+    partitioned = {
+        "fact_wazuh_events", "fact_suricata_events", "fact_zeek_events",
+        "bridge_wazuh_event_tag", "bridge_suricata_event_tag",
+        "bridge_zeek_event_tag",
+    }
+    for t in created:
+        got = {f.name: f.dataType for f in wh.schema_for(t).fields}
+        want = {f.name: f.dataType for f in GOLD_SCHEMAS[t].fields}
+        if t in partitioned:
+            want["event_date"] = T.DateType()
+        assert got == want, t
+        assert wh._is_date_partitioned(t) == (t in partitioned), t
+
+    # sort keys: single-column dims, composite facts, ifNull-mapped SCD2
+    assert wh._sort_key("dim_date") == ["date_key"]
+    assert wh._sort_key("dim_host") == ["host_name", "effective_from"]
+    assert wh._sort_key("dim_rule") == ["rule_id", "effective_from"]
+    assert wh._sort_key("fact_zeek_events") == ["event_id", "event_ts"]
+    assert wh._sort_key("bridge_zeek_event_tag") == [
+        "event_id", "event_ts", "tag_key"]
+
+    # engine family: ReplacingMergeTree(updated_at) everywhere the
+    # reference declares it; the SCD2 dims are plain MergeTree
+    assert wh.table_engine("dim_date") == {
+        "engine": "ReplacingMergeTree", "version_col": "updated_at"}
+    assert wh.table_engine("fact_wazuh_events") == {
+        "engine": "ReplacingMergeTree", "version_col": "updated_at"}
+    assert wh.table_engine("dim_host") is None
+    assert wh.table_engine("dim_agent") is None
+
+
+@pytest.mark.skipif(
+    not __import__("os").path.exists(_REF_GOLD_DDL),
+    reason="reference checkout not available",
+)
+def test_gold_pipeline_runs_on_ddl_bootstrapped_warehouse(spark, tmp_path):
+    """End-to-end: bootstrap the warehouse from the reference's own
+    bronze+gold DDL files, ingest events, run the full gold refresh —
+    facts, SCD2 dims, and star integrity land identically on the
+    DDL-declared tables, and a bare FINAL read resolves its keys/version
+    from the parsed ReplacingMergeTree declaration."""
+    import datetime as dt
+    from dev_clickhouse_spark.plans.ddl import bootstrap_from_ddl
+    from dev_clickhouse_spark.plans.runner import PipelineRunner
+    from dev_clickhouse_spark.sources import extract_suricata, extract_wazuh
+    from tests.test_siem import raw_df, suricata_payload, wazuh_payload
+
+    wh_root = str(tmp_path / "wh")
+    runner = PipelineRunner(spark, wh_root, max_active_tasks=4)
+    for path in (_REF_DDL, _REF_GOLD_DDL):
+        bootstrap_from_ddl(runner.wh, open(path).read())
+
+    raw = raw_df(spark, [
+        wazuh_payload("w1", "10.0.0.1", "2026-01-08T09:10:00.000Z"),
+        wazuh_payload("w2", "10.0.0.1", "2026-01-08T09:20:00.000Z"),
+        suricata_payload("s1", ts="2026-01-08T09:15:00.000Z"),
+    ])
+    runner.wh.append("wazuh_events_raw", extract_wazuh(raw), batch_id=0)
+    runner.wh.append("suricata_events_raw", extract_suricata(raw),
+                     batch_id=0)
+    metrics = runner.run_window(
+        dt.datetime(2026, 1, 8, 9, 0), dt.datetime(2026, 1, 8, 10, 0))
+    by_id = {m["pipeline_id"]: m for m in metrics}
+    assert by_id["fact_wazuh_events"]["rows_delta"] == 2
+    assert by_id["fact_suricata_events"]["rows_delta"] == 1
+    fact = runner.wh.read("fact_wazuh_events")
+    dim = runner.wh.read("dim_agent")
+    assert fact.join(dim, "agent_key", "left_anti").count() == 0
+    # bare FINAL: keys + version resolve from the parsed declaration
+    assert runner.wh.read_final("fact_wazuh_events").count() == 2
+
+
+def test_orderby_only_table_round_trips_unpartitioned(spark, tmp_path):
+    """An ORDER-BY-only MergeTree (no PARTITION BY — every dim in the
+    reference's gold DDL) round-trips through show_create_table WITHOUT
+    flipping to date-partitioned, and its first append needs no event_ts."""
+    wh = Warehouse(spark, str(tmp_path / "a"))
+    create_table_from_ddl(wh, """
+CREATE TABLE dim_plain (`k` UInt64, `name` String, `updated_at` DateTime)
+ENGINE = ReplacingMergeTree(updated_at) ORDER BY k
+""")
+    assert wh._sort_key("dim_plain") == ["k"]
+    assert not wh._is_date_partitioned("dim_plain")
+    sch = {f.name for f in wh.schema_for("dim_plain").fields}
+    assert "event_date" not in sch
+
+    ddl = wh.show_create_table("dim_plain")
+    assert "PARTITION BY" not in ddl
+    assert "ReplacingMergeTree(updated_at)" in ddl
+    wh2 = Warehouse(spark, str(tmp_path / "b"))
+    create_table_from_ddl(wh2, ddl)
+    assert not wh2._is_date_partitioned("dim_plain")
+    assert wh2.table_engine("dim_plain") == wh.table_engine("dim_plain")
+
+    # the declaration is live without any event_ts/event_date plumbing
+    import datetime as dt
+    wh2.append("dim_plain", spark.createDataFrame(
+        [(1, "a", dt.datetime(2026, 1, 1))], wh2.schema_for("dim_plain")),
+        batch_id=0)
+    assert wh2.read("dim_plain").count() == 1
+
+
+def test_generic_struct_map_columns_round_trip(spark, tmp_path):
+    """Columns typed with multi-parameter Spark generics
+    (map<string,int>, struct<a:int,b:string>) split correctly at the top
+    level and round-trip through show_create_table."""
+    wh = Warehouse(spark, str(tmp_path / "a"))
+    create_table_from_ddl(wh, """
+CREATE TABLE generic_t (
+  `k` bigint,
+  `m` map<string,int>,
+  `s` struct<a:int,b:string>,
+  `arr` array<struct<x:double,y:double>>
+) ENGINE = MergeTree ORDER BY k
+""")
+    sch = {f.name: f.dataType for f in wh.schema_for("generic_t").fields}
+    assert sch["m"] == T.MapType(T.StringType(), T.IntegerType())
+    assert sch["s"] == T.StructType([
+        T.StructField("a", T.IntegerType()),
+        T.StructField("b", T.StringType())])
+    wh2 = Warehouse(spark, str(tmp_path / "b"))
+    create_table_from_ddl(wh2, wh.show_create_table("generic_t"))
+    assert wh2.schema_for("generic_t") == wh.schema_for("generic_t")
+
+
+def test_expression_order_by_rejected_loudly(spark, tmp_path):
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    with pytest.raises(ValueError, match="ORDER BY"):
+        create_table_from_ddl(wh, """
+CREATE TABLE t (`k` UInt64, `ts` DateTime)
+ENGINE = MergeTree ORDER BY (cityHash64(k), ts)
+""")
+
+
+def test_in_partition_mutation_on_orderby_only_table(spark, tmp_path):
+    """ADVICE r11: on a table with an event_date COLUMN but no partition
+    DIRECTORIES (declared ORDER-BY-only), IN PARTITION mutations fall back
+    to predicate probing instead of silently skipping every member."""
+    import datetime as dt
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    wh.set_partitioning("obo", ["k"], partitioned=False)
+    schema = T.StructType([
+        T.StructField("k", T.LongType()),
+        T.StructField("v", T.LongType()),
+        T.StructField("event_date", T.DateType()),
+    ])
+    d1, d2 = dt.date(2026, 1, 1), dt.date(2026, 1, 2)
+    wh.append("obo", spark.createDataFrame(
+        [(1, 10, d1), (2, 20, d1), (3, 30, d2)], schema), batch_id=0)
+    res = wh.delete_where(
+        "obo", T.StructField and __import__(
+            "pyspark.sql.functions", fromlist=["col"]).col("v") >= 20,
+        partition="2026-01-01")
+    assert res["rows_deleted"] == 1          # only the d1 row ≥ 20
+    left = sorted(r.k for r in wh.read("obo").collect())
+    assert left == [1, 3]
