@@ -267,62 +267,79 @@ _CHECKED_R10 = {
 }
 
 
-def _ordered():
-    """Registry in round-11 driver-check priority order, LRU-style
-    (VERDICT r10 #8).
+# Round-11 window (CORRECTNESS_r11.json GREEN rows — 49/50).  The one err,
+# ``group_array_sorted_last``, is deliberately NOT in this set: its answer
+# was mirror-correct but its raw array<double> columns crashed the driver
+# harness's pandas canonicalization, so it has never had a green driver row.
+# Round 12 serializes those columns with array_join (the repo convention)
+# and the never-green class re-leads it.
+_CHECKED_R11 = {
+    "ann_cosine_topk", "ann_ivf_topk", "ann_lsh_bucket_topk",
+    "ann_pq_recall_contract", "anti_join_customers_without_orders",
+    "approx_distinct_daily_users", "argmax_last_event_per_user",
+    "bit_agg_by_event_type", "clear_column_partition_read",
+    "column_ttl_merge_read", "computed_column_kinds_read",
+    "correlated_min_price_part", "curation_filter_funnel",
+    "current_flag_version_join", "daily_order_stats",
+    "dedup_cosine_sharded_recall", "dedup_embedding_cosine_pairs",
+    "dedup_exact_stats", "dedup_keep_list", "dedup_minhash_lsh_pairs",
+    "dedup_near_dup_clusters", "dedup_ngram_jaccard_pairs",
+    "dedup_simhash_signatures", "dim_date_build", "doc_fingerprints",
+    "domain_mix_weights", "embedding_centroids", "event_lag_seconds",
+    "events_windowed_count", "exp_time_decayed_daily",
+    "group_array_user_events", "grouping_sets_type_day",
+    "importance_resample_by_quality", "materialize_column_read",
+    "min_sample_size_continuous_by_type",
+    "min_sample_size_conversion_by_type", "modify_column_cast_read",
+    "multimodal_codec_coverage", "neighbor_value_delta_by_type",
+    "non_negative_derivative_daily", "qualify_above_type_mean",
+    "quality_model_scores", "quantile_timing_event_values",
+    "running_accumulate_daily_by_type", "running_difference_daily",
+    "semantic_cluster_kmeans", "semantic_dedup_within_clusters",
+    "ttl_group_by_rollup_read", "uniq_up_to_users",
+}
 
-    The staleness census at r11 start: every oracle query has a green
-    driver row; the stalest cohort was last checked in round 7 (the
-    ann_*/uniq_up_to/group_array/running_difference-era families).  The
-    window leads with (0) queries whose RESULTS changed this round —
-    the codec census (mp4 stub→metadata), the k-means pair (exact-
-    integer centroid arithmetic), computed-column kinds (explicit-NULL
-    preservation) — plus anything newly added (never checked), then
-    (1) the r7-era stalest greens, then r8, r9, with the freshest r10
-    rows rotating out.  The round-11b additions (the column-ALTER
-    quartet, time-decayed/group-array/sample-size/derivative parity,
-    quality model, importance resample) are never-driver-checked and
-    sort into class 0 automatically.  tools/check_correctness.py still
-    oracle-checks everything each round regardless of the driver's
-    window (225/225 at r11 HEAD)."""
+
+def _ordered():
+    """Registry in round-12 driver-check priority order, LRU-style.
+
+    VERDICT r11 #1/#2: the window leads with (0) the only never-driver-
+    green query — ``group_array_sorted_last``, whose array columns are now
+    array_join-serialized — plus anything added this round (never checked,
+    class 0 by construction), then (1) the 32-entry r6/r7-stale cohort the
+    verdict names (11 last green r6: rollup_state_*/timeseries_*-era; 21
+    last green r7: window_rank_suite/topk_heavy_hitters/
+    sequence_match_timed_users/retention_cohorts-era), then r8-, r9-,
+    r10-stale rows by age, with the freshest r11 rows rotating out.
+    tools/check_correctness.py still oracle-checks all 225+ every round
+    regardless of the driver's window.
+
+    The staleness census at r12 start (last-green round per oracle
+    query): r6 ×11, r7 ×21, r8 ×47, r9 ×50, r10 ×45, r11 ×49, never ×1."""
     from dev_clickhouse_spark.queries import REGISTRY
 
     ever = (
         _CHECKED_R3 | _CHECKED_R4 | _CHECKED_R5 | _CHECKED_R6
         | _CHECKED_R7 | _CHECKED_R8 | _CHECKED_R9 | _CHECKED_R10
+        | _CHECKED_R11
     )
-    changed_r11 = {
-        # r11 result/semantics changes — must re-lead regardless of age
-        "multimodal_codec_coverage",       # mp4 stub -> metadata census row
-        "semantic_cluster_kmeans",         # integer centroid arithmetic
-        "semantic_dedup_within_clusters",  # same centroid walk
-        "computed_column_kinds_read",      # per-file back-fill semantics
-        "ttl_group_by_rollup_read",        # stats now opt-in (one pass)
-    }
-    # VERDICT r10 #8 names these r7-era families explicitly; with 61
-    # r7-era rows competing for the ~36 slots left after the changed +
-    # new-this-round classes, they are pinned ahead of the alphabetical
-    # tail (the ~25 spilled r7-era rows lead round 12's window)
-    named_r7 = {
-        "uniq_up_to_users", "running_difference_daily",
-        "group_array_user_events",
-    }
+    fresh8 = _CHECKED_R8 | _CHECKED_R9 | _CHECKED_R10 | _CHECKED_R11
 
     def klass(item):
         name, spec = item
         if spec.oracle is None:
             return (7, name)
-        if name in changed_r11 or name not in ever:
-            return (0, name)      # changed this round / never checked
-        if name in named_r7:
-            return (0.5, name)    # verdict-named stale families
-        if name not in _CHECKED_R8 | _CHECKED_R9 | _CHECKED_R10:
-            return (1, name)      # stalest: last driver row r7
-        if name not in _CHECKED_R9 | _CHECKED_R10:
+        if name not in ever:
+            return (0, name)      # never driver-green / added this round
+        if name not in fresh8:
+            return (1, name)      # the r6/r7-stale cohort (VERDICT #2)
+        if name not in _CHECKED_R9 | _CHECKED_R10 | _CHECKED_R11:
             return (2, name)      # last checked r8
-        if name not in _CHECKED_R10:
+        if name not in _CHECKED_R10 | _CHECKED_R11:
             return (3, name)      # last checked r9
-        return (6, name)          # green in r10 — freshest, rotates out
+        if name not in _CHECKED_R11:
+            return (4, name)      # last checked r10
+        return (6, name)          # green in r11 — freshest, rotates out
 
     return sorted(REGISTRY.items(), key=klass)
 

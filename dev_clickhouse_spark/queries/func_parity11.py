@@ -121,13 +121,15 @@ def exp_time_decayed_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT user_id,
        CAST(count(*) AS BIGINT) AS n,
-       list_sort(list_transform(list("value"),
-                                v -> floor(v * 100 + 0.5) / 100))[1:5]
-         AS smallest5,
-       list_transform(list("value" ORDER BY ts, event_id),
-                      v -> floor(v * 100 + 0.5) / 100)
-         [greatest(1, CAST(count(*) AS BIGINT) - 4):CAST(count(*) AS BIGINT)]
-         AS last5
+       array_to_string(
+         list_sort(list(CAST(floor("value" * 100 + 0.5) AS BIGINT)))[1:5],
+         ',') AS smallest5,
+       array_to_string(
+         list(CAST(floor("value" * 100 + 0.5) AS BIGINT)
+              ORDER BY ts, event_id)
+           [greatest(1, CAST(count(*) AS BIGINT) - 4):
+            CAST(count(*) AS BIGINT)],
+         ',') AS last5
 FROM events
 GROUP BY user_id
 """,
@@ -135,28 +137,37 @@ GROUP BY user_id
 )
 def group_array_sorted_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ClickHouse ``groupArraySorted(5)(v)`` + ``groupArrayLast(5)(v)``
-    parity per user: the 5 smallest (rounded) values, and the last 5
-    values in (ts, event_id) arrival order.  Both are bounded-state
+    parity per user: the 5 smallest values, and the last 5 values in
+    (ts, event_id) arrival order — values as round-half-up cents so the
+    comparison is exact integer arithmetic.  Both are bounded-state
     aggregates in CH (a heap of 5 per group); here one hash aggregate
     collects per-user arrays (user cardinality × 5 elements of state
     after the slice) — at 100 TB the same plan holds because the OUTPUT
     is bounded per key even though collect_list's intermediate is not;
     for unbounded-skew keys the heavy-hitter path (topk_heavy_hitters)
-    is the scale valve."""
+    is the scale valve.  Array columns serialize with ``array_join``
+    (the repo convention, see group_array_user_events) so the oracle
+    comparison is hash-stable across engines."""
     ev = load_table(spark, sf_dir, "events")
     return ev.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n"),
-        F.slice(
-            F.array_sort(F.collect_list(rnd(F.col("value"), 2))), 1, 5
+        F.expr(
+            """
+            array_join(transform(
+              slice(array_sort(collect_list(
+                      CAST(floor(value * 100 + 0.5) AS BIGINT))), 1, 5),
+              x -> CAST(x AS STRING)), ',')
+            """
         ).alias("smallest5"),
         F.expr(
             """
-            transform(
+            array_join(transform(
               slice(array_sort(collect_list(
                       struct(ts, event_id, value))),
                     greatest(1, size(collect_list(value)) - 4),
                     5),
-              x -> floor(x.value * 100 + 0.5) / 100)
+              x -> CAST(CAST(floor(x.value * 100 + 0.5) AS BIGINT)
+                        AS STRING)), ',')
             """
         ).alias("last5"),
     )
