@@ -56,8 +56,13 @@ BENCH_QUERIES = [
     "rollup_state_distinct_users",       # round 7: -State/-Merge HLL rollup
     "dedup_substring_spans",             # round 9: span-level dedup (postings)
     "projection_auto_rewrite_rollup",    # round 9: fold + -Merge rewrite path
-    "lightweight_delete_mask_read",      # round 9: DV write + masked read
-    "lightweight_update_patch_read",     # round 9: patch write + patched read
+    # round 12 (VERDICT r11 #8): the round-9 lightweight_delete_mask_read /
+    # lightweight_update_patch_read entries timed the FULL registry
+    # sequence (scratch setup + overlay writes + read) and their 8.9 s
+    # write-dominated number read as a read regression every round.  They
+    # are replaced by four split headline entries computed from
+    # _mutation_read_split (lightweight_{delete,update}_{write,read}); the
+    # registry queries remain correctness-gated in the mirror.
     "recursive_cte_part_hierarchy",      # round 10: pointer-doubling CTE analog
     "semantic_dedup_within_clusters",    # round 10: k-means + SemDeDup pass
 ]
@@ -242,6 +247,14 @@ def main() -> None:
     # separately (median of 3), next to a plain un-overlaid read of the
     # same table, so the artifact states the actual patch/DV read cost.
     mutation_split = _mutation_read_split(spark, sf_dir)
+    # headline split entries (VERDICT r11 #8): write cost and read cost of
+    # the lightweight-mutation family as FIRST-CLASS bench rows, replacing
+    # the conflated round-9 lightweight_*_read entries (SCALING.md notes
+    # the rename for cross-round comparison)
+    timings["lightweight_delete_write"] = mutation_split["dv_write_s"]
+    timings["lightweight_delete_read"] = mutation_split["dv_masked_read_s"]
+    timings["lightweight_update_write"] = mutation_split["patch_write_s"]
+    timings["lightweight_update_read"] = mutation_split["patch_dv_read_s"]
 
     # hot-key stress on the fused as-of (VERDICT r4/r5 carry-over): one agent
     # holds 90% of 400k events; record skewed vs uniform wall-time so a
