@@ -1473,7 +1473,25 @@ class Warehouse:
                 "lightweight update needs the manifest layout; "
                 f"{table!r} has none (append with batch_id to create one)"
             )
-        tagged = self._read_members(table, man["members"], keep_dv_tag=True)
+        # footer-stats member pruning (VERDICT r11 #4; soundness-guarded
+        # against live patches inside _prune_members_for_mutation)
+        members, _ = self._prune_members_for_mutation(
+            table, man["members"], cond
+        )
+        if not members:
+            cols = self.read(table).columns
+            for col in assignments:
+                if col not in cols:
+                    raise ValueError(f"no such column {col!r} in {table!r}")
+            self._log_mutation(
+                table, "UPDATE_LIGHTWEIGHT",
+                f"UPDATE … WHERE {condition}", rows_affected=0,
+            )
+            return {
+                "rows_updated": 0,
+                "patch_files": len(self._patch_files(table)),
+            }
+        tagged = self._read_members(table, members, keep_dv_tag=True)
         data_cols = [
             c for c in tagged.columns if c not in ("__dv_file", "__dv_pos")
         ]
@@ -1546,7 +1564,18 @@ class Warehouse:
                 "lightweight delete needs the manifest layout; "
                 f"{table!r} has none (append with batch_id to create one)"
             )
-        tagged = self._read_members(table, man["members"], keep_dv_tag=True)
+        # footer-stats member pruning (VERDICT r11 #4): the predicate scan
+        # reads only members whose parquet metadata admits a match
+        members, _ = self._prune_members_for_mutation(
+            table, man["members"], cond
+        )
+        if not members:
+            self._log_mutation(
+                table, "DELETE_LIGHTWEIGHT",
+                f"DELETE WHERE {condition}", rows_affected=0,
+            )
+            return {"rows_deleted": 0, "dv_files": len(self._dv_files(table))}
+        tagged = self._read_members(table, members, keep_dv_tag=True)
         hits = tagged.filter(cond).select("__dv_file", "__dv_pos")
         staging = os.path.join(
             self.path(table), f".dv-staging-{uuid.uuid4().hex[:8]}"
@@ -2262,6 +2291,15 @@ class Warehouse:
         partition_dirs = partition is not None and (
             self._is_date_partitioned(table) or self._has_date_dirs(table)
         )
+        # footer-stats member pruning (VERDICT r11 #4): candidate members
+        # are chosen from driver-side parquet metadata before any probe
+        # job launches, so mutation cost scales with MATCHED parts — the
+        # CH part-scoping discipline.  Conservative: unparseable
+        # predicates prune nothing.
+        stats_kept, skipped_by_stats = self._prune_members_for_mutation(
+            table, snapshot, cond
+        )
+        stats_kept_set = set(stats_kept)
         for m in snapshot:
             if partition_dirs and not os.path.isdir(
                 os.path.join(
@@ -2271,6 +2309,8 @@ class Warehouse:
                 # IN PARTITION fast path: the member has no directory for
                 # the partition — no probe job at all (directory metadata)
                 skipped_by_partition += 1
+                continue
+            if m not in stats_kept_set:
                 continue
             mdf = self._read_members(table, [m])
             n = mdf.filter(cond).count()
@@ -2290,7 +2330,8 @@ class Warehouse:
         if not rewritten:
             return {verb: 0, "members_rewritten": 0,
                     "members_kept": len(snapshot),
-                    "members_skipped_by_partition": skipped_by_partition}
+                    "members_skipped_by_partition": skipped_by_partition,
+                    "members_skipped_by_stats": skipped_by_stats}
         with self._manifest_lock(table):
             cur = self.load_manifest(table)
             members = []
@@ -2312,6 +2353,7 @@ class Warehouse:
             "members_rewritten": len(rewritten),
             "members_kept": len(snapshot) - len(rewritten),
             "members_skipped_by_partition": skipped_by_partition,
+            "members_skipped_by_stats": skipped_by_stats,
         }
 
     def _remap_overlays_for_drop(
@@ -3248,6 +3290,198 @@ class Warehouse:
 
     def merges_stopped(self, table: str) -> bool:
         return os.path.exists(self._stop_merges_path(table))
+
+    # -- predicate → member pruning (mutation fast path) ---------------------
+
+    def _simple_conjuncts(self, cond) -> list[tuple]:
+        """Best-effort extraction of ``(column, op, literal)`` conjuncts
+        from a Spark Column predicate by walking its UNRESOLVED node tree
+        (``and``/comparison ``UnresolvedFunction`` nodes over
+        attribute-vs-literal pairs; SQL-string conditions go through the
+        session's Catalyst expression parser first).  Anything else — OR
+        chains, function calls, column-to-column compares, non-primitive
+        literals — contributes nothing: the result is only ever used to
+        SKIP members whose parquet footer stats prove a conjunct can't
+        match, so an empty list just means no pruning, never a wrong
+        answer.  This is how ClickHouse mutations scope work: the WHERE
+        clause is pushed through the primary-key/minmax index to select
+        candidate parts before any rows are touched."""
+        cmp_ops = {"=", "==", "<", "<=", ">", ">="}
+        cat_ops = {
+            "EqualTo": "=", "LessThan": "<", "GreaterThan": ">",
+            "LessThanOrEqual": "<=", "GreaterThanOrEqual": ">=",
+        }
+        flip = {"=": "=", "==": "=", "<": ">", ">": "<",
+                "<=": ">=", ">=": "<="}
+        out: list[tuple] = []
+
+        def py_literal(v):
+            if v is None or isinstance(v, bool):
+                return None
+            if isinstance(v, (int, float, str)):
+                return v
+            try:
+                cls = v.getClass().getSimpleName()
+                if cls == "UTF8String":
+                    return v.toString()
+                if cls == "Decimal":  # Catalyst parses 250.0 as Decimal
+                    return float(v.toString())
+            except Exception:
+                pass
+            return None
+
+        def walk_catalyst(e):
+            cls = e.getClass().getSimpleName()
+            if cls == "And":
+                walk_catalyst(e.left())
+                walk_catalyst(e.right())
+                return
+            op = cat_ops.get(cls)
+            if op is None:
+                return
+            for left, right, o in (
+                (e.left(), e.right(), op),
+                (e.right(), e.left(), flip[op]),
+            ):
+                if (
+                    left.getClass().getSimpleName() == "UnresolvedAttribute"
+                    and right.getClass().getSimpleName() == "Literal"
+                ):
+                    v = py_literal(right.value())
+                    if v is not None:
+                        out.append((str(left.name()), o, v))
+                    return
+
+        def walk_node(n):
+            cls = n.getClass().getSimpleName()
+            if cls == "SqlExpression":
+                # a string condition (F.expr): Catalyst's parser yields
+                # the classic And/EqualTo/… tree to walk instead
+                parsed = (
+                    self.spark._jsparkSession.sessionState().sqlParser()
+                    .parseExpression(n.expression())
+                )
+                walk_catalyst(parsed)
+                return
+            if cls != "UnresolvedFunction":
+                return
+            fn = n.functionName().lower()
+            args = n.arguments()
+            if fn == "and" and args.size() == 2:
+                walk_node(args.apply(0))
+                walk_node(args.apply(1))
+                return
+            if fn in cmp_ops and args.size() == 2:
+                for i, j, o in ((0, 1, fn), (1, 0, flip[fn])):
+                    a, b = args.apply(i), args.apply(j)
+                    if (
+                        a.getClass().getSimpleName() == "UnresolvedAttribute"
+                        and b.getClass().getSimpleName() == "Literal"
+                    ):
+                        v = py_literal(b.value())
+                        nm = a.nameParts()
+                        if v is not None and nm.size() == 1:
+                            out.append(
+                                (str(nm.apply(0)), "=" if o == "==" else o, v)
+                            )
+                        return
+
+        try:
+            walk_node(cond._jc.node())
+        except Exception:
+            return []
+        return out
+
+    def _member_matches_stats(
+        self, table: str, member: str, preds: list[tuple]
+    ) -> bool:
+        """True unless EVERY row group of the member is provably disjoint
+        from ``preds`` per parquet footer min/max — the driver-side
+        metadata check that lets a mutation skip a member without
+        launching a probe job (the EXPLAIN ESTIMATE machinery, short-
+        circuited on the first surviving row group).  Conservative: a
+        missing column, absent stats, or type mismatch counts as a
+        match."""
+        root = (
+            os.path.join(self.path(table), member) if member
+            else self.path(table)
+        )
+        return self._path_matches_stats(root, preds)
+
+    def _path_matches_stats(self, root: str, preds: list[tuple]) -> bool:
+        import pyarrow.parquet as pq
+
+        for r, _dirs, files in os.walk(root):
+            for f in files:
+                if not f.endswith(".parquet"):
+                    continue
+                try:
+                    md = pq.ParquetFile(os.path.join(r, f)).metadata
+                except Exception:
+                    return True
+                names = [
+                    md.schema.column(i).name for i in range(md.num_columns)
+                ]
+                for i in range(md.num_row_groups):
+                    rg = md.row_group(i)
+                    survives = True
+                    for col, op, val in preds:
+                        try:
+                            ci = names.index(col)
+                        except ValueError:
+                            continue
+                        st = rg.column(ci).statistics
+                        if st is None or not st.has_min_max:
+                            continue
+                        lo, hi = st.min, st.max
+                        try:
+                            if op == "=" and not (lo <= val <= hi):
+                                survives = False
+                            elif op == "<" and not (lo < val):
+                                survives = False
+                            elif op == "<=" and not (lo <= val):
+                                survives = False
+                            elif op == ">" and not (hi > val):
+                                survives = False
+                            elif op == ">=" and not (hi >= val):
+                                survives = False
+                        except TypeError:
+                            continue
+                        if not survives:
+                            break
+                    if survives:
+                        return True
+        return False
+
+    def _prune_members_for_mutation(
+        self, table: str, members: list[str], cond
+    ) -> tuple[list[str], int]:
+        """(surviving members, n skipped) for a mutation predicate: the
+        footer-stats prune applied over best-effort conjuncts.  At 100 TB
+        this is what keeps mutation cost ∝ MATCHED parts, not table size
+        — candidate parts are chosen from driver-side metadata before any
+        scan task launches, exactly CH's part-level mutation scoping.
+
+        SOUNDNESS GUARD: a live patch overlay can rewrite a row's value
+        so it matches a predicate the ORIGINAL file's stats exclude, so
+        the PATCH FILES' own stats are checked first — a patch row that
+        could match forces a full scan, since its original member is
+        unknowable from metadata (DV masks only ever remove rows — they
+        can't create a match — and clear/TTL overlays only NULL values,
+        which no conjunct matches)."""
+        preds = self._simple_conjuncts(cond)
+        if not preds:
+            return members, 0
+        for pf in self._patch_files(table):
+            if self._path_matches_stats(
+                os.path.join(self._patch_dir(table), pf), preds
+            ):
+                return members, 0
+        kept = [
+            m for m in members
+            if self._member_matches_stats(table, m, preds)
+        ]
+        return kept, len(members) - len(kept)
 
     # -- EXPLAIN ESTIMATE ----------------------------------------------------
 

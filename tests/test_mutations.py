@@ -635,3 +635,67 @@ def test_declared_ttl_enforced_by_compact(spark, tmp_path):
     assert wh3.table_ttl("t") is None
     wh3.attach_table("t")
     assert wh3.table_ttl("t")["interval_days"] == 7.0
+
+
+def test_mutation_member_pruning_by_footer_stats(spark, tmp_path):
+    """VERDICT r11 #4: mutations choose candidate members from parquet
+    footer min/max BEFORE launching probe jobs, so mutation cost scales
+    with MATCHED parts.  Four members with disjoint key ranges: a
+    range-predicate DELETE rewrites exactly one and reports the other
+    three skipped by stats."""
+    import datetime as dt
+
+    from dev_clickhouse_spark.plans.warehouse import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    schema = "k long, v long, event_date date"
+    for b in range(4):
+        wh.append("t", spark.createDataFrame(
+            [(b * 100 + i, i, dt.date(2026, 1, 1)) for i in range(10)],
+            schema), batch_id=b)
+    res = wh.delete_where("t", F.col("k") >= 300)
+    assert res["rows_deleted"] == 10
+    assert res["members_rewritten"] == 1
+    assert res["members_skipped_by_stats"] == 3
+    assert wh.read("t").count() == 30
+
+    # conjunct extraction: attribute-vs-literal comparisons only,
+    # from Columns AND SQL strings; OR/col-col compares extract nothing
+    assert wh._simple_conjuncts(F.col("v") > 2.5) == [("v", ">", 2.5)]
+    assert wh._simple_conjuncts(
+        F.expr("v = 'x' AND k > 250.0")
+    ) == [("v", "=", "x"), ("k", ">", 250.0)]
+    assert wh._simple_conjuncts(F.lit(5) < F.col("k")) == [("k", ">", 5)]
+    assert wh._simple_conjuncts(F.col("a") == F.col("b")) == []
+    assert wh._simple_conjuncts((F.col("a") > 1) | (F.col("b") > 2)) == []
+
+
+def test_mutation_pruning_sound_under_live_patches(spark, tmp_path):
+    """A live patch can rewrite a row so it matches a predicate its
+    ORIGINAL file's stats exclude — the prune consults the patch files'
+    own stats and stands down when any patch row could match."""
+    import datetime as dt
+
+    from dev_clickhouse_spark.plans.warehouse import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    schema = "k long, v long, event_date date"
+    for b in range(4):
+        wh.append("t", spark.createDataFrame(
+            [(b * 100 + i, i, dt.date(2026, 1, 1)) for i in range(10)],
+            schema), batch_id=b)
+    wh.update_where_lightweight("t", {"v": "v + 1000"}, "k = 105")
+    members = wh.load_manifest("t")["members"]
+
+    # k untouched by the patch: k-pruning still fully active
+    kept, skipped = wh._prune_members_for_mutation(
+        "t", members, F.expr("k > 100000"))
+    assert kept == [] and skipped == 4
+    # v REWRITTEN by the patch into the predicate's range: no pruning
+    kept, skipped = wh._prune_members_for_mutation(
+        "t", members, F.expr("v >= 1000"))
+    assert len(kept) == 4 and skipped == 0
+    # and the patched row is actually found by the current-state delete
+    res = wh.delete_where_lightweight("t", "v >= 1000")
+    assert res["rows_deleted"] == 1
+    assert wh.read("t").count() == 39
