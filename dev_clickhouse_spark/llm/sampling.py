@@ -98,6 +98,154 @@ def importance_resample(
     return df.withColumn("keep", u < _col(weight))
 
 
+def _hashed_ngram_feats(
+    df: DataFrame, text_col: str, id_col: str, n_buckets: int
+) -> DataFrame:
+    """(id, bucket) per hashed word uni+bigram occurrence — the DSIR
+    feature space (Xie et al. 2023 hash n-grams into a fixed bucket
+    count so the two bag models stay bounded regardless of corpus
+    size).  Map-only: lower → split → zip-with bigrams → explode →
+    md5 bucket, all JVM expressions."""
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    n1 = F.greatest(F.size(toks) - 1, F.lit(0))
+    bigrams = F.zip_with(
+        F.slice(toks, 1, n1),
+        F.slice(toks, 2, n1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    return df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(F.concat(toks, bigrams)).alias("f"),
+    ).select("__id", hash_bucket(F.col("f"), n_buckets).alias("b"))
+
+
+def dsir_log_weights(
+    docs: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): fit hashed-n-gram bag
+    models on a TARGET sample (p) and the RAW corpus (q), then weight
+    every document by its log likelihood ratio
+    ``log w(x) = Σ_features log p(b) − log q(b)`` with add-one smoothing
+    over the bucket space.  Returns (id, n_features, log_weight);
+    compose with :func:`importance_resample` (normalize
+    ``exp(log_w − max)`` into the keep-probability) to resample the
+    corpus toward the target domain.
+
+    Scale shape: both bag models are BOUNDED by ``n_buckets`` rows
+    regardless of corpus size, so the ratio table broadcasts; the only
+    data-sized work is the feature explode (map-only) and two map-side-
+    combinable aggregations (bucket counts, per-doc sum) — linear in
+    corpus tokens, zero driver-side state."""
+    fd = _hashed_ngram_feats(docs, text_col, id_col, n_buckets)
+    ft = _hashed_ngram_feats(target, text_col, id_col, n_buckets)
+    q = fd.groupBy("b").agg(F.count(F.lit(1)).alias("cq"))
+    p = ft.groupBy("b").agg(F.count(F.lit(1)).alias("cp"))
+    nq = fd.agg(F.count(F.lit(1)).alias("nq"))
+    np_ = ft.agg(F.count(F.lit(1)).alias("np"))
+    ratio = (
+        q.join(F.broadcast(p), "b", "left")
+        .crossJoin(F.broadcast(nq))
+        .crossJoin(F.broadcast(np_))
+        .select(
+            "b",
+            (
+                F.log(
+                    (F.coalesce(F.col("cp"), F.lit(0)) + 1.0)
+                    / (F.col("np") + F.lit(float(n_buckets)))
+                )
+                - F.log(
+                    (F.col("cq") + 1.0)
+                    / (F.col("nq") + F.lit(float(n_buckets)))
+                )
+            ).alias("lr"),
+        )
+    )
+    return (
+        fd.join(F.broadcast(ratio), "b")
+        .groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).alias("n_features"),
+            F.sum("lr").alias("log_weight"),
+        )
+        .withColumnRenamed("__id", id_col)
+    )
+
+
+_DSIR_TARGET = ("src0", "src1", "src2", "src3")
+
+
+@register(
+    "dsir_importance_weights",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, source, string_split(lower(text), ' ') AS ts FROM documents
+),
+feats AS (
+  SELECT doc_id, source, unnest(ts) AS f FROM toks
+  UNION ALL
+  SELECT doc_id, source, ts[i] || ' ' || ts[i + 1] AS f
+  FROM toks, LATERAL (
+    SELECT unnest(generate_series(1, len(ts) - 1)) AS i)
+),
+fb AS (
+  SELECT doc_id, source,
+         ('0x' || substr(md5(f), 1, 8))::BIGINT % 4096 AS b
+  FROM feats
+),
+q AS (SELECT b, count(*) AS cq FROM fb GROUP BY b),
+p AS (SELECT b, count(*) AS cp FROM fb
+      WHERE source IN {_DSIR_TARGET} GROUP BY b),
+nq AS (SELECT count(*) AS nq FROM fb),
+np AS (SELECT count(*) AS np FROM fb WHERE source IN {_DSIR_TARGET}),
+lr AS (
+  SELECT q.b,
+         ln((COALESCE(p.cp, 0) + 1.0) / (np.np + 4096.0))
+       - ln((q.cq + 1.0) / (nq.nq + 4096.0)) AS lr
+  FROM q LEFT JOIN p ON q.b = p.b CROSS JOIN nq CROSS JOIN np
+),
+w AS (
+  SELECT fb.doc_id, CAST(count(*) AS BIGINT) AS n_features,
+         sum(lr.lr) AS lw
+  FROM fb JOIN lr ON fb.b = lr.b GROUP BY fb.doc_id
+),
+mx AS (SELECT max(lw) AS mx FROM w)
+SELECT doc_id, n_features,
+       floor(lw * 10000 + 0.5) / 10000 AS log_weight,
+       floor(exp(lw - mx) * 10000 + 0.5) / 10000 AS w_norm,
+       (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+          % 1000000) / 1000000.0
+         < floor(exp(lw - mx) * 10000 + 0.5) / 10000 AS keep
+FROM w CROSS JOIN mx
+""",
+    tags=["llm-sampling", "dsir"],
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full DSIR pipeline on the documents table: hashed uni+bigram bag
+    models fit on a target sample (sources src0-src3 stand in for the
+    curated target domain) vs the raw corpus, per-document log
+    likelihood-ratio weights, max-normalized keep probability, and the
+    deterministic md5-coin resample — every stage replayed exactly by
+    the oracle.  The keep coin compares against the ROUNDED normalized
+    weight so the decision is identical across engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    target = docs.filter(F.col("source").isin(*_DSIR_TARGET))
+    w = dsir_log_weights(docs, target)
+    mx = w.agg(F.max("log_weight").alias("mx"))
+    scored = w.crossJoin(F.broadcast(mx)).select(
+        "doc_id",
+        "n_features",
+        rnd(F.col("log_weight"), 4).alias("log_weight"),
+        rnd(F.exp(F.col("log_weight") - F.col("mx")), 4).alias("w_norm"),
+    )
+    u = hash_bucket(F.col("doc_id"), 1_000_000).cast("double") / 1e6
+    return scored.withColumn("keep", u < F.col("w_norm"))
+
+
 def pack_context_windows(
     docs: DataFrame,
     budget_tokens: int,

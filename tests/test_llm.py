@@ -1115,3 +1115,48 @@ def test_mp4_container_metadata_walk():
     with _pt.raises(ValueError):
         parse_mp4(raw[:20])  # ftyp only, no moov
     assert parse_mp4(raw[: len(raw) - 8])["n_tracks"] == 2  # mdat clipped
+
+
+def test_dsir_upweights_target_domain_docs(spark):
+    """DSIR (Xie et al. 2023) planted-distribution check: hashed-n-gram
+    importance weights fit on a chemistry-vocabulary target sample must
+    upweight chemistry docs in a mixed raw corpus and downweight the
+    sports docs — and the composed resample keeps target-domain docs at
+    a higher rate."""
+    from dev_clickhouse_spark.llm.sampling import (
+        dsir_log_weights, importance_resample,
+    )
+
+    chem = "acid base molecule reaction catalyst polymer ion bond".split()
+    sport = "goal match team score league coach stadium referee".split()
+
+    def doc(words, i, n=30):
+        return " ".join(words[(i + j) % len(words)] for j in range(n))
+
+    rows = [(i, doc(chem, i), "chem") for i in range(40)] + [
+        (100 + i, doc(sport, i), "sport") for i in range(40)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, dom string")
+    target = docs.filter("dom = 'chem'").limit(10)
+
+    w = dsir_log_weights(docs, target).join(
+        docs.select("doc_id", "dom"), "doc_id"
+    )
+    means = {
+        r["dom"]: r["mw"]
+        for r in w.groupBy("dom").agg(F.avg("log_weight").alias("mw")).collect()
+    }
+    assert means["chem"] > means["sport"] + 1.0  # clear separation
+
+    mx = w.agg(F.max("log_weight").alias("mx")).collect()[0]["mx"]
+    scored = w.withColumn("p", F.exp(F.col("log_weight") - F.lit(mx)))
+    kept = importance_resample(scored, "p", "doc_id")
+    rates = {
+        r["dom"]: r["rate"]
+        for r in kept.groupBy("dom")
+        .agg(F.avg(F.col("keep").cast("double")).alias("rate"))
+        .collect()
+    }
+    assert rates["chem"] > 0.75         # target domain survives
+    assert rates["sport"] < 0.2         # off-domain resampled away
+    assert rates["chem"] > rates["sport"] + 0.5
