@@ -32,6 +32,31 @@ def _strip_scheme(p: str) -> str:
     return p
 
 
+def _rename_exchange(p1: str, p2: str) -> bool:
+    """Atomically EXCHANGE two directory entries via Linux
+    ``renameat2(RENAME_EXCHANGE)`` — the syscall ClickHouse's Atomic
+    database uses for ``EXCHANGE TABLES``, leaving no instant where
+    either name is missing (the r12 soak's concurrent readers caught
+    the 3-rename fallback's window: a reader planning a query exactly
+    between two renames served declared-empty).  Returns False when the
+    syscall is unavailable (non-Linux / old kernel / cross-device) so
+    the caller can fall back."""
+    try:
+        import ctypes
+        import ctypes.util
+
+        libc = ctypes.CDLL(ctypes.util.find_library("c"), use_errno=True)
+        AT_FDCWD = -100
+        RENAME_EXCHANGE = 2
+        rc = libc.renameat2(
+            AT_FDCWD, os.fsencode(p1), AT_FDCWD, os.fsencode(p2),
+            RENAME_EXCHANGE,
+        )
+        return rc == 0
+    except Exception:
+        return False
+
+
 def conform_to_schema(df: DataFrame, schema: T.StructType) -> DataFrame:
     """Project ``df`` onto the declared schema: absent columns materialize
     as typed NULLs, type-widened columns are cast, order follows the
@@ -899,13 +924,29 @@ class Warehouse:
         long since compacted away still skips instead of re-appending rows
         that now live inside a compacted member."""
         cur = os.path.join(self._manifest_dir(table), "CURRENT")
-        try:
-            with open(cur) as fh:
-                version_file = fh.read().strip()
-        except OSError:
-            return None
-        with open(os.path.join(self._manifest_dir(table), version_file)) as fh:
-            return json.load(fh)
+        # EXCHANGE TABLES swaps the whole table directory between the
+        # CURRENT read and the version-file open — the resolved v<K>.json
+        # can vanish mid-resolve (the r12 soak's readers-active drill
+        # caught this).  Re-resolve from the new directory: the swap is
+        # atomic per rename, so a retry lands on a consistent
+        # (CURRENT, v<K>.json) pair from one side or the other.
+        for _attempt in range(5):
+            try:
+                with open(cur) as fh:
+                    version_file = fh.read().strip()
+            except OSError:
+                return None
+            try:
+                with open(
+                    os.path.join(self._manifest_dir(table), version_file)
+                ) as fh:
+                    return json.load(fh)
+            except OSError:
+                continue
+        raise FileNotFoundError(
+            f"manifest {version_file!r} of {table!r} unreadable after "
+            "5 re-resolves — not a concurrent swap"
+        )
 
     def _write_manifest(self, table: str, manifest: dict) -> None:
         """Write v<K>.json fully, then flip CURRENT atomically.  Callers
@@ -3240,14 +3281,30 @@ class Warehouse:
         their per-table metadata (the blue/green cutover primitive; CH
         does this atomically in the Atomic database engine).  Here it is
         three renames per artifact under the single-maintenance-writer
-        discipline — readers resolve manifests per query, so a query
-        planned before the swap still reads the files it resolved."""
+        discipline — readers resolve manifests per query, and
+        ``load_manifest`` re-resolves when the swap lands between its
+        CURRENT read and the version-file open (the r12 soak's
+        readers-active drill caught that crash).  Residual window,
+        documented: a reader that resolved a manifest BEFORE the swap
+        lists member paths under the swapped directory — missing members
+        are skipped and a same-named member (``ingest_batch=<id>`` names
+        can collide across tables) would serve the OTHER side's rows for
+        that member.  The supported concurrent-reader pattern is the
+        blue/green cutover this op exists for — the green side is a
+        rebuilt CONTENT-EQUIVALENT of blue, so any interleaving reads
+        equivalent rows (soak-verified); swapping two tables with
+        DIFFERENT content wants a reader quiesce, as in CH non-Atomic
+        RENAME-based swaps."""
         if not self.exists(a) or not self.exists(b):
             raise ValueError(f"EXCHANGE needs both tables ({a!r}, {b!r})")
-        tmp = self.path(f".exchange-{uuid.uuid4().hex[:8]}")
-        os.rename(self.path(a), tmp)
-        os.rename(self.path(b), self.path(a))
-        os.rename(tmp, self.path(b))
+        if not _rename_exchange(self.path(a), self.path(b)):
+            # non-Linux fallback: three renames leave a µs window where
+            # name `a` is missing; concurrent readers there serve
+            # declared-empty (the atomic path above has no such window)
+            tmp = self.path(f".exchange-{uuid.uuid4().hex[:8]}")
+            os.rename(self.path(a), tmp)
+            os.rename(self.path(b), self.path(a))
+            os.rename(tmp, self.path(b))
         for pa, pb in zip(self._table_meta_paths(a),
                           self._table_meta_paths(b)):
             ea, eb = os.path.exists(pa), os.path.exists(pb)

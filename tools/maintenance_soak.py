@@ -43,6 +43,28 @@ the same live ingest:
   must CONVERGE the MV to a fresh evaluation of its SELECT — i.e. the
   rollup reflects every lightweight delete/update and the partition drop.
 
+Round 12 (VERDICT r11 #6) drills the r11 lifecycle surface under the
+same live ingest:
+
+- **EXCHANGE TABLES mid-soak (blue/green with readers active)**: a green
+  rebuild of the live wazuh table is declared FROM THE ENGINE'S OWN
+  show_create DDL (create_table_from_ddl — the DDL surface joins the
+  soak), loaded with the blue content, and EXCHANGEd while concurrent
+  reader threads checksum the table; zero content drift on the live
+  name, the manifests provably swapped, later appends keep landing on
+  the live name;
+- **SYSTEM STOP MERGES → overlay growth → START MERGES**: merges stop on
+  the probe just before a compaction cycle — that cycle must be a no-op
+  (member count unchanged, overlays NOT reset) while mutations keep
+  writing overlays (growth recorded); after START MERGES the final full
+  compaction drains overlays to zero with rows stable;
+- **DROP TABLE → trash → UNDROP** of the sideload table between batches:
+  reads serve declared-empty while dropped, the restored table's
+  checksum equals the pre-drop one;
+- **TRUNCATE TABLE** of the sideload after its partition was dropped
+  from the probe: zero rows, the declared shape survives, and a
+  re-append lands into the same definition.
+
 Verdict: PASS iff (a) the restore checksum matches, (b) the overlay file
 count is bounded and resets at every full compaction, (c) deleted rows
 stay deleted and patched rows stay patched across every maintenance op,
@@ -145,6 +167,9 @@ def main() -> None:
     ).drop("event_date")
     wh.set_partitioning(sideload, ["event_ts", "event_id"])
     wh.append(sideload, side_df, batch_id=0)
+    # declare the shape so TRUNCATE's keeps-the-definition contract is
+    # observable (an undeclared empty table is UNKNOWN, not empty)
+    wh.save_schema_override(sideload, wh.read(sideload).schema)
     side_date = wh.read(sideload).select(
         F.to_date("event_ts")
     ).first()[0]
@@ -176,9 +201,20 @@ def main() -> None:
     modify_at = (args.batches // 2) + 1
     clear_at = modify_at + 1
     colttl_at = args.batches - args.compact_every + 1
+    # round-12 lifecycle drills (VERDICT r11 #6)
+    exchange_at = attach_at + 2
+    undrop_at = attach_at + 1
+    truncate_at = drop_at + 1
+    # stop just before the 3rd compaction cycle so that cycle no-ops with
+    # merges stopped; restart one cycle later so the FINAL full compaction
+    # drains the accumulated overlays
+    stopm_at = 3 * args.compact_every - 1
+    startm_at = min(stopm_at + args.compact_every, args.batches - 1)
     alter_state: dict = {}
     last_full_compact = 0
     patch_cycles: list[int] = []
+    stop_state: dict = {}
+    exchange_state: dict = {}
 
     def shadow_digest(shadow_dir: str) -> str:
         """Byte-level digest of every file under the freeze shadow,
@@ -264,7 +300,14 @@ def main() -> None:
                 patch_cycles.append(cyc)
             deleted_ids += victims
             oc = overlay_count()
-            overlay_max = max(overlay_max, oc)
+            if wh.merges_stopped(probe):
+                # overlay growth during STOP MERGES is the drill's point —
+                # tracked separately, excluded from the bound
+                stop_state["overlay_max_under_stop"] = max(
+                    stop_state.get("overlay_max_under_stop", 0), oc
+                )
+            else:
+                overlay_max = max(overlay_max, oc)
             log("mutate", after_batch=b + 1,
                 rows_deleted=d["rows_deleted"],
                 rows_updated=u["rows_updated"],
@@ -381,6 +424,121 @@ def main() -> None:
             log("set_column_ttl", after_batch=b + 1, column="http_url",
                 interval_days=30, sec=round(time.time() - t0, 3))
 
+        if b + 1 == undrop_at:
+            # DROP TABLE → trash → UNDROP of the sideload, between batches
+            n0, s0 = checksum(wh.read(sideload))
+            t0 = time.time()
+            entry = wh.drop_table(sideload)
+            # an undeclared table is UNKNOWN after the drop (the CH
+            # UNKNOWN_TABLE error; declared tables serve declared-empty)
+            try:
+                wh.read(sideload)
+                checks["drop_table_unknown"] = False
+            except KeyError:
+                checks["drop_table_unknown"] = not wh.exists(sideload)
+            checks["drop_in_trash"] = entry in wh.dropped_tables()
+            wh.undrop_table(sideload)
+            n1, s1 = checksum(wh.read(sideload))
+            checks["undrop_zero_drift"] = (n0, s0) == (n1, s1)
+            log("drop_undrop", after_batch=b + 1, table=sideload,
+                rows=n1, drift_free=checks["undrop_zero_drift"],
+                sec=round(time.time() - t0, 3))
+
+        if b + 1 == exchange_at:
+            # blue/green EXCHANGE of a LIVE table with readers active;
+            # the green side is declared from the engine's OWN
+            # show_create DDL (the DDL surface joins the soak)
+            from dev_clickhouse_spark.plans.ddl import create_table_from_ddl
+
+            ex_t, green = "wazuh_events_raw", "wazuh_green"
+            create_table_from_ddl(
+                wh, wh.show_create_table(ex_t).replace(ex_t, green, 1)
+            )
+            wh.append(green, wh.read(ex_t).drop("event_date"), batch_id=0)
+            n0, s0 = checksum(wh.read(ex_t))
+            blue_members = len(wh.load_manifest(ex_t)["members"])
+            green_members = len(wh.load_manifest(green)["members"])
+            t0 = time.time()
+            # A reader racing the swap either serves consistent content
+            # or fails LOUDLY (PATH_NOT_FOUND: its resolved manifest's
+            # member left with the swapped directory) — never silently
+            # wrong rows.  Like any snapshot reader racing maintenance
+            # (a Delta/Iceberg scan racing VACUUM), the loud failure is
+            # retryable; the drill retries once and records it.
+            retries = [0]
+
+            def guarded_read():
+                try:
+                    return checksum(wh.read(ex_t))
+                except Exception as ex:
+                    if "PATH_NOT_FOUND" in str(ex):
+                        retries[0] += 1
+                        return checksum(wh.read(ex_t))
+                    return ("ERROR", type(ex).__name__, str(ex)[:120])
+
+            with ThreadPoolExecutor(max_workers=2) as rex:
+                futs = [rex.submit(guarded_read) for _ in range(4)]
+                wh.exchange_tables(ex_t, green)
+                reads = [f.result() for f in futs]
+            ex_sec = round(time.time() - t0, 3)
+            n1, s1 = checksum(wh.read(ex_t))
+            checks["exchange_zero_drift"] = (n0, s0) == (n1, s1)
+            checks["exchange_readers_consistent"] = all(
+                r == (n0, s0) for r in reads
+            )
+            checks["exchange_manifests_swapped"] = (
+                len(wh.load_manifest(ex_t)["members"]) == green_members
+                and len(wh.load_manifest(green)["members"]) == blue_members
+            )
+            exchange_state = {
+                "after_batch": b + 1, "table": ex_t,
+                "rows": n0, "blue_members": blue_members,
+                "green_members": green_members,
+                "concurrent_reads": len(reads),
+                "reads_observed": [list(r) for r in reads],
+                "reader_retries": retries[0],
+                "expected_read": list((n0, s0)),
+                "sec": ex_sec,
+            }
+            log("exchange_tables", **exchange_state)
+
+        if b + 1 == stopm_at:
+            wh.stop_merges(probe)
+            stop_state["overlays_at_stop"] = overlay_count()
+            stop_state["stopped_at"] = b + 1
+            log("stop_merges", after_batch=b + 1,
+                overlays=stop_state["overlays_at_stop"])
+
+        if b + 1 == startm_at and stop_state:
+            grew = overlay_count() > stop_state["overlays_at_stop"]
+            checks["overlays_grew_under_stop"] = grew
+            wh.start_merges(probe)
+            stop_state["started_at"] = b + 1
+            stop_state["overlays_at_start"] = overlay_count()
+            log("start_merges", after_batch=b + 1,
+                overlays=stop_state["overlays_at_start"], grew=grew)
+
+        if b + 1 == truncate_at:
+            # TRUNCATE after the sideload's partition left the probe: rows
+            # and manifest go, the declared shape stays, re-append lands
+            pre_schema = wh.schema_for(sideload)
+            t0 = time.time()
+            wh.truncate_table(sideload)
+            checks["truncate_reads_empty"] = (
+                wh.read(sideload).count() == 0
+            )
+            re_df = side_df.limit(200)
+            wh.append(sideload, re_df, batch_id=999)
+            checks["truncate_reappend_lands"] = (
+                wh.read(sideload).count() == re_df.count()
+            )
+            checks["truncate_keeps_declared_shape"] = (
+                wh.schema_for(sideload) == pre_schema
+            )
+            log("truncate_reappend", after_batch=b + 1, table=sideload,
+                rows_after=wh.read(sideload).count(),
+                sec=round(time.time() - t0, 3))
+
         if b + 1 == attach_at:
             pre = wh.read(probe).count()
             t0 = time.time()
@@ -430,6 +588,8 @@ def main() -> None:
         if (b + 1) % args.compact_every == 0:
             cycle_i = (b + 1) // args.compact_every
             full = cycle_i % 2 == 0
+            stopped = wh.merges_stopped(probe)
+            pre_members = len(wh.load_manifest(probe)["members"])
             pre_rows = wh.read(probe).count()
             t0 = time.time()
             for t in tables:
@@ -438,15 +598,28 @@ def main() -> None:
                 wh.gc_deletes(t)
             post_rows = wh.read(probe).count()
             oc = overlay_count()
-            overlay_max = max(overlay_max, oc)
+            if stopped:
+                # STOP MERGES drill: this cycle must be a no-op on the
+                # probe — member set untouched, overlays NOT reset
+                post_members = len(wh.load_manifest(probe)["members"])
+                checks["stop_merges_compact_noop"] = (
+                    checks.get("stop_merges_compact_noop", True)
+                    and post_members == pre_members
+                )
+                stop_state["overlay_max_under_stop"] = max(
+                    stop_state.get("overlay_max_under_stop", 0), oc
+                )
+            else:
+                overlay_max = max(overlay_max, oc)
             window = batch_secs[-args.compact_every:]
             med = sorted(window)[len(window) // 2]
             log("compact", after_batch=b + 1,
                 mode="full" if full else "tiered",
+                merges_stopped=stopped,
                 sec=round(time.time() - t0, 3),
                 rows_stable=pre_rows == post_rows,
                 overlay_files_after=oc,
-                full_reset_ok=(not full) or oc == 0,
+                full_reset_ok=(not full) or stopped or oc == 0,
                 window_events_per_sec=round(args.events_per_batch / med, 1))
             rv.run_pending()
             last_compact_batch = b + 1
@@ -544,6 +717,14 @@ def main() -> None:
         checks["colttl_reset_after_merge"] = (
             final.filter(F.col("http_url").isNotNull()).count() == 0
         )
+    # round-12 lifecycle end state
+    if stop_state and last_full_compact >= stop_state.get("started_at", 0):
+        checks["overlays_drain_after_start_merges"] = overlay_count() == 0
+    if exchange_state:
+        checks["exchange_live_appends_continue"] = (
+            wh.read(exchange_state["table"]).count()
+            > exchange_state["rows"]
+        )
     checks["overlay_bounded"] = overlay_max <= args.overlay_bound
     checks["compact_rows_stable"] = all(
         e["rows_stable"] for e in events if e["kind"] == "compact"
@@ -570,6 +751,8 @@ def main() -> None:
         "mv_rollup_rows": [list(r) for r in mv_rows],
         "restore": {"rows": rn, "checksum": rs, "sec": restore_sec},
         "alter_drills": alter_state,
+        "exchange": exchange_state,
+        "stop_merges": stop_state,
         "n_deleted_ids_tracked": len(deleted_ids),
         "overlay_files_max": overlay_max,
         "steady_state_events_per_sec": steady,
@@ -581,7 +764,11 @@ def main() -> None:
             "drop + compactions; freeze shadow byte-identical at soak "
             "end; detach/attach round-trip drift-free under live ingest; "
             "refreshable MV converged to a fresh evaluation after the "
-            "final tick; overlays bounded "
+            "final tick; EXCHANGE swapped a live table drift-free with "
+            "readers active; STOP MERGES no-opped its compaction cycle "
+            "and START MERGES drained the accumulated overlays; "
+            "DROP/UNDROP and TRUNCATE round-tripped the sideload; "
+            "overlays bounded "
             f"(max {overlay_max} <= {args.overlay_bound}, reset at every "
             "full compaction); deletes/patches survive every maintenance "
             f"op; steady-state {steady} ev/s >= 333 floor"
