@@ -246,9 +246,29 @@ def cmd_create_table(args) -> None:
     print(json.dumps({
         "created": name,
         "sort_key": wh._sort_key(name),
+        "engine": wh.table_engine(name),
         "ttl": wh.table_ttl(name),
         "column_ttls": wh.column_ttls(name),
         "computed_columns": list(wh.computed_columns(name)),
+    }))
+
+
+def cmd_bootstrap_ddl(args) -> None:
+    """Provision the whole schema from SQL init scripts — point it at the
+    reference's own clickhouse/init/*.sql to bootstrap bronze + gold
+    verbatim."""
+    from .plans import Warehouse
+    from .plans.ddl import bootstrap_from_ddl
+
+    wh = Warehouse(_spark(args), args.warehouse)
+    created = []
+    for path in args.sql_files:
+        with open(path) as fh:
+            created += bootstrap_from_ddl(wh, fh.read())
+    print(json.dumps({
+        "created": created,
+        "engines": {t: wh.table_engine(t) for t in created
+                    if wh.table_engine(t)},
     }))
 
 
@@ -480,6 +500,14 @@ def build_parser() -> argparse.ArgumentParser:
                             "TTLs, DEFAULT/MATERIALIZED/ALIAS columns)")
     p.add_argument("ddl_file")
     p.set_defaults(fn=cmd_create_table)
+
+    p = sub.add_parser("bootstrap-ddl",
+                       help="provision every CREATE TABLE in the given "
+                            "SQL scripts (the reference's own "
+                            "clickhouse/init/*.sql bootstrap bronze + "
+                            "gold verbatim)")
+    p.add_argument("sql_files", nargs="+")
+    p.set_defaults(fn=cmd_bootstrap_ddl)
 
     for name, hlp in (
         ("drop-table", "DROP TABLE (to trash; undrop-table restores)"),

@@ -292,3 +292,23 @@ def test_cli_alter_column_surface(env, spark, capsys):
           "--where", "rule_level:>=:0"])
     out = json.loads(capsys.readouterr().out.strip())
     assert out["estimate"]["rows"] <= out["total"]["rows"]
+
+
+def test_cli_bootstrap_ddl_provisions_reference_schema(env, spark, capsys):
+    """bootstrap-ddl pointed at the reference's own init scripts
+    provisions the complete bronze+gold star schema with the
+    ReplacingMergeTree version declarations captured."""
+    import os
+
+    ref = "/root/reference/clickhouse/init"
+    if not os.path.isdir(ref):
+        pytest.skip("reference checkout not available")
+    main(["--warehouse", env["wh"] + "_boot", "bootstrap-ddl",
+          f"{ref}/01_bronze_tables.sql", f"{ref}/03_gold_tables.sql"])
+    out = json.loads(capsys.readouterr().out.strip())
+    from dev_clickhouse_spark.schemas import BRONZE_SCHEMAS, GOLD_SCHEMAS
+
+    assert set(out["created"]) == set(BRONZE_SCHEMAS) | set(GOLD_SCHEMAS)
+    assert out["engines"]["fact_wazuh_events"] == {
+        "engine": "ReplacingMergeTree", "version_col": "updated_at"}
+    assert "dim_host" not in out["engines"]      # plain MergeTree SCD2 dim

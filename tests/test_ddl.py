@@ -348,3 +348,70 @@ def test_in_partition_mutation_on_orderby_only_table(spark, tmp_path):
     assert res["rows_deleted"] == 1          # only the d1 row ≥ 20
     left = sorted(r.k for r in wh.read("obo").collect())
     assert left == [1, 3]
+
+
+def test_ddl_round_trip_property(spark, tmp_path):
+    """Property: ANY declared table state (random schema, sort key,
+    partitioned-or-not, engine family, table TTL) survives
+    show_create_table → create_table_from_ddl into a fresh warehouse
+    identically.  Random column types cover the generic spellings
+    (map/struct/array) whose commas the top-level splitter must skip."""
+    import itertools
+
+    from hypothesis import given, settings, strategies as st
+
+    types = [
+        T.StringType(), T.LongType(), T.IntegerType(), T.DoubleType(),
+        T.TimestampType(), T.DateType(), T.DecimalType(12, 3),
+        T.ArrayType(T.StringType()),
+        T.MapType(T.StringType(), T.IntegerType()),
+        T.StructType([T.StructField("a", T.IntegerType()),
+                      T.StructField("b", T.StringType())]),
+    ]
+    counter = itertools.count()
+
+    @settings(max_examples=10, deadline=None)
+    @given(data=st.data())
+    def run(data):
+        n_cols = data.draw(st.integers(min_value=1, max_value=6))
+        cols = [
+            (f"c{i}", data.draw(st.sampled_from(types)))
+            for i in range(n_cols)
+        ]
+        schema = T.StructType(
+            [T.StructField(n, t, True) for n, t in cols]
+        )
+        t_name = f"prop_{next(counter)}"
+        wh = Warehouse(spark, str(tmp_path / t_name))
+        wh.save_schema_override(t_name, schema)
+        sort_n = data.draw(st.integers(min_value=0, max_value=min(2, n_cols)))
+        if sort_n:
+            partitioned = data.draw(st.booleans())
+            wh.set_partitioning(
+                t_name, [c for c, _ in cols[:sort_n]],
+                partitioned=partitioned,
+            )
+        engine = data.draw(st.sampled_from(
+            [None, "ReplacingMergeTree", "CollapsingMergeTree"]
+        ))
+        if engine == "ReplacingMergeTree":
+            wh.set_table_engine(t_name, engine, version_col=cols[0][0])
+        elif engine == "CollapsingMergeTree":
+            wh.set_table_engine(t_name, engine, sign_col=cols[0][0])
+        ts_cols = [c for c, t in cols if t == T.TimestampType()]
+        if ts_cols and data.draw(st.booleans()):
+            wh.set_table_ttl(t_name, 30, ttl_col=ts_cols[0])
+
+        ddl = wh.show_create_table(t_name)
+        wh2 = Warehouse(spark, str(tmp_path / (t_name + "_rt")))
+        assert create_table_from_ddl(wh2, ddl) == t_name
+        assert wh2.schema_for(t_name) == wh.schema_for(t_name), ddl
+        assert wh2._sort_key(t_name) == wh._sort_key(t_name), ddl
+        assert (
+            wh2._is_date_partitioned(t_name)
+            == wh._is_date_partitioned(t_name)
+        ), ddl
+        assert wh2.table_engine(t_name) == wh.table_engine(t_name), ddl
+        assert wh2.table_ttl(t_name) == wh.table_ttl(t_name), ddl
+
+    run()
