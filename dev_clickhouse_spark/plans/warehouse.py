@@ -2954,8 +2954,8 @@ class Warehouse:
     def read_summed(
         self,
         table: str,
-        keys: list[str],
-        sum_cols: list[str],
+        keys: list[str] | None = None,
+        sum_cols: list[str] | None = None,
         order_col: str | None = None,
     ) -> DataFrame:
         """``SummingMergeTree`` read semantics: collapse to one row per
@@ -2964,7 +2964,20 @@ class Warehouse:
         arbitrary one — we pin it; defaults to the first key).  Like
         :meth:`read_final` this is the read-time merge — partial states
         in different parts stay correct without waiting for compaction.
-        One shuffle on the key."""
+        One shuffle on the key.  ``keys``/``sum_cols`` default from the
+        declared ORDER BY and ``SummingMergeTree(cols)`` engine argument
+        (:meth:`set_table_engine` / parsed CREATE TABLE)."""
+        if keys is None or sum_cols is None:
+            spec = self.table_engine(table) or {}
+            keys = keys if keys is not None else self._sort_key(table)
+            sum_cols = (
+                sum_cols if sum_cols is not None else spec.get("sum_cols")
+            )
+            if keys is None or sum_cols is None:
+                raise ValueError(
+                    f"read_summed({table!r}) without keys/sum_cols needs "
+                    "a declared ORDER BY and SummingMergeTree(cols) engine"
+                )
         df = self.read(table)
         order_col = order_col or keys[0]
         others = [
@@ -2978,8 +2991,8 @@ class Warehouse:
     def read_collapsed(
         self,
         table: str,
-        keys: list[str],
-        sign_col: str,
+        keys: list[str] | None = None,
+        sign_col: str | None = None,
         version_col: str | None = None,
     ) -> DataFrame:
         """``CollapsingMergeTree(sign)`` / ``VersionedCollapsingMergeTree
@@ -2990,7 +3003,29 @@ class Warehouse:
         undefined in CH — we require a version for determinism on
         multi-row keys).  This is the mutable-state-via-immutable-inserts
         idiom (the CH way to "update" at ingest rates); the read is one
-        key shuffle."""
+        key shuffle.  ``keys``/``sign_col``/``version_col`` default from
+        the declared ORDER BY and ``[Versioned]CollapsingMergeTree``
+        engine arguments; the declared version column is dropped from the
+        defaulted key set (CH VersionedCollapsing DDL puts the version
+        LAST in ORDER BY, but collapsing groups by the key WITHOUT it)."""
+        if keys is None or sign_col is None:
+            spec = self.table_engine(table) or {}
+            if keys is None:
+                keys = self._sort_key(table)
+                if keys is not None and spec.get("version_col"):
+                    keys = [
+                        k for k in keys if k != spec["version_col"]
+                    ] or None
+            sign_col = sign_col if sign_col is not None else spec.get(
+                "sign_col")
+            if version_col is None:
+                version_col = spec.get("version_col")
+            if keys is None or sign_col is None:
+                raise ValueError(
+                    f"read_collapsed({table!r}) without keys/sign_col "
+                    "needs a declared ORDER BY and CollapsingMergeTree "
+                    "engine"
+                )
         df = self.read(table)
         order = (
             [F.col(version_col).desc()] if version_col is not None else []

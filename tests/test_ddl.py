@@ -415,3 +415,45 @@ def test_ddl_round_trip_property(spark, tmp_path):
         assert wh2.table_ttl(t_name) == wh.table_ttl(t_name), ddl
 
     run()
+
+
+def test_engine_defaulted_merge_reads(spark, tmp_path):
+    """Bare FINAL-style reads resolve keys + engine arguments from the
+    parsed CREATE TABLE declaration: SummingMergeTree(cols) sums its
+    declared columns per sort key; VersionedCollapsingMergeTree(sign,
+    ver) nets signs per key (the version column is dropped from the
+    defaulted key set, as CH collapses) and serves the latest surviving
+    state."""
+    import datetime as dt
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    create_table_from_ddl(wh, """
+CREATE TABLE s (k String, v UInt64, cnt UInt64, updated_at DateTime)
+ENGINE = SummingMergeTree(v, cnt) ORDER BY k""")
+    wh.append("s", spark.createDataFrame(
+        [("a", 1, 1, dt.datetime(2026, 1, 1)),
+         ("a", 2, 1, dt.datetime(2026, 1, 2)),
+         ("b", 5, 1, dt.datetime(2026, 1, 1))],
+        wh.schema_for("s")), batch_id=0)
+    assert sorted(
+        (r.k, r.v, r.cnt) for r in wh.read_summed("s").collect()
+    ) == [("a", 3, 2), ("b", 5, 1)]
+
+    create_table_from_ddl(wh, """
+CREATE TABLE c (k String, val UInt64, sign Int8, ver UInt64)
+ENGINE = VersionedCollapsingMergeTree(sign, ver) ORDER BY (k, ver)""")
+    wh.append("c", spark.createDataFrame(
+        [("a", 10, 1, 1), ("a", 10, -1, 1), ("a", 20, 1, 2),
+         ("b", 7, 1, 1), ("c", 9, 1, 1), ("c", 9, -1, 1)],
+        wh.schema_for("c")), batch_id=0)
+    assert sorted(
+        (r.k, r.val) for r in wh.read_collapsed("c").collect()
+    ) == [("a", 20), ("b", 7)]
+
+    # undeclared table: bare reads refuse loudly instead of guessing
+    wh.append("plain", spark.createDataFrame(
+        [(1,)], "x long"), batch_id=0)
+    with pytest.raises(ValueError, match="read_summed"):
+        wh.read_summed("plain")
+    with pytest.raises(ValueError, match="read_final"):
+        wh.read_final("plain")
