@@ -232,6 +232,52 @@ def bootstrap_from_ddl(wh: Warehouse, sql: str) -> list[str]:
     return created
 
 
+#: CH aggregate spellings → projection Measure kinds (avg is served by the
+#: exact integer-cents moments state; uniq by the mergeable HLL state)
+_PROJ_AGGS = {
+    "count": "count", "sum": "sum", "min": "min", "max": "max",
+    "avg": "moments", "uniq": "uniq", "uniqexact": "uniq",
+}
+
+
+def _parse_projection(body: str) -> tuple[list[str], list[tuple]]:
+    """``SELECT dims…, aggs… GROUP BY dims…`` inside a PROJECTION clause
+    → (dims, [(measure kind, col)]).  Plain identifiers in the select
+    list are dimensions and must match the GROUP BY; aggregates map via
+    _PROJ_AGGS; anything else is rejected loudly."""
+    m = re.match(
+        r"(?is)^\s*SELECT\s+(?P<sel>.*?)\s+GROUP\s+BY\s+(?P<grp>.*)$",
+        body.strip(),
+    )
+    if m is None:
+        raise ValueError(f"unsupported PROJECTION body {body!r}: "
+                         "SELECT … GROUP BY … only")
+    dims = [
+        g.strip().strip("`") for g in _split_top(m.group("grp"))
+    ]
+    measures: list[tuple] = []
+    for item in _split_top(m.group("sel")):
+        item = item.strip()
+        am = re.fullmatch(r"(?i)(\w+)\s*\(\s*`?(\w*)`?\s*\)", item)
+        if am:
+            kind = _PROJ_AGGS.get(am.group(1).lower())
+            if kind is None:
+                raise ValueError(
+                    f"unsupported PROJECTION aggregate {item!r} "
+                    f"(supported: {sorted(_PROJ_AGGS)})"
+                )
+            measures.append((kind, am.group(2) or None))
+            continue
+        ident = item.strip("`")
+        if not re.fullmatch(r"\w+", ident):
+            raise ValueError(f"unsupported PROJECTION select item {item!r}")
+        if ident not in dims:
+            raise ValueError(
+                f"PROJECTION select column {ident!r} missing from GROUP BY"
+            )
+    return dims, measures
+
+
 def _parse_order_by(rest: str) -> list[str]:
     """The text after ``ORDER BY`` → sort columns.  Tuple bodies are
     scanned with balanced parens (``_split_top``), so function calls in
@@ -359,9 +405,33 @@ def create_table_from_ddl(wh: Warehouse, ddl: str) -> str:
     fields: list[T.StructField] = []
     computed: list[tuple[str, T.DataType, str, str]] = []
     col_ttls: list[tuple[str, float, str]] = []
+    indexes: list[tuple[str, str, str, list]] = []
+    projections: list[tuple[str, list[str], list[tuple]]] = []
     for coldef in _split_top(body):
-        if re.match(r"(?i)^(INDEX|PROJECTION|CONSTRAINT)\b", coldef):
-            continue  # skip-index/projection declarations: separate APIs
+        im = re.match(
+            r"(?i)^INDEX\s+`?(?P<n>\w+)`?\s+`?(?P<c>\w+)`?\s+TYPE\s+"
+            r"(?P<t>\w+)\s*(\((?P<p>[^)]*)\))?", coldef,
+        )
+        if im:
+            params = [
+                x.strip() for x in (im.group("p") or "").split(",")
+                if x.strip()
+            ]
+            indexes.append((
+                im.group("n"), im.group("c"), im.group("t"), params,
+            ))
+            continue
+        pm = re.match(
+            r"(?is)^PROJECTION\s+`?(?P<n>\w+)`?\s*\((?P<body>.*)\)$",
+            coldef,
+        )
+        if pm:
+            projections.append(
+                (pm.group("n"), *_parse_projection(pm.group("body")))
+            )
+            continue
+        if re.match(r"(?i)^CONSTRAINT\b", coldef):
+            continue  # CHECK constraints: quality layer's job
         nm = _NAME_RE.match(coldef)
         if nm is None:
             raise ValueError(f"unparseable column definition: {coldef!r}")
@@ -436,6 +506,10 @@ def create_table_from_ddl(wh: Warehouse, ddl: str) -> str:
     engine = _parse_engine(tail)
     if engine is not None:
         wh.set_table_engine(table, **engine)
+    for iname, icol, itype, iparams in indexes:
+        wh.declare_skip_index(table, iname, icol, itype, iparams)
+    for pname, pdims, pmeasures in projections:
+        wh.declare_projection(table, pname, pdims, pmeasures)
     for name, dtype, kind, expr in computed:
         from ..quality import SchemaMigrator
 

@@ -253,6 +253,8 @@ class Warehouse:
             self._colttl_path(table),
             self._stop_merges_path(table),
             self._engine_path(table),
+            self._indexes_path(table),
+            self._projections_path(table),
         )
 
     # -- declared MergeTree engine family (CREATE TABLE ENGINE = …) ---------
@@ -294,6 +296,113 @@ class Warehouse:
         for plain-MergeTree/undeclared tables."""
         spec = self._load_json_meta(self._engine_path(table), None)
         return spec if spec else None
+
+    # -- declared skip indexes / projections (CREATE TABLE INDEX/PROJECTION) --
+
+    def _indexes_path(self, table: str) -> str:
+        return os.path.join(self.root, "_schemas", table + ".indexes.json")
+
+    def _projections_path(self, table: str) -> str:
+        return os.path.join(
+            self.root, "_schemas", table + ".projections.json"
+        )
+
+    def declare_skip_index(
+        self,
+        table: str,
+        name: str,
+        col: str,
+        index_type: str = "minmax",
+        params: list | None = None,
+    ) -> None:
+        """Persist an ``INDEX name col TYPE minmax|tokenbf_v1(…)``
+        declaration (the CREATE TABLE clause).  Pure metadata;
+        :meth:`skip_index_for` materializes the live SkipIndex whose
+        ``ensure()`` builds sidecars lazily — exactly CH's deferred
+        ``MATERIALIZE INDEX`` discipline."""
+        idx = self._load_json_meta(self._indexes_path(table), {})
+        idx[name] = {
+            "col": col, "type": index_type.lower(),
+            "params": list(params or []),
+        }
+        p = self._indexes_path(table)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        tmp = p + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(idx, fh, indent=1)
+        os.replace(tmp, p)
+
+    def declared_skip_indexes(self, table: str) -> dict:
+        return self._load_json_meta(self._indexes_path(table), {})
+
+    def skip_index_for(self, table: str):
+        """The live SkipIndex built from this table's declarations, or
+        None when nothing is declared.  minmax entries pool into
+        ``minmax_cols``; the first tokenbf entry supplies the token
+        bloom (m, k taken from its declared parameters)."""
+        decls = self.declared_skip_indexes(table)
+        if not decls:
+            return None
+        from .skip_index import SkipIndex
+
+        minmax = tuple(
+            d["col"] for d in decls.values() if d["type"] == "minmax"
+        )
+        blooms = [
+            d for d in decls.values() if d["type"].startswith("tokenbf")
+        ]
+        kw: dict = {}
+        if blooms:
+            kw["token_col"] = blooms[0]["col"]
+            prm = blooms[0].get("params") or []
+            if len(prm) >= 2:
+                kw["bloom_bits"] = int(prm[0])
+                kw["bloom_hashes"] = int(prm[1])
+        return SkipIndex(self, table, minmax_cols=minmax, **kw)
+
+    def declare_projection(
+        self,
+        table: str,
+        name: str,
+        dims: list[str],
+        measures: list[tuple[str, str | None]],
+    ) -> None:
+        """Persist a ``PROJECTION name (SELECT … GROUP BY …)``
+        declaration; :meth:`projection_set_for` materializes the live
+        ProjectionSet (ensure() folds states incrementally, answer()
+        rewrites matching rollups onto it)."""
+        projs = self._load_json_meta(self._projections_path(table), {})
+        projs[name] = {"dims": list(dims),
+                       "measures": [list(m) for m in measures]}
+        p = self._projections_path(table)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        tmp = p + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(projs, fh, indent=1)
+        os.replace(tmp, p)
+
+    def declared_projections(self, table: str) -> dict:
+        return self._load_json_meta(self._projections_path(table), {})
+
+    def projection_set_for(self, table: str):
+        """The live ProjectionSet over this table's declared
+        projections, or None when nothing is declared."""
+        decls = self.declared_projections(table)
+        if not decls:
+            return None
+        from .projection import Measure, ProjectionSet, ProjectionSpec
+
+        specs = [
+            ProjectionSpec(
+                name=n,
+                dims=tuple(d["dims"]),
+                measures=tuple(
+                    Measure(kind, col) for kind, col in d["measures"]
+                ),
+            )
+            for n, d in decls.items()
+        ]
+        return ProjectionSet(self, table, specs)
 
     # -- declared-schema registry (ALTER target) ---------------------------
 
@@ -2825,6 +2934,26 @@ class Warehouse:
                 lines[idx] += f" {meta['kind'].upper()} {meta['expr']}"
                 continue
             lines.append(f"{entry} {meta['kind'].upper()} {meta['expr']}")
+        #: CH spelling per projection measure kind (moments serves avg/var)
+        _kind_sql = {
+            "count": lambda c: "count()", "sum": lambda c: f"sum({c})",
+            "min": lambda c: f"min({c})", "max": lambda c: f"max({c})",
+            "moments": lambda c: f"avg({c})", "uniq": lambda c: f"uniq({c})",
+        }
+        for iname, d in self.declared_skip_indexes(table).items():
+            t = d["type"] + (
+                f"({', '.join(str(p) for p in d['params'])})"
+                if d.get("params") else ""
+            )
+            lines.append(f"  INDEX {iname} {d['col']} TYPE {t} GRANULARITY 1")
+        for pname, d in self.declared_projections(table).items():
+            sel = list(d["dims"]) + [
+                _kind_sql[kind](col) for kind, col in d["measures"]
+            ]
+            lines.append(
+                f"  PROJECTION {pname} (SELECT {', '.join(sel)} "
+                f"GROUP BY {', '.join(d['dims'])})"
+            )
         ddl = [f"CREATE TABLE {table} (", ",\n".join(lines), ")"]
         sort = self._sort_key(table)
         spec = self.table_engine(table)

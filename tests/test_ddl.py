@@ -457,3 +457,72 @@ ENGINE = VersionedCollapsingMergeTree(sign, ver) ORDER BY (k, ver)""")
         wh.read_summed("plain")
     with pytest.raises(ValueError, match="read_final"):
         wh.read_final("plain")
+
+
+def test_ddl_index_and_projection_declarations_are_live(spark, tmp_path):
+    """CREATE TABLE INDEX/PROJECTION clauses are no longer skipped: they
+    persist as declarations, materialize as the live SkipIndex (minmax +
+    tokenbf sidecars) and ProjectionSet (state folds + rollup rewrite),
+    and round-trip through show_create_table."""
+    import datetime as dt
+
+    from dev_clickhouse_spark.plans.projection import Metric
+
+    wh = Warehouse(spark, str(tmp_path / "a"))
+    t = create_table_from_ddl(wh, """
+CREATE TABLE ev (
+  `event_id` String, `user_id` UInt64, `event_type` String,
+  `value` Float64, `event_ts` DateTime,
+  INDEX idx_uid user_id TYPE minmax GRANULARITY 4,
+  INDEX idx_msg event_type TYPE tokenbf_v1(8192, 3, 0) GRANULARITY 4,
+  PROJECTION p_daily (SELECT event_type, count(), sum(value), avg(value)
+                      GROUP BY event_type)
+)
+ENGINE = MergeTree PARTITION BY toDate(event_ts)
+ORDER BY (event_ts, event_id)
+""")
+    assert wh.declared_skip_indexes(t)["idx_msg"]["type"] == "tokenbf_v1"
+    assert wh.declared_projections(t)["p_daily"]["measures"] == [
+        ["count", None], ["sum", "value"], ["moments", "value"]]
+
+    rows = [
+        (f"e{i}", i % 50, "click" if i % 2 else "buy", float(i),
+         dt.datetime(2026, 1, 1, 9, 0, 0))
+        for i in range(1000)
+    ]
+    wh.append(t, spark.createDataFrame(
+        rows, "event_id string, user_id long, event_type string, "
+              "value double, event_ts timestamp"), batch_id=0)
+
+    idx = wh.skip_index_for(t)
+    assert idx.ensure() >= 1
+    assert idx.read([("between", "user_id", 10, 19)]).count() == 200
+
+    ps = wh.projection_set_for(t)
+    ps.ensure()
+    df, report = ps.answer(
+        ["event_type"],
+        [Metric("count", None, "n"), Metric("sum", "value", "total")],
+        require_projection=True,
+    )
+    got = {r["event_type"]: (r["n"], float(r["total"])) for r in df.collect()}
+    assert got["click"] == (500, float(sum(i for i in range(1000) if i % 2)))
+    assert got["buy"] == (500, float(sum(i for i in range(1000) if not i % 2)))
+
+    ddl = wh.show_create_table(t)
+    assert "INDEX idx_uid user_id TYPE minmax" in ddl
+    assert "PROJECTION p_daily" in ddl
+    wh2 = Warehouse(spark, str(tmp_path / "b"))
+    create_table_from_ddl(wh2, ddl)
+    assert wh2.declared_skip_indexes(t) == wh.declared_skip_indexes(t)
+    assert wh2.declared_projections(t) == wh.declared_projections(t)
+
+
+def test_ddl_unsupported_projection_rejected(spark, tmp_path):
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    with pytest.raises(ValueError, match="PROJECTION"):
+        create_table_from_ddl(wh, """
+CREATE TABLE t (`k` UInt64, `v` Float64,
+  PROJECTION p (SELECT k, quantile(0.9)(v) GROUP BY k)
+) ENGINE = MergeTree ORDER BY k
+""")

@@ -88,6 +88,7 @@ HEADLINE = [
     "group_array_sorted_last",        # round 11b: bounded per-key arrays
     "quality_model_scores",           # round 11b: map-only scorer, no shuffle
     "importance_resample_by_quality",  # round 11b: map-only keep-coin
+    "dsir_importance_weights",        # round 12: bounded bag models broadcast
 ]
 
 
