@@ -60,10 +60,12 @@ def test_group_array_sorted_last_bounds(spark, monkeypatch):
     monkeypatch.setattr(mod, "load_table", lambda s, d, t: ev)
     r = group_array_sorted_last(spark, "ignored").collect()[0]
     assert r["n"] == 8
+    # r12: columns serialize as comma-joined round-half-up cents
+    # (array_join convention) so the driver comparator is hash-stable.
     # values are 100..93 descending over time: smallest 5 = 93..97
-    assert r["smallest5"] == [93.0, 94.0, 95.0, 96.0, 97.0]
+    assert r["smallest5"] == "9300,9400,9500,9600,9700"
     # last 5 in arrival order = values of events 3..7
-    assert r["last5"] == [97.0, 96.0, 95.0, 94.0, 93.0]
+    assert r["last5"] == "9700,9600,9500,9400,9300"
 
 
 def test_group_array_last_shorter_than_n(spark, monkeypatch):
@@ -79,8 +81,8 @@ def test_group_array_last_shorter_than_n(spark, monkeypatch):
     ev = _events(spark, rows)
     monkeypatch.setattr(mod, "load_table", lambda s, d, t: ev)
     r = group_array_sorted_last(spark, "ignored").collect()[0]
-    assert r["smallest5"] == [3.0, 5.0]
-    assert r["last5"] == [5.0, 3.0]
+    assert r["smallest5"] == "300,500"
+    assert r["last5"] == "500,300"
 
 
 def test_min_sample_size_continuous_formula(spark, monkeypatch):
