@@ -827,3 +827,88 @@ def lm_char_trigram_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             rnd(F.avg("lp"), 4).alias("avg_logprob"),
         )
     )
+
+
+#: Gopher quality-rule thresholds (Rae et al. 2021, table A1) + the C4
+#: "lorem ipsum" guard (Raffel et al. 2020).  The must-contain stop list
+#: is Gopher's 8-word list; docs pass when >= 2 appear.
+_GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+_GOPHER_MIN_WORDS, _GOPHER_MAX_WORDS = 50, 100_000
+_GOPHER_MIN_MWL, _GOPHER_MAX_MWL = 3.0, 10.0
+_GOPHER_MIN_ALPHA_FRAC = 0.8
+
+
+@register(
+    "gopher_quality_flags",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, lang, string_split(lower(text), ' ') AS toks
+  FROM documents
+), m AS (
+  SELECT doc_id, lang,
+         CAST(len(toks) AS BIGINT) AS n_words,
+         len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))::DOUBLE
+           / len(toks) AS alpha_frac,
+         (SELECT sum(length(x)) FROM unnest(toks) AS u(x))::DOUBLE
+           / len(toks) AS mean_word_len,
+         len(list_filter(toks,
+             x -> x IN {_GOPHER_STOPS})) AS n_stops,
+         contains(lower(list_aggregate(toks, 'string_agg', ' ')),
+                  'lorem ipsum') AS has_lorem
+  FROM t
+)
+SELECT doc_id, lang, n_words,
+       floor(mean_word_len * 10000 + 0.5) / 10000 AS mean_word_len,
+       floor(alpha_frac * 10000 + 0.5) / 10000 AS alpha_frac,
+       CAST(n_stops AS BIGINT) AS n_stop_hits,
+       (n_words BETWEEN {_GOPHER_MIN_WORDS} AND {_GOPHER_MAX_WORDS})
+         AND mean_word_len >= {_GOPHER_MIN_MWL}
+         AND mean_word_len <= {_GOPHER_MAX_MWL}
+         AND alpha_frac >= {_GOPHER_MIN_ALPHA_FRAC}
+         AND n_stops >= 2
+         AND NOT has_lorem AS gopher_pass
+FROM m
+""",
+    tags=["llm-text", "llm-quality", "gopher"],
+)
+def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rule-set quality filter (Rae et al. 2021 A1) + C4's "lorem
+    ipsum" guard: word-count window, mean word length in [3, 10],
+    fraction of words containing an alphabetic character >= 0.8, >= 2
+    hits from the 8-word must-contain stop list, no boilerplate marker.
+    The named rule set modern pretraining pipelines start from (Gopher,
+    RefinedWeb, FineWeb all ship variants).  Map-only: every rule is a
+    JVM higher-order expression over the split-token array — no shuffle,
+    no UDF; at 100 TB this runs at scan speed next to the other
+    per-document scorers."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), " ")
+    n_words = F.size(toks).cast("long")
+    alpha_frac = (
+        F.size(F.filter(toks, lambda x: x.rlike("[a-z]")))
+        .cast("double") / F.size(toks)
+    )
+    mean_wl = (
+        F.aggregate(
+            toks, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+        ).cast("double") / F.size(toks)
+    )
+    stops = F.array(*[F.lit(s) for s in _GOPHER_STOPS])
+    n_stops = F.size(F.filter(toks, lambda x: F.array_contains(stops, x)))
+    has_lorem = F.lower(F.col("text")).contains("lorem ipsum")
+    gopher_pass = (
+        n_words.between(_GOPHER_MIN_WORDS, _GOPHER_MAX_WORDS)
+        & (mean_wl >= _GOPHER_MIN_MWL)
+        & (mean_wl <= _GOPHER_MAX_MWL)
+        & (alpha_frac >= _GOPHER_MIN_ALPHA_FRAC)
+        & (n_stops >= 2)
+        & ~has_lorem
+    )
+    return docs.select(
+        "doc_id", "lang",
+        n_words.alias("n_words"),
+        rnd(mean_wl, 4).alias("mean_word_len"),
+        rnd(alpha_frac, 4).alias("alpha_frac"),
+        n_stops.cast("long").alias("n_stop_hits"),
+        gopher_pass.alias("gopher_pass"),
+    )

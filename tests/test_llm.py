@@ -1160,3 +1160,32 @@ def test_dsir_upweights_target_domain_docs(spark):
     assert rates["chem"] > 0.75         # target domain survives
     assert rates["sport"] < 0.2         # off-domain resampled away
     assert rates["chem"] > rates["sport"] + 0.5
+
+
+def test_gopher_rules_fire_individually(spark, monkeypatch):
+    """Each Gopher rule (Rae et al. 2021 A1) rejects its planted
+    violation while the compliant doc passes: word-count window, mean
+    word length, alpha fraction, must-contain stops, lorem-ipsum."""
+    import dev_clickhouse_spark.llm.text as mod
+    from dev_clickhouse_spark.llm.text import gopher_quality_flags
+
+    good = ("the data and pipeline that we have built works with care "
+            * 6).strip()                       # 66 words, stops present
+    rows = [
+        (0, good, "en"),
+        (1, "short of the and", "en"),                      # < 50 words
+        (2, " ".join(["a"] * 60), "en"),                    # mwl < 3
+        (3, " ".join(["12345"] * 30 + ["the", "of", "and", "that"] +
+                     ["word"] * 30), "en"),                 # alpha < 0.8
+        (4, " ".join(["datapoint"] * 60), "en"),            # no stop hits
+        (5, good + " lorem ipsum", "en"),                   # boilerplate
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    monkeypatch.setattr(mod, "load_table", lambda s, d, t: docs)
+    out = {r.doc_id: r for r in gopher_quality_flags(spark, "x").collect()}
+    assert out[0].gopher_pass
+    assert not out[1].gopher_pass and out[1].n_words < 50
+    assert not out[2].gopher_pass and out[2].mean_word_len < 3
+    assert not out[3].gopher_pass and out[3].alpha_frac < 0.8
+    assert not out[4].gopher_pass and out[4].n_stop_hits == 0
+    assert not out[5].gopher_pass
