@@ -2771,7 +2771,9 @@ class Warehouse:
             self._write_manifest(dst_table, cur)
         return linked
 
-    def backup_table(self, table: str, dest: str) -> dict:
+    def backup_table(
+        self, table: str, dest: str, base: str | None = None
+    ) -> dict:
         """``BACKUP TABLE … TO Disk(…)`` analog: a CONSISTENT snapshot of
         the current manifest state — live members, deletion vectors,
         patches, schema override and the replay ledger — hardlink-cloned
@@ -2779,7 +2781,17 @@ class Warehouse:
         concurrent append/compaction pointer flip cannot tear it;
         O(files) + O(overlay bytes), zero data rows rewritten.  Restore
         with :meth:`restore_table`, which remaps the overlay file
-        addresses to the restored location."""
+        addresses to the restored location.
+
+        ``base`` = a previous backup of the same table → INCREMENTAL
+        backup (CH ``SETTINGS base_backup = Disk(…)``): members and
+        overlay entries whose files are inode-identical to the base's
+        hardlink clones are RECORDED, not re-cloned, so the new backup's
+        size is ∝ what changed since the base.  The inode check is
+        exact, not name-trust: writers replace whole files (a replayed
+        ``ingest_batch=`` dir re-minted under the same name fails
+        ``samefile`` and is cloned fully).  Restores resolve the chain
+        transparently."""
         if os.path.exists(dest) and os.listdir(dest):
             raise ValueError(f"backup destination {dest!r} is not empty")
         os.makedirs(dest, exist_ok=True)
@@ -2799,6 +2811,56 @@ class Warehouse:
                     n += 1
             return n
 
+        def same_tree(live: str, backed: str) -> bool:
+            """Every file under ``live`` is the SAME inode as the base
+            backup's clone (and the file sets match) — i.e. the entry is
+            bit-identical to what the base already holds."""
+            if not os.path.isdir(backed):
+                return False
+            live_files, backed_files = [], []
+            for root_, d, fs in os.walk(live):
+                live_files += [
+                    os.path.join(os.path.relpath(root_, live), f)
+                    for f in fs
+                ]
+            for root_, d, fs in os.walk(backed):
+                backed_files += [
+                    os.path.join(os.path.relpath(root_, backed), f)
+                    for f in fs
+                ]
+            if sorted(live_files) != sorted(backed_files):
+                return False
+            try:
+                return all(
+                    os.path.samefile(
+                        os.path.join(live, rel), os.path.join(backed, rel)
+                    )
+                    for rel in live_files
+                )
+            except OSError:
+                return False
+
+        base_abs = os.path.abspath(base) if base else None
+        # the base may itself be incremental: an entry it RECORDED from
+        # its own base has no physical copy there — resolve the check
+        # through the whole base chain
+        base_chain: list[str] = []
+        cur = base_abs
+        while cur and cur not in base_chain:
+            base_chain.append(cur)
+            try:
+                with open(os.path.join(cur, "backup.json")) as fh:
+                    cur = json.load(fh).get("base_backup")
+            except OSError:
+                break
+
+        def in_base(rel: str, live: str) -> bool:
+            for d in base_chain:
+                cand = os.path.join(d, rel)
+                if os.path.isdir(cand):
+                    return same_tree(live, cand)
+            return False
+
         with self._manifest_lock(table):
             man = self.load_manifest(table)
             if man is None:
@@ -2806,25 +2868,51 @@ class Warehouse:
                     f"backup needs the manifest layout; {table!r} has none"
                 )
             files = 0
+            base_members: list[str] = []
             for m in man["members"]:
-                files += clone_tree(
-                    os.path.join(self.path(table), m), os.path.join(dest, m)
-                )
+                live = os.path.join(self.path(table), m)
+                if base_abs and in_base(m, live):
+                    base_members.append(m)
+                    continue
+                files += clone_tree(live, os.path.join(dest, m))
+            overlay_entries: dict[str, list[str]] = {}
+            base_overlays: dict[str, list[str]] = {}
             for sub in ("_deletes", "_patches"):
                 p = os.path.join(self.path(table), sub)
-                if os.path.isdir(p):
-                    files += clone_tree(p, os.path.join(dest, sub))
+                if not os.path.isdir(p):
+                    continue
+                overlay_entries[sub] = sorted(os.listdir(p))
+                base_overlays[sub] = []
+                for entry in overlay_entries[sub]:
+                    live = os.path.join(p, entry)
+                    if base_abs and in_base(
+                        os.path.join(sub, entry), live
+                    ):
+                        base_overlays[sub].append(entry)
+                        continue
+                    files += clone_tree(
+                        live, os.path.join(dest, sub, entry)
+                    )
             meta = {
                 "source_table_path": os.path.abspath(self.path(table)),
                 "members": man["members"],
                 "committed_batches": man.get("committed_batches", []),
+                "overlay_entries": overlay_entries,
             }
+            if base_abs:
+                meta["base_backup"] = base_abs
+                meta["base_members"] = base_members
+                meta["base_overlays"] = base_overlays
             ov = self.schema_override(table)
             if ov is not None:
                 meta["schema_override"] = ov.jsonValue()
         with open(os.path.join(dest, "backup.json"), "w") as fh:
             json.dump(meta, fh, indent=1)
-        return {"files": files, "members": len(meta["members"])}
+        return {
+            "files": files,
+            "members": len(meta["members"]),
+            "members_from_base": len(meta.get("base_members", [])),
+        }
 
     def restore_table(self, src: str, table: str) -> dict:
         """``RESTORE TABLE`` analog: install a :meth:`backup_table`
@@ -2836,11 +2924,30 @@ class Warehouse:
         table."""
         if self.exists(table):
             raise ValueError(f"table {table!r} already exists")
-        with open(os.path.join(src, "backup.json")) as fh:
-            meta = json.load(fh)
+        # incremental chains (backup_table base=…): walk base_backup
+        # pointers; a member / overlay entry restores from the NEAREST
+        # backup in the chain that physically holds it
+        chain: list[tuple[str, dict]] = []
+        cur, seen = os.path.abspath(src), set()
+        while cur and cur not in seen:
+            seen.add(cur)
+            with open(os.path.join(cur, "backup.json")) as fh:
+                m_ = json.load(fh)
+            chain.append((cur, m_))
+            cur = m_.get("base_backup")
+        meta = chain[0][1]
+
+        def resolve(rel: str) -> tuple[str, dict]:
+            for d, m_ in chain:
+                if os.path.isdir(os.path.join(d, rel)):
+                    return os.path.join(d, rel), m_
+            raise FileNotFoundError(
+                f"backup chain from {src!r} holds no entry {rel!r}"
+            )
+
         new_root = os.path.abspath(self.path(table))
         for m in meta["members"]:
-            sp = os.path.join(src, m)
+            sp, _owner = resolve(m)
             dp = os.path.join(new_root, m)
             for dirpath, _dirs, files in os.walk(sp):
                 rel = os.path.relpath(dirpath, sp)
@@ -2852,13 +2959,23 @@ class Warehouse:
                         os.link(sf, df_)
                     except OSError:
                         shutil.copy2(sf, df_)
-        old_root = meta["source_table_path"]
+        # overlay set at backup time: the recorded entry list (older
+        # backups without the key fall back to what's physically in src)
+        entries_by_sub = meta.get("overlay_entries")
         for sub in ("_deletes", "_patches"):
-            sp = os.path.join(src, sub)
-            if not os.path.isdir(sp):
-                continue
-            for entry in sorted(os.listdir(sp)):
-                df_ = self.spark.read.parquet(os.path.join(sp, entry))
+            if entries_by_sub is not None:
+                entries = entries_by_sub.get(sub, [])
+            else:
+                sp0 = os.path.join(src, sub)
+                entries = (
+                    sorted(os.listdir(sp0)) if os.path.isdir(sp0) else []
+                )
+            for entry in entries:
+                sp, owner = resolve(os.path.join(sub, entry))
+                # remap from the OWNING backup's source path — chain
+                # links may have been taken from different table roots
+                old_root = owner["source_table_path"]
+                df_ = self.spark.read.parquet(sp)
                 remapped = df_.withColumn(
                     "__dv_file",
                     F.regexp_replace(
