@@ -90,3 +90,94 @@ def series_outliers_tukey(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(outlier.cast("long")).alias("n_outliers"),
         )
     )
+
+
+@register(
+    "series_period_acf",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(count(*) AS DOUBLE) AS n
+  FROM events GROUP BY 1, 2
+), lagged AS (
+  SELECT d.event_type, k.k, d.n,
+         lag(d.n, k.k) OVER (PARTITION BY d.event_type, k.k
+                             ORDER BY d.day) AS ln
+  FROM daily d CROSS JOIN (
+    SELECT unnest(generate_series(1, 7)) AS k) k
+), acf AS (
+  SELECT event_type, k,
+         corr(n, ln) AS r,
+         CAST(count(ln) AS BIGINT) AS n_pairs
+  FROM lagged WHERE ln IS NOT NULL
+  GROUP BY event_type, k
+  HAVING count(ln) >= 3
+), ranked AS (
+  SELECT event_type, k, r, n_pairs,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY floor(r * 10000 + 0.5) DESC, k)
+           AS rk
+  FROM acf WHERE r IS NOT NULL
+)
+SELECT event_type,
+       CAST(k AS INTEGER) AS best_period,
+       floor(r * 10000 + 0.5) / 10000 AS acf,
+       n_pairs
+FROM ranked WHERE rk = 1
+""",
+    tags=["clickhouse-parity", "timeseries"],
+)
+def series_period_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``seriesPeriodDetectFFT`` stand-in via the autocorrelation
+    function: per event-type daily series, the lag k ∈ [1, 7] with the
+    highest Pearson autocorrelation (rounded to 4 dp BEFORE ranking so
+    the argmax tie-break — smallest k — is identical across engines).
+    The FFT gives the same argmax on short seasonal series; ACF is the
+    SQL-expressible formulation both engines replay exactly.
+
+    Scale shape: the daily aggregate is map-side combinable; the lag
+    fan-out is a bounded ×7 explode over the GRID-sized series (days ×
+    types — the calendar, not the data), so everything after the first
+    aggregate is broadcast-scale at any corpus size."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("double").alias("n"))
+    # Spark's lag() needs a LITERAL offset — fan the bounded k range out
+    # as one union of 7 fixed-offset windows (the oracle's k cross join)
+    parts = []
+    for k in range(1, 8):
+        w = Window.partitionBy("event_type").orderBy("day")
+        parts.append(
+            daily.select(
+                "event_type",
+                F.lit(k).alias("k"),
+                "n",
+                F.lag("n", k).over(w).alias("ln"),
+            )
+        )
+    lagged = parts[0]
+    for p in parts[1:]:
+        lagged = lagged.unionByName(p)
+    acf = (
+        lagged.filter(F.col("ln").isNotNull())
+        .groupBy("event_type", "k")
+        .agg(
+            F.corr("n", "ln").alias("r"),
+            F.count("ln").alias("n_pairs"),
+        )
+        .filter((F.col("n_pairs") >= 3) & F.col("r").isNotNull())
+    )
+    rk = Window.partitionBy("event_type").orderBy(
+        F.floor(F.col("r") * 10000 + 0.5).desc(), F.asc("k")
+    )
+    return (
+        acf.withColumn("rk", F.row_number().over(rk))
+        .filter(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("k").cast("int").alias("best_period"),
+            (F.floor(F.col("r") * 10000 + 0.5) / 10000).alias("acf"),
+            F.col("n_pairs").cast("long").alias("n_pairs"),
+        )
+    )
