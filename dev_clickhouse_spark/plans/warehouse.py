@@ -124,11 +124,9 @@ class Warehouse:
         self._footer_cols_cache: dict[str, tuple[float, set]] = {}
         self._footer_types_cache: dict[str, tuple[float, dict]] = {}
         self._json_meta_cache: dict[str, tuple] = {}
-        self._unpartitioned_sorted: set[str] = set()
-        #: per-instance ``PARTITION BY event_date ORDER BY (...)``
-        #: declarations (CREATE TABLE analog) — extends the module-level
-        #: _PARTITIONED_SORT registry for ad-hoc tables
-        self._declared_sort: dict[str, list[str]] = {}
+
+    def _sort_path(self, table: str) -> str:
+        return os.path.join(self.root, "_schemas", table + ".sort.json")
 
     def set_partitioning(
         self, table: str, sort_key: list[str], partitioned: bool = True
@@ -140,24 +138,39 @@ class Warehouse:
         declares ``ORDER BY`` WITHOUT ``PARTITION BY`` (ClickHouse allows
         a MergeTree with only a sort key): files are written sorted but
         no ``event_date=`` directory level is minted.  Must be called
-        before the first append; the two layouts don't mix."""
-        self._declared_sort[table] = list(sort_key)
-        if partitioned:
-            self._unpartitioned_sorted.discard(table)
-        else:
-            self._unpartitioned_sorted.add(table)
+        before the first append; the two layouts don't mix.
+
+        PERSISTED (r12): the declaration lives under ``_schemas/`` like
+        every other per-table metadata, so a DDL-created table keeps its
+        layout across process restarts and the declaration travels with
+        the table through DETACH/EXCHANGE/DROP-to-trash."""
+        p = self._sort_path(table)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        tmp = p + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(
+                {"sort": list(sort_key), "partitioned": bool(partitioned)},
+                fh, indent=1,
+            )
+        os.replace(tmp, p)
+
+    def _sort_decl(self, table: str) -> dict | None:
+        return self._load_json_meta(self._sort_path(table), None)
 
     def _is_date_partitioned(self, table: str) -> bool:
         """Declared layout check: sorted tables are date-partitioned
         unless explicitly declared ORDER-BY-only."""
-        return (
-            self._sort_key(table) is not None
-            and table not in self._unpartitioned_sorted
-        )
+        decl = self._sort_decl(table)
+        if decl is not None:
+            return bool(decl.get("partitioned", True))
+        return table in _PARTITIONED_SORT
 
     def _sort_key(self, table: str) -> list[str] | None:
         """Sort key for a date-partitioned table, else None."""
-        return self._declared_sort.get(table) or _PARTITIONED_SORT.get(table)
+        decl = self._sort_decl(table)
+        if decl is not None:
+            return list(decl["sort"])
+        return _PARTITIONED_SORT.get(table)
 
     def _writer(self, df: DataFrame):
         """DataFrameWriter with the warehouse codec applied — the single
@@ -255,6 +268,7 @@ class Warehouse:
             self._engine_path(table),
             self._indexes_path(table),
             self._projections_path(table),
+            self._sort_path(table),
         )
 
     # -- declared MergeTree engine family (CREATE TABLE ENGINE = …) ---------
