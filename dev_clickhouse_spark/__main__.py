@@ -272,6 +272,23 @@ def cmd_bootstrap_ddl(args) -> None:
     }))
 
 
+def cmd_backup(args) -> None:
+    from .plans import Warehouse
+
+    wh = Warehouse(_spark(args), args.warehouse)
+    info = wh.backup_table(args.table, args.dest, base=args.base)
+    print(json.dumps({"table": args.table, "dest": args.dest,
+                      "base": args.base, **info}))
+
+
+def cmd_restore(args) -> None:
+    from .plans import Warehouse
+
+    wh = Warehouse(_spark(args), args.warehouse)
+    info = wh.restore_table(args.src, args.table)
+    print(json.dumps({"table": args.table, "src": args.src, **info}))
+
+
 def cmd_table_lifecycle(args) -> None:
     from .plans import Warehouse
 
@@ -508,6 +525,22 @@ def build_parser() -> argparse.ArgumentParser:
                             "gold verbatim)")
     p.add_argument("sql_files", nargs="+")
     p.set_defaults(fn=cmd_bootstrap_ddl)
+
+    p = sub.add_parser("backup-table",
+                       help="consistent hardlink snapshot (BACKUP TABLE); "
+                            "--base makes it incremental "
+                            "(SETTINGS base_backup analog)")
+    p.add_argument("table")
+    p.add_argument("dest")
+    p.add_argument("--base", default=None,
+                   help="previous backup dir to delta against")
+    p.set_defaults(fn=cmd_backup)
+
+    p = sub.add_parser("restore-table",
+                       help="install a backup (chain-resolving) as TABLE")
+    p.add_argument("src")
+    p.add_argument("table")
+    p.set_defaults(fn=cmd_restore)
 
     for name, hlp in (
         ("drop-table", "DROP TABLE (to trash; undrop-table restores)"),

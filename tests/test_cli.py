@@ -312,3 +312,37 @@ def test_cli_bootstrap_ddl_provisions_reference_schema(env, spark, capsys):
     assert out["engines"]["fact_wazuh_events"] == {
         "engine": "ReplacingMergeTree", "version_col": "updated_at"}
     assert "dim_host" not in out["engines"]      # plain MergeTree SCD2 dim
+
+
+def test_cli_backup_restore_incremental(env, spark, tmp_path, capsys):
+    """backup-table / restore-table CLI: full then --base incremental,
+    restored into a second warehouse bit-equal to the live table."""
+    from dev_clickhouse_spark.plans import Warehouse
+
+    main(["--warehouse", env["wh"], "ingest", env["raw"]])
+    capsys.readouterr()
+    wh = Warehouse(spark, env["wh"])
+    t = "wazuh_events_raw"
+    plain = wh.read(t).localCheckpoint(eager=True)
+    import shutil as _sh
+
+    _sh.rmtree(wh.path(t))
+    wh.append(t, plain.drop("event_date"), batch_id=0)
+
+    full = str(tmp_path / "b_full")
+    main(["--warehouse", env["wh"], "backup-table", t, full])
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out["members"] >= 1 and out["members_from_base"] == 0
+
+    wh.append(t, plain.drop("event_date").limit(1), batch_id=1)
+    incr = str(tmp_path / "b_incr")
+    main(["--warehouse", env["wh"], "backup-table", t, incr,
+          "--base", full])
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out["members_from_base"] == 1       # the untouched batch
+
+    wh2root = str(tmp_path / "wh2")
+    main(["--warehouse", wh2root, "restore-table", incr, t])
+    json.loads(capsys.readouterr().out.strip())
+    wh2 = Warehouse(spark, wh2root)
+    assert wh2.read(t).count() == wh.read(t).count()
