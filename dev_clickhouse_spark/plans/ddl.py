@@ -472,7 +472,7 @@ def create_table_from_ddl(wh: Warehouse, ddl: str) -> str:
     ttl_m = re.search(
         r"(?i)\bTTL\s+(\w+)\s*\+\s*INTERVAL\s+(\d+(?:\.\d+)?)\s+"
         r"(DAY|WEEK|MONTH|HOUR)(\s+WHERE\s+(?P<w>.+?))?"
-        r"(?=\bGROUP\s+BY|\bSETTINGS\b|$)", tail,
+        r"(?=\s*\bGROUP\s+BY|\s*\bSETTINGS\b|\s*$)", tail,
     )
     date_partitioned = False
     if part is not None:
@@ -517,11 +517,34 @@ def create_table_from_ddl(wh: Warehouse, ddl: str) -> str:
             table, name, dtype, expr, kind=kind
         )
     if ttl_m is not None:
+        # rollup form: TTL … GROUP BY k,… SET col = agg(col), …
+        gm = re.search(
+            r"(?i)\bTTL\b.*?\bGROUP\s+BY\s+(?P<g>[`\w,\s]+?)\s+"
+            r"SET\s+(?P<s>.+?)(?=\bSETTINGS\b|$)", tail,
+        )
+        group_by = aggregates = None
+        if gm is not None:
+            group_by = [
+                c.strip().strip("`")
+                for c in gm.group("g").split(",") if c.strip()
+            ]
+            aggregates = {}
+            for item in _split_top(gm.group("s")):
+                am = re.match(r"`?(\w+)`?\s*=\s*(.+)$", item.strip())
+                if am is None:
+                    raise ValueError(
+                        f"unparseable TTL SET assignment {item!r}"
+                    )
+                aggregates[am.group(1)] = _rewrite_expr(
+                    am.group(2).strip()
+                )
         wh.set_table_ttl(
             table,
             float(ttl_m.group(2)) * _INTERVAL_DAYS[ttl_m.group(3).lower()],
             ttl_col=ttl_m.group(1),
             where=ttl_m.group("w").strip() if ttl_m.group("w") else None,
+            group_by=group_by,
+            aggregates=aggregates,
         )
     for col, days, ttl_col in col_ttls:
         wh.set_column_ttl(table, col, days, ttl_col=ttl_col)

@@ -526,3 +526,27 @@ CREATE TABLE t (`k` UInt64, `v` Float64,
   PROJECTION p (SELECT k, quantile(0.9)(v) GROUP BY k)
 ) ENGINE = MergeTree ORDER BY k
 """)
+
+
+def test_rollup_ttl_round_trips(spark, tmp_path):
+    """``TTL … GROUP BY … SET …`` (the downsampling rollup form) parses
+    from CH DDL and round-trips through show_create_table — previously
+    the GROUP BY/SET tail was silently dropped on re-parse."""
+    wh = Warehouse(spark, str(tmp_path / "a"))
+    create_table_from_ddl(wh, """
+CREATE TABLE metrics (
+  `event_type` String, `event_ts` DateTime, `value` Float64, `n` UInt64
+)
+ENGINE = MergeTree PARTITION BY toDate(event_ts)
+ORDER BY (event_ts, event_type)
+TTL event_ts + INTERVAL 90 DAY
+GROUP BY event_type, event_date SET value = avg(value), n = sum(n)
+""")
+    ttl = wh.table_ttl("metrics")
+    assert ttl["group_by"] == ["event_type", "event_date"]
+    assert ttl["aggregates"] == {"value": "avg(value)", "n": "sum(n)"}
+    assert "where" not in ttl
+
+    wh2 = Warehouse(spark, str(tmp_path / "b"))
+    create_table_from_ddl(wh2, wh.show_create_table("metrics"))
+    assert wh2.table_ttl("metrics") == ttl
