@@ -294,6 +294,13 @@ class PipelineRunner:
             out[table] = self.wh.compact(table, mode=mode, now=now)
             self.wh.gc(table, min_age_sec=gc_min_age_sec)
             self.wh.gc_deletes(table)
+            # DECLARED projections fold in the same cycle — CH updates
+            # projections at part-merge time; ensure() is incremental
+            # (only members the fold hasn't seen), so the cadence cost
+            # is O(new parts), not O(table)
+            ps = self.wh.projection_set_for(table)
+            if ps is not None:
+                ps.ensure()
         return out
 
     def monitor_tick(

@@ -550,3 +550,44 @@ GROUP BY event_type, event_date SET value = avg(value), n = sum(n)
     wh2 = Warehouse(spark, str(tmp_path / "b"))
     create_table_from_ddl(wh2, wh.show_create_table("metrics"))
     assert wh2.table_ttl("metrics") == ttl
+
+
+def test_declared_projection_maintained_by_maintenance_tick(spark, tmp_path):
+    """A PROJECTION declared in CREATE TABLE is folded by the runner's
+    maintenance cadence (the CH merge-time projection update): after
+    appends + maintenance_tick, answer() serves from projection state
+    without touching the base table scan."""
+    import datetime as dt
+
+    from dev_clickhouse_spark.plans.projection import Metric
+    from dev_clickhouse_spark.plans.runner import PipelineRunner
+
+    runner = PipelineRunner(spark, str(tmp_path / "wh"), max_active_tasks=2)
+    wh = runner.wh
+    create_table_from_ddl(wh, """
+CREATE TABLE ev (
+  `event_id` String, `event_type` String, `value` Float64,
+  `event_ts` DateTime,
+  PROJECTION p_type (SELECT event_type, count(), sum(value)
+                     GROUP BY event_type)
+)
+ENGINE = MergeTree PARTITION BY toDate(event_ts)
+ORDER BY (event_ts, event_id)
+""")
+    for b in range(3):
+        wh.append("ev", spark.createDataFrame(
+            [(f"e{b}-{i}", "click" if i % 2 else "buy", float(i),
+              dt.datetime(2026, 1, 1, 9 + b))
+             for i in range(100)],
+            "event_id string, event_type string, value double, "
+            "event_ts timestamp"), batch_id=b)
+    runner.maintenance_tick(tables=["ev"], gc_min_age_sec=0.0)
+
+    ps = wh.projection_set_for("ev")
+    df, report = ps.answer(
+        ["event_type"],
+        [Metric("count", None, "n"), Metric("sum", "value", "total")],
+        require_projection=True,       # would raise if not folded/served
+    )
+    got = {r["event_type"]: r["n"] for r in df.collect()}
+    assert got == {"click": 150, "buy": 150}
