@@ -157,6 +157,40 @@ class Warehouse:
     def _sort_decl(self, table: str) -> dict | None:
         return self._load_json_meta(self._sort_path(table), None)
 
+    def modify_order_by(self, table: str, sort_key: list[str]) -> None:
+        """``ALTER TABLE … MODIFY ORDER BY`` — extend the sort key.  The
+        ClickHouse constraint applies verbatim: the new key must START
+        WITH the existing key (only appends are allowed, because existing
+        parts are already sorted by the old prefix and stay valid — new
+        parts sort by the full key, merges converge the table).  Appended
+        columns must exist in the declared schema.  O(1) metadata."""
+        cur = self._sort_key(table)
+        if cur is None:
+            raise ValueError(
+                f"{table!r} has no declared ORDER BY to modify "
+                "(set_partitioning / CREATE TABLE first)"
+            )
+        if list(sort_key[: len(cur)]) != list(cur):
+            raise ValueError(
+                f"MODIFY ORDER BY must extend the existing key {cur} "
+                f"(got {list(sort_key)}) — ClickHouse refuses prefix "
+                "changes because existing parts are sorted by it"
+            )
+        cols = {f.name for f in self.schema_for(table).fields}
+        missing = [c for c in sort_key if c not in cols]
+        if missing:
+            raise ValueError(
+                f"MODIFY ORDER BY references unknown columns {missing}"
+            )
+        self.set_partitioning(
+            table, list(sort_key),
+            partitioned=self._is_date_partitioned(table),
+        )
+        self._log_mutation(
+            table, "MODIFY_ORDER_BY",
+            f"MODIFY ORDER BY ({', '.join(sort_key)})",
+        )
+
     def _is_date_partitioned(self, table: str) -> bool:
         """Declared layout check: sorted tables are date-partitioned
         unless explicitly declared ORDER-BY-only."""

@@ -591,3 +591,30 @@ ORDER BY (event_ts, event_id)
     )
     got = {r["event_type"]: r["n"] for r in df.collect()}
     assert got == {"click": 150, "buy": 150}
+
+
+def test_modify_order_by(spark, tmp_path):
+    """ALTER TABLE … MODIFY ORDER BY: append-only key extension (the CH
+    constraint — existing parts stay sorted by the old prefix), persisted
+    and visible to show_create/FINAL defaults; prefix changes and unknown
+    columns refused loudly."""
+    import datetime as dt
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    create_table_from_ddl(wh, """
+CREATE TABLE t (`k` UInt64, `sub` String, `updated_at` DateTime)
+ENGINE = ReplacingMergeTree(updated_at) ORDER BY k""")
+    wh.append("t", spark.createDataFrame(
+        [(1, "a", dt.datetime(2026, 1, 1))], wh.schema_for("t")),
+        batch_id=0)
+
+    wh.modify_order_by("t", ["k", "sub"])
+    assert wh._sort_key("t") == ["k", "sub"]
+    assert "ORDER BY (k, sub)" in wh.show_create_table("t")
+    # FINAL now collapses on the extended key
+    assert wh.read_final("t").count() == 1
+
+    with pytest.raises(ValueError, match="extend the existing key"):
+        wh.modify_order_by("t", ["sub", "k"])
+    with pytest.raises(ValueError, match="unknown columns"):
+        wh.modify_order_by("t", ["k", "sub", "nope"])
