@@ -301,47 +301,68 @@ def semantic_dedup_within_clusters(
     (keep-lowest-id, the same canonical rule as the MinHash keep list)."""
     emb = load_table(spark, sf_dir, "embeddings")
     df = emb.select("vec_id", _quantize(F.col("embedding")).alias("q"))
-    # keep_vec carries the quantized components through the fold — the
-    # norm is then a map-side expression and the only shuffle left is
-    # the within-cluster self-join itself
+    # keep_vec carries the quantized components through the fold so the
+    # pair scoring needs no re-join against the source embeddings
     asg = kmeans_rounds(spark, df, K_CLUSTERS, N_ROUNDS, keep_vec=True)
-    side = asg.select(
-        "cl", "vec_id", "q",
-        F.aggregate(
-            "q", F.lit(0).cast("long"), lambda acc, x: acc + x * x
-        ).alias("n2"),
-    )
-    a = side.select(
-        "cl", F.col("vec_id").alias("va"),
-        F.col("q").alias("qa"), F.col("n2").alias("na"),
-    )
-    b = side.select(
-        "cl", F.col("vec_id").alias("vb"),
-        F.col("q").alias("qb"), F.col("n2").alias("nb"),
-    )
-    dot = F.aggregate(
-        F.zip_with("qa", "qb", lambda x, y: x * y),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    ).alias("dot")
-    pairs = (
-        a.join(b, ["cl"])
-        .filter(F.col("va") < F.col("vb"))
-        .select("cl", "va", "vb", "na", "nb", dot)
-    )
-    dec = "decimal(38,0)"
-    dups = pairs.filter(
-        (F.col("dot") >= 0)
-        & (
-            F.lit(25).cast(dec) * F.col("dot").cast(dec)
-            * F.col("dot").cast(dec)
-            >= F.lit(4).cast(dec) * F.col("na").cast(dec)
-            * F.col("nb").cast(dec)
+
+    # r13 (guide §4.2): the within-cluster pair scoring moves from a
+    # self-join on cl into ONE numpy GEMM per cluster (applyInPandas).  The
+    # previous shape pushed the dup predicate into the SortMergeJoin
+    # CONDITION, where the interpreted zip_with/aggregate dot product was
+    # evaluated three times per candidate pair on k=8 join keys (8 busy
+    # tasks) — the bench's single slowest stage.  Here dot products are an
+    # int64 matrix product (exact: the guard below refuses inputs whose dot
+    # could exceed int64), the ≥-threshold test is float-prefiltered with a
+    # wide safety margin and then EXACT-verified in arbitrary-precision
+    # integer arithmetic, so the pair set is bit-identical to the oracle's
+    # 25·dot² ≥ 4·|a|²·|b|² predicate.  Per-task memory is |cluster|²·8
+    # bytes — the same Σ|cluster|² term the join materialized as rows, and
+    # SemDeDup's scaling contract (k grows with the corpus, KMEANS_SCALE)
+    # bounds it.
+    def _cluster_dups(pdf):
+        import numpy as np
+        import pandas as pd
+
+        cl = int(pdf["cl"].iloc[0])
+        v = pdf["vec_id"].to_numpy()
+        if len(v) < 2:
+            return pd.DataFrame(
+                [(cl, 0, 0)], columns=["cl", "n_dup_pairs", "n_removed"]
+            )
+        order = np.argsort(v)  # va < vb ⇔ upper triangle after the sort
+        q = np.stack(
+            [np.asarray(x, dtype=np.int64) for x in pdf["q"].iloc[order]]
         )
-    )
-    per_cl = dups.groupBy("cl").agg(
-        F.count(F.lit(1)).cast("long").alias("n_dup_pairs"),
-        F.countDistinct("vb").cast("long").alias("n_removed"),
+        m = int(np.abs(q).max(initial=0))
+        if m and m * m * q.shape[1] >= (1 << 63):
+            raise ValueError(
+                "quantized components too large for exact int64 dot "
+                f"products (max |q|={m}, d={q.shape[1]})"
+            )
+        dot = q @ q.T
+        n2 = np.einsum("ij,ij->i", q, q)
+        iu, ju = np.triu_indices(len(v), k=1)
+        d = dot[iu, ju]
+        lhs = 25.0 * (d.astype(np.float64) ** 2)
+        rhs = 4.0 * n2[iu].astype(np.float64) * n2[ju].astype(np.float64)
+        # float64 keeps ~1e-16 relative error; the 1e-9 margin makes the
+        # prefilter sound (no false negatives), exact check settles the rest
+        cand = (d >= 0) & (lhs >= rhs * (1.0 - 1e-9))
+        ok = np.zeros(len(d), dtype=bool)
+        for idx in np.nonzero(cand)[0]:
+            dd = int(d[idx])
+            ok[idx] = 25 * dd * dd >= 4 * int(n2[iu[idx]]) * int(n2[ju[idx]])
+        return pd.DataFrame(
+            [(cl, int(ok.sum()), int(np.unique(ju[ok]).size))],
+            columns=["cl", "n_dup_pairs", "n_removed"],
+        )
+
+    per_cl = (
+        asg.select("cl", "vec_id", "q")
+        .groupBy("cl")
+        .applyInPandas(
+            _cluster_dups, "cl int, n_dup_pairs long, n_removed long"
+        )
     )
     members = asg.groupBy("cl").agg(
         F.countDistinct("vec_id").cast("long").alias("n_members")

@@ -48,20 +48,9 @@ JACCARD_THRESHOLD = 0.8
 NGRAM_DF_CAP = 100
 
 
-def _shingles(text: str, n: int = SHINGLE_N) -> set[str]:
-    toks = text.split(" ")
-    if len(toks) < n:
-        return set()
-    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
-
-
 def _md5(s: str) -> str:
     return hashlib.md5(s.encode()).hexdigest()
 
-
-# ---------------------------------------------------------------------------
-# MinHash signatures + LSH bands (map-only pandas UDF)
-# ---------------------------------------------------------------------------
 
 _SIG_SCHEMA = T.StructType([
     T.StructField("doc_id", T.LongType()),
@@ -71,30 +60,60 @@ _SIG_SCHEMA = T.StructType([
 ])
 
 
+# ---------------------------------------------------------------------------
+# MinHash signatures + LSH bands (map-only pandas UDF)
+# ---------------------------------------------------------------------------
+
 def minhash_signatures(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     k: int = MINHASH_K, bands: int = LSH_BANDS,
 ) -> DataFrame:
     """Per-document MinHash signature + LSH band hashes.  Map-only: no shuffle,
     Arrow-batched; signature i = min over shingles of md5(f"{i}:{shingle}"),
-    band b = md5(concat of its row hashes)."""
+    band b = md5(concat of its row hashes).
+
+    r13 inner-loop rewrite (guide §4.2/§4.5, measured ~4× on the signature
+    pass; a JVM higher-order-function md5 variant was tried first and
+    measured SLOWER — interpreted lambda evaluation per array element): the
+    k salted-prefix md5 states are built ONCE per task and ``copy()``-ed per
+    shingle, the shingle is encoded once, minima compare raw digest bytes
+    (same order as the hex strings), and hex materializes only for the k
+    winners.  Inputs to md5 are unchanged — signatures stay bit-identical to
+    the oracle."""
     rows_per_band = k // bands
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        md5 = hashlib.md5
+        prefixes = [md5(f"{i}:".encode()) for i in range(k)]  # once per task
         for pdf in batches:
             out = []
             for doc_id, text in zip(pdf[id_col], pdf[text_col]):
-                sh = _shingles(text or "")
-                if not sh:
+                toks = (text or "").split(" ")
+                if len(toks) < SHINGLE_N:
                     out.append((doc_id, 0, None, None))
                     continue
-                sig = [min(_md5(f"{i}:{s}") for s in sh) for i in range(k)]
+                sh = {
+                    " ".join(toks[i : i + SHINGLE_N])
+                    for i in range(len(toks) - SHINGLE_N + 1)
+                }
+                best: list[bytes | None] = [None] * k
+                for s in sh:
+                    sb = s.encode()
+                    for i in range(k):
+                        h = prefixes[i].copy()
+                        h.update(sb)
+                        d = h.digest()
+                        if best[i] is None or d < best[i]:
+                            best[i] = d
+                sig = [d.hex() for d in best]
                 band_hashes = [
                     _md5("".join(sig[b * rows_per_band : (b + 1) * rows_per_band]))
                     for b in range(bands)
                 ]
                 out.append((doc_id, len(sh), sig, band_hashes))
-            yield pd.DataFrame(out, columns=["doc_id", "n_shingles", "minhash", "bands"])
+            yield pd.DataFrame(
+                out, columns=["doc_id", "n_shingles", "minhash", "bands"]
+            )
 
     # single-file tables arrive as one partition — spread the CPU-bound
     # signature hashing across cores (at real scale input is already split)
@@ -148,7 +167,11 @@ def lsh_candidate_pairs(signatures: DataFrame) -> DataFrame:
     quadratic term and shrink as bands get more selective."""
     bands = signatures.filter(F.col("bands").isNotNull()).select(
         "doc_id", F.posexplode("bands").alias("band", "band_hash")
-    )
+    ).localCheckpoint(eager=False)
+    # localCheckpoint (lazy): the self-join needs the band table twice, and
+    # when AQE picks a broadcast build side the two subtrees stop being
+    # reusable exchanges — without the checkpoint the whole signature pass
+    # runs twice (r13 plan audit)
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(
@@ -181,6 +204,10 @@ def verify_jaccard(
     about their 'O(batch + collisions), independent of corpus size'
     contract — without the semi-join, every micro-batch would re-shingle
     and re-shuffle the ENTIRE corpus text (ADVICE r6)."""
+    # pairs feed both the candidate-id semi-join and the final pair join —
+    # checkpoint (lazy) or the whole candidate generation (LSH band join /
+    # posting expansion) runs twice per plan (r13 plan audit)
+    pairs = pairs.localCheckpoint(eager=False)
     cand_ids = (
         pairs.select(F.col("doc_a").alias("doc_id"))
         .union(pairs.select(F.col("doc_b").alias("doc_id")))
@@ -189,14 +216,29 @@ def verify_jaccard(
     docs = docs.join(
         cand_ids, docs[id_col] == cand_ids["doc_id"], "left_semi"
     )
-    sets = ngram_shingles(docs, id_col, text_col).groupBy("doc_id").agg(
-        F.collect_set("s").alias("ss")
-    )
-    ids = docs.select(F.col(id_col).alias("doc_id"))
-    full = ids.join(sets, "doc_id", "left").select(
+    # r13: the per-doc distinct-shingle SET builds as an array inside the
+    # projection (split → transform → array_distinct) — the same set
+    # ``ngram_shingles(...).groupBy(doc_id).collect_set`` produced, without
+    # the explode row blowup and its two shuffles (row-level distinct +
+    # collect_set).  Map-only over the (already semi-joined) candidate docs;
+    # a doc under SHINGLE_N tokens (or NULL text) gets the empty array, as
+    # before.  localCheckpoint: the array build feeds both join sides and
+    # would otherwise run twice.
+    toks = F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
+    full = docs.select(
+        F.col(id_col).alias("doc_id"), toks.alias("__toks")
+    ).select(
         "doc_id",
-        F.coalesce("ss", F.array().cast("array<string>")).alias("ss"),
-    )
+        F.when(
+            F.size("__toks") >= SHINGLE_N,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("__toks") - SHINGLE_N),
+                    _shingle_tokens("__toks"),
+                )
+            ),
+        ).otherwise(F.array().cast("array<string>")).alias("ss"),
+    ).localCheckpoint(eager=False)
     a = full.select(F.col("doc_id").alias("doc_a"), F.col("ss").alias("ssa"))
     b = full.select(F.col("doc_id").alias("doc_b"), F.col("ss").alias("ssb"))
     cb = F.size(F.array_intersect("ssa", "ssb"))
@@ -513,9 +555,21 @@ def ngram_jaccard_pairs_counted(
     shingle), same exact Jaccard over FULL shingle sets (capped shingles
     count in both |A∩B| and |A∪B|), same ≥ threshold filter and 4-digit
     rounding."""
-    base = _hashed_doc_shingles(docs, id_col, text_col)
+    # localCheckpoints (lazy) truncate the re-derived subtrees: without them
+    # the r13 plan audit counted the documents scan 10×, the shingle+hash
+    # build 5× and the postings shuffle 3× in ONE query plan (base feeds the
+    # index AND both profile sides; postings feeds candidates AND the capped
+    # tail) — guide §3.3: materialize an intermediate to stop the optimizer
+    # re-deriving it.  base is corpus-sized (the production trade: one
+    # materialization vs five recomputes of the hash pass); postings is
+    # vocabulary-sized.
+    base = _hashed_doc_shingles(docs, id_col, text_col).localCheckpoint(
+        eager=False
+    )
     sh = base.select("doc_id", F.explode("hs").alias("h"))
-    postings = sh.groupBy("h").agg(F.collect_list("doc_id").alias("ds"))
+    postings = sh.groupBy("h").agg(
+        F.collect_list("doc_id").alias("ds")
+    ).localCheckpoint(eager=False)
     bounded = postings.filter(F.size("ds") <= df_cap)
     cand = (
         bounded.select(F.explode("ds").alias("doc_a"), F.col("ds"))
@@ -539,7 +593,7 @@ def ngram_jaccard_pairs_counted(
             "doc_id", "n",
             F.coalesce("ch", F.array().cast("array<bigint>")).alias("ch"),
         )
-    )
+    ).localCheckpoint(eager=False)  # feeds both join sides (a and b)
     a = profile.select(
         F.col("doc_id").alias("doc_a"), F.col("n").alias("na"),
         F.col("ch").alias("cha"),

@@ -508,10 +508,17 @@ def lang_id_predict(docs: DataFrame, id_col: str = "doc_id",
     )
     lang_df = spark.createDataFrame([(lg,) for lg in langs], "plang string")
 
+    # r13 (guide §2.4): ONE exchange on doc_id serves the whole pipeline —
+    # hash partitioning on doc_id satisfies the (doc_id, tg) aggregation,
+    # both doc_id windows AND the (doc_id, plang) distance aggregation, so
+    # none of them inserts its own shuffle (the old shape paid three: the
+    # (doc_id, tg) groupBy, the rank window, and the final join).  The
+    # repartition moves raw trigram rows instead of per-partition-collapsed
+    # ones — a modest byte increase traded for two fewer shuffle rounds.
     tg = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(_char_trigrams(text_col)).alias("tg"),
-    )
+    ).repartition("doc_id")
     cnt = tg.groupBy("doc_id", "tg").agg(F.count(F.lit(1)).alias("c"))
     w = Window.partitionBy("doc_id").orderBy(F.desc("c"), F.asc("tg"))
     doc_rank = (
@@ -804,7 +811,14 @@ def lm_char_trigram_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     tri = docs.select(
         "doc_id", F.explode(_char_trigrams("text")).alias("t")
     )
-    c3 = tri.groupBy("t").agg(F.count(F.lit(1)).alias("c3"))
+    # localCheckpoint (lazy): c2, v and the LM join all derive from c3 —
+    # without it the corpus-wide trigram explode + count shuffle runs three
+    # times in one plan (r13 plan audit: 4 documents scans, 3 aggregation
+    # exchanges).  c3 is bounded by charset³ regardless of corpus size, so
+    # the checkpoint is metadata-cheap at any scale.
+    c3 = tri.groupBy("t").agg(F.count(F.lit(1)).alias("c3")).localCheckpoint(
+        eager=False
+    )
     c2 = c3.groupBy(F.substring("t", 1, 2).alias("b")).agg(
         F.sum("c3").alias("c2")
     )

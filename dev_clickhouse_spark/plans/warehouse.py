@@ -1842,10 +1842,23 @@ class Warehouse:
         return removed
 
     def _count_rows_parquet(self, path: str) -> int:
+        """Row count of a just-written parquet dir from the file FOOTERS —
+        the count is free metadata; the old ``spark.read...count()`` paid a
+        whole Spark job per mutation call (r13, guide §1.2: don't compute
+        what metadata already knows)."""
+        import pyarrow.parquet as pq
+
+        n = 0
         try:
-            return self.spark.read.parquet(path).count()
+            for dirpath, _dirs, files in os.walk(path):
+                for f in files:
+                    if f.endswith(".parquet"):
+                        n += pq.ParquetFile(
+                            os.path.join(dirpath, f)
+                        ).metadata.num_rows
         except Exception:
             return 0
+        return n
 
     def read_window(self, table: str, start_ts, end_ts) -> DataFrame:
         """Windowed scan with explicit partition pruning: the ts predicate
