@@ -39,21 +39,37 @@ def _norm(a):
     )
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin a single-partition input across cores — a one-file corpus
+    otherwise runs the whole (interpreted HOF) scoring stage as ONE task
+    (r13, guide §2.6; at real scale the input is already split)."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
+
+
 def cosine_topk(
     corpus: DataFrame, queries: DataFrame, k: int = 5,
     id_col: str = "vec_id", vec_col: str = "embedding",
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector.  Scores are rounded
     to 4dp BEFORE ranking (with id tie-break) so ranking is reproducible
-    across engines/precision modes."""
+    across engines/precision modes.
+
+    r13: norms are computed ONCE per vector map-side before the join (the
+    old shape re-evaluated both norms inside the per-pair projection —
+    |Q|·N interpreted norm folds instead of |Q|+N), and the corpus side is
+    spread across cores.  Same double arithmetic in the same order, so the
+    rounded scores are bit-identical."""
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qv"),
-    )
-    c = corpus.select(
+    ).select("query_id", "qv", _norm(F.col("qv")).alias("qn"))
+    c = _spread(corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("cv"),
-    )
+    )).select("neighbor_id", "cv", _norm(F.col("cv")).alias("cn"))
     scored = (
         F.broadcast(q)
         .crossJoin(c)
@@ -61,9 +77,10 @@ def cosine_topk(
         .select(
             "query_id",
             "neighbor_id",
-            rnd(_dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv"))), 4).alias(
-                "cosine"
-            ),
+            rnd(
+                _dot(F.col("qv"), F.col("cv"))
+                / (F.col("qn") * F.col("cn")), 4
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
@@ -106,14 +123,23 @@ def lsh_bucket_topk(
     """ANN: score only candidates sharing the query's hyperplane bucket.
     At 100 TB the bucketed self-join replaces the full cross product; recall
     is tunable via n_planes (fewer planes → bigger buckets → higher recall)."""
-    c = corpus.select(
+    # r13: spread + per-vector norms, same rationale as cosine_topk
+    c = _spread(corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("cv"),
-    ).withColumn("bucket", lsh_signature(F.col("cv"), dim))
+    )).select(
+        "neighbor_id", "cv",
+        _norm(F.col("cv")).alias("cn"),
+        lsh_signature(F.col("cv"), dim).alias("bucket"),
+    )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qv"),
-    ).withColumn("bucket", lsh_signature(F.col("qv"), dim))
+    ).select(
+        "query_id", "qv",
+        _norm(F.col("qv")).alias("qn"),
+        lsh_signature(F.col("qv"), dim).alias("bucket"),
+    )
     scored = (
         F.broadcast(q)
         .join(c, "bucket")
@@ -121,9 +147,10 @@ def lsh_bucket_topk(
         .select(
             "query_id",
             "neighbor_id",
-            rnd(_dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv"))), 4).alias(
-                "cosine"
-            ),
+            rnd(
+                _dot(F.col("qv"), F.col("cv"))
+                / (F.col("qn") * F.col("cn")), 4
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
@@ -713,17 +740,26 @@ def ivf_topk(
         F.col("__rn") <= n_probe
     ).select("query_id", "qv", "cid")
 
-    cand = corpus.select(
+    # r13: per-vector norms hoisted out of the pair projection (same double
+    # arithmetic — bit-identical rounded scores), corpus side spread
+    cand = _spread(corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("nv"),
+    )).select(
+        "neighbor_id", "nv", _norm(F.col("nv")).alias("nn")
     ).join(assign.withColumnRenamed("id", "neighbor_id"), "neighbor_id")
+    probes = probes.select(
+        "query_id", "qv", "cid", _norm(F.col("qv")).alias("qn")
+    )
     scored = (
         probes.join(cand, "cid")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id", "neighbor_id",
-            rnd(_dot(F.col("qv"), F.col("nv")) / (_norm(F.col("qv")) * _norm(F.col("nv"))), 4)
-            .alias("cosine"),
+            rnd(
+                _dot(F.col("qv"), F.col("nv"))
+                / (F.col("qn") * F.col("nn")), 4
+            ).alias("cosine"),
         )
         .distinct()  # a neighbor may appear via several probed lists
     )

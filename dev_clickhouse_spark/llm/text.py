@@ -482,6 +482,38 @@ def _char_trigrams(text: Column | str) -> Column:
     ).otherwise(F.array().cast("array<string>")))[0]
 
 
+def _char_trigram_rows(
+    docs: DataFrame, id_col: str, text_col: str, out_col: str,
+    spread: bool = True,
+) -> DataFrame:
+    """(id, trigram) rows — the exploded form of :func:`_char_trigrams`,
+    built for speed (r13, guide §4.1/§2.6): explode a POSITION sequence and
+    take ``substring(s, i, 3)`` in the projection, which runs under
+    whole-stage codegen, instead of materializing the per-doc trigram array
+    through interpreted ``transform`` lambdas (measured slower); and spread
+    a single-partition input across cores first — a one-file table otherwise
+    runs the whole corpus explode as ONE task (at real scale the input is
+    already split).  Emits exactly the same row multiset, docs under 3 chars
+    drop out (they contribute no trigrams either way).  ``spread=False``
+    skips the round-robin when the caller repartitions by key right after
+    (one shuffle instead of two)."""
+    inp = docs.select(F.col(id_col), F.col(text_col))
+    if spread:
+        par = docs.sparkSession.sparkContext.defaultParallelism
+        if inp.rdd.getNumPartitions() < par:
+            inp = inp.repartition(par)
+    return (
+        inp.select(F.col(id_col), F.lower(F.col(text_col)).alias("__s"))
+        .filter(F.length("__s") >= 3)
+        .select(
+            F.col(id_col),
+            "__s",
+            F.explode(F.sequence(F.lit(1), F.length("__s") - 2)).alias("__i"),
+        )
+        .select(F.col(id_col), F.expr("substring(__s, __i, 3)").alias(out_col))
+    )
+
+
 def lang_id_predict(docs: DataFrame, id_col: str = "doc_id",
                     text_col: str = "text") -> DataFrame:
     """Cavnar–Trenkle out-of-place language ID: rank the document's own top
@@ -515,10 +547,11 @@ def lang_id_predict(docs: DataFrame, id_col: str = "doc_id",
     # (doc_id, tg) groupBy, the rank window, and the final join).  The
     # repartition moves raw trigram rows instead of per-partition-collapsed
     # ones — a modest byte increase traded for two fewer shuffle rounds.
-    tg = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(_char_trigrams(text_col)).alias("tg"),
-    ).repartition("doc_id")
+    tg = (
+        _char_trigram_rows(docs, id_col, text_col, "tg", spread=False)
+        .select(F.col(id_col).alias("doc_id"), "tg")
+        .repartition("doc_id")
+    )
     cnt = tg.groupBy("doc_id", "tg").agg(F.count(F.lit(1)).alias("c"))
     w = Window.partitionBy("doc_id").orderBy(F.desc("c"), F.asc("tg"))
     doc_rank = (
@@ -808,9 +841,7 @@ def lm_char_trigram_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     (map-side combined) and the per-doc average.  Docs under 3 chars emit
     no trigrams and drop out, same as the oracle's inner join."""
     docs = load_table(spark, sf_dir, "documents")
-    tri = docs.select(
-        "doc_id", F.explode(_char_trigrams("text")).alias("t")
-    )
+    tri = _char_trigram_rows(docs, "doc_id", "text", "t")
     # localCheckpoint (lazy): c2, v and the LM join all derive from c3 —
     # without it the corpus-wide trigram explode + count shuffle runs three
     # times in one plan (r13 plan audit: 4 documents scans, 3 aggregation

@@ -177,11 +177,19 @@ class PipelineRunner:
                 ]
                 if not todo:
                     continue
+                # wave-scoped dim-read cache: pipelines in one wave re-read
+                # the same (already-written) dims — dim_tag three times for
+                # the bridges, sensor/protocol/event twice for the facts —
+                # and each spark.read costs ~100 ms of driver-side file
+                # listing + footer schema inference (r13 profile).  Scoped
+                # to the wave: a later wave must re-read tables an earlier
+                # wave just wrote.
+                reads: dict[str, DataFrame] = {}
                 if len(todo) == 1:
                     results = [
                         self._run_one(
                             todo[0], starts[todo[0].pipeline_id], end_ts,
-                            cache=cache,
+                            cache=cache, reads=reads,
                         )
                     ]
                 else:
@@ -192,7 +200,7 @@ class PipelineRunner:
                             pool.map(
                                 lambda s: self._run_one(
                                     s, starts[s.pipeline_id], end_ts,
-                                    cache=cache,
+                                    cache=cache, reads=reads,
                                 ),
                                 todo,
                             )
@@ -334,6 +342,7 @@ class PipelineRunner:
     def _run_one(
         self, spec: PipelineSpec, start_ts, end_ts,
         cache: dict[str, DataFrame] | None = None,
+        reads: dict[str, DataFrame] | None = None,
     ) -> dict:
         t0 = time.time()
         # row counts are tracked incrementally: count the (small) written
@@ -346,7 +355,9 @@ class PipelineRunner:
                 self.wh.read(table).count() if self.wh.exists(table) else 0
             )
         rows_before = self._row_counts[table]
-        out, mode = self._build(spec, start_ts, end_ts, cache=cache)
+        out, mode = self._build(
+            spec, start_ts, end_ts, cache=cache, reads=reads
+        )
         out = out.localCheckpoint(eager=True)  # materialize once: count + write
         written = out.count()
         if mode == "append":
@@ -370,6 +381,7 @@ class PipelineRunner:
     def _build(
         self, spec: PipelineSpec, start_ts, end_ts,
         cache: dict[str, DataFrame] | None = None,
+        reads: dict[str, DataFrame] | None = None,
     ) -> tuple[DataFrame, str]:
         from pyspark.sql import functions as F
 
@@ -382,6 +394,16 @@ class PipelineRunner:
             else self.wh.read_window(t, start_ts, end_ts)
         )
         cur = lambda t: (self.wh.read(t) if self.wh.exists(t) else None)  # noqa: E731
+        # wave-scoped INPUT-dim read sharing (never used for cur(): a
+        # pipeline's own pre-write target read must stay private)
+        if reads is None:
+            reads = {}
+
+        def rd(t: str) -> DataFrame:
+            if t not in reads:
+                reads[t] = self.wh.read(t)
+            return reads[t]
+
         pid = spec.pipeline_id
 
         if pid == "dim_date":
@@ -423,35 +445,35 @@ class PipelineRunner:
             return dims.build_dim_rule(win("wazuh_events_raw"), cur("dim_rule")), "snapshot"
         if pid == "fact_wazuh_events":
             return facts.build_fact_wazuh(
-                win("wazuh_events_raw"), self.wh.read("dim_agent"),
-                self.wh.read("dim_host"), self.wh.read("dim_rule"),
-                self.wh.read("dim_event"), cur("fact_wazuh_events"),
+                win("wazuh_events_raw"), rd("dim_agent"),
+                rd("dim_host"), rd("dim_rule"),
+                rd("dim_event"), cur("fact_wazuh_events"),
             ), "append"
         if pid == "fact_suricata_events":
             return facts.build_fact_suricata(
-                win("suricata_events_raw"), self.wh.read("dim_sensor"),
-                self.wh.read("dim_signature"), self.wh.read("dim_protocol"),
+                win("suricata_events_raw"), rd("dim_sensor"),
+                rd("dim_signature"), rd("dim_protocol"),
                 cur("fact_suricata_events"),
             ), "append"
         if pid == "fact_zeek_events":
             return facts.build_fact_zeek(
-                win("zeek_events_raw"), self.wh.read("dim_sensor"),
-                self.wh.read("dim_protocol"), self.wh.read("dim_event"),
+                win("zeek_events_raw"), rd("dim_sensor"),
+                rd("dim_protocol"), rd("dim_event"),
                 cur("fact_zeek_events"),
             ), "append"
         if pid == "bridge_wazuh_event_tag":
             return bridges.build_bridge_event_tag(
-                win("wazuh_events_raw"), self.wh.read("dim_tag"),
+                win("wazuh_events_raw"), rd("dim_tag"),
                 cur("bridge_wazuh_event_tag"),
             ), "append"
         if pid == "bridge_suricata_event_tag":
             return bridges.build_bridge_event_tag(
-                win("suricata_events_raw"), self.wh.read("dim_tag"),
+                win("suricata_events_raw"), rd("dim_tag"),
                 cur("bridge_suricata_event_tag"),
             ), "append"
         if pid == "bridge_zeek_event_tag":
             return bridges.build_bridge_event_tag(
-                win("zeek_events_raw"), self.wh.read("dim_tag"),
+                win("zeek_events_raw"), rd("dim_tag"),
                 cur("bridge_zeek_event_tag"),
             ), "append"
         raise ValueError(f"unknown pipeline {pid}")
