@@ -106,6 +106,27 @@ RAW_EVENT_SCHEMA = _st(
 
 _J = "__j"
 
+#: Cached extractor Column lists, keyed by (name, applicationId).  The
+#: select-lists below are static expression trees, but BUILDING them costs
+#: ~4.6 s of driver-side py4j traffic per call (r13 profile; ip_canonical
+#: alone is ~0.6 s/call) — and the batch path builds them per micro-batch.
+#: Columns are unresolved expressions, safely reusable across DataFrames;
+#: keying by applicationId drops entries from a stopped SparkContext whose
+#: JVM gateway no longer exists.
+_COLS_CACHE: dict[tuple[str, str], list] = {}
+
+
+def _cached_cols(name: str, build) -> list:
+    from pyspark import SparkContext
+
+    sc = SparkContext._active_spark_context
+    key = (name, sc.applicationId if sc is not None else "")
+    got = _COLS_CACHE.get(key)
+    if got is None:
+        got = build()
+        _COLS_CACHE[key] = got
+    return got
+
 
 def with_parsed(df: DataFrame) -> DataFrame:
     """Attach the single-parse struct column (idempotent)."""
@@ -204,7 +225,7 @@ def _tags(*fallback_paths: str) -> Column:
 def extract_suricata(df: DataFrame) -> DataFrame:
     """Suricata MV (reference 02_kafka_ingest.sql.tmpl:13-84)."""
     df = with_parsed(df)
-    return df.filter(route_suricata(df)).select(
+    cols = _cached_cols("suricata", lambda: [
         _s("event.hash").alias("event_id"),
         F.coalesce(_ts_iso("@timestamp"), _ts_iso("suricata.timestamp")).alias(
             "event_ts"
@@ -238,13 +259,14 @@ def extract_suricata(df: DataFrame) -> DataFrame:
             "message"
         ),
         F.col("raw").alias("raw_data"),
-    )
+    ])
+    return df.filter(route_suricata(df)).select(*cols)
 
 
 def extract_wazuh(df: DataFrame) -> DataFrame:
     """Wazuh MV (reference 02_kafka_ingest.sql.tmpl:86-129)."""
     df = with_parsed(df)
-    return df.filter(route_wazuh(df)).select(
+    cols = _cached_cols("wazuh", lambda: [
         _s("event.hash").alias("event_id"),
         F.coalesce(
             _ts_iso("@timestamp"),
@@ -272,7 +294,8 @@ def extract_wazuh(df: DataFrame) -> DataFrame:
         _tags().alias("tags"),
         F.coalesce(_s("message"), _s("rule.name")).alias("message"),
         F.col("raw").alias("raw_data"),
-    )
+    ])
+    return df.filter(route_wazuh(df)).select(*cols)
 
 
 def extract_zeek(df: DataFrame) -> DataFrame:
@@ -280,7 +303,7 @@ def extract_zeek(df: DataFrame) -> DataFrame:
     projection; zeek.conn numerics often arrive as strings → try_cast."""
     df = with_parsed(df)
     geo = lambda *paths: F.coalesce(*[_s(p) for p in paths])  # noqa: E731
-    return df.filter(route_zeek(df)).select(
+    cols = _cached_cols("zeek", lambda: [
         _s("event.hash").alias("event_id"),
         F.coalesce(
             _ts_iso("@timestamp"),
@@ -351,7 +374,8 @@ def extract_zeek(df: DataFrame) -> DataFrame:
             _s("zeek.conn.conn_state_description"),
         ).alias("message"),
         F.col("raw").alias("raw_data"),
-    )
+    ])
+    return df.filter(route_zeek(df)).select(*cols)
 
 
 def extract_all(df: DataFrame) -> dict[str, DataFrame]:
