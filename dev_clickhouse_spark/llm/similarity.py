@@ -741,11 +741,14 @@ def ivf_topk(
     ).select("query_id", "qv", "cid")
 
     # r13: per-vector norms hoisted out of the pair projection (same double
-    # arithmetic — bit-identical rounded scores), corpus side spread
-    cand = _spread(corpus.select(
+    # arithmetic — bit-identical rounded scores).  No _spread here: the
+    # assignment join already re-partitions the candidate side, and a
+    # measured attempt at spreading the scan REGRESSED this query (extra
+    # exchange ahead of a join that reshuffles anyway).
+    cand = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("nv"),
-    )).select(
+    ).select(
         "neighbor_id", "nv", _norm(F.col("nv")).alias("nn")
     ).join(assign.withColumnRenamed("id", "neighbor_id"), "neighbor_id")
     probes = probes.select(
