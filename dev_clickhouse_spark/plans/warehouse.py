@@ -1715,7 +1715,11 @@ class Warehouse:
         staging = os.path.join(
             self.path(table), f".patch-staging-{uuid.uuid4().hex[:8]}"
         )
-        self._writer(hits.coalesce(1)).mode("overwrite").parquet(staging)
+        # repartition(1), not coalesce(1): coalesce collapses the WHOLE
+        # predicate scan into one task (at 100 TB, one task reading every
+        # candidate member); the repartition keeps the scan parallel and
+        # shuffles only the MATCHED rows into the single patch file (r13)
+        self._writer(hits.repartition(1)).mode("overwrite").parquet(staging)
         n = self._count_rows_parquet(staging)
         cmd = "UPDATE %s WHERE %s" % (
             ", ".join(f"{c} = {e}" for c, e in assignments.items()),
@@ -1778,7 +1782,9 @@ class Warehouse:
         staging = os.path.join(
             self.path(table), f".dv-staging-{uuid.uuid4().hex[:8]}"
         )
-        self._writer(hits.coalesce(1)).mode("overwrite").parquet(staging)
+        # repartition(1), not coalesce(1) — same rationale as the patch
+        # writer: keep the predicate scan parallel, shuffle only matches
+        self._writer(hits.repartition(1)).mode("overwrite").parquet(staging)
         n = self._count_rows_parquet(staging)
         cmd = f"DELETE WHERE {condition}"
         if n == 0:
