@@ -97,11 +97,19 @@ def asof_join(
             ),
         )
 
+    # one select, not a withColumn-per-payload chain: every DataFrame op is
+    # eagerly analyzed, so N withColumns cost N analysis passes of the whole
+    # plan (r13 — driver-side build time in the gold refresh).  Same
+    # add-or-replace semantics: payload columns replace same-name left
+    # columns in place, new ones append in right_cols order.
+    drop = {"__asof_ts", "__asof_side", "__asof_payload", "__asof_match",
+            "__asof_match_ts"}
     out = carried.filter(F.col("__asof_side") == 1)
-    for c in right_cols:
-        out = out.withColumn(c, F.col("__asof_match").getField(c))
-    return out.drop("__asof_ts", "__asof_side", "__asof_payload", "__asof_match",
-                    "__asof_match_ts")
+    match = lambda c: F.col("__asof_match").getField(c).alias(c)  # noqa: E731
+    existing = [c for c in out.columns if c not in drop]
+    sel = [match(c) if c in right_cols else F.col(c) for c in existing]
+    sel += [match(c) for c in right_cols if c not in existing]
+    return out.select(*sel)
 
 
 def asof_join_multi(
@@ -223,7 +231,21 @@ def asof_join_multi(
         )
         .drop("__probe_rows")
     )
+    # single select (not N withColumn+drop pairs — each is a full eager
+    # analysis pass): payload columns replace same-name left columns in
+    # place, new ones append in spec order
     out = left.join(matched, on=id_cols, how="left")
-    for tag, _, _, _, _, pcol in specs:
-        out = out.withColumn(pcol, F.col(f"__m_{tag}")).drop(f"__m_{tag}")
-    return out
+    by_payload = {pcol: tag for tag, _, _, _, _, pcol in specs}
+    tagcols = {f"__m_{tag}" for tag, *_ in specs}
+    existing = [c for c in out.columns if c not in tagcols]
+    sel = [
+        F.col(f"__m_{by_payload[c]}").alias(c) if c in by_payload
+        else F.col(c)
+        for c in existing
+    ]
+    sel += [
+        F.col(f"__m_{tag}").alias(pcol)
+        for tag, _, _, _, _, pcol in specs
+        if pcol not in existing
+    ]
+    return out.select(*sel)
