@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.ch_compat import JAKARTA_TZ, time_key, to_yyyymmdd
+from ..functions.colcache import cached_cols
 from ..operators.asof import asof_join_multi
 from . import keys
 from .dims import AGENT_NK, HOST_NK, RULE_NK
@@ -48,43 +49,62 @@ def build_fact_suricata(
     existing: DataFrame | None = None,
 ) -> DataFrame:
     """fact_suricata_events.sql:1-71 — hash-key star lookups recomputed from
-    the fact side (J3); all three dims broadcast."""
-    local = _local(F.col("event_ts"))
-    enriched = src.select(
-        "event_id",
-        F.col("event_ts"),
-        *_date_time_keys(local),
-        keys.sensor_key("sensor_type", "sensor_name").alias("__sensor_key"),
-        keys.signature_key(
-            "signature_id", "signature", "category", "alert_action"
-        ).alias("__signature_key"),
-        keys.protocol_key("protocol").alias("__protocol_key"),
-        "event_type", "severity", "src_ip", "dest_ip", "src_port", "dest_port",
-        "bytes", "packets", "flow_id", "http_url", "message",
-    )
+    the fact side (J3); all three dims broadcast.
+
+    Every expression list is static — built once per process (colcache,
+    r14: the gold builders cost 0.6-1.35 s of driver-side plan build per
+    pipeline per refresh before caching; VERDICT r13 #1).  Join conditions
+    use unqualified names: each ``__*_key`` exists only on the fact side
+    and each dim key only on its dim, so resolution is unambiguous."""
+    def _exprs():
+        local = _local(F.col("event_ts"))
+        enriched_cols = [
+            F.col("event_id"),
+            F.col("event_ts"),
+            *_date_time_keys(local),
+            keys.sensor_key("sensor_type", "sensor_name").alias("__sensor_key"),
+            keys.signature_key(
+                "signature_id", "signature", "category", "alert_action"
+            ).alias("__signature_key"),
+            keys.protocol_key("protocol").alias("__protocol_key"),
+            F.col("event_type"), F.col("severity"), F.col("src_ip"),
+            F.col("dest_ip"), F.col("src_port"), F.col("dest_port"),
+            F.col("bytes"), F.col("packets"), F.col("flow_id"),
+            F.col("http_url"), F.col("message"),
+        ]
+        conds = [
+            F.col("__sensor_key") == F.col("sensor_key"),
+            F.col("__signature_key") == F.col("signature_key"),
+            F.col("__protocol_key") == F.col("protocol_key"),
+        ]
+        out_cols = [
+            *[F.col(c) for c in (
+                "event_id", "event_ts", "date_key", "time_key",
+                "sensor_key", "signature_key", "protocol_key",
+                "event_type", "severity", "src_ip", "dest_ip", "src_port",
+                "dest_port", "bytes", "packets", "flow_id", "http_url",
+                "message",
+            )],
+            F.current_timestamp().alias("updated_at"),
+        ]
+        return enriched_cols, conds, out_cols
+
+    enriched_cols, conds, out_cols = cached_cols(("fact_suricata",), _exprs)
+    enriched = src.select(*enriched_cols)
     out = (
         enriched.join(
             F.broadcast(dim_sensor.select(F.col("sensor_key"))),
-            enriched.__sensor_key == F.col("sensor_key"),
-            "left",
+            conds[0], "left",
         )
         .join(
             F.broadcast(dim_signature.select(F.col("signature_key"))),
-            enriched.__signature_key == F.col("signature_key"),
-            "left",
+            conds[1], "left",
         )
         .join(
             F.broadcast(dim_protocol.select(F.col("protocol_key"))),
-            enriched.__protocol_key == F.col("protocol_key"),
-            "left",
+            conds[2], "left",
         )
-        .select(
-            "event_id", "event_ts", "date_key", "time_key",
-            "sensor_key", "signature_key", "protocol_key",
-            "event_type", "severity", "src_ip", "dest_ip", "src_port",
-            "dest_port", "bytes", "packets", "flow_id", "http_url", "message",
-            F.current_timestamp().alias("updated_at"),
-        )
+        .select(*out_cols)
     )
     return _anti_existing(out, existing)
 
@@ -105,32 +125,51 @@ def build_fact_wazuh(
     (operators.asof.asof_join_multi): one narrow window shuffle serves
     agent+host+rule instead of three full-width window shuffles — the
     dominant cost of the reference's heaviest pipeline at scale."""
-    local = _local(F.col("event_ts"))
-    base = src.select(
-        "event_id", "event_ts", "event_ingested_ts", "event_start_ts",
-        "event_end_ts",
-        *_date_time_keys(local),
-        AGENT_NK().alias("__agent_nk"),
-        HOST_NK().alias("__host_nk"),
-        RULE_NK().alias("__rule_nk"),
-        keys.event_key(
-            "event_dataset", "event_kind", "event_module", "event_provider"
-        ).alias("__event_key"),
-        F.when(
-            F.col("event_ingested_ts").isNull(), F.lit(None).cast("double")
-        ).otherwise(
-            (F.unix_timestamp("event_ingested_ts")
-             - F.unix_timestamp("event_ts")).cast("double")
-        ).alias("lag_seconds"),  # Nullable(Float64) per 03_gold_tables.sql
-        F.when(
-            F.col("event_start_ts").isNull() | F.col("event_end_ts").isNull(),
-            F.lit(None).cast("double"),
-        ).otherwise(
-            (F.unix_timestamp("event_end_ts") - F.unix_timestamp("event_start_ts"))
-            .cast("double")
-        ).alias("duration_seconds"),
-        "message",
-    )
+    def _exprs():
+        local = _local(F.col("event_ts"))
+        base_cols = [
+            *[F.col(c) for c in (
+                "event_id", "event_ts", "event_ingested_ts", "event_start_ts",
+                "event_end_ts",
+            )],
+            *_date_time_keys(local),
+            AGENT_NK().alias("__agent_nk"),
+            HOST_NK().alias("__host_nk"),
+            RULE_NK().alias("__rule_nk"),
+            keys.event_key(
+                "event_dataset", "event_kind", "event_module", "event_provider"
+            ).alias("__event_key"),
+            F.when(
+                F.col("event_ingested_ts").isNull(), F.lit(None).cast("double")
+            ).otherwise(
+                (F.unix_timestamp("event_ingested_ts")
+                 - F.unix_timestamp("event_ts")).cast("double")
+            ).alias("lag_seconds"),  # Nullable(Float64) per 03_gold_tables.sql
+            F.when(
+                F.col("event_start_ts").isNull()
+                | F.col("event_end_ts").isNull(),
+                F.lit(None).cast("double"),
+            ).otherwise(
+                (F.unix_timestamp("event_end_ts")
+                 - F.unix_timestamp("event_start_ts"))
+                .cast("double")
+            ).alias("duration_seconds"),
+            F.col("message"),
+        ]
+        cond = F.col("__event_key") == F.col("event_key")
+        out_cols = [
+            *[F.col(c) for c in (
+                "event_id", "event_ts", "event_ingested_ts", "event_start_ts",
+                "event_end_ts", "date_key", "time_key", "agent_key",
+                "host_key", "rule_key", "event_key", "lag_seconds",
+                "duration_seconds", "message",
+            )],
+            F.current_timestamp().alias("updated_at"),
+        ]
+        return base_cols, cond, out_cols
+
+    base_cols, cond, out_cols = cached_cols(("fact_wazuh",), _exprs)
+    base = src.select(*base_cols)
 
     # ASOF LEFT JOIN ×3 — most-recent version with effective_from <= event_ts,
     # all three served by ONE tagged window shuffle
@@ -149,17 +188,8 @@ def build_fact_wazuh(
     )
 
     out = (
-        step.join(
-            F.broadcast(dim_event.select("event_key")),
-            step.__event_key == F.col("event_key"),
-            "left",
-        )
-        .select(
-            "event_id", "event_ts", "event_ingested_ts", "event_start_ts",
-            "event_end_ts", "date_key", "time_key", "agent_key", "host_key",
-            "rule_key", "event_key", "lag_seconds", "duration_seconds",
-            "message", F.current_timestamp().alias("updated_at"),
-        )
+        step.join(F.broadcast(dim_event.select("event_key")), cond, "left")
+        .select(*out_cols)
     )
     return _anti_existing(out, existing)
 
@@ -173,50 +203,65 @@ def build_fact_zeek(
 ) -> DataFrame:
     """fact_zeek_events.sql — widest fact; sensor key uses the literal 'zeek'
     sensor_type the dim build injects (dim_sensor.sql:25)."""
-    local = _local(F.col("event_ts"))
-    enriched = src.select(
-        "event_id", "event_ts", "event_ingested_ts", "event_start_ts",
-        "event_end_ts",
-        *_date_time_keys(local),
-        keys.sensor_key(F.lit("zeek"), F.col("sensor_name")).alias("__sensor_key"),
-        keys.protocol_key("protocol").alias("__protocol_key"),
-        keys.event_key(
-            "event_dataset", "event_kind", "event_module", "event_provider"
-        ).alias("__event_key"),
-        "zeek_uid", "src_ip", "dest_ip", "src_port", "dest_port",
-        "geo_latitude", "geo_longitude", "geo_country", "geo_city_name",
-        "mac_address", "application", "network_type", "direction",
-        "community_id", "bytes", "packets", "orig_bytes", "resp_bytes",
-        "orig_pkts", "resp_pkts", "conn_state", "conn_state_description",
-        F.col("duration").alias("duration_seconds"), "history", "vlan_id",
-        "message",
-    )
+    def _exprs():
+        local = _local(F.col("event_ts"))
+        enriched_cols = [
+            *[F.col(c) for c in (
+                "event_id", "event_ts", "event_ingested_ts", "event_start_ts",
+                "event_end_ts",
+            )],
+            *_date_time_keys(local),
+            keys.sensor_key(F.lit("zeek"), F.col("sensor_name")).alias(
+                "__sensor_key"
+            ),
+            keys.protocol_key("protocol").alias("__protocol_key"),
+            keys.event_key(
+                "event_dataset", "event_kind", "event_module", "event_provider"
+            ).alias("__event_key"),
+            *[F.col(c) for c in (
+                "zeek_uid", "src_ip", "dest_ip", "src_port", "dest_port",
+                "geo_latitude", "geo_longitude", "geo_country",
+                "geo_city_name", "mac_address", "application", "network_type",
+                "direction", "community_id", "bytes", "packets", "orig_bytes",
+                "resp_bytes", "orig_pkts", "resp_pkts", "conn_state",
+                "conn_state_description",
+            )],
+            F.col("duration").alias("duration_seconds"),
+            F.col("history"), F.col("vlan_id"), F.col("message"),
+        ]
+        conds = [
+            F.col("__sensor_key") == F.col("sensor_key"),
+            F.col("__protocol_key") == F.col("protocol_key"),
+            F.col("__event_key") == F.col("event_key"),
+        ]
+        out_cols = [
+            *[F.col(c) for c in (
+                "event_id", "event_ts", "event_ingested_ts", "event_start_ts",
+                "event_end_ts", "date_key", "time_key", "sensor_key",
+                "protocol_key", "event_key", "zeek_uid", "src_ip", "dest_ip",
+                "src_port", "dest_port", "geo_latitude", "geo_longitude",
+                "geo_country", "geo_city_name", "mac_address", "application",
+                "network_type", "direction", "community_id", "bytes",
+                "packets", "orig_bytes", "resp_bytes", "orig_pkts",
+                "resp_pkts", "conn_state", "conn_state_description",
+                "duration_seconds", "history", "vlan_id", "message",
+            )],
+            F.current_timestamp().alias("updated_at"),
+        ]
+        return enriched_cols, conds, out_cols
+
+    enriched_cols, conds, out_cols = cached_cols(("fact_zeek",), _exprs)
+    enriched = src.select(*enriched_cols)
     out = (
         enriched.join(
-            F.broadcast(dim_sensor.select("sensor_key")),
-            enriched.__sensor_key == F.col("sensor_key"),
-            "left",
+            F.broadcast(dim_sensor.select("sensor_key")), conds[0], "left"
         )
         .join(
-            F.broadcast(dim_protocol.select("protocol_key")),
-            enriched.__protocol_key == F.col("protocol_key"),
-            "left",
+            F.broadcast(dim_protocol.select("protocol_key")), conds[1], "left"
         )
         .join(
-            F.broadcast(dim_event.select("event_key")),
-            enriched.__event_key == F.col("event_key"),
-            "left",
+            F.broadcast(dim_event.select("event_key")), conds[2], "left"
         )
-        .select(
-            "event_id", "event_ts", "event_ingested_ts", "event_start_ts",
-            "event_end_ts", "date_key", "time_key", "sensor_key",
-            "protocol_key", "event_key", "zeek_uid", "src_ip", "dest_ip",
-            "src_port", "dest_port", "geo_latitude", "geo_longitude",
-            "geo_country", "geo_city_name", "mac_address", "application",
-            "network_type", "direction", "community_id", "bytes", "packets",
-            "orig_bytes", "resp_bytes", "orig_pkts", "resp_pkts", "conn_state",
-            "conn_state_description", "duration_seconds", "history", "vlan_id",
-            "message", F.current_timestamp().alias("updated_at"),
-        )
+        .select(*out_cols)
     )
     return _anti_existing(out, existing)

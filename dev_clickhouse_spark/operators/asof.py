@@ -129,11 +129,14 @@ def asof_join_multi(
 
     Why not N ``asof_join`` calls: each one shuffles the FULL accumulating
     fact width through its own window exchange — N wide shuffles.  Here the
-    probe side is only ``id_cols + (tag, key, ts)``: all dims union into one
-    version stream keyed by ``(tag, key)``, one narrow window exchange serves
-    every lookup, a narrow group-by folds the N matches back to one row per
-    fact id, and the wide fact is shuffled exactly once for the final join
-    (whose build side is already partitioned on ``id_cols`` by the fold).
+    probe side is only ``id_cols + (tag, key, ts)``: ONE exploded select
+    emits a (tag, key) probe row per spec (r14 — one probe scan + one
+    analysis pass instead of a select+union per spec), all dims union into
+    one version stream keyed by ``(tag, key)``, one narrow window exchange
+    serves every lookup, a narrow group-by folds the N matches back to one
+    row per fact id, and the wide fact is shuffled exactly once for the
+    final join (whose build side is already partitioned on ``id_cols`` by
+    the fold).
     At 100 TB this turns fact_wazuh's dominant cost — 3 wide window shuffles
     — into 1 narrow window + 1 narrow fold + 1 wide join.
 
@@ -149,31 +152,54 @@ def asof_join_multi(
     ``salt_buckets`` defaults to the cluster's default parallelism.
     """
     payload_type = dict(specs[0][1].dtypes)[specs[0][5]]
-    id_types = dict(left.dtypes)
+    left_dtypes = dict(left.dtypes)
+    id_types = tuple((c, left_dtypes[c]) for c in id_cols)
     if salt_buckets is None:
         salt_buckets = left.sparkSession.sparkContext.defaultParallelism
     salt_buckets = max(1, int(salt_buckets))
 
-    probes = []
-    versions = []
-    for tag, right, lkey, rkey, rts, pcol in specs:
-        probes.append(
-            left.select(
-                *id_cols,
-                F.lit(tag).alias("__tag"),
-                F.col(lkey).cast("string").alias("__key"),
-                F.col(left_ts).alias("__ts"),
-                F.lit(1).alias("__side"),
-                F.lit(None).cast(payload_type).alias("__payload"),
-                F.pmod(
-                    F.xxhash64(*[F.col(c) for c in id_cols]),
-                    F.lit(salt_buckets),
-                ).cast("int").alias("__salt"),
-            )
-        )
-        versions.append(
-            right.select(
-                *[F.lit(None).cast(id_types[c]).alias(c) for c in id_cols],
+    # Every expression list below is STATIC given this signature — building
+    # them is driver-side py4j traffic paid per pipeline per refresh window
+    # (r14 profile: ~0.45 s warm for fact_wazuh's 3-dim call), so they are
+    # cached per process (functions.colcache; r13 §7 extractor pattern).
+    sig = (
+        tuple(id_cols), id_types, left_ts,
+        tuple((s[0], s[2], s[3], s[4], s[5]) for s in specs),
+        payload_type, salt_buckets,
+    )
+
+    def _build_exprs():
+        # ONE exploded probe select instead of a select+union per spec: the
+        # probe side (the accumulating fact — the big side) is scanned once,
+        # and the driver pays one analysis pass instead of len(specs) (r14).
+        # explode(array(struct(tag, key)…)) emits exactly the same
+        # (tag, key) probe row multiset the per-spec unions produced.
+        probe_cols = [
+            *[F.col(c) for c in id_cols],
+            F.explode(F.array(*[
+                F.struct(
+                    F.lit(tag).alias("t"),
+                    F.col(lkey).cast("string").alias("k"),
+                )
+                for tag, _, lkey, *_ in specs
+            ])).alias("__tk"),
+            F.col(left_ts).alias("__ts"),
+            F.lit(1).alias("__side"),
+            F.lit(None).cast(payload_type).alias("__payload"),
+            F.pmod(
+                F.xxhash64(*[F.col(c) for c in id_cols]),
+                F.lit(salt_buckets),
+            ).cast("int").alias("__salt"),
+        ]
+        probe_flat = [
+            *[F.col(c) for c in id_cols],
+            F.col("__tk.t").alias("__tag"),
+            F.col("__tk.k").alias("__key"),
+            F.col("__ts"), F.col("__side"), F.col("__payload"), F.col("__salt"),
+        ]
+        version_cols = [
+            [
+                *[F.lit(None).cast(t).alias(c) for c, t in id_types],
                 F.lit(tag).alias("__tag"),
                 F.col(rkey).cast("string").alias("__key"),
                 F.col(rts).alias("__ts"),
@@ -182,11 +208,43 @@ def asof_join_multi(
                 F.explode(
                     F.sequence(F.lit(0), F.lit(salt_buckets - 1))
                 ).alias("__salt"),
-            )
-        )
-    stream = probes[0]
-    for df in probes[1:] + versions:
-        stream = stream.unionByName(df)
+            ]
+            for tag, _, lkey, rkey, rts, pcol in specs
+        ]
+        agg_cols = [
+            F.count(F.lit(1)).alias("__probe_rows"),
+            *[
+                F.max(F.when(F.col("__tag") == tag, F.col("__match"))).alias(
+                    f"__m_{tag}"
+                )
+                for tag, *_ in specs
+            ],
+        ]
+        assert_col = F.assert_true(
+            F.col("__probe_rows") == F.lit(len(specs)),
+            F.concat(
+                F.lit(
+                    "asof_join_multi: id_cols do not uniquely identify "
+                    "left rows (id="
+                ),
+                F.concat_ws(", ", *[F.col(c).cast("string") for c in id_cols]),
+                F.lit(
+                    f") — expected {len(specs)} probe rows per id; "
+                    "dropDuplicates(id_cols) the probe side first"
+                ),
+            ),
+        ).isNull()
+        return probe_cols, probe_flat, version_cols, agg_cols, assert_col
+
+    from ..functions.colcache import cached_cols
+
+    probe_cols, probe_flat, version_cols, agg_cols, assert_col = cached_cols(
+        ("asof_join_multi", sig), _build_exprs
+    )
+
+    stream = left.select(*probe_cols).select(*probe_flat)
+    for (tag, right, *_), vcols in zip(specs, version_cols):
+        stream = stream.unionByName(right.select(*vcols))
 
     w = (
         Window.partitionBy("__tag", "__key", "__salt")
@@ -197,15 +255,7 @@ def asof_join_multi(
         stream.withColumn("__match", F.last("__payload", ignorenulls=True).over(w))
         .filter(F.col("__side") == 1)
         .groupBy(*id_cols)
-        .agg(
-            F.count(F.lit(1)).alias("__probe_rows"),
-            *[
-                F.max(F.when(F.col("__tag") == tag, F.col("__match"))).alias(
-                    f"__m_{tag}"
-                )
-                for tag, *_ in specs
-            ]
-        )
+        .agg(*agg_cols)
         # Enforce the id_cols-uniqueness precondition instead of trusting the
         # docstring: every unique left row contributes exactly len(specs)
         # probe rows to this fold, so a higher count means duplicate
@@ -213,22 +263,7 @@ def asof_join_multi(
         # duplicate (event_id, event_ts) across micro-batches with different
         # natural keys).  Checked inside the existing aggregate — no extra
         # shuffle; raises at action time.
-        .filter(
-            F.assert_true(
-                F.col("__probe_rows") == F.lit(len(specs)),
-                F.concat(
-                    F.lit(
-                        "asof_join_multi: id_cols do not uniquely identify "
-                        "left rows (id="
-                    ),
-                    F.concat_ws(", ", *[F.col(c).cast("string") for c in id_cols]),
-                    F.lit(
-                        f") — expected {len(specs)} probe rows per id; "
-                        "dropDuplicates(id_cols) the probe side first"
-                    ),
-                ),
-            ).isNull()
-        )
+        .filter(assert_col)
         .drop("__probe_rows")
     )
     # single select (not N withColumn+drop pairs — each is a full eager
@@ -238,14 +273,21 @@ def asof_join_multi(
     by_payload = {pcol: tag for tag, _, _, _, _, pcol in specs}
     tagcols = {f"__m_{tag}" for tag, *_ in specs}
     existing = [c for c in out.columns if c not in tagcols]
-    sel = [
-        F.col(f"__m_{by_payload[c]}").alias(c) if c in by_payload
-        else F.col(c)
-        for c in existing
-    ]
-    sel += [
-        F.col(f"__m_{tag}").alias(pcol)
-        for tag, _, _, _, _, pcol in specs
-        if pcol not in existing
-    ]
-    return out.select(*sel)
+
+    def _build_final():
+        sel = [
+            F.col(f"__m_{by_payload[c]}").alias(c) if c in by_payload
+            else F.col(c)
+            for c in existing
+        ]
+        sel += [
+            F.col(f"__m_{tag}").alias(pcol)
+            for tag, _, _, _, _, pcol in specs
+            if pcol not in existing
+        ]
+        return sel
+
+    final_sel = cached_cols(
+        ("asof_join_multi_final", tuple(existing), sig), _build_final
+    )
+    return out.select(*final_sel)

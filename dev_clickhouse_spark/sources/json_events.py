@@ -106,26 +106,17 @@ RAW_EVENT_SCHEMA = _st(
 
 _J = "__j"
 
-#: Cached extractor Column lists, keyed by (name, applicationId).  The
-#: select-lists below are static expression trees, but BUILDING them costs
-#: ~4.6 s of driver-side py4j traffic per call (r13 profile; ip_canonical
-#: alone is ~0.6 s/call) — and the batch path builds them per micro-batch.
-#: Columns are unresolved expressions, safely reusable across DataFrames;
-#: keying by applicationId drops entries from a stopped SparkContext whose
-#: JVM gateway no longer exists.
-_COLS_CACHE: dict[tuple[str, str], list] = {}
+# Extractor Column lists are static expression trees, but BUILDING them
+# costs ~4.6 s of driver-side py4j traffic per call (r13 profile;
+# ip_canonical alone is ~0.6 s/call) — and the batch path builds them per
+# micro-batch.  Cached per process via functions.colcache, which also
+# evicts entries from stopped SparkContexts (r14, ADVICE: the old local
+# cache kept dead-gateway Column handles forever).
+from ..functions.colcache import cached_cols as _shared_cached_cols
 
 
 def _cached_cols(name: str, build) -> list:
-    from pyspark import SparkContext
-
-    sc = SparkContext._active_spark_context
-    key = (name, sc.applicationId if sc is not None else "")
-    got = _COLS_CACHE.get(key)
-    if got is None:
-        got = build()
-        _COLS_CACHE[key] = got
-    return got
+    return _shared_cached_cols(("json_events", name), build)
 
 
 def with_parsed(df: DataFrame) -> DataFrame:
