@@ -38,6 +38,11 @@ K_CLUSTERS = 8
 N_ROUNDS = 2
 QUANT = 1_000_000
 
+#: per-block byte budget for the semantic-dedup pair GEMM — bounds one
+#: task's dot-product block at ~O(block_rows · |cluster|) instead of
+#: |cluster|² (tests shrink it to force the multi-block path)
+_GEMM_BLOCK_BYTES = 64 * 1024 * 1024
+
 
 def _quantize(col):
     return F.transform(
@@ -47,22 +52,58 @@ def _quantize(col):
 
 
 def _assign(df: DataFrame, cent: DataFrame) -> DataFrame:
-    """(vec_id, q) × broadcast centroids → (vec_id, q, cl, d)."""
-    j = df.crossJoin(F.broadcast(cent))
-    d = F.aggregate(
-        F.zip_with("q", "cq", lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    ).alias("d")
-    scored = j.select("vec_id", "q", "cl", d)
-    best = scored.groupBy("vec_id").agg(
-        F.min(F.struct("d", "cl")).alias("best"),
-        F.first("q").alias("q"),
-    )
-    return best.select(
-        "vec_id", "q",
-        F.col("best.cl").alias("cl"), F.col("best.d").alias("d"),
-    )
+    """(vec_id, q) × centroids → (vec_id, q, cl, d).
+
+    r14 (guide §4.2): exact int64 numpy assignment via ``mapInPandas`` —
+    MAP-ONLY, where the old shape paid a crossJoin row blowup, an
+    interpreted ``zip_with``/``aggregate`` distance fold per (vector,
+    centroid), and a groupBy exchange that shuffled the q column every
+    round.  Distances use the GEMM identity Σ(a-b)² = |a|² + |b|² - 2a·b
+    — algebraically identical in exact integer arithmetic, and numpy
+    int64 ops are exact, so the assignment (and the oracle-pinned
+    centroid walk) is bit-identical.  ``np.argmin`` takes the FIRST
+    minimum; centroid rows are sorted by cl, preserving the lower-cl
+    tie-break.  The k×d centroid table ships in the task closure (it is
+    already driver-side between rounds)."""
+    import numpy as np
+
+    rows = sorted(cent.collect(), key=lambda r: r["cl"])
+    cls_arr_src = [int(r["cl"]) for r in rows]
+    C = np.stack([np.asarray(r["cq"], dtype=np.int64) for r in rows])
+    dims = C.shape[1]
+    cmax = int(np.abs(C).max(initial=0))
+    c2 = np.einsum("ij,ij->i", C, C)
+    out_schema = "vec_id long, q array<long>, cl int, d long"
+
+    def fn(batches):
+        import numpy as np
+        import pandas as pd
+
+        cls_arr = np.asarray(cls_arr_src, dtype=np.int32)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            Q = np.stack([np.asarray(x, dtype=np.int64) for x in pdf["q"]])
+            m = max(int(np.abs(Q).max(initial=0)), cmax, 1)
+            if 4 * m * m * dims >= (1 << 63):
+                raise ValueError(
+                    "quantized components too large for exact int64 "
+                    f"distances (max |q|={m}, d={dims})"
+                )
+            d2 = (
+                np.einsum("ij,ij->i", Q, Q)[:, None]
+                + c2[None, :]
+                - 2 * (Q @ C.T)
+            )
+            best = np.argmin(d2, axis=1)
+            yield pd.DataFrame({
+                "vec_id": pdf["vec_id"].to_numpy(),
+                "q": pdf["q"],
+                "cl": cls_arr[best],
+                "d": d2[np.arange(len(best)), best],
+            })
+
+    return df.mapInPandas(fn, out_schema)
 
 
 def kmeans_rounds(
@@ -201,6 +242,76 @@ def semantic_cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cluster_dups(pdf):
+    """Within-cluster dup scoring over one cluster's pandas frame.
+
+    r13 (guide §4.2): moved from a self-join on cl into a numpy GEMM per
+    cluster (applyInPandas).  The join shape pushed the dup predicate into
+    the SortMergeJoin CONDITION, where the interpreted zip_with/aggregate
+    dot product was evaluated three times per candidate pair on k=8 join
+    keys (8 busy tasks) — the bench's single slowest stage.  Dot products
+    are an int64 matrix product (exact: the guard below refuses inputs
+    whose dot could exceed int64), the ≥-threshold test is
+    float-prefiltered with a wide safety margin and then EXACT-verified
+    in arbitrary-precision integer arithmetic, so the pair set is
+    bit-identical to the oracle's 25·dot² ≥ 4·|a|²·|b|² predicate.
+
+    r14 (VERDICT r13 #5): the GEMM is ROW-BLOCKED — the full q @ q.T held
+    |cluster|²·8 bytes (plus triu/lhs/rhs temps ~4-5×) in one task, an
+    OOM cliff for a skewed giant cluster where the old join streamed.
+    Blocks bound per-task memory at ~O(block·|cluster|) while every
+    upper-triangle pair is still scored exactly once with identical
+    arithmetic, so the pair set is unchanged (unit-tested against the
+    single-block path with a forced multi-block budget)."""
+    import numpy as np
+    import pandas as pd
+
+    cl = int(pdf["cl"].iloc[0])
+    v = pdf["vec_id"].to_numpy()
+    if len(v) < 2:
+        return pd.DataFrame(
+            [(cl, 0, 0)], columns=["cl", "n_dup_pairs", "n_removed"]
+        )
+    order = np.argsort(v)  # va < vb ⇔ upper triangle after the sort
+    q = np.stack(
+        [np.asarray(x, dtype=np.int64) for x in pdf["q"].iloc[order]]
+    )
+    m = int(np.abs(q).max(initial=0))
+    if m and m * m * q.shape[1] >= (1 << 63):
+        raise ValueError(
+            "quantized components too large for exact int64 dot "
+            f"products (max |q|={m}, d={q.shape[1]})"
+        )
+    n = len(v)
+    n2 = np.einsum("ij,ij->i", q, q)
+    blk = max(1, int(_GEMM_BLOCK_BYTES // (8 * max(n, 1))))
+    n_pairs = 0
+    removed = np.zeros(n, dtype=bool)
+    jj_all = np.arange(n)
+    for s in range(0, n, blk):
+        e = min(s + blk, n)
+        dot = q[s:e] @ q.T  # (e-s) × n
+        # upper triangle only: global row gi pairs with columns j > gi
+        ii, jj = np.nonzero(jj_all[None, :] > np.arange(s, e)[:, None])
+        d = dot[ii, jj]
+        gi = ii + s
+        lhs = 25.0 * (d.astype(np.float64) ** 2)
+        rhs = 4.0 * n2[gi].astype(np.float64) * n2[jj].astype(np.float64)
+        # float64 keeps ~1e-16 relative error; the 1e-9 margin makes the
+        # prefilter sound (no false negatives), exact check settles the rest
+        cand = (d >= 0) & (lhs >= rhs * (1.0 - 1e-9))
+        ok = np.zeros(len(d), dtype=bool)
+        for idx in np.nonzero(cand)[0]:
+            dd = int(d[idx])
+            ok[idx] = 25 * dd * dd >= 4 * int(n2[gi[idx]]) * int(n2[jj[idx]])
+        n_pairs += int(ok.sum())
+        removed[jj[ok]] = True
+    return pd.DataFrame(
+        [(cl, n_pairs, int(removed.sum()))],
+        columns=["cl", "n_dup_pairs", "n_removed"],
+    )
+
+
 @register(
     "semantic_dedup_within_clusters",
     oracle=f"""
@@ -304,58 +415,6 @@ def semantic_dedup_within_clusters(
     # keep_vec carries the quantized components through the fold so the
     # pair scoring needs no re-join against the source embeddings
     asg = kmeans_rounds(spark, df, K_CLUSTERS, N_ROUNDS, keep_vec=True)
-
-    # r13 (guide §4.2): the within-cluster pair scoring moves from a
-    # self-join on cl into ONE numpy GEMM per cluster (applyInPandas).  The
-    # previous shape pushed the dup predicate into the SortMergeJoin
-    # CONDITION, where the interpreted zip_with/aggregate dot product was
-    # evaluated three times per candidate pair on k=8 join keys (8 busy
-    # tasks) — the bench's single slowest stage.  Here dot products are an
-    # int64 matrix product (exact: the guard below refuses inputs whose dot
-    # could exceed int64), the ≥-threshold test is float-prefiltered with a
-    # wide safety margin and then EXACT-verified in arbitrary-precision
-    # integer arithmetic, so the pair set is bit-identical to the oracle's
-    # 25·dot² ≥ 4·|a|²·|b|² predicate.  Per-task memory is |cluster|²·8
-    # bytes — the same Σ|cluster|² term the join materialized as rows, and
-    # SemDeDup's scaling contract (k grows with the corpus, KMEANS_SCALE)
-    # bounds it.
-    def _cluster_dups(pdf):
-        import numpy as np
-        import pandas as pd
-
-        cl = int(pdf["cl"].iloc[0])
-        v = pdf["vec_id"].to_numpy()
-        if len(v) < 2:
-            return pd.DataFrame(
-                [(cl, 0, 0)], columns=["cl", "n_dup_pairs", "n_removed"]
-            )
-        order = np.argsort(v)  # va < vb ⇔ upper triangle after the sort
-        q = np.stack(
-            [np.asarray(x, dtype=np.int64) for x in pdf["q"].iloc[order]]
-        )
-        m = int(np.abs(q).max(initial=0))
-        if m and m * m * q.shape[1] >= (1 << 63):
-            raise ValueError(
-                "quantized components too large for exact int64 dot "
-                f"products (max |q|={m}, d={q.shape[1]})"
-            )
-        dot = q @ q.T
-        n2 = np.einsum("ij,ij->i", q, q)
-        iu, ju = np.triu_indices(len(v), k=1)
-        d = dot[iu, ju]
-        lhs = 25.0 * (d.astype(np.float64) ** 2)
-        rhs = 4.0 * n2[iu].astype(np.float64) * n2[ju].astype(np.float64)
-        # float64 keeps ~1e-16 relative error; the 1e-9 margin makes the
-        # prefilter sound (no false negatives), exact check settles the rest
-        cand = (d >= 0) & (lhs >= rhs * (1.0 - 1e-9))
-        ok = np.zeros(len(d), dtype=bool)
-        for idx in np.nonzero(cand)[0]:
-            dd = int(d[idx])
-            ok[idx] = 25 * dd * dd >= 4 * int(n2[iu[idx]]) * int(n2[ju[idx]])
-        return pd.DataFrame(
-            [(cl, int(ok.sum()), int(np.unique(ju[ok]).size))],
-            columns=["cl", "n_dup_pairs", "n_removed"],
-        )
 
     per_cl = (
         asg.select("cl", "vec_id", "q")
