@@ -558,6 +558,18 @@ class Warehouse:
         self._footer_cols_cache[fpath] = (mtime, cols)
         return cols
 
+    @staticmethod
+    def _member_is_flat(p: str) -> bool:
+        """True when the member dir holds no partition subdirs (k=v)."""
+        try:
+            with os.scandir(p) as it:
+                for e in it:
+                    if e.is_dir() and "=" in e.name:
+                        return False
+        except OSError:
+            return False
+        return True
+
     def _first_parquet(self, root: str) -> str | None:
         """First parquet file under ``root`` (a member is ONE write
         generation, so one footer answers type/column questions for the
@@ -1237,6 +1249,15 @@ class Warehouse:
         with the _SUCCESS marker's mtime (every Spark write job rewrites
         it, catching appends that only add files inside existing partition
         subdirs)."""
+        sch = self._inferred_schema(path)
+        if sch is not None:
+            return self.spark.read.schema(sch).parquet(path)
+        return self.spark.read.parquet(path)
+
+    def _inferred_schema(self, path: str) -> T.StructType | None:
+        """The memoized inferred schema of ``path`` (see
+        ``_read_parquet_inferred``); None when the dir is unstatable.  A
+        miss pays one real inference; hits are a pair of stats."""
         try:
             mt = os.stat(path).st_mtime_ns
             try:
@@ -1245,14 +1266,13 @@ class Warehouse:
                 success = 0
             key = (mt, success)
         except OSError:
-            key = None
+            return None
         hit = self._inferred_schema_cache.get(path)
-        if key is not None and hit is not None and hit[0] == key:
-            return self.spark.read.schema(hit[1]).parquet(path)
-        df = self.spark.read.parquet(path)
-        if key is not None:
-            self._inferred_schema_cache[path] = (key, df.schema)
-        return df
+        if hit is not None and hit[0] == key:
+            return hit[1]
+        sch = self.spark.read.parquet(path).schema
+        self._inferred_schema_cache[path] = (key, sch)
+        return sch
 
     def read(self, table: str) -> DataFrame:
         """Read a table; a missing table reads as empty with its declared
@@ -1373,13 +1393,68 @@ class Warehouse:
             e["col"]: self._reset_value(table, e["col"])
             for e in cleared
         }
+        live = [
+            m for m in members
+            # zero-row member (empty-batch append / bootstrap): no files
+            # to infer a schema from, and nothing to scan
+            if self._count_parquet(os.path.join(self.path(table), m)) > 0
+        ]
+        # FUSED member scan (r14, VERDICT r13 #2): when no per-member
+        # transform applies — no ALTER override, no stored computed
+        # columns, no CLEAR overlays — and every member's parquet footer
+        # carries the same (name, type) set, the N member scans collapse
+        # into ONE multi-path scan.  The overlay-read profile showed the
+        # 3-5× patch/DV read penalty was ~95% driver-side plan
+        # analysis/optimization of the member-union tree (executing a
+        # fixed plan cost ~50 ms); one scan node is also the right shape
+        # at scale (§6: one shared file index, one split planning pass).
+        # Row multiset and _metadata tags are identical to the union by
+        # construction; footer disagreement of any kind falls back.
+        fused = None
+        if override is None and not stored and not cleared and len(live) > 1:
+            paths = [os.path.join(self.path(table), m) for m in live]
+            # partitioned members (event_date=… subdirs) need per-member
+            # partition discovery — a multi-path scan raises
+            # CONFLICTING_DIRECTORY_STRUCTURES without a single basePath,
+            # and the table root is not one (member names are not k=v)
+            flat = all(self._member_is_flat(p) for p in paths)
+            fps = (
+                [self._first_parquet(p) for p in paths] if flat else [None]
+            )
+            if all(fp is not None for fp in fps):
+                names = [self._parquet_column_names(fp) for fp in fps]
+                sigs = [
+                    sorted(
+                        self._parquet_field_types(fp).items(),
+                        key=lambda kv: kv[0],
+                    )
+                    for fp in fps
+                ]
+                uniform = (
+                    all(n == names[0] for n in names)
+                    and all(len(s) == len(names[0]) for s in sigs)
+                    and all(s == sigs[0] for s in sigs)
+                )
+                if uniform:
+                    first = self._inferred_schema(paths[0])
+                    if first is not None:
+                        sch = T.StructType([
+                            T.StructField(f.name, f.dataType, True)
+                            for f in first.fields
+                        ])
+                        fused = self.spark.read.schema(sch).parquet(*paths)
         dfs = []
-        for m in members:
+        if fused is not None:
+            if tag:
+                fused = fused.select(
+                    F.col("_metadata.file_path").alias("__dv_file"),
+                    F.col("_metadata.row_index").alias("__dv_pos"),
+                    *[F.col(c) for c in fused.columns],
+                )
+            dfs.append(fused)
+            live = []
+        for m in live:
             p = os.path.join(self.path(table), m)
-            if self._count_parquet(p) == 0:
-                # zero-row member (empty-batch append / bootstrap): no
-                # files to infer a schema from, and nothing to scan
-                continue
             read_schema = legacy_schema
             member_casts: dict = {}
             if check_casts:
@@ -1472,12 +1547,25 @@ class Warehouse:
             # subset scan — tiered compaction folding only fresh members,
             # a snapshot of an older manifest — never injects rows whose
             # originals live outside the scan.
-            pat = self.spark.read.parquet(
-                *[
-                    os.path.join(self._patch_dir(table), f)
-                    for f in patch_files
-                ]
-            )
+            # patch dirs are immutable once renamed into place and normally
+            # share one schema (each patch writer selects the full tagged
+            # row), so the first dir's memoized inferred schema serves the
+            # multi-path read without a per-read inference pass (r14) —
+            # guarded by the same footer-uniformity check as the fused
+            # member scan (an ALTER between patches changes patch columns)
+            ppaths = [
+                os.path.join(self._patch_dir(table), f) for f in patch_files
+            ]
+            psch = None
+            pfps = [self._first_parquet(p) for p in ppaths]
+            if all(fp is not None for fp in pfps):
+                pnames = [self._parquet_column_names(fp) for fp in pfps]
+                if all(n == pnames[0] for n in pnames):
+                    psch = self._inferred_schema(ppaths[0])
+            if psch is not None:
+                pat = self.spark.read.schema(psch).parquet(*ppaths)
+            else:
+                pat = self.spark.read.parquet(*ppaths)
             in_scan = F.lit(False)
             for m in members:
                 # scheme-agnostic ('file:/x' vs 'file:///x'): match on the
@@ -1502,7 +1590,11 @@ class Warehouse:
                 "left_anti",
             ).unionByName(latest, allowMissingColumns=True)
         if dv_files:
-            dv = self.spark.read.parquet(
+            # DV schema is FIXED by the delete-writer (the address pair) —
+            # an explicit schema skips inference entirely (r14)
+            dv = self.spark.read.schema(
+                "__dv_file string, __dv_pos long"
+            ).parquet(
                 *[os.path.join(self._dv_dir(table), f) for f in dv_files]
             )
             out = out.join(dv, ["__dv_file", "__dv_pos"], "left_anti")
