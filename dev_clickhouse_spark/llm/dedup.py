@@ -191,10 +191,12 @@ def verify_jaccard(
 ) -> DataFrame:
     """Exact shingle-set Jaccard for candidate pairs.  Each pair joins to
     the two docs' distinct-shingle ARRAYS and intersects with a JVM
-    ``array_intersect`` — no Python workers and no per-pair re-shingling
-    (the round-6 rewrite that halved the n-gram verify also applies here;
-    ``_shingles`` and ``ngram_shingles`` produce the same 3-token sets, so
-    the value is bit-identical to the old Arrow-UDF path).  A doc under 3
+    ``array_intersect`` — no Python workers and no per-pair re-shingling.
+    The per-doc sets build inline as
+    ``array_distinct(transform(...))`` in the projection below — the same
+    3-token shingles ``ngram_shingles`` emits (split on single spaces,
+    windows of 3, docs under 3 tokens drop out), so the value is
+    bit-identical to the old Arrow-UDF path.  A doc under 3
     tokens has an empty set → Jaccard 0.0, matching the old behavior.
 
     Only docs that actually appear in ``pairs`` are shingled: the incoming

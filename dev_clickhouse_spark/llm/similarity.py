@@ -658,10 +658,12 @@ def ivf_build(
     """Build an IVF index: deterministic seed centroids (lowest ids — no RNG),
     one Lloyd refinement (assign → per-dimension mean), inverted lists.
 
-    Returns (centroids[cid, cv], assignments[id, cid]).  Everything is JVM
-    expressions: assignment is a broadcast cross join + row_number argmin;
-    the mean recompute is posexplode → groupBy(cid, pos) avg → re-assemble.
-    At corpus scale both steps are single-shuffle on cid/(cid,pos).
+    Returns (centroids[cid, cv], assignments[id, cid]).  Assignment is a
+    MAP-ONLY numpy pass per partition (r14 — see ``assign``; the distances
+    replicate the old JVM fold's arithmetic bit-for-bit, and the old
+    crossJoin + row_number shape shuffled the corpus per assignment); the
+    mean recompute stays a JVM posexplode → groupBy(cid, pos) avg →
+    re-assemble, single-shuffle on (cid, pos).
 
     Both outputs are MATERIALIZED (localCheckpoint): an IVF index is a
     persisted structure by nature — without this every search branch
@@ -671,28 +673,55 @@ def ivf_build(
     c = corpus.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("cv")
     )
-    seeds = (
-        c.orderBy("id").limit(n_centroids)
-        .select(F.row_number().over(Window.orderBy("id")).alias("cid"),
-                F.col("cv").alias("seed"))
-    )
 
-    def assign(points: DataFrame, centroids: DataFrame, cvec: str) -> DataFrame:
-        scored = points.crossJoin(F.broadcast(centroids)).withColumn(
-            "__d",
-            F.aggregate(
-                F.zip_with(F.col("cv"), F.col(cvec), lambda x, y: (x - y) * (x - y)),
-                F.lit(0.0), lambda acc, v: acc + v,
-            ),
-        )
-        w = Window.partitionBy("id").orderBy(F.asc("__d"), F.asc("cid"))
-        return (
-            scored.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .select("id", "cid", "cv")
+    def assign(points: DataFrame, cent_rows: list, keep_cv: bool) -> DataFrame:
+        """Nearest-centroid assignment as ONE numpy map pass (r14, guide
+        §4.2): the old shape paid a crossJoin k-fold row blowup, an
+        interpreted zip_with/aggregate distance fold per (vector,
+        centroid), and a row_number window SHUFFLE of the corpus per
+        assignment — twice per build.  Distances accumulate per DIMENSION
+        (acc += (x_j − y_j)²), the exact left-fold order and IEEE double
+        ops of the old JVM ``aggregate`` lambda, so every distance is
+        bit-identical; ``np.argmin`` takes the first minimum over rows
+        sorted by cid, preserving the lower-cid tie-break."""
+        import numpy as np
+
+        cent_rows = sorted(cent_rows, key=lambda r: int(r[0]))
+        cids_src = [int(r[0]) for r in cent_rows]
+        C = np.stack([np.asarray(r[1], dtype=np.float64) for r in cent_rows])
+        schema = (
+            "id long, cid int, cv array<double>" if keep_cv
+            else "id long, cid int"
         )
 
-    first = assign(c, seeds, "seed")
+        def fn(batches):
+            import numpy as np
+            import pandas as pd
+
+            cids = np.asarray(cids_src, dtype=np.int32)
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                Q = np.stack(
+                    [np.asarray(x, dtype=np.float64) for x in pdf["cv"]]
+                )
+                acc = np.zeros((len(Q), len(C)))
+                for j in range(C.shape[1]):
+                    t = Q[:, j, None] - C[None, :, j]
+                    acc += t * t
+                best = np.argmin(acc, axis=1)
+                out = {"id": pdf["id"].to_numpy(), "cid": cids[best]}
+                if keep_cv:
+                    out["cv"] = pdf["cv"]
+                yield pd.DataFrame(out)
+
+        return points.mapInPandas(fn, schema)
+
+    seed_rows = [
+        (i + 1, r["cv"])
+        for i, r in enumerate(c.orderBy("id").limit(n_centroids).collect())
+    ]
+    first = assign(c, seed_rows, keep_cv=True)
     means = (
         first.select("cid", F.posexplode("cv").alias("pos", "val"))
         .groupBy("cid", "pos")
@@ -709,8 +738,11 @@ def ivf_build(
         # Materializing turns ~4 recomputes of the build into 1.
         .localCheckpoint(eager=True)
     )
+    mean_rows = [
+        (r["cid"], r["cv_centroid"]) for r in means.collect()
+    ]  # n_centroids rows off an eager checkpoint — a driver-side no-op
     assignments = (
-        assign(c, means, "cv_centroid").select("id", "cid")
+        assign(c, mean_rows, keep_cv=False)
         .localCheckpoint(eager=True)  # same: probed by every query branch
     )
     return means.withColumnRenamed("cv_centroid", "cv"), assignments

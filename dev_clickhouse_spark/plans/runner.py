@@ -400,9 +400,15 @@ class PipelineRunner:
             reads = {}
 
         def rd(t: str) -> DataFrame:
-            if t not in reads:
-                reads[t] = self.wh.read(t)
-            return reads[t]
+            # setdefault: rd() is called from the wave's ThreadPoolExecutor
+            # workers; the single dict op is atomic under the GIL, so two
+            # racing readers at worst both build the read and one wins —
+            # never a torn entry (r14, ADVICE: make the thread-safety
+            # explicit so non-atomic state never lands here)
+            got = reads.get(t)
+            if got is None:
+                got = reads.setdefault(t, self.wh.read(t))
+            return got
 
         pid = spec.pipeline_id
 

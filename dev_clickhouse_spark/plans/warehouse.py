@@ -1979,19 +1979,22 @@ class Warehouse:
         """Row count of a just-written parquet dir from the file FOOTERS —
         the count is free metadata; the old ``spark.read...count()`` paid a
         whole Spark job per mutation call (r13, guide §1.2: don't compute
-        what metadata already knows)."""
+        what metadata already knows).
+
+        Footer-read errors PROPAGATE (r14, ADVICE): the staging dir is
+        local and was written by this process moments ago, so a failure
+        here is a real fault — the old blanket ``return 0`` made the
+        mutation writers treat it as 'no rows matched' and silently drop
+        an UPDATE/DELETE that did match rows."""
         import pyarrow.parquet as pq
 
         n = 0
-        try:
-            for dirpath, _dirs, files in os.walk(path):
-                for f in files:
-                    if f.endswith(".parquet"):
-                        n += pq.ParquetFile(
-                            os.path.join(dirpath, f)
-                        ).metadata.num_rows
-        except Exception:
-            return 0
+        for dirpath, _dirs, files in os.walk(path):
+            for f in files:
+                if f.endswith(".parquet"):
+                    n += pq.ParquetFile(
+                        os.path.join(dirpath, f)
+                    ).metadata.num_rows
         return n
 
     def read_window(self, table: str, start_ts, end_ts) -> DataFrame:
