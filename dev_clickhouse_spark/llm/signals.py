@@ -163,6 +163,12 @@ def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     fraction, duplicate-bigram fraction.  All ratios divide exact integer
     counts, so the doubles agree bit-for-bit across engines before the
     final 6dp round."""
+    # r14 plan audit: the split-token array feeds the word AND bigram stat
+    # branches (2 scans of documents per plan).  A lazy checkpoint was
+    # MEASURED as a wash at sf0.1 (same-session medians 2.8 vs 2.9 s) and
+    # is a bad trade at scale — the split is cheap per row while the
+    # materialized array outweighs the raw text — so the two-scan shape
+    # is kept deliberately.
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.split("text", " ").alias("ws")
     )

@@ -81,7 +81,13 @@ def duplicated_gram_hashes(postings: DataFrame, min_docs: int = 2) -> DataFrame:
 def dup_spans(docs: DataFrame, k: int = 8, min_docs: int = 2) -> DataFrame:
     """Maximal duplicated token spans per document:
     (doc_id, span_start, span_end) with 1-based inclusive token offsets."""
-    postings = gram_postings(docs, k)
+    # r14 plan audit (guide §3.3): postings feed BOTH the duplicated-hash
+    # aggregate and the flagged join, so Catalyst re-ran the full
+    # tokenize+gram+hash pass twice per plan.  The lazy checkpoint
+    # materializes the (doc_id, pos, gh) rows once — corpus-token-sized,
+    # three narrow columns, the same deliberate trade as the r13 ngram
+    # index checkpoint — and dies with the DataFrame (no cross-run reuse).
+    postings = gram_postings(docs, k).localCheckpoint(eager=False)
     dup = duplicated_gram_hashes(postings, min_docs)
     flagged = postings.join(dup, "gh").select(
         "doc_id", "pos", (F.col("pos") + F.lit(k - 1)).alias("end")

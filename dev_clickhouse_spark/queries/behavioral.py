@@ -121,7 +121,17 @@ def funnel_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     anchored at ANY view event (not just the first — matching ClickHouse's
     exhaustive chain search), then a histogram of max depth reached.
     Each step is a user-keyed equi join with the time window as residual."""
-    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    # r14 plan audit (guide §3.3): this query's branches — views/clicks/
+    # purchases, the two step joins, and the four union arms — made
+    # Catalyst re-derive the events scan 14 TIMES in one plan.  A lazy
+    # localCheckpoint of the 3-column projection turns that into ONE scan
+    # whose result every branch shares (checkpoint dies with the
+    # DataFrame: each invocation still computes from parquet).
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_type")
+        .localCheckpoint(eager=False)
+    )
     views = ev.filter(F.col("event_type") == "view").select(
         "user_id", F.col("ts").alias("v_ts"))
     clicks = ev.filter(F.col("event_type") == "click").select(
